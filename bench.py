@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of all benched queries (each executed as a
+count-collapsed action so results never funnel through the driver). Set
+``BENCH_ALL=1`` to time every registered query instead of the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from data_preparation_plugin_spark import get_spark, plans  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark(app_name="dpp-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [
+        n
+        for n, q in plans.QUERIES.items()
+        if q.bench or os.environ.get("BENCH_ALL") == "1"
+    ]
+
+    def run(df) -> None:
+        # noop sink: executes the whole plan JVM-side, writes nothing,
+        # never funnels results through the driver.
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        builder = plans.QUERIES[name].builder
+        # Warm once at tiny scale so JVM/codegen warmup doesn't pollute t0.
+        if os.environ.get("BENCH_NO_WARMUP") != "1":
+            run(builder(spark, "/root/testdata/sf0.001"))
+        start = time.perf_counter()
+        run(builder(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

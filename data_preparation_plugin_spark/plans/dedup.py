@@ -1,0 +1,343 @@
+r"""Deduplication capability queries over ``documents`` / ``embeddings``.
+
+Driver mandate (BASELINE.json): exact dedup, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup. Every variant is built to be 100 TB-safe:
+candidate generation always goes through a blocking/banding key (never an
+unconstrained cross join), and the only full-corpus shuffles key on bounded
+cardinalities (fingerprints, band values, block keys).
+
+MinHash here is string-MinHash: ``min(md5(seed || shingle))`` per seed. md5
+exists in both Spark and DuckDB with identical output, which makes the whole
+LSH pipeline — signatures, bands, candidate pairs — hash-checkable against
+the oracle, unlike engine-specific hash functions (xxhash64 has no DuckDB
+twin, so the SimHash query is a rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_preparation_plugin_spark.functions.hashing import minhash_hex
+from data_preparation_plugin_spark.functions.text import shingles as _shingles
+from data_preparation_plugin_spark.functions.text import tokens as tokens_col
+from data_preparation_plugin_spark.plans.registry import load_table, register
+
+#: MinHash parameters: 8 hash functions in 4 bands of 2 rows.
+#: P(candidate | J) = 1 - (1 - J^2)^4 — ~0.9 at J=0.7, ~0.04 at J=0.1.
+MINHASH_SEEDS = 8
+MINHASH_BANDS = 4
+SHINGLE_SIZE = 3
+#: Shingles occurring in more than this many documents are dropped before
+#: pair generation ("stop shingles") — bounds the per-bucket pair blow-up.
+MAX_SHINGLE_DF = 100
+
+
+def shingles_col(text: Column, k: int = SHINGLE_SIZE) -> Column:
+    """k-word shingles of normalized text; whole text if shorter than k."""
+    return _shingles(text, k)
+
+
+_SHINGLES_SQL = r"""
+        CASE WHEN len(tokens) >= 3
+             THEN list_transform(range(1, len(tokens) - 1),
+                                 i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+             ELSE [array_to_string(tokens, ' ')] END
+"""
+
+
+@register(
+    "dedup_exact_fingerprint",
+    category="dedup",
+    bench=True,
+    oracle=r"""
+    SELECT fingerprint, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    )
+    GROUP BY fingerprint
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: one hash-shuffle on the digest.
+
+    The 100 TB shape: shuffle moves (digest, doc_id) pairs only — never the
+    text — and the representative choice (min id) is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id -> h0..h{n-1} string-MinHash signature columns."""
+    exploded = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
+    ).distinct()
+    aggs = [
+        F.min(minhash_hex(F.col("shingle"), s)).alias(f"h{s}")
+        for s in range(MINHASH_SEEDS)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql(select: str) -> str:
+    """Build the shared CTE prefix of the MinHash oracle queries."""
+    mins = ",\n               ".join(
+        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(MINHASH_SEEDS)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, h{2*b} || h{2*b+1} AS band_val FROM sigs"
+        for b in range(MINHASH_BANDS)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), shingled AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM toks
+    ), sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM shingled
+        GROUP BY doc_id
+    ), bands AS (
+        {bands}
+    )
+    {select}
+    """
+
+
+@register(
+    "dedup_minhash_signatures",
+    category="dedup",
+    oracle=_minhash_sql(
+        "SELECT doc_id, "
+        + ", ".join(f"h{s}" for s in range(MINHASH_SEEDS))
+        + " FROM sigs"
+    ),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (8 string-min hashes over 3-shingles)."""
+    return _minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    category="dedup",
+    bench=True,
+    oracle=_minhash_sql(
+        """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        """
+    ),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band signatures, bucket-join, dedup.
+
+    The join keys on (band_idx, band_val) — documents only meet inside a
+    band bucket, so cost scales with bucket sizes (collision probability),
+    never |docs|^2. This is the scale path for fuzzy dedup at 100 TB.
+    """
+    sigs = _minhash_signatures(load_table(spark, sf_dir, "documents"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band_val"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val")
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    category="dedup",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), shingled AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM toks
+    ), kept AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM shingled
+        ) WHERE df <= {MAX_SHINGLE_DF}
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id
+    ), overlap AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM kept a
+        JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a,
+           doc_b,
+           round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common), 4)
+               AS jaccard
+    FROM overlap
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (J >= 0.5), inverted-index style.
+
+    Candidates come from co-occurrence in a shingle posting list, with
+    high-document-frequency "stop shingles" pruned first so no posting list
+    (and hence no bucket self-join) can blow up — the classic bound that
+    keeps exact Jaccard feasible on large corpora.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
+    ).distinct()
+    df_counts = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        shingled.join(
+            F.broadcast(df_counts.filter(F.col("df") <= MAX_SHINGLE_DF)), "shingle"
+        )
+        .select("doc_id", "shingle")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("n_common") * 1.0 / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    )
+    return (
+        overlap.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jaccard >= 0.5)
+        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
+@register("dedup_simhash", category="dedup")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (xxhash64 token hashes, sign-aggregated).
+
+    No oracle: DuckDB has no xxhash64, so the driver records a rows-only
+    check (one deterministic row per document). Hamming-near signatures
+    cluster near-duplicate docs; 16 bits keeps the demo compact while the
+    shape (explode -> per-bit sign sums -> reassemble) is the real one.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    hashed = tok.select("doc_id", F.xxhash64("token").alias("h"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"bit{b}")
+            for b in range(16)
+        ]
+    )
+    simhash = None
+    for b in range(16):
+        term = F.when(F.col(f"bit{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bit_sums.select(
+        "doc_id", simhash.cast("long").alias("simhash16")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    category="dedup",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a,
+           b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a
+    JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.4 over all pairs.
+
+    The embeddings fixture is a fixed small set, so the exact all-pairs
+    join is the honest baseline here; the 100 TB path is the LSH-bucketed
+    variant (see plans/similarity.py knn_lsh_buckets) which replaces the
+    full pair space with per-bucket joins.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cosine = dot / (norm("a") * norm("b"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine_raw", cosine)
+        .filter(F.col("cosine_raw") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine_raw", 4).alias("cosine"),
+        )
+    )

@@ -1,0 +1,165 @@
+"""Event-stream capability queries (batch form).
+
+The ``events`` table is the driver's streaming fixture (TESTDATA.md;
+FIXTURES.md §B). These queries implement the event-time vocabulary —
+JSON props parsing, tumbling windows, sessionization, pivots — in batch
+form so the DuckDB oracle can check them; ``streaming/events.py`` runs the
+same logic through Structured Streaming and the test suite asserts
+batch/stream equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_preparation_plugin_spark.plans.registry import load_table, register
+
+
+@register(
+    "events_json_props",
+    category="events",
+    oracle=r"""
+    SELECT event_id,
+           user_id,
+           CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS prop_k
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` column into a typed column.
+
+    Spark side uses real JSON parsing (``get_json_object``); the oracle uses
+    a regex so it does not depend on DuckDB's JSON extension being loaded.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    category="events",
+    bench=True,
+    oracle="""
+    SELECT date_trunc('hour', ts)   AS window_start,
+           event_type,
+           count(*)                 AS n_events,
+           round(sum(value), 2)     AS total_value,
+           count(DISTINCT user_id)  AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the streaming agg).
+
+    Uses ``F.window`` — the same operator Structured Streaming uses with a
+    watermark — so the batch and streaming plans share semantics exactly.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    category="events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, event_id, value,
+               sum(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           session_seq,
+           count(*)             AS n_events,
+           min(ts)              AS session_start,
+           max(ts)              AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap), batch form.
+
+    The lag/cumsum idiom shuffles once on user_id; the streaming twin is
+    ``session_window`` with a watermark (see streaming/events.py).
+    """
+    events = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(order)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES"))
+    ).cast("long")
+    return (
+        events.withColumn("is_new_session", new_session)
+        .withColumn("session_seq", F.sum("is_new_session").over(frame))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+@register(
+    "events_type_pivot",
+    category="events",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-user count columns.
+
+    The pivot values are declared explicitly — an unbounded ``pivot()``
+    would need a distinct-value pre-pass (extra job) and can explode the
+    schema at scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )

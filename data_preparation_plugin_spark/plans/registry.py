@@ -1,0 +1,104 @@
+"""Registry plumbing for declared queries.
+
+A query is registered with a builder ``(spark, sf_dir) -> DataFrame`` plus an
+optional DuckDB-runnable oracle SQL string. The driver compares the two at
+sf=0.01 with an order-insensitive value hash after sorting columns by name,
+so builders must alias every computed column to the same name the oracle
+uses (see repo instructions / SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    """One declared capability: a Spark builder + its DuckDB oracle."""
+
+    name: str
+    builder: Builder
+    oracle: str | None = None
+    category: str = ""
+    doc: str = ""
+    #: queries worth timing at sf0.1 in bench.py
+    bench: bool = False
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    category: str = "",
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[Builder], Builder]:
+    """Decorator: register ``fn`` as the builder for query ``name``."""
+
+    def wrap(fn: Builder) -> Builder:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = Query(
+            name=name,
+            builder=fn,
+            oracle=oracle,
+            category=category,
+            doc=(fn.__doc__ or "").strip(),
+            bench=bench,
+            tags=tags,
+        )
+        return fn
+
+    return wrap
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one test table (TESTDATA.md layout).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos
+    and is converted here to a microsecond TIMESTAMP_NTZ — the identical
+    truncation DuckDB applies, keeping oracle parity exact.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def queries() -> dict[str, Builder]:
+    """name -> builder, the shape ``__spark_entry__.queries`` returns."""
+    return {name: q.builder for name, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    """name -> oracle SQL for every query that has one."""
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

@@ -1,0 +1,930 @@
+"""Relational capability queries (SURVEY.md §2.B).
+
+The reference's users reach filtering, computed columns, formatting, regex
+extraction, joins (``README.md:11-17,159-164``) and the whole of analytic SQL
+through PostgreSQL (``operators/copy.py:4`` passthrough). Each query here
+exercises one slice of that surface natively on Spark, with a DuckDB oracle.
+
+Scale notes apply to every query: filters/projections are declarative so
+Catalyst pushes them into the Parquet scan; dimension joins (region, nation,
+supplier, part at TPC-H ratios) sit under the broadcast threshold so the only
+shuffles left are the ones the aggregation keys genuinely require; AQE
+coalesces post-shuffle partitions and handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_preparation_plugin_spark.plans.registry import load_table, register
+
+
+# --------------------------------------------------------------------------
+# Aggregation over a single fact table
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    category="aggregate",
+    bench=True,
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum(l_quantity), 2) / count(*)                        AS avg_qty,
+           round(sum(l_extendedprice), 2) / count(*)                   AS avg_price,
+           round(sum(l_discount), 2) / count(*)                        AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 flavor: full-scan group-by with multiple aggregates.
+
+    One shuffle on a 6-value grouping key; partial (map-side) aggregation
+    does almost all the work, so the shuffle moves ~6 rows per task
+    regardless of input size — the canonical 100 TB-safe aggregation shape.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # Averages as round(sum,2)/count: both engines then divide
+            # *identical* doubles, so results are bit-identical — a plain
+            # round(avg(x), n) can land on a half-way point where the two
+            # engines' sum orders round apart.
+            (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.round(F.sum("l_discount"), 2) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    category="aggregate",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 flavor: highly selective scan-filter-aggregate.
+
+    All four predicates push down to the Parquet scan (row-group min/max
+    pruning); the aggregate is a single global sum — no wide shuffle at all.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    category="aggregate",
+    oracle="""
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*)                    AS n_customers,
+           round(sum(c_acctbal), 2) / count(*) AS avg_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside plain aggregates (expand + two-phase agg)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_acctbal"),
+    )
+
+
+@register(
+    "rollup_agg",
+    category="aggregate",
+    oracle="""
+    SELECT n_name,
+           c_mktsegment,
+           round(sum(c_acctbal), 2) AS total_acctbal,
+           count(*)                 AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (nation -> segment -> grand total).
+
+    The nation dim broadcasts; the rollup expands each row to its grouping
+    sets before one shuffle — same single-shuffle profile as a plain agg.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "cube_agg",
+    category="aggregate",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status x priority: all 4 grouping-set combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "grouping_sets",
+    category="aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL on a temp view."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter / project / compute / format / regex (README.md:11-17)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "filter_compute",
+    category="transform",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(year(o_orderdate) AS INTEGER)  AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           o_totalprice * 1.1                  AS price_with_fee,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END                 AS price_band
+    FROM orders
+    WHERE o_totalprice > 50000 AND o_orderstatus <> 'F'
+    """,
+)
+def filter_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row filter + computed columns (README.md:13-14,71).
+
+    The reference does this in pandas after a full-table fetch
+    (``hooks/dataset.py:120-126``); here both predicates push down into the
+    scan and the arithmetic runs in whole-stage codegen.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter((F.col("o_totalprice") > 50000) & (F.col("o_orderstatus") != "F"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            # No round(): both engines compute the identical double, and
+            # rounding a half-way product diverges (Spark rounds the
+            # shortest decimal repr, DuckDB the true binary value).
+            (F.col("o_totalprice") * 1.1).alias("price_with_fee"),
+            F.when(F.col("o_totalprice") >= 300000, "high")
+            .when(F.col("o_totalprice") >= 100000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+        )
+    )
+
+
+@register(
+    "project_columns",
+    category="transform",
+    oracle="SELECT c_custkey, c_mktsegment FROM customer",
+)
+def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column keep-list (README.md:102-110). Pruned down to a 2-column scan."""
+    return load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "regex_extract",
+    category="transform",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_extract(c_name, '#(\d+)$', 1)                   AS cust_num,
+           CAST(regexp_extract(c_name, '#(\d+)$', 1) AS BIGINT)   AS cust_num_int
+    FROM customer
+    WHERE regexp_matches(c_name, '^Customer#')
+    """,
+)
+def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction into new columns (README.md:15)."""
+    customer = load_table(spark, sf_dir, "customer")
+    num = F.regexp_extract("c_name", r"#(\d+)$", 1)
+    return customer.filter(F.col("c_name").rlike("^Customer#")).select(
+        "c_custkey",
+        num.alias("cust_num"),
+        num.cast("long").alias("cust_num_int"),
+    )
+
+
+@register(
+    "string_format",
+    category="transform",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                          AS name_upper,
+           lower(p_type)                          AS type_lower,
+           concat(p_brand, ':', p_type)           AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')  AS size_padded,
+           substring(p_name, 1, 5)                AS name_prefix,
+           replace(p_name, ' ', '_')              AS name_snake,
+           length(p_name)                         AS name_len
+    FROM part
+    """,
+)
+def string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column formatting vocabulary (README.md:14): case, pad, concat, slice."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+@register(
+    "date_functions",
+    category="transform",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(year(o_orderdate) AS INTEGER)     AS o_year,
+           CAST(quarter(o_orderdate) AS INTEGER)  AS o_quarter,
+           count(*)                               AS n_orders,
+           round(sum(o_totalprice), 2)            AS total_price
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date parse/truncate/extract vocabulary over the order calendar."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").alias("o_year"),
+            F.quarter("o_orderdate").alias("o_quarter"),
+            "o_totalprice",
+        )
+        .groupBy("order_month", "o_year", "o_quarter")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (README.md:126-171 + full PG surface)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    category="join",
+    bench=True,
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 flavor: filtered 3-way join + agg + deterministic top-10.
+
+    customer(filtered) broadcasts into orders, the orders->lineitem join
+    shuffles on orderkey once, and the top-10 is a TakeOrderedAndProject —
+    no global sort materialization.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem.filter(F.col("l_shipdate") > cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    category="join",
+    bench=True,
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 flavor: 6-way star join, dims broadcast, one fact shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    category="join",
+    bench=True,
+    oracle="""
+    SELECT c_custkey,
+           c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 flavor: returned-item revenue by customer, top 20."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "join_left",
+    category="join",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey)                         AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2)  AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (count = 0)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    category="join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 200000
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders.filter(F.col("o_totalprice") > 200000),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    category="join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer",
+    category="join",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        FROM customer GROUP BY 1
+    ), supp AS (
+        SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(cust.nationkey, supp.nationkey) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust = customer.groupBy(F.col("c_nationkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    supp = supplier.groupBy(F.col("s_nationkey").alias("sk")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return cust.join(supp, cust.ck == supp.sk, "full").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "join_range_band",
+    category="join",
+    oracle="""
+    SELECT band_name,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    JOIN (VALUES ('small', 0.0, 100000.0),
+                 ('medium', 100000.0, 300000.0),
+                 ('large', 300000.0, 1e18)) AS bands(band_name, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_name
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join against a banding dimension.
+
+    The band table is tiny, so Spark picks BroadcastNestedLoopJoin — the
+    correct physical plan for a non-equi join with a broadcastable side; at
+    100 TB the fact side streams through without any shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("medium", 100000.0, 300000.0),
+         ("large", 300000.0, 1e18)],
+        ["band_name", "lo", "hi"],
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "exists_late_shipment",
+    category="join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 flavor: semi join with a correlated date condition."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            lineitem,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_running",
+    category="window",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_spend
+    FROM orders
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend (analytic frame, pandas-cumsum idiom)."""
+    orders = load_table(spark, sf_dir, "orders")
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(win), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    category="window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the scalable top-k-per-group idiom.
+
+    row_number + filter shuffles once on the partition key; never a global
+    sort. The orderkey tiebreak makes the result deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(win).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_dense",
+    category="window",
+    oracle="""
+    SELECT p_type,
+           p_partkey,
+           p_retailprice,
+           rank()       OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS price_rank,
+           dense_rank() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS price_dense_rank
+    FROM part
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank over a per-type price ordering."""
+    part = load_table(spark, sf_dir, "part")
+    win = Window.partitionBy("p_type").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return part.select(
+        "p_type",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(win).alias("price_rank"),
+        F.dense_rank().over(win).alias("price_dense_rank"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    category="window",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           value,
+           round(value - lag(value) OVER w, 4)  AS delta_prev,
+           lead(event_type) OVER w              AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead across each user's event timeline."""
+    events = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(win), 4).alias("delta_prev"),
+        F.lead("event_type").over(win).alias("next_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops / dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topk",
+    category="sort",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT -> TakeOrderedAndProject (no full sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "set_ops",
+    category="setop",
+    oracle="""
+    WITH y1996 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE year(o_orderdate) = 1996),
+         y1997 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE year(o_orderdate) = 1997)
+    SELECT 'both' AS op, o_custkey FROM (SELECT o_custkey FROM y1996 INTERSECT SELECT o_custkey FROM y1997)
+    UNION ALL
+    SELECT 'only_1996' AS op, o_custkey FROM (SELECT o_custkey FROM y1996 EXCEPT SELECT o_custkey FROM y1997)
+    UNION ALL
+    SELECT 'only_1997' AS op, o_custkey FROM (SELECT o_custkey FROM y1997 EXCEPT SELECT o_custkey FROM y1996)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over yearly active-customer sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    y1996 = (
+        orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    )
+    y1997 = (
+        orders.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    )
+    both = y1996.intersect(y1997).select(F.lit("both").alias("op"), "o_custkey")
+    only96 = y1996.exceptAll(y1997).select(F.lit("only_1996").alias("op"), "o_custkey")
+    only97 = y1997.exceptAll(y1996).select(F.lit("only_1997").alias("op"), "o_custkey")
+    return both.unionByName(only96).unionByName(only97)
+
+
+@register(
+    "dedup_exact_distinct",
+    category="dedup",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def dedup_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate elimination on a projection (hash aggregate)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+    )
+
+
+@register(
+    "dedup_keep_first",
+    category="dedup",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping a deterministic representative (earliest order).
+
+    ``dropDuplicates`` keeps an arbitrary row; at scale (and for the oracle)
+    determinism requires the row_number idiom — one shuffle on the key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+@register(
+    "above_customer_avg",
+    category="window",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    ) t
+    WHERE o_totalprice > cust_avg
+    """,
+)
+def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics via an analytic window (decorrelated)."""
+    orders = load_table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(win))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -1,0 +1,253 @@
+"""Similarity-search capability queries over the ``embeddings`` table.
+
+Driver mandate: approximate-nearest-neighbor over ``array<float>`` —
+brute-force cosine top-k as the correctness baseline, an LSH-bucketed
+variant as the 100 TB scale path. All vector math is ``zip_with`` /
+``aggregate`` built-ins in double precision so the DuckDB oracle
+(``list_cosine_similarity`` over ``DOUBLE[]``) reproduces values bit-close;
+ranking rounds before ordering and tiebreaks on vec_id so top-k sets are
+deterministic across engines.
+
+The random-hyperplane LSH uses hyperplanes generated from a fixed seed and
+inlined as literals into BOTH the Spark plan and the oracle SQL — the whole
+approximate index is therefore hash-checkable, not just rows-counted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_preparation_plugin_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+    lit_vector,
+)
+from data_preparation_plugin_spark.plans.registry import load_table, register
+
+#: Query set: a fixed, small set of probe vectors.
+N_QUERY_VECS = 10
+TOP_K = 5
+#: Random-hyperplane LSH: 8 planes -> 256 buckets over 64-dim embeddings.
+N_HYPERPLANES = 8
+EMBEDDING_DIM = 64
+_SEED = 42
+
+
+def _hyperplanes() -> np.ndarray:
+    """Deterministic hyperplanes shared by the Spark plan and the oracle."""
+    rng = np.random.RandomState(_SEED)
+    return rng.randn(N_HYPERPLANES, EMBEDDING_DIM).round(6)
+
+
+def _bucket_col(vec: Column) -> Column:
+    """Sign-bit bucket id ('10110010'-style string) for a vector column."""
+    bits = [
+        F.when(dot_product(vec, lit_vector(plane)) >= 0, "1").otherwise("0")
+        for plane in _hyperplanes()
+    ]
+    return F.concat(*bits)
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    """The same bucket id as a DuckDB SQL expression."""
+    bits = []
+    for plane in _hyperplanes():
+        arr = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) >= 0"
+            f" THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+@register(
+    "knn_bruteforce_cosine",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}
+    ), scored AS (
+        SELECT query_id,
+               e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(qv, e.v), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(qv, e.v), 6) DESC,
+                            e.vec_id) AS rn
+        FROM q CROSS JOIN e
+        WHERE e.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn
+    FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe vector (baseline).
+
+    The probe set broadcasts (it is tiny by construction), so the "cross
+    join" is really a broadcast nested loop streamed over the corpus —
+    one pass, no shuffle of the big side; the per-query top-k is a
+    bounded window.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine6").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine6", 4).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "knn_lsh_buckets",
+    category="similarity",
+    oracle=f"""
+    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM (
+        SELECT vec_id, {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+        FROM embeddings
+    )
+    GROUP BY bucket
+    """,
+)
+def knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (the ANN index itself).
+
+    Bucketing is a narrow map — each vector hashes independently, so index
+    construction scales embarrassingly; the bucket histogram here is what
+    an operator would monitor for skew.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        emb.select("vec_id", _bucket_col(F.col("v")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@register(
+    "knn_lsh_cosine",
+    category="similarity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, bucket FROM e
+        WHERE vec_id < {N_QUERY_VECS}
+    ), scored AS (
+        SELECT query_id,
+               e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(qv, e.v), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(qv, e.v), 6) DESC,
+                            e.vec_id) AS rn
+        FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn
+    FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The scale path: scoring touches only same-bucket candidates (expected
+    corpus_size / 2^planes per query), turning an O(N) scan per query into
+    an equi-join on the bucket key that shuffles each side once.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("bucket", _bucket_col(F.col("v")))
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine6").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine6", 4).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    category="similarity",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vectors,
+           round(sum(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))), 2)
+               / count(*) AS avg_norm,
+           round(min(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))), 4) AS min_norm,
+           round(max(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))), 4) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics (vector-column hygiene check)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = l2_norm(F.col("v"))
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.round(F.sum("norm"), 2) / F.count(F.lit(1))).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )

@@ -1,0 +1,211 @@
+"""Text-analysis capability queries over the ``documents`` table.
+
+Driver mandate (BASELINE.json north star): language-ID, quality scoring,
+token counting, document fingerprinting. All implemented with JVM-side
+built-ins (split / higher-order array functions / regexp / md5) — no Python
+UDFs in the hot path — so they stay inside whole-stage codegen and scale
+linearly with input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_preparation_plugin_spark.functions.text import tokens as tokens_col
+from data_preparation_plugin_spark.plans.registry import load_table, register
+
+#: Tiny per-language marker lexicons for the heuristic language-ID.
+#: Deliberately simple (the reference has no NLP stack at all); the point is
+#: a deterministic, SQL-expressible n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "y", "las"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("de5", "shi4", "le5", "he2"),
+}
+
+
+@register(
+    "text_token_count",
+    category="text",
+    bench=True,
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+           length(text)                                      AS n_chars_measured,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality_score",
+    category="text",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               text,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           len(tokens)                                                  AS n_tokens,
+           round(length(text) * 1.0 / len(tokens), 4)                   AS avg_token_len,
+           round(len(list_filter(tokens, t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                 / len(tokens), 4)                                      AS stopword_ratio,
+           round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0
+                 / length(text), 4)                                     AS punct_ratio,
+           CASE WHEN len(tokens) BETWEEN 5 AND 1000
+                 AND len(list_filter(tokens, t -> t IN ('the', 'a', 'of', 'and')))
+                     * 1.0 / len(tokens) BETWEEN 0.001 AND 0.5
+                THEN 1 ELSE 0 END                                       AS quality_pass
+    FROM toks
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: length, stopword ratio, punctuation ratio.
+
+    The Gopher/C4-style prefilter shape for LLM corpora: cheap per-row
+    signals + a pass/fail gate, all vectorized built-ins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    )
+    stop_ratio = stop * F.lit(1.0) / n_tokens
+    punct = F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(F.length("text") * 1.0 / n_tokens, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct * F.lit(1.0) / F.length("text"), 4).alias("punct_ratio"),
+        F.when(
+            n_tokens.between(5, 1000) & stop_ratio.between(0.001, 0.5), 1
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+def _lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+@register(
+    "text_langid",
+    category="text",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(tokens, t -> t IN ('the','a','of','and')))   AS score_en,
+               len(list_filter(tokens, t -> t IN ('le','la','et','les')))   AS score_fr,
+               len(list_filter(tokens, t -> t IN ('el','los','y','las')))   AS score_es,
+               len(list_filter(tokens, t -> t IN ('der','die','und','das'))) AS score_de,
+               len(list_filter(tokens, t -> t IN ('de5','shi4','le5','he2'))) AS score_zh
+        FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN score_en >= score_fr AND score_en >= score_es
+                 AND score_en >= score_de AND score_en >= score_zh AND score_en > 0 THEN 'en'
+                WHEN score_fr >= score_es AND score_fr >= score_de
+                 AND score_fr >= score_zh AND score_fr > 0 THEN 'fr'
+                WHEN score_es >= score_de AND score_es >= score_zh AND score_es > 0 THEN 'es'
+                WHEN score_de >= score_zh AND score_de > 0 THEN 'de'
+                WHEN score_zh > 0 THEN 'zh'
+                ELSE 'und' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID with a deterministic priority tiebreak.
+
+    Real corpora would use character n-gram profiles (same shape: score per
+    language, argmax); the fixed priority order makes ties deterministic so
+    the oracle can hash-match.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    scores = {lang: _lang_score(toks, m) for lang, m in LANG_MARKERS.items()}
+    order = ["en", "fr", "es", "de", "zh"]
+    predicted = F.lit("und")
+    # Build the CASE from lowest to highest priority so 'en' wins ties.
+    for i in range(len(order) - 1, -1, -1):
+        lang = order[i]
+        cond = scores[lang] > 0
+        for later in order[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[later])
+        predicted = F.when(cond, lang).otherwise(predicted)
+    return docs.select("doc_id", "lang", predicted.alias("predicted_lang"))
+
+
+@register(
+    "text_fingerprint",
+    category="text",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (md5 over whitespace-collapsed text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@register(
+    "text_top_terms",
+    category="text",
+    oracle=r"""
+    SELECT token, n_occurrences, n_docs
+    FROM (
+        SELECT token,
+               count(*)                 AS n_occurrences,
+               count(DISTINCT doc_id)   AS n_docs
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+            FROM documents
+        )
+        GROUP BY token
+    )
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequency + document frequency, top 20 terms.
+
+    explode -> two-level aggregate; partial aggregation keeps the shuffle
+    proportional to vocabulary size, not corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(20)
+    )

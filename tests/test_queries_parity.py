@@ -1,0 +1,43 @@
+"""Oracle-parity tests: every declared query vs its DuckDB oracle.
+
+This is a local mirror of the driver's CORRECTNESS gate — same comparison
+discipline (column-name sort, row sort, float normalization) so a green run
+here predicts a green CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_preparation_plugin_spark import plans
+from tests.conftest import SF_DIR, duckdb_result, spark_result
+
+ORACLE_QUERIES = sorted(n for n, q in plans.QUERIES.items() if q.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, q in plans.QUERIES.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, oracle, name):
+    query = plans.QUERIES[name]
+    s_cols, s_rows = spark_result(query.builder(spark, SF_DIR))
+    d_cols, d_rows = duckdb_result(oracle, query.oracle)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs oracle {len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    """Queries without an oracle must still run and be deterministic."""
+    query = plans.QUERIES[name]
+    first = spark_result(query.builder(spark, SF_DIR))
+    second = spark_result(query.builder(spark, SF_DIR))
+    assert first == second, f"{name}: nondeterministic result"
+    assert len(first[1]) >= 0
