@@ -1,0 +1,180 @@
+"""ESRI shapefile ingestion without external GIS dependencies.
+
+Parity: ``Shp2pgsqlOperator`` (reference ``operators/shp2pgsql.py:11-27``)
+pipes ``shp2pgsql -d shapefile table | psql`` to load a shapefile into a
+PostGIS table, dropping it first. Here a minimal pure-Python parser reads
+the ``.shp`` geometry file and its ``.dbf`` attribute table and produces a
+DataFrame with the geometry as a WKT string column plus typed attributes —
+the engine's geometry representation (SURVEY.md §1.5: WKT/WKB strings, no
+PostGIS type system). ``mode("overwrite")`` reproduces ``-d``.
+
+Supported shape types: Null(0), Point(1), PolyLine(3), Polygon(5),
+MultiPoint(8) — the types shp2pgsql meets in regular 2D shapefiles.
+
+Scale note: one shapefile parses driver-side (the reference's shp2pgsql is
+also a single process). A directory of many shapefiles would distribute by
+file via ``spark.read.format("binaryFile")`` + this parser inside
+``mapInPandas``; the format itself (single contiguous .shp) is not
+splittable.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_preparation_plugin_spark.operators.base import BaseOperator
+
+
+def _ring_wkt(points: list[tuple[float, float]]) -> str:
+    return "(" + ", ".join(f"{x:g} {y:g}" for x, y in points) + ")"
+
+
+def _parse_shp(data: bytes) -> list[str | None]:
+    """Parse a .shp file body into WKT strings (None for null shapes)."""
+    geoms: list[str | None] = []
+    # Main header is 100 bytes: file code, length (big-endian), then
+    # version/type/bbox (little-endian).
+    offset = 100
+    total = len(data)
+    while offset + 8 <= total:
+        (_, content_words) = struct.unpack(">ii", data[offset : offset + 8])
+        offset += 8
+        body = data[offset : offset + content_words * 2]
+        offset += content_words * 2
+        shape_type = struct.unpack("<i", body[:4])[0]
+        if shape_type == 0:
+            geoms.append(None)
+        elif shape_type == 1:  # Point
+            x, y = struct.unpack("<dd", body[4:20])
+            geoms.append(f"POINT ({x:g} {y:g})")
+        elif shape_type == 8:  # MultiPoint
+            (n,) = struct.unpack("<i", body[36:40])
+            pts = struct.unpack(f"<{2 * n}d", body[40 : 40 + 16 * n])
+            pairs = list(zip(pts[::2], pts[1::2]))
+            geoms.append(
+                "MULTIPOINT (" + ", ".join(f"{x:g} {y:g}" for x, y in pairs) + ")"
+            )
+        elif shape_type in (3, 5):  # PolyLine / Polygon
+            n_parts, n_points = struct.unpack("<ii", body[36:44])
+            parts = struct.unpack(f"<{n_parts}i", body[44 : 44 + 4 * n_parts])
+            pts_off = 44 + 4 * n_parts
+            flat = struct.unpack(
+                f"<{2 * n_points}d", body[pts_off : pts_off + 16 * n_points]
+            )
+            pairs = list(zip(flat[::2], flat[1::2]))
+            bounds = list(parts) + [n_points]
+            rings = [pairs[bounds[i] : bounds[i + 1]] for i in range(n_parts)]
+            if shape_type == 3:
+                if len(rings) == 1:
+                    geoms.append("LINESTRING " + _ring_wkt(rings[0]))
+                else:
+                    geoms.append(
+                        "MULTILINESTRING ("
+                        + ", ".join(_ring_wkt(r) for r in rings)
+                        + ")"
+                    )
+            else:
+                geoms.append(
+                    "POLYGON (" + ", ".join(_ring_wkt(r) for r in rings) + ")"
+                )
+        else:
+            raise NotImplementedError(f"shapefile shape type {shape_type}")
+    return geoms
+
+
+def _parse_dbf(data: bytes) -> tuple[list[tuple[str, str]], list[list]]:
+    """Parse a .dbf attribute table -> (fields [(name, type)], records)."""
+    n_records = struct.unpack("<i", data[4:8])[0]
+    header_size, record_size = struct.unpack("<hh", data[8:12])
+    fields: list[tuple[str, str, int, int]] = []
+    pos = 32
+    while data[pos] != 0x0D:
+        desc = data[pos : pos + 32]
+        name = desc[:11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(desc[11])
+        length = desc[16]
+        decimals = desc[17]
+        fields.append((name, ftype, length, decimals))
+        pos += 32
+    records: list[list] = []
+    for i in range(n_records):
+        start = header_size + i * record_size
+        row_bytes = data[start : start + record_size]
+        if not row_bytes or row_bytes[0:1] == b"*":  # deleted record
+            continue
+        row: list = []
+        cursor = 1
+        for _, ftype, length, decimals in fields:
+            raw = row_bytes[cursor : cursor + length].decode(
+                "latin-1"
+            ).strip()
+            cursor += length
+            if ftype in ("N", "F"):
+                if raw == "":
+                    row.append(None)
+                elif ftype == "N" and decimals == 0:
+                    row.append(int(raw))
+                else:
+                    row.append(float(raw))
+            elif ftype == "L":
+                row.append(raw in ("Y", "y", "T", "t") if raw else None)
+            else:
+                row.append(raw or None)
+        records.append(row)
+    schema = [
+        (
+            name,
+            "bigint"
+            if ftype == "N" and dec == 0
+            else "double"
+            if ftype in ("N", "F")
+            else "boolean"
+            if ftype == "L"
+            else "string",
+        )
+        for name, ftype, _, dec in fields
+    ]
+    return schema, records
+
+
+def read_shapefile(spark: SparkSession, shapefile: str) -> DataFrame:
+    """Read ``.shp`` + sibling ``.dbf`` into a DataFrame(geometry WKT, attrs)."""
+    shp_path = Path(shapefile)
+    dbf_path = shp_path.with_suffix(".dbf")
+    geoms = _parse_shp(shp_path.read_bytes())
+    if dbf_path.exists():
+        schema, records = _parse_dbf(dbf_path.read_bytes())
+    else:
+        schema, records = [], [[] for _ in geoms]
+    if len(records) != len(geoms):
+        raise ValueError(
+            f"shapefile record count {len(geoms)} != dbf rows {len(records)}"
+        )
+    ddl = ", ".join(
+        ["geometry string"] + [f"{name} {dtype}" for name, dtype in schema]
+    )
+    rows = [[geom, *attrs] for geom, attrs in zip(geoms, records)]
+    return spark.createDataFrame(rows, schema=ddl)
+
+
+class ShapefileLoadOperator(BaseOperator):
+    """Load a shapefile into a catalog table, dropping it first (``-d``).
+
+    Signature parity with the reference: ``(shapefile, table, ...)``
+    (``operators/shp2pgsql.py:13-18``); the connection argument disappears
+    because the warehouse is ambient.
+    """
+
+    def __init__(self, shapefile: str, table: str, **kwargs) -> None:
+        super().__init__(**kwargs)
+        self.shapefile = shapefile
+        self.table = table
+
+    def execute(self, spark: SparkSession) -> DataFrame:
+        df = read_shapefile(spark, self.shapefile)
+        quoted = ".".join(f"`{p}`" for p in self.table.split("."))
+        df.write.mode("overwrite").format("parquet").saveAsTable(quoted)
+        return spark.table(quoted)

@@ -10,7 +10,8 @@ from __future__ import annotations
 import math
 import os
 from datetime import datetime
-from pathlib import Path
+
+import tempfile
 
 import duckdb
 import pytest
@@ -27,7 +28,7 @@ def spark():
         app_name="dpp-spark-tests",
         master="local[4]",
         shuffle_partitions=4,
-        warehouse_dir=str(Path("/tmp/dpp-spark-warehouse")),
+        warehouse_dir=tempfile.mkdtemp(prefix="dpp-spark-warehouse-"),
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
     )
     yield session

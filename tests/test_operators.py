@@ -1,0 +1,310 @@
+"""Operator tests (SURVEY.md §2.A #1-4 + transform vocabulary).
+
+The reference has zero operator tests (SURVEY.md §5); these follow its
+golden style anyway: small inputs, exact expected outputs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zipfile
+
+import pytest
+
+from data_preparation_plugin_spark.operators import (
+    AggregateOperator,
+    ComputeOperator,
+    CopyTableOperator,
+    CsvLoadOperator,
+    DedupOperator,
+    DownloadUnzipOperator,
+    FilterOperator,
+    JoinOperator,
+    LoadSpec,
+    Pipeline,
+    ProjectOperator,
+    RegexExtractOperator,
+    ShapefileLoadOperator,
+    SortLimitOperator,
+    SqlOperator,
+    UnionOperator,
+    WindowOperator,
+    read_shapefile,
+)
+from data_preparation_plugin_spark.operators.multimodal import decode_images
+
+DB = "opdb"
+
+
+@pytest.fixture(autouse=True)
+def _db(spark):
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{DB}`")
+    yield
+
+
+def _seed_table(spark, name, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(f"`{DB}`.`{name}`")
+
+
+# -- ingest -----------------------------------------------------------------
+
+
+def test_download_unzip_operator(tmp_path, spark):
+    """Parity: operators/download.py:14-22 (wget + unzip -o), file:// URL."""
+    payload = tmp_path / "data.csv"
+    payload.write_text("a,b\n1,x\n2,y\n")
+    archive = tmp_path / "data.zip"
+    with zipfile.ZipFile(archive, "w") as z:
+        z.write(payload, arcname="data.csv")
+    out_dir = tmp_path / "extracted"
+    op = DownloadUnzipOperator(url=archive.as_uri(), dir_path=str(out_dir))
+    extracted = op.execute(spark)
+    assert extracted == [str(out_dir / "data.csv")]
+    # idempotent re-run (unzip -o semantics)
+    assert op.execute(spark) == extracted
+    assert (out_dir / "data.csv").read_text().startswith("a,b")
+
+
+def test_csv_load_operator(tmp_path, spark):
+    """Parity: operators/embulk.py:8-24 — declarative CSV -> table load."""
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,name,amount\n1,alpha,10.5\n2,beta,20.25\n")
+    spec = LoadSpec(
+        path=str(csv),
+        table="csv_loaded",
+        db_schema=DB,
+        schema="id BIGINT, name STRING, amount DOUBLE",
+        options={"header": "true"},
+    )
+    out = CsvLoadOperator(spec).execute(spark)
+    assert sorted((r.id, r.name, r.amount) for r in out.collect()) == [
+        (1, "alpha", 10.5),
+        (2, "beta", 20.25),
+    ]
+
+
+def test_copy_table_operator(spark):
+    """Parity: operators/copy.py:7-17 — clone a table."""
+    _seed_table(spark, "src", [(1, "a"), (2, "b")], "id LONG, v STRING")
+    out = CopyTableOperator(f"{DB}.src", f"{DB}.dst").execute(spark)
+    assert sorted((r.id, r.v) for r in out.collect()) == [(1, "a"), (2, "b")]
+    # overwrite semantics: DROP + recreate (the -d / DROP TABLE behavior)
+    out2 = CopyTableOperator(f"{DB}.src", f"{DB}.dst").execute(spark)
+    assert out2.count() == 2
+
+
+def test_copy_preserves_partition_layout(spark):
+    """'INCLUDING indexes' maps to layout: partition columns survive a copy."""
+    df = spark.createDataFrame(
+        [(1, "x", 2024), (2, "y", 2025)], "id LONG, v STRING, year INT"
+    )
+    df.write.mode("overwrite").format("parquet").partitionBy("year").saveAsTable(
+        f"`{DB}`.`psrc`"
+    )
+    CopyTableOperator(f"{DB}.psrc", f"{DB}.pdst").execute(spark)
+    cols = CopyTableOperator._partition_columns(spark, f"`{DB}`.`pdst`")
+    assert cols == ["year"]
+
+
+def _write_point_shapefile(path_base, points, attrs):
+    """Craft a minimal .shp/.dbf pair (point shapes + one N and one C field)."""
+    records = b""
+    for i, (x, y) in enumerate(points, start=1):
+        content = struct.pack("<i", 1) + struct.pack("<dd", x, y)
+        records += struct.pack(">ii", i, len(content) // 2) + content
+    file_len_words = (100 + len(records)) // 2
+    header = struct.pack(">iiiiiii", 9994, 0, 0, 0, 0, 0, file_len_words)
+    header += struct.pack("<ii", 1000, 1)
+    header += struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+    (path_base.with_suffix(".shp")).write_bytes(header + records)
+
+    fields = [("id", "N", 8, 0), ("name", "C", 10, 0)]
+    descs = b""
+    for name, ftype, length, dec in fields:
+        descs += (
+            name.encode().ljust(11, b"\x00")
+            + ftype.encode()
+            + b"\x00" * 4
+            + bytes([length, dec])
+            + b"\x00" * 14
+        )
+    record_size = 1 + sum(f[2] for f in fields)
+    header_size = 32 + len(descs) + 1
+    dbf_header = (
+        bytes([3, 124, 1, 1])
+        + struct.pack("<i", len(attrs))
+        + struct.pack("<hh", header_size, record_size)
+        + b"\x00" * 20
+    )
+    body = b""
+    for rid, name in attrs:
+        body += b" " + str(rid).rjust(8).encode() + name.ljust(10).encode()
+    (path_base.with_suffix(".dbf")).write_bytes(
+        dbf_header + descs + b"\x0d" + body + b"\x1a"
+    )
+
+
+def test_shapefile_reader_and_operator(tmp_path, spark):
+    """Parity: operators/shp2pgsql.py:11-27 — shapefile -> WKT table."""
+    base = tmp_path / "pts"
+    _write_point_shapefile(
+        base, [(1.5, 2.5), (-3.0, 4.0)], [(1, "one"), (2, "two")]
+    )
+    df = read_shapefile(spark, str(base.with_suffix(".shp")))
+    rows = sorted((r.geometry, r.id, r.name) for r in df.collect())
+    assert rows == [("POINT (-3 4)", 2, "two"), ("POINT (1.5 2.5)", 1, "one")]
+
+    out = ShapefileLoadOperator(
+        str(base.with_suffix(".shp")), f"{DB}.shapes"
+    ).execute(spark)
+    assert out.count() == 2
+    # -d semantics: re-running replaces, not appends
+    assert ShapefileLoadOperator(
+        str(base.with_suffix(".shp")), f"{DB}.shapes"
+    ).execute(spark).count() == 2
+
+
+def test_shapefile_polygon_roundtrip(tmp_path, spark):
+    """Polygon record -> POLYGON WKT with ring."""
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+    flat = [c for p in ring for c in p]
+    content = (
+        struct.pack("<i", 5)
+        + struct.pack("<4d", 0, 0, 4, 4)
+        + struct.pack("<ii", 1, len(ring))
+        + struct.pack("<i", 0)
+        + struct.pack(f"<{len(flat)}d", *flat)
+    )
+    records = struct.pack(">ii", 1, len(content) // 2) + content
+    header = struct.pack(">iiiiiii", 9994, 0, 0, 0, 0, 0, (100 + len(records)) // 2)
+    header += struct.pack("<ii", 1000, 5) + struct.pack("<8d", *([0.0] * 8))
+    shp = tmp_path / "poly.shp"
+    shp.write_bytes(header + records)
+    from data_preparation_plugin_spark.operators.shapefile import _parse_shp
+
+    assert _parse_shp(shp.read_bytes()) == ["POLYGON ((0 0, 4 0, 4 4, 0 0))"]
+
+
+# -- transforms -------------------------------------------------------------
+
+
+def test_transform_pipeline_end_to_end(spark):
+    """The README's DAG shape (README.md:4-17): load -> filter -> compute ->
+    join -> aggregate -> final dataset, run as a Pipeline."""
+    _seed_table(
+        spark,
+        "orders_raw",
+        [(1, 10, 120.0), (2, 10, 80.0), (3, 20, 300.0), (4, 30, 50.0)],
+        "order_id LONG, cust_id LONG, total DOUBLE",
+    )
+    _seed_table(
+        spark,
+        "customers_raw",
+        [(10, "ann"), (20, "bo"), (30, "cy")],
+        "cust_id LONG, name STRING",
+    )
+    pipeline = Pipeline(
+        [
+            FilterOperator(
+                "total >= 100.0",
+                source=f"{DB}.orders_raw",
+                destination=f"{DB}.big_orders",
+                task_id="filter",
+            ),
+            ComputeOperator(
+                {"total_with_fee": "round(total * 1.1, 2)"},
+                source=f"{DB}.big_orders",
+                destination=f"{DB}.big_orders_fee",
+                task_id="compute",
+            ),
+            JoinOperator(
+                left=f"{DB}.big_orders_fee",
+                right=f"{DB}.customers_raw",
+                on=["cust_id"],
+                destination=f"{DB}.joined",
+                broadcast_right=True,
+                task_id="join",
+            ),
+            AggregateOperator(
+                group_by=["name"],
+                aggregates={"n": "count(*)", "spend": "sum(total)"},
+                source=f"{DB}.joined",
+                destination=f"{DB}.final",
+                task_id="agg",
+            ),
+        ]
+    )
+    results = pipeline.run(spark)
+    final = sorted(
+        (r.name, r.n, r.spend) for r in results["agg"].collect()
+    )
+    assert final == [("ann", 1, 120.0), ("bo", 1, 300.0)]
+
+
+def test_project_and_regex_operators(spark):
+    _seed_table(
+        spark,
+        "cust",
+        [(1, "Customer#000000042"), (2, "Customer#000000007")],
+        "id LONG, name STRING",
+    )
+    projected = ProjectOperator(["name"], source=f"{DB}.cust").execute(spark)
+    assert projected.columns == ["name"]
+    extracted = RegexExtractOperator(
+        column="name", pattern=r"#0*(\d+)$", output="num", source=f"{DB}.cust"
+    ).execute(spark)
+    assert sorted((r.id, r.num) for r in extracted.collect()) == [
+        (1, "42"),
+        (2, "7"),
+    ]
+
+
+def test_window_dedup_sort_union_sql_operators(spark):
+    _seed_table(
+        spark,
+        "ev",
+        [(1, "u1", 5.0), (2, "u1", 7.0), (3, "u2", 1.0), (4, "u1", 7.0)],
+        "seq LONG, user STRING, v DOUBLE",
+    )
+    ranked = WindowOperator(
+        partition_by=["user"],
+        order_by=["seq"],
+        columns={"rn": "row_number()", "running": "sum(v)"},
+        source=f"{DB}.ev",
+    ).execute(spark)
+    got = {(r.seq): (r.rn, r.running) for r in ranked.collect()}
+    assert got[1] == (1, 5.0) and got[2] == (2, 12.0) and got[4] == (3, 19.0)
+
+    deduped = DedupOperator(
+        keys=["user", "v"], order_by=["seq"], source=f"{DB}.ev"
+    ).execute(spark)
+    assert sorted(r.seq for r in deduped.collect()) == [1, 2, 3]
+
+    top2 = SortLimitOperator(
+        order_by=["v DESC", "seq"], limit=2, source=f"{DB}.ev"
+    ).execute(spark)
+    assert [r.seq for r in top2.collect()] == [2, 4]
+
+    unioned = UnionOperator([f"{DB}.ev", f"{DB}.ev"]).execute(spark)
+    assert unioned.count() == 8
+    assert UnionOperator([f"{DB}.ev", f"{DB}.ev"], distinct=True).execute(
+        spark
+    ).count() == 4
+
+    via_sql = SqlOperator(
+        f"SELECT user, count(*) AS n FROM `{DB}`.`ev` GROUP BY user"
+    ).execute(spark)
+    assert sorted((r.user, r.n) for r in via_sql.collect()) == [
+        ("u1", 3),
+        ("u2", 1),
+    ]
+
+
+def test_multimodal_decode_stub_raises(spark):
+    """Real decoder path is stub-gated: clear error without Pillow."""
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "doc_id LONG, payload BINARY")
+    with pytest.raises(Exception) as exc_info:
+        decode_images(df).collect()
+    assert "Pillow" in str(exc_info.value)
