@@ -1,0 +1,19 @@
+"""Structured Streaming operators over the ``events`` stream table."""
+
+from data_preparation_plugin_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    dedup_within_watermark,
+    events_stream,
+    run_to_memory,
+    sessionize_stream,
+    tumbling_aggregate,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "dedup_within_watermark",
+    "events_stream",
+    "run_to_memory",
+    "sessionize_stream",
+    "tumbling_aggregate",
+]

@@ -1,0 +1,144 @@
+"""Streaming twins of the batch event-time queries (plans/events.py).
+
+SURVEY.md §2.B "Streaming": the ``events`` fixture is the driver's stream
+table; the vocabulary is ``readStream`` → watermark → windowed aggregation /
+session windows / stateful dedup → sink. Each function here is the
+Structured Streaming form of a batch query in ``plans/events.py`` and the
+test suite asserts batch/stream equivalence by replaying the fixture with
+``trigger(availableNow=True)``.
+
+Watermarks are explicit parameters: at 100 TB the watermark delay *is* the
+state-size knob (events later than the delay are dropped; everything
+younger is buffered in the state store), so operators never hardcode it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Schema of the events table (FIXTURES.md §B), required up front by
+#: readStream (streaming sources cannot infer schemas). ``ts`` must be
+#: TIMESTAMP (with local timezone): Spark watermarks reject TIMESTAMP_NTZ.
+#: The engine pins the session timezone to UTC (session.py), so values
+#: align exactly with the batch NTZ reads.
+EVENTS_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of events parquet files in ``source_dir``.
+
+    ``maxFilesPerTrigger`` bounds micro-batch size (ingestion rate
+    control); tests use it to force multi-batch replays.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(source_dir)
+
+
+def tumbling_aggregate(
+    stream: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time aggregation — streaming twin of
+    ``events_tumbling_hourly``.
+
+    Same ``F.window`` operator as the batch form; the watermark bounds
+    state and drops events later than the delay. ``countDistinct`` is not
+    available incrementally, so the streaming form reports
+    ``approx_count_distinct`` for users (documented divergence from the
+    batch query, which reports the exact count).
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users_approx",
+        )
+    )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user — streaming twin of ``events_sessionize``.
+
+    Uses the native ``session_window`` operator (dynamic-gap state merging
+    in the state store) rather than the batch lag/cumsum idiom.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming dedup on ``keys`` (default ``event_id``).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — bounded state, unlike an unbounded distinct.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_to_memory(
+    stream: DataFrame,
+    query_name: str,
+    spark: SparkSession,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Replay a stream to completion into an in-memory table (test sink).
+
+    ``availableNow`` processes all currently-available input in bounded
+    micro-batches, then stops — the deterministic-replay harness from
+    SURVEY.md §7.3. Aggregations should pass ``output_mode="complete"``:
+    in append mode a window is only emitted once the watermark passes it,
+    which never happens for the trailing windows of a bounded replay.
+    """
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)

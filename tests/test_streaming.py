@@ -1,0 +1,141 @@
+"""Streaming tests: replay the events fixture and assert batch equivalence.
+
+SURVEY.md §7.2 step 6: the streaming slice is validated by running the same
+aggregation in batch mode over the same input (deterministic replay with
+``availableNow``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_preparation_plugin_spark.plans import QUERIES
+from data_preparation_plugin_spark.plans.registry import load_table
+from data_preparation_plugin_spark.streaming import (
+    dedup_within_watermark,
+    events_stream,
+    run_to_memory,
+    sessionize_stream,
+    tumbling_aggregate,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Stage the events fixture as a multi-file parquet directory so the
+    file stream source replays it across several micro-batches."""
+    path = str(tmp_path_factory.mktemp("events-stream"))
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    stream = tumbling_aggregate(
+        events_stream(spark, events_dir, max_files_per_trigger=2)
+    )
+    got = run_to_memory(
+        stream, "t_tumbling", spark, output_mode="complete"
+    ).withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+    batch = QUERIES["events_tumbling_hourly"].builder(spark, SF_DIR)
+    s_rows = sorted(
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in got.collect()
+    )
+    b_rows = sorted(
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in batch.collect()
+    )
+    assert s_rows == b_rows
+
+
+def test_session_stream_matches_batch_sessionize(spark, events_dir):
+    """session_window output must carry the same per-session aggregates as
+    the batch lag/cumsum sessionization (same 30-minute gap)."""
+    stream = sessionize_stream(
+        events_stream(spark, events_dir), gap="30 minutes"
+    )
+    got = run_to_memory(
+        stream, "t_sessions", spark, output_mode="complete"
+    ).withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
+    batch = QUERIES["events_sessionize"].builder(spark, SF_DIR)
+    s_rows = sorted(
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in got.collect()
+    )
+    b_rows = sorted(
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in batch.collect()
+    )
+    assert s_rows == b_rows
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """Duplicated event_ids collapse to one row each."""
+    events = load_table(spark, SF_DIR, "events").limit(200)
+    doubled_dir = str(tmp_path / "doubled")
+    events.unionByName(events).repartition(3).write.mode("overwrite").parquet(
+        doubled_dir
+    )
+    stream = dedup_within_watermark(events_stream(spark, doubled_dir))
+    got = run_to_memory(stream, "t_dedup", spark, output_mode="append")
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """An event older than the committed watermark is dropped.
+
+    Micro-batch N filters with the watermark committed after batch N-1, so
+    the sequence needs three batches: (recent events) -> (one more event to
+    commit the advanced watermark) -> (the too-late event, dropped).
+    """
+    import os
+    import time
+
+    schema = (
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+
+    src = tmp_path / "late-src"
+    batches = [
+        ("0-recent", [(1, "2024-06-01 10:00:00", 1, "click", 1.0, None),
+                      (2, "2024-06-01 11:00:00", 1, "click", 1.0, None)]),
+        ("1-advance", [(3, "2024-06-01 12:00:00", 1, "click", 1.0, None)]),
+        ("2-late", [(4, "2024-06-01 01:00:00", 1, "click", 1.0, None)]),
+    ]
+    now = time.time()
+    # The file source orders by modification time: stamp each file strictly
+    # newer than the previous so they land in separate micro-batches.
+    for i, (name, rows) in enumerate(batches):
+        mk(rows).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        for root, _, files in os.walk(src / name):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + 60 * i, now + 60 * i))
+    stream = tumbling_aggregate(
+        events_stream(spark, str(src / "*"), max_files_per_trigger=1),
+        window_size="1 hour",
+        watermark="1 hour",
+    )
+    # update mode: the watermark filter actively drops late input rows
+    # (in complete mode watermarks have no effect — state is never evicted).
+    got = run_to_memory(
+        stream, "t_late", spark, output_mode="update"
+    ).withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+    starts = sorted(r.window_start.isoformat() for r in got.collect())
+    # The 01:00 late event must NOT appear; the three on-time windows must.
+    assert starts == [
+        "2024-06-01T10:00:00",
+        "2024-06-01T11:00:00",
+        "2024-06-01T12:00:00",
+    ]
