@@ -79,10 +79,16 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id -> h0..h{n-1} string-MinHash signature columns."""
+    """doc_id -> h0..h{n-1} string-MinHash signature columns.
+
+    No ``distinct()`` on (doc_id, shingle): ``min`` is duplicate-insensitive,
+    so deduplicating first would only add a full shuffle of the shingle
+    strings before the aggregation shuffle. With partial (map-side)
+    aggregation the only shuffle moves 8 hex digests per document.
+    """
     exploded = docs.select(
         "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
-    ).distinct()
+    )
     aggs = [
         F.min(minhash_hex(F.col("shingle"), s)).alias(f"h{s}")
         for s in range(MINHASH_SEEDS)
@@ -167,16 +173,28 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_val").alias("band_val")
     )
-    left = bands.alias("a")
-    right = bands.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Pairs are generated *inside* each bucket from a sorted doc_id array —
+    # a single shuffle on the band key — instead of a bands⋈bands self-join,
+    # which would shuffle both sides AND recompute the whole signature
+    # pipeline twice (self-joins re-execute their lineage per side). Bucket
+    # sizes are bounded by band-collision probability, so the per-bucket
+    # array and its pair expansion stay small at any corpus size.
+    buckets = bands.groupBy("band_idx", "band_val").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
