@@ -13,8 +13,10 @@ from data_preparation_plugin_spark.functions.vector import (
     lit_vector,
 )
 from data_preparation_plugin_spark.functions.text import (
+    exploded_shingles,
     normalized_text,
     shingles,
+    shingles_from_tokens,
     tokens,
 )
 from data_preparation_plugin_spark.functions.hashing import (
@@ -27,8 +29,10 @@ __all__ = [
     "dot_product",
     "l2_norm",
     "lit_vector",
+    "exploded_shingles",
     "normalized_text",
     "shingles",
+    "shingles_from_tokens",
     "tokens",
     "md5_fingerprint",
     "minhash_hex",

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_preparation_plugin_spark.functions.hashing import minhash_hex
+from data_preparation_plugin_spark.functions.text import exploded_shingles
 from data_preparation_plugin_spark.functions.text import shingles as _shingles
 from data_preparation_plugin_spark.functions.text import tokens as tokens_col
 from data_preparation_plugin_spark.plans.registry import load_table, register
@@ -86,9 +87,7 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     strings before the aggregation shuffle. With partial (map-side)
     aggregation the only shuffle moves 8 hex digests per document.
     """
-    exploded = docs.select(
-        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
-    )
+    exploded = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE)
     aggs = [
         F.min(minhash_hex(F.col("shingle"), s)).alias(f"h{s}")
         for s in range(MINHASH_SEEDS)
@@ -242,9 +241,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps exact Jaccard feasible on large corpora.
     """
     docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.select(
-        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
-    ).distinct()
+    shingled = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE).distinct()
     df_counts = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = (
         shingled.join(
