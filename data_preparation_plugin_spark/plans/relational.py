@@ -928,3 +928,349 @@ def above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# --------------------------------------------------------------------------
+# Wider TPC-H-flavored relational coverage
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q9_profit_by_nation_year",
+    category="join",
+    oracle="""
+    SELECT n_name,
+           year(l_shipdate)                                       AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)      AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_type = 'STANDARD'
+    GROUP BY n_name, year(l_shipdate)
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 flavor: 4-way star join, profit by supplier nation and year.
+
+    part/supplier/nation are dimensions at TPC-H ratios — all three
+    broadcast, so the fact table is never shuffled for the joins; the only
+    exchange is the final (nation, year) aggregation, whose key cardinality
+    is bounded (25 nations x a few years) at any input size.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", F.year("l_shipdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    category="aggregate",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 flavor: fact-fact join + conditional (pivoted) aggregation.
+
+    orders⋈lineitem is the one genuinely large join in the schema — both
+    sides shuffle on the order key (sort-merge at scale); AQE handles any
+    key skew. The CASE-sum idiom folds what would be two passes into one.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    category="join",
+    oracle="""
+    SELECT round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END), 2)
+           / round(sum(l_extendedprice * (1 - l_discount)), 2), 4) AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 flavor: promo revenue share in one month (ratio aggregate).
+
+    Both sums round to 2dp before dividing so the two engines divide
+    identical doubles (see q1's average rationale).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2)
+                / F.round(F.sum(rev), 2),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    category="join",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS sum_qty
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity) > 250
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 flavor: group-having over a join (large-volume orders).
+
+    Aggregates lineitem by order key *first* (partial agg shrinks the
+    shuffle to one row per order), filters on the HAVING predicate, then
+    joins the survivors — orders of magnitude fewer rows — to orders and a
+    broadcast customer dimension.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@register(
+    "q19_disjunctive_predicate_join",
+    category="join",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 flavor: OR-of-ANDs predicate spanning both join sides.
+
+    Catalyst extracts the single-side conjuncts it can (the brand/size
+    disjunction prunes part before the broadcast; the quantity bounds prune
+    lineitem at the scan) and evaluates the cross-side residual after the
+    join — the standard disjunctive-pushdown shape.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = lineitem.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+    )
+    branch = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return joined.filter(
+        branch("Brand#1", 1, 15, 1, 20)
+        | branch("Brand#2", 10, 25, 10, 30)
+        | branch("Brand#3", 20, 40, 20, 40)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "agg_statistics",
+    category="aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4)              AS price_stddev,
+           round(var_samp(l_quantity), 4)                      AS qty_variance,
+           round(corr(l_quantity, l_extendedprice), 4)         AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4)   AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev / variance / correlation / covariance.
+
+    All four are single-pass streaming aggregates with exact partial-merge
+    formulas (Welford/Chan), so they keep the map-side-combine shape of any
+    sum — no extra pass, no driver math.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_variance"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+@register(
+    "window_range_interval",
+    category="window",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
+           ), 2) AS spend_90d
+    FROM orders
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per-customer trailing-90-day spend.
+
+    Spark's rangeBetween needs a numeric ordering key, so the frame orders
+    by epoch seconds with a [-90 days, 0] bound — exactly DuckDB's
+    ``RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW`` (both
+    bounds inclusive, peers by value not row position).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(win), 2).alias("spend_90d"),
+    )
+
+
+@register(
+    "join_asof",
+    category="join",
+    oracle="""
+    WITH views AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    ), purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           p.ts,
+           p.value                AS purchase_value,
+           v.ts                   AS last_view_ts,
+           v.value                AS last_view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior view.
+
+    Spark has no ASOF JOIN operator; the scalable idiom is the union-window
+    pattern — tag both sides, union, and carry the right side forward with
+    ``last(..., ignorenulls)`` over (user, time). One shuffle on user_id,
+    no join at all, and state per partition is a single row — this is the
+    shape that survives 100 TB where a range join would explode.
+    Ties (view.ts == purchase.ts) sort views first, matching ASOF's >=.
+    """
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+        F.lit(0).alias("side"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast(events.schema["ts"].dataType).alias("view_ts"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("side"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "purchase_value",
+            "side",
+            F.last("view_ts", ignorenulls=True).over(win).alias("last_view_ts"),
+            F.last("view_value", ignorenulls=True).over(win).alias("last_view_value"),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "purchase_value",
+            "last_view_ts",
+            "last_view_value",
+        )
+    )

@@ -209,3 +209,56 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("token"))
         .limit(20)
     )
+
+
+@register(
+    "text_tfidf",
+    category="text",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM tok GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    WHERE tf.tf >= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (document, term) for terms with tf >= 3.
+
+    Two aggregations sharing one explode: term frequency per (doc, token)
+    and document frequency per token. df is vocabulary-sized, so it
+    broadcasts; the corpus size joins in as a literal-sized (1-row)
+    broadcast too. No floats decide row membership — tf >= 3 is integral —
+    so the rounded tfidf value can't flip rows across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.filter(F.col("tf") >= 3)
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
