@@ -978,6 +978,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q12_priority_by_linestatus",
     category="aggregate",
+    bench=True,
     oracle="""
     SELECT l_linestatus,
            sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1056,6 +1057,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_volume_customer",
     category="join",
+    bench=True,
     oracle="""
     SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
            sum(l_quantity) AS sum_qty

@@ -218,6 +218,115 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF parameters: 8 coarse cells, probe the 2 nearest at query time.
+IVF_N_CELLS = 8
+IVF_NPROBE = 2
+
+
+@register(
+    "knn_ivf_cosine",
+    category="similarity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {IVF_N_CELLS}
+    ), assigned AS (
+        SELECT vec_id, v, cent_id AS cell FROM (
+            SELECT e.vec_id, e.v, cents.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC,
+                                cent_id) AS crn
+            FROM e CROSS JOIN cents
+        ) WHERE crn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}
+    ), probed AS (
+        SELECT query_id, qv, cent_id AS cell FROM (
+            SELECT q.query_id, q.qv, cents.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                                cent_id) AS prn
+            FROM q CROSS JOIN cents
+        ) WHERE prn <= {IVF_NPROBE}
+    ), scored AS (
+        SELECT query_id,
+               a.vec_id AS neighbor_id,
+               round(list_cosine_similarity(qv, a.v), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(qv, a.v), 6) DESC,
+                            a.vec_id) AS rn
+        FROM probed p JOIN assigned a ON p.cell = a.cell
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn
+    FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flavored ANN: coarse-quantize into cells, probe the nearest 2.
+
+    The inverted-file shape without the ML training loop: a deterministic
+    coarse codebook (the first ``IVF_N_CELLS`` vectors stand in for k-means
+    centroids — swap in persisted trained centroids in production), each
+    corpus vector assigned to its nearest cell by one broadcast pass, and
+    query-time scoring restricted to the ``IVF_NPROBE`` best cells. At
+    100 TB the assignment is a narrow map over the corpus (codebook
+    broadcast), the probe join keys on the cell id, and recall/cost tune
+    via (n_cells, nprobe) exactly as in FAISS-style IVF indexes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    assign_win = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine_similarity("v", "cv"), 6))
+        .withColumn("crn", F.row_number().over(assign_win))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cell"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_win = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("cent_id")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("pcos", F.round(cosine_similarity("qv", "cv"), 6))
+        .withColumn("prn", F.row_number().over(probe_win))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "qv", F.col("cent_id").alias("qcell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), F.col("cell") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+    )
+    topk_win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine6").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(topk_win))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine6", 4).alias("cosine"),
+            "rn",
+        )
+    )
+
+
 @register(
     "embedding_norm_stats",
     category="similarity",
