@@ -6,6 +6,8 @@ from data_preparation_plugin_spark.streaming.events import (
     events_stream,
     run_to_memory,
     sessionize_stream,
+    sliding_aggregate,
+    stateful_user_totals,
     tumbling_aggregate,
 )
 
@@ -15,5 +17,7 @@ __all__ = [
     "events_stream",
     "run_to_memory",
     "sessionize_stream",
+    "sliding_aggregate",
+    "stateful_user_totals",
     "tumbling_aggregate",
 ]

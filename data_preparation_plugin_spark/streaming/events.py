@@ -104,6 +104,80 @@ def sessionize_stream(
     )
 
 
+def sliding_aggregate(
+    stream: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows per event type.
+
+    Each event lands in ``size/slide`` windows; Spark expands the event to
+    its window set *before* aggregation, so state per (window, key) stays
+    one row and the watermark drops whole windows as they age out.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stateful_user_totals(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` (SURVEY.md §2.B "UDF surface" / streaming).
+
+    The state is a single (count, sum) pair per user — constant size per
+    key regardless of stream length — updated from Arrow batches and
+    re-emitted each micro-batch the user appears in. This is the escape
+    hatch for stateful logic the built-in operators can't express
+    (per-key models, custom sessionization, decaying counters); built-ins
+    stay preferable when they fit (tumbling/session aggs above).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+            stateStructType="n LONG, total DOUBLE",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     keys: list[str] | None = None,

@@ -18,6 +18,8 @@ from data_preparation_plugin_spark.streaming import (
     events_stream,
     run_to_memory,
     sessionize_stream,
+    sliding_aggregate,
+    stateful_user_totals,
     tumbling_aggregate,
 )
 from tests.conftest import SF_DIR
@@ -72,6 +74,70 @@ def test_session_stream_matches_batch_sessionize(spark, events_dir):
         for r in batch.collect()
     )
     assert s_rows == b_rows
+
+
+def test_sliding_stream_matches_batch(spark, events_dir):
+    """Sliding windows (1h size, 30m slide) match the same agg in batch."""
+    stream = sliding_aggregate(
+        events_stream(spark, events_dir, max_files_per_trigger=2)
+    )
+    got = run_to_memory(
+        stream, "t_sliding", spark, output_mode="complete"
+    ).withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    s_rows = sorted(
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in got.collect()
+    )
+    b_rows = sorted(
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in batch.collect()
+    )
+    assert s_rows == b_rows
+
+
+def test_stateful_user_totals_matches_batch(spark, events_dir):
+    """applyInPandasWithState running totals converge to the batch group-by.
+
+    The replay spans multiple micro-batches (maxFilesPerTrigger=2), so a
+    user's totals are emitted several times with increasing counts; the
+    final emission per user must equal the batch aggregate — proof the
+    state carried correctly across batches.
+    """
+    stream = stateful_user_totals(
+        events_stream(spark, events_dir, max_files_per_trigger=2)
+    )
+    got = run_to_memory(stream, "t_stateful", spark, output_mode="update")
+    final = {}
+    for r in got.collect():
+        prev = final.get(r.user_id)
+        if prev is None or r.n_events > prev[0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    expected = {
+        r.user_id: (r.n_events, r.total_value) for r in batch.collect()
+    }
+    assert final == expected
 
 
 def test_dedup_within_watermark(spark, tmp_path):
