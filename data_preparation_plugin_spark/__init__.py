@@ -16,6 +16,9 @@ Spark engine:
                    as a named query over the test star schema with a DuckDB
                    oracle for correctness checking.
 - ``streaming``  — Structured Streaming variants over the ``events`` table.
+- ``layout``     — physical-layout levers (directory partitioning, file
+                   sizing, skew salting) — the Spark equivalent of the
+                   reference's index-aware table copy.
 
 Everything executes through the DataFrame / Spark SQL API so Catalyst and
 Tungsten choose physical strategies (pushdown, pruning, broadcast joins, AQE).

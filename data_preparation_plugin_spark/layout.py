@@ -1,0 +1,98 @@
+"""Physical table layout: partitioning, file sizing, and skew salting.
+
+The reference's only layout lever is ``CREATE TABLE dst (LIKE src INCLUDING
+indexes)`` (``operators/copy.py:9`` in the reference) — PostgreSQL b-trees.
+Spark has no secondary indexes; the equivalent performance levers at 100 TB
+are *layout*: directory partitioning (static + dynamic partition pruning),
+file sizing (split granularity), and key salting (shuffle skew). SURVEY.md
+§4.1 ("partition pruning ... we must *create* partitioned layouts to
+benefit") and §4.2 item 3 put these in scope as thin, explicit utilities.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def month_key(ts_col: Column | str) -> Column:
+    """Derive a 'yyyy-MM' partition key from an event-time column.
+
+    Calendar-month directories keep partition counts sane at any scale
+    (a 10-year corpus is 120 directories) while letting every query with a
+    date predicate prune to the touched months only.
+    """
+    return F.date_format(ts_col, "yyyy-MM")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    mode: str = "overwrite",
+    target_files_per_partition: int | None = None,
+) -> None:
+    """Write a directory-partitioned parquet table.
+
+    ``partitionBy`` turns each distinct key tuple into a directory; reads
+    with a predicate on the partition columns list only the matching
+    directories (``PartitionFilters`` in the scan, zero I/O elsewhere).
+    ``target_files_per_partition`` repartitions by the partition key first
+    so each directory gets a bounded file count instead of one file per
+    input task — the classic small-files guard: without it, T tasks x P
+    partitions can emit T*P tiny files.
+    """
+    if target_files_per_partition is not None:
+        df = df.repartition(target_files_per_partition, *partition_by)
+    df.write.partitionBy(*partition_by).mode(mode).parquet(path)
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Add a uniform salt column in ``[0, n_salts)``.
+
+    ``rand`` salting is for *aggregation* skew (any row may take any salt).
+    For join skew, replicate the small side per salt value instead — or
+    rely on AQE's skew-join splitting (on in session.py), which handles the
+    common cases without plan changes.
+    """
+    return df.withColumn(
+        salt_col, (F.rand(seed=42) * n_salts).cast("int")
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    n_salts: int,
+    partial_aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Two-phase aggregation through a salted key: skew-proof group-by.
+
+    ``partial_aggs`` maps output column -> (input column, agg) where agg is
+    ``"sum"`` or ``"count"`` — the decomposable aggregates (count re-merges
+    as sum). Phase 1 aggregates on (keys + salt): a hot key's rows spread
+    over ``n_salts`` reducers instead of one. Phase 2 merges the per-salt
+    partials — at most ``n_salts`` rows per key, negligible. Spark's own
+    partial aggregation already gives this effect per *map task*; explicit
+    salting is the stronger guarantee needed when a single reducer's merge
+    of one giant key would otherwise dominate the stage.
+    """
+    salted = with_salt(df, n_salts)
+    phase1 = []
+    phase2 = []
+    for out, (col, agg) in partial_aggs.items():
+        if agg == "sum":
+            phase1.append(F.sum(col).alias(out))
+            phase2.append(F.sum(out).alias(out))
+        elif agg == "count":
+            phase1.append(F.count(col).alias(out))
+            phase2.append(F.sum(out).cast("long").alias(out))
+        else:
+            raise ValueError(f"non-decomposable agg {agg!r}; use sum/count")
+    partial = salted.groupBy(*keys, "__salt").agg(*phase1)
+    return partial.groupBy(*keys).agg(*phase2)
+
+
+__all__ = ["month_key", "salted_aggregate", "with_salt", "write_partitioned"]

@@ -1,0 +1,70 @@
+"""Layout utilities: partition pruning and skew-proof aggregation."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_preparation_plugin_spark.layout import (
+    month_key,
+    salted_aggregate,
+    with_salt,
+    write_partitioned,
+)
+from data_preparation_plugin_spark.plans.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    path = str(tmp_path / "orders_by_month")
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_month", month_key("o_orderdate")
+    )
+    write_partitioned(orders, path, ["order_month"], target_files_per_partition=1)
+
+    # One directory per month on disk.
+    months = sorted(
+        d for d in os.listdir(path) if d.startswith("order_month=")
+    )
+    assert len(months) > 12
+
+    read = spark.read.parquet(path)
+    one_month = read.filter(F.col("order_month") == "1997-03")
+    plan = one_month._jdf.queryExecution().executedPlan().toString()
+    # The month predicate must prune at the directory level, not post-scan.
+    assert "PartitionFilters: [" in plan
+    assert "order_month" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+    expected = orders.filter(F.col("order_month") == "1997-03").count()
+    assert one_month.count() == expected
+
+
+def test_with_salt_bounded(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    salts = (
+        with_salt(orders, 8)
+        .agg(F.min("__salt").alias("lo"), F.max("__salt").alias("hi"))
+        .first()
+    )
+    assert salts.lo >= 0 and salts.hi <= 7
+
+
+def test_salted_aggregate_matches_plain(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    got = salted_aggregate(
+        orders,
+        ["o_custkey"],
+        n_salts=8,
+        partial_aggs={
+            "total": ("o_totalprice", "sum"),
+            "n": ("o_orderkey", "count"),
+        },
+    )
+    expected = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("total"),
+        F.count("o_orderkey").alias("n"),
+    )
+    g = {r.o_custkey: (round(r.total, 6), r.n) for r in got.collect()}
+    e = {r.o_custkey: (round(r.total, 6), r.n) for r in expected.collect()}
+    assert g == e
