@@ -135,6 +135,55 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_RUN_COUNTER = 0
+
+
+@register("events_stream_tumbling", category="streaming")
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling aggregation, replayed to completion.
+
+    The registry's window into the streaming slice: stages the events
+    fixture as a multi-file directory, replays it through ``readStream`` →
+    watermark → tumbling window (streaming/events.py) with
+    ``trigger(availableNow=True)``, and returns the bounded result. No
+    oracle — streaming plans aren't DuckDB-expressible — so the driver
+    records the weaker rows-only check; the equivalent *semantics* are
+    oracle-checked via the batch twin ``events_tumbling_hourly`` and the
+    batch/stream equivalence tests (tests/test_streaming.py).
+    """
+    import os
+    import tempfile
+
+    from data_preparation_plugin_spark.streaming import (
+        events_stream,
+        run_to_memory,
+        tumbling_aggregate,
+    )
+
+    global _STREAM_RUN_COUNTER
+    _STREAM_RUN_COUNTER += 1
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"dpp-events-replay-{abs(hash(sf_dir)) % 100000}",
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    stream = tumbling_aggregate(
+        events_stream(spark, staged, max_files_per_trigger=2)
+    )
+    result = run_to_memory(
+        stream,
+        f"events_stream_tumbling_r{_STREAM_RUN_COUNTER}",
+        spark,
+        output_mode="complete",
+    )
+    return result.withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+
+
 @register(
     "events_type_pivot",
     category="events",
