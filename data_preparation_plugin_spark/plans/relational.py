@@ -1276,3 +1276,105 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_view_value",
         )
     )
+
+
+@register(
+    "agg_percentiles",
+    category="aggregate",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (PG percentile_cont parity).
+
+    ``F.percentile`` is exact (sort-based within the aggregate); at 100 TB
+    the drop-in scale path is ``approx_percentile`` (t-digest sketch, fixed
+    memory, mergeable partials) — kept out of the oracle set because its
+    error bound is engine-specific. Rounded at 4dp: inputs have 2 decimals,
+    so halfway interpolation points carry at most 3 — the 4dp boundary is
+    never on a knife edge (see q1's rounding rationale).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "null_handling",
+    category="transform",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O')                         AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')       AS status_filled,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_open,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END                              AS price_bucket
+    FROM orders
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL vocabulary: NULLIF / COALESCE / null-safe equality / CASE.
+
+    The fixture has no physical NULLs, so NULLIF manufactures them — the
+    point is the operator semantics, incl. Spark's ``eqNullSafe`` (<=>) as
+    the IS NOT DISTINCT FROM twin.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return orders.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_filled"),
+        status_or_null.eqNullSafe(F.lit(None)).alias("is_open"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("price_bucket"),
+    )
+
+
+@register(
+    "array_functions",
+    category="transform",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                          AS dim,
+           round(list_aggregate(embedding::DOUBLE[], 'sum'), 4)    AS sum_vals,
+           round(list_aggregate(embedding::DOUBLE[], 'max'), 4)    AS max_val,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0))       AS n_positive,
+           round(list_aggregate(list_transform(embedding::DOUBLE[],
+                                               x -> x * x), 'sum'), 4) AS sum_sq
+    FROM embeddings
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column.
+
+    aggregate / filter / transform / array_max run per-row JVM-side with
+    no explode — the vocabulary for array<float> columns at scale. Both
+    engines fold the sum left-to-right over the same element order, so
+    doubles match bit-for-bit before rounding.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    fsum = lambda col: F.aggregate(col, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(fsum(v), 4).alias("sum_vals"),
+        F.round(F.array_max(v), 4).alias("max_val"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(fsum(F.transform(v, lambda x: x * x)), 4).alias("sum_sq"),
+    )
