@@ -10,6 +10,7 @@ from data_preparation_plugin_spark.layout import (
     month_key,
     salted_aggregate,
     with_salt,
+    write_bucketed,
     write_partitioned,
 )
 from data_preparation_plugin_spark.plans.registry import load_table
@@ -38,6 +39,33 @@ def test_write_partitioned_prunes(spark, tmp_path):
 
     expected = orders.filter(F.col("order_month") == "1997-03").count()
     assert one_month.count() == expected
+
+
+def test_bucketed_join_needs_no_exchange(spark):
+    """Same-bucketed tables sort-merge join without shuffling either side."""
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    write_bucketed(
+        lineitem, "b_lineitem", ["l_orderkey"], 8, sort_by=["l_orderkey"]
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        expected = orders.join(
+            lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
 def test_with_salt_bounded(spark):
