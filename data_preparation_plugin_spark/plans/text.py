@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_preparation_plugin_spark.functions.text import tokens as tokens_col
 from data_preparation_plugin_spark.plans.registry import load_table, register
@@ -261,4 +262,107 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("tfidf"),
         )
+    )
+
+
+@register(
+    "text_bpe_token_count",
+    category="text",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+               AS n_subword_tokens,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenizer count: alnum runs + individual punctuation marks.
+
+    The pre-tokenization regex real BPE vocabularies apply before merges
+    (GPT-2 style \\w+|punct splitting) — the right denominator for
+    tokens-per-document budgeting of LLM training data, alongside the
+    naive whitespace count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pattern = r"[a-z0-9]+|[^a-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(pattern), F.lit(0)))
+        .cast("long")
+        .alias("n_subword_tokens"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    category="text",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), shingled AS (
+        SELECT doc_id,
+               generate_subscripts(sh, 1) - 1 AS pos,
+               unnest(sh) AS shingle,
+               len(sh) AS total
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(tokens) >= 3
+                        THEN list_transform(range(1, len(tokens) - 1),
+                             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+                        ELSE [array_to_string(tokens, ' ')] END AS sh
+            FROM toks
+        )
+    ), hashed AS (
+        SELECT doc_id, pos, total, md5(shingle) AS h FROM shingled
+    ), windowed AS (
+        SELECT doc_id, pos, total,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM hashed
+    )
+    SELECT DISTINCT doc_id, wmin AS fingerprint
+    FROM windowed
+    WHERE pos >= 3 OR pos = total - 1
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: distinct minima of a rolling hash window.
+
+    The Schleimer/Wilkerson/Aiken local-fingerprinting algorithm (the
+    MOSS/rolling-hash dedup shape): hash every 3-token shingle, slide a
+    4-hash window, keep each window's minimum, dedup. Guarantees any
+    sufficiently long shared substring yields a shared fingerprint, at
+    ~1/(w+1) the storage of full shingle sets. One shuffle on doc_id for
+    the window; docs shorter than the window keep their final
+    partial-window minimum so every document fingerprints.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    from data_preparation_plugin_spark.functions.text import shingles_from_tokens
+
+    shingled = toks.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(F.col("__toks"), 3)).alias(
+            "pos", "shingle"
+        ),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    counts = Window.partitionBy("doc_id")
+    return (
+        shingled.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(counts).alias("total"),
+            F.min(F.md5("shingle")).over(win).alias("wmin"),
+        )
+        .filter((F.col("pos") >= 3) | (F.col("pos") == F.col("total") - 1))
+        .select("doc_id", F.col("wmin").alias("fingerprint"))
+        .distinct()
     )
