@@ -6,7 +6,8 @@ candidate generation always goes through a blocking/banding key (never an
 unconstrained cross join), and the only full-corpus shuffles key on bounded
 cardinalities (fingerprints, band values, block keys).
 
-MinHash here is string-MinHash: ``min(md5(seed || shingle))`` per seed. md5
+MinHash here is string-MinHash: ``min`` over 32-bit (8-hex-char) pieces of
+seeded md5 digests (4 pieces per digest — see ``_minhash_signatures``). md5
 exists in both Spark and DuckDB with identical output, which makes the whole
 LSH pipeline — signatures, bands, candidate pairs — hash-checkable against
 the oracle, unlike engine-specific hash functions (xxhash64 has no DuckDB
@@ -82,23 +83,37 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id -> h0..h{n-1} string-MinHash signature columns.
 
+    Two md5 calls per shingle, not eight: each 128-bit digest is split into
+    four independent 32-bit (8-hex-char) pieces, giving the 8 hash
+    functions at a quarter of the hashing cost — the standard
+    few-seeds-many-pieces MinHash construction. ``substr`` on the hex
+    digest is engine-identical, so the oracle reproduces every piece.
+
     No ``distinct()`` on (doc_id, shingle): ``min`` is duplicate-insensitive,
     so deduplicating first would only add a full shuffle of the shingle
     strings before the aggregation shuffle. With partial (map-side)
-    aggregation the only shuffle moves 8 hex digests per document.
+    aggregation the only shuffle moves 8 hex pieces per document.
     """
     exploded = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE)
+    digests = exploded.select(
+        "doc_id",
+        *[
+            minhash_hex(F.col("shingle"), m).alias(f"d{m}")
+            for m in range(MINHASH_SEEDS // 4)
+        ],
+    )
     aggs = [
-        F.min(minhash_hex(F.col("shingle"), s)).alias(f"h{s}")
+        F.min(F.substring(F.col(f"d{s // 4}"), 8 * (s % 4) + 1, 8)).alias(f"h{s}")
         for s in range(MINHASH_SEEDS)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return digests.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_sql(select: str) -> str:
     """Build the shared CTE prefix of the MinHash oracle queries."""
     mins = ",\n               ".join(
-        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(MINHASH_SEEDS)
+        f"min(substr(md5('{s // 4}:' || shingle), {8 * (s % 4) + 1}, 8)) AS h{s}"
+        for s in range(MINHASH_SEEDS)
     )
     bands = "\n        UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, h{2*b} || h{2*b+1} AS band_val FROM sigs"
