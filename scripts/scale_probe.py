@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Scaling probe: do the core plan shapes scale linearly with input size?
+
+Builds x1/x2/x4/x8 copies of the sf0.1 fixture under /tmp (keys offset per
+replica so join fan-out and dedup cardinalities scale honestly, instead of
+degenerating into duplicate-key blow-up), then times the representative
+plan shapes at each scale. Near-linear wall-clock growth is the local-mode
+evidence that the plans carry no super-linear step (cross joins, driver
+materialization, per-row Python) — the property that has to hold for the
+same plans to survive a 1000-executor 100 TB run.
+
+Usage: python scripts/scale_probe.py [max_factor]   # default 8
+Output: one JSON line per (query, scale) plus a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_preparation_plugin_spark import get_spark  # noqa: E402
+from data_preparation_plugin_spark.plans import QUERIES  # noqa: E402
+from data_preparation_plugin_spark.plans.registry import load_table  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+WORK = "/tmp/dpp-scale-probe"
+
+#: (table, key columns to offset per replica) — offsets keep keys disjoint
+#: across replicas so every join/group keeps its per-replica cardinality.
+SCALED_TABLES = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": [],  # probe set must stay vec_id<10: replicate w/o offset
+}
+PASSTHROUGH_TABLES = ["region", "nation", "supplier", "part", "events"]
+KEY_STRIDE = 100_000_000
+
+
+def build_scale(spark, factor: int) -> str:
+    out = f"{WORK}/x{factor}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for name, keys in SCALED_TABLES.items():
+        base = load_table(spark, BASE_SF, name)
+        parts = []
+        for i in range(factor):
+            part = base
+            for k in keys:
+                part = part.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
+            if name == "documents":
+                # Perturb replica text so fuzzy-dedup pair counts scale
+                # linearly (identical replicas would pair across copies).
+                part = part.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
+                )
+            if name == "embeddings" and i > 0:
+                part = part.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * KEY_STRIDE)
+                )
+            parts.append(part)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    for name in PASSTHROUGH_TABLES:
+        load_table(spark, BASE_SF, name).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+    Path(f"{out}/_DONE").touch()
+    return out
+
+
+PROBES = [
+    "q1_pricing_summary",        # scan + group-by (map-side combine)
+    "q3_shipping_priority",      # multi-join + agg + top-k
+    "q18_large_volume_customer", # fact-fact join through partial agg
+    "dedup_minhash_lsh_pairs",   # explode + hash + band shuffle
+    "text_tfidf",                # double aggregation over explode
+    "window_range_interval",     # partitioned range-frame window
+]
+
+
+def main() -> None:
+    max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    factors = [f for f in (1, 2, 4, 8) if f <= max_factor]
+    spark = get_spark(app_name="dpp-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    dirs = {f: build_scale(spark, f) for f in factors}
+    results: dict[str, dict[int, float]] = {}
+    for name in PROBES:
+        builder = QUERIES[name].builder
+        run(builder(spark, dirs[factors[0]]))  # warm codegen/JVM
+        results[name] = {}
+        for f in factors:
+            t0 = time.perf_counter()
+            run(builder(spark, dirs[f]))
+            dt = round(time.perf_counter() - t0, 3)
+            results[name][f] = dt
+            print(json.dumps({"query": name, "scale": f, "sec": dt}))
+    summary = {
+        name: round(times[factors[-1]] / max(times[factors[0]], 1e-9), 2)
+        for name, times in results.items()
+    }
+    print(json.dumps({"summary_x{}_over_x1".format(factors[-1]): summary}))
+
+
+if __name__ == "__main__":
+    main()
