@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for schema helpers and text functions.
+
+The reference's suite is golden-output only (SURVEY.md §5: "no
+property-based/randomized testing"); these cover the algebraic contracts
+randomized inputs actually stress — schema merging, shingle construction —
+with a pure-Python reference model for the Spark column expressions.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from data_preparation_plugin_spark.dataset import merge_dtype, row2dict
+from data_preparation_plugin_spark.functions.text import exploded_shingles
+
+names = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=122),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _schema(field_names):
+    return StructType([StructField(n, StringType()) for n in field_names])
+
+
+@given(st.lists(names, max_size=8), st.lists(names, max_size=8))
+def test_merge_dtype_first_wins_and_order_preserved(a, b):
+    merged = merge_dtype(_schema(a), _schema(b))
+    out = [f.name for f in merged.fields]
+    # Every name appears exactly once, in first-occurrence order.
+    expected = list(dict.fromkeys(a + b))
+    assert out == expected
+
+
+@given(st.lists(names, min_size=1, max_size=8))
+def test_merge_dtype_idempotent(a):
+    s = _schema(a)
+    once = merge_dtype(s)
+    twice = merge_dtype(once, once)
+    assert twice == once
+
+
+def test_merge_dtype_keeps_first_type_on_conflict():
+    a = StructType([StructField("id", LongType())])
+    b = StructType([StructField("id", StringType())])
+    assert merge_dtype(a, b)["id"].dataType == LongType()
+
+
+def _reference_shingles(tokens: list[str], k: int = 3) -> list[str]:
+    """Pure-Python model of functions.text shingling semantics."""
+    if len(tokens) >= k:
+        return [
+            " ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)
+        ]
+    return [" ".join(tokens)]
+
+
+words = st.text(alphabet="abcdef", min_size=1, max_size=5)
+docs_strategy = st.lists(  # corpus: list of token-lists
+    st.lists(words, min_size=0, max_size=12), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs_strategy)
+def test_exploded_shingles_matches_reference(spark, corpus):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got: dict[int, list[str]] = {i: [] for i, _ in rows}
+    for r in exploded_shingles(df, ["doc_id"], "text").collect():
+        got[r.doc_id].append(r.shingle)
+    for i, toks in enumerate(corpus):
+        # Spark's split on r"\s+" of "" yields [""]; the reference model
+        # sees the same via " ".join([]) == "".
+        expected = _reference_shingles([t for t in " ".join(toks).split(" ")])
+        assert sorted(got[i]) == sorted(expected), (i, toks)
+
+
+def test_row2dict_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "b", [])],
+        "id LONG, name STRING, vec ARRAY<DOUBLE>",
+    )
+    dicts = [row2dict(r) for r in df.collect()]
+    assert dicts == [
+        {"id": 1, "name": "a", "vec": [1.0, 2.0]},
+        {"id": 2, "name": "b", "vec": []},
+    ]
