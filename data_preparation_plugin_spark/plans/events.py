@@ -212,3 +212,30 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "view", "purchase", "signup", "error"])
     )
+
+
+@register(
+    "events_props_map",
+    category="events",
+    oracle=r"""
+    SELECT event_id,
+           'k' AS prop_key,
+           regexp_extract(props, '"k":\s*(-?\d+)', 1) AS prop_value
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse props into a MapType and explode to (key, value) rows.
+
+    The generic schema-free JSON path: ``from_json`` to map<string,string>
+    handles arbitrary flat props without a declared struct, and the
+    explode yields the long-format table analytics pivots from. The
+    oracle regex-extracts the single key the fixture populates.
+    """
+    events = load_table(spark, sf_dir, "events")
+    props_map = F.from_json("props", "map<string,string>")
+    return (
+        events.filter(F.col("props").isNotNull())
+        .select("event_id", F.explode(props_map).alias("prop_key", "prop_value"))
+    )

@@ -41,3 +41,15 @@ def test_rows_only_query_runs(spark, name):
     second = spark_result(query.builder(spark, SF_DIR))
     assert first == second, f"{name}: nondeterministic result"
     assert len(first[1]) >= 0
+
+
+def test_arrow_knn_matches_expression_twin(spark):
+    """The mapInPandas brute-force kNN returns the same neighbors as the
+    oracle-checked expression version (scores equal to 4dp, ids exact)."""
+    a = plans.QUERIES["knn_bruteforce_cosine"].builder(spark, SF_DIR).collect()
+    b = plans.QUERIES["knn_bruteforce_cosine_arrow"].builder(
+        spark, SF_DIR
+    ).collect()
+    ka = sorted((r.query_id, r.rn, r.neighbor_id, r.cosine) for r in a)
+    kb = sorted((r.query_id, r.rn, r.neighbor_id, r.cosine) for r in b)
+    assert ka == kb
