@@ -371,3 +371,78 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine_raw", 4).alias("cosine"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation connected components: (node, label) per node.
+
+    The step every fuzzy-dedup pipeline needs after candidate pairs:
+    transitively close them into duplicate clusters. Each iteration is one
+    distributed join + min-aggregate (labels flow across edges both ways);
+    the loop runs on the driver but touches no data there — the standard
+    Spark pattern for iterative graph algorithms. ``localCheckpoint``
+    truncates lineage each round so plan depth stays O(1) instead of
+    O(iterations). Converges in O(component diameter) rounds — small for
+    near-dup clusters, bounded by ``max_iter`` as a safety rail.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        fwd = e.join(labels, e.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        bwd = e.join(labels, e.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .unionByName(fwd)
+            .unionByName(bwd)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register("dedup_minhash_clusters", category="dedup")
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: LSH pairs transitively closed, min-id keeper.
+
+    Completes the MinHash pipeline end-to-end: signatures -> banded
+    candidate pairs -> connected components -> one row per clustered doc
+    with its cluster representative (the minimum doc_id, the deterministic
+    "keeper" of the duplicate group). No oracle: the fixpoint iteration is
+    not single-statement-SQL-expressible; correctness is unit-tested on
+    known graphs and by the pair-consistency test (every candidate pair
+    lands in one cluster).
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    return (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .select(
+            F.col("label").alias("cluster_rep"),
+            F.col("node").alias("doc_id"),
+        )
+    )

@@ -53,3 +53,33 @@ def test_arrow_knn_matches_expression_twin(spark):
     ka = sorted((r.query_id, r.rn, r.neighbor_id, r.cosine) for r in a)
     kb = sorted((r.query_id, r.rn, r.neighbor_id, r.cosine) for r in b)
     assert ka == kb
+
+
+def test_connected_components_known_graph(spark):
+    from data_preparation_plugin_spark.plans.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 4), (7, 7), (8, 9), (9, 10), (10, 8)],
+        "src LONG, dst LONG",
+    )
+    got = {
+        r.node: r.label for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 8, 9: 8, 10: 8}
+
+
+def test_minhash_clusters_cover_all_pairs(spark):
+    """Every LSH candidate pair must land inside a single cluster."""
+    clusters = plans.QUERIES["dedup_minhash_clusters"].builder(
+        spark, SF_DIR
+    ).collect()
+    label = {r.doc_id: r.cluster_rep for r in clusters}
+    pairs = plans.QUERIES["dedup_minhash_lsh_pairs"].builder(
+        spark, SF_DIR
+    ).collect()
+    assert pairs, "fixture should produce at least one candidate pair"
+    for p in pairs:
+        assert label[p.doc_a] == label[p.doc_b]
+    # Representatives are the component minimum.
+    for doc, rep in label.items():
+        assert rep <= doc
