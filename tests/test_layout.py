@@ -96,3 +96,27 @@ def test_salted_aggregate_matches_plain(spark):
     g = {r.o_custkey: (round(r.total, 6), r.n) for r in got.collect()}
     e = {r.o_custkey: (round(r.total, 6), r.n) for r in expected.collect()}
     assert g == e
+
+
+def test_aqe_splits_skewed_join(spark):
+    """A pathologically skewed join completes and stays correct under AQE.
+
+    90% of the probe side hits one key; AQE's skew-join split (enabled in
+    session.py) breaks the hot partition into subpartitions at runtime.
+    Local thresholds are too high to always trigger the split on test-size
+    data, so the assertion is semantic (exact fan-out count) — the config
+    contract is asserted explicitly.
+    """
+    import pyspark.sql.functions as SF
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    n, hot = 40_000, 7
+    left = spark.range(n).select(
+        SF.when(SF.col("id") % 10 < 9, hot).otherwise(SF.col("id")).alias("k")
+    )
+    right = spark.range(100).select(SF.col("id").alias("k"), SF.lit(1).alias("v"))
+    got = left.join(right, "k").count()
+    hot_rows = 9 * n // 10
+    cold_matches = sum(1 for i in range(n) if i % 10 == 9 and i < 100)
+    assert got == hot_rows + cold_matches

@@ -205,3 +205,24 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
         "2024-06-01T11:00:00",
         "2024-06-01T12:00:00",
     ]
+
+
+def test_stream_to_table_checkpointed_appends(spark, events_dir, tmp_path):
+    """foreachBatch sink lands every micro-batch exactly once; a restart
+    with the same checkpoint re-ingests nothing."""
+    from data_preparation_plugin_spark.streaming import stream_to_table
+
+    ckpt = str(tmp_path / "ckpt")
+    table = "t_stream_sink"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        src = events_stream(spark, events_dir, max_files_per_trigger=2)
+        stream_to_table(src, table, spark, ckpt)
+        expected = load_table(spark, SF_DIR, "events").count()
+        assert spark.table(table).count() == expected
+        # Restart from the same checkpoint: no new input, no new rows.
+        src2 = events_stream(spark, events_dir, max_files_per_trigger=2)
+        stream_to_table(src2, table, spark, ckpt)
+        assert spark.table(table).count() == expected
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
