@@ -266,29 +266,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "shingle")
     )
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = kept.alias("a")
-    b = kept.alias("b")
-    overlap = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    from pyspark.sql.window import Window
+
+    # Per-doc set sizes ride along as a window count, so the whole query is
+    # one lineage — no sizes side-branch re-executing the shingle pipeline
+    # and no post-hoc size joins.
+    sized = kept.withColumn(
+        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    # Pairs expand inside each posting list (sorted struct array, same
+    # pattern as the LSH buckets) instead of a kept⋈kept self-join, which
+    # would shuffle twice and re-execute the shingle pipeline per side.
+    # List length is capped at MAX_SHINGLE_DF, bounding every expansion.
+    postings = sized.groupBy("shingle").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "n_shingles"))
+        ).alias("ids")
+    )
+    pair_expand = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["n_shingles"].alias("na"),
+                    y["doc_id"].alias("doc_b"),
+                    y["n_shingles"].alias("nb"),
+                ),
+            ),
         )
+    )
+    overlap = (
+        postings.filter(F.size("ids") > 1)
+        .select(F.explode(pair_expand).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.na").alias("na"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.nb").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jaccard = F.col("n_common") * 1.0 / (
-        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        overlap.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jaccard >= 0.5)
+        overlap.filter(jaccard >= 0.5)
         .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
     )
 
