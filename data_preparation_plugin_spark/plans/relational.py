@@ -1378,3 +1378,36 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
         F.round(fsum(F.transform(v, lambda x: x * x)), 4).alias("sum_sq"),
     )
+
+
+@register(
+    "q13_customer_distribution",
+    category="aggregate",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 flavor: order-count histogram over a left join.
+
+    Two-level aggregation where the outer key is itself an aggregate —
+    the inner count shuffles on customer, the outer histogram shuffle
+    moves one row per distinct count value. The left join keeps
+    zero-order customers (count(o_orderkey) ignores the null match).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
