@@ -120,7 +120,24 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*phase2)
 
 
+def compact_table(spark, table: str, target_files: int) -> None:
+    """Rewrite a catalog table into ``target_files`` parquet files.
+
+    The standard maintenance pass for streaming/append-heavy tables: many
+    small files inflate task counts and listing time; a periodic
+    repartition-overwrite restores scan efficiency. Writes to a side table
+    then renames (Spark cannot overwrite a table from itself lazily), so a
+    failure mid-compaction leaves the original intact.
+    """
+    compacted = spark.table(table).repartition(target_files)
+    tmp = f"{table}__compacting"
+    compacted.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+
+
 __all__ = [
+    "compact_table",
     "month_key",
     "salted_aggregate",
     "with_salt",

@@ -1411,3 +1411,27 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register("agg_hll_sketch", category="aggregate")
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL-sketch distinct counts (the 100 TB COUNT DISTINCT).
+
+    Exact distinct aggregation shuffles every distinct value; the
+    datasketches HLL aggregate keeps a fixed-size sketch per partition and
+    merges them — the only distinct-count that stays bounded-memory and
+    combinable at petabyte scale (and the sketches themselves can persist
+    for cross-day unions). No oracle: sketch binaries are
+    engine-specific; the test suite bounds the estimate against the exact
+    count instead.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("o_custkey", F.lit(14))
+            ).alias("n_customers_hll"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

@@ -120,3 +120,44 @@ def test_aqe_splits_skewed_join(spark):
     hot_rows = 9 * n // 10
     cold_matches = sum(1 for i in range(n) if i % 10 == 9 and i < 100)
     assert got == hot_rows + cold_matches
+
+
+def test_agg_hll_within_tolerance(spark):
+    """HLL estimates land within 5% of exact distinct counts."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    got = {
+        r.o_orderpriority: r.n_customers_hll
+        for r in QUERIES["agg_hll_sketch"].builder(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_compact_table(spark):
+    from data_preparation_plugin_spark.layout import compact_table
+
+    spark.sql("DROP TABLE IF EXISTS t_fragmented")
+    try:
+        load_table(spark, SF_DIR, "orders").repartition(16).write.saveAsTable(
+            "t_fragmented"
+        )
+        before = spark.table("t_fragmented").count()
+        assert (
+            spark.table("t_fragmented").rdd.getNumPartitions() > 2
+        )
+        compact_table(spark, "t_fragmented", 2)
+        assert spark.table("t_fragmented").count() == before
+        files = spark.table("t_fragmented").inputFiles()
+        assert len(files) == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fragmented")
+        spark.sql("DROP TABLE IF EXISTS t_fragmented__compacting")

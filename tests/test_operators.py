@@ -308,3 +308,34 @@ def test_multimodal_decode_stub_raises(spark):
     with pytest.raises(Exception) as exc_info:
         decode_images(df).collect()
     assert "Pillow" in str(exc_info.value)
+
+
+def test_csv_load_permissive_corrupt_records(tmp_path, spark):
+    """Malformed CSV rows survive as _corrupt_record instead of failing the
+    load — the PERMISSIVE-mode contract an unattended pipeline relies on."""
+    from data_preparation_plugin_spark.operators.load import (
+        CsvLoadOperator,
+        LoadSpec,
+    )
+
+    path = tmp_path / "dirty.csv"
+    path.write_text("id,qty\n1,10\n2,not_a_number\n3,30\n")
+    spec = LoadSpec(
+        path=str(path),
+        table="t_dirty",
+        format="csv",
+        schema="id INT, qty INT, _corrupt_record STRING",
+        options={
+            "header": "true",
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": "_corrupt_record",
+        },
+    )
+    try:
+        got = CsvLoadOperator(spec).execute(spark)
+        rows = {r.id: (r.qty, r._corrupt_record) for r in got.collect()}
+        assert rows[1] == (10, None)
+        assert rows[3] == (30, None)
+        assert rows[2][0] is None and "not_a_number" in rows[2][1]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dirty")
