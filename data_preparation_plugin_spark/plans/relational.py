@@ -1435,3 +1435,53 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "q22_dormant_rich_customers",
+    category="join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                 AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT round(sum(c_acctbal), 2) / count(*)
+            FROM customer
+            WHERE c_acctbal > 0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          )
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavor: scalar subquery threshold + NOT EXISTS + aggregate.
+
+    The scalar subquery becomes a 1-row broadcast cross join (Catalyst
+    plans correlated scalar subqueries the same way); NOT EXISTS is a
+    left-anti join on the order fact. Both patterns stay
+    shuffle-minimal: the threshold is one global aggregate, the anti
+    join's probe side is the already-filtered customer slice.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    threshold = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    rich = customer.crossJoin(F.broadcast(threshold)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
