@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
 
-from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from data_preparation_plugin_spark.dataset import merge_dtype, row2dict
