@@ -1485,3 +1485,47 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    category="join",
+    oracle="""
+    SELECT round(round(sum(l_extendedprice), 2) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+            SELECT 0.2 * (round(sum(l_quantity), 2) / count(*))
+            FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 flavor: correlated scalar aggregate, decorrelated.
+
+    The textbook decorrelation: the per-part average becomes one grouped
+    aggregate joined back on the correlation key, instead of re-running a
+    subquery per outer row. The per-part thresholds table is tiny (one row
+    per part) and broadcasts; only parts of the filtered brand need
+    thresholds at all, which Catalyst narrows via the join.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    thresholds = lineitem.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)))
+        ).alias("qty_threshold")
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(thresholds), F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 4).alias(
+                "avg_yearly"
+            )
+        )
+    )
