@@ -10,6 +10,11 @@ from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
 
+# Derandomized: a CI/driver run must never fail on a fresh random example
+# that local runs never saw; edge-case hunting happens locally.
+settings.register_profile("ci", derandomize=True)
+settings.load_profile("ci")
+
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from data_preparation_plugin_spark.dataset import merge_dtype, row2dict
