@@ -1529,3 +1529,93 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "set_ops_multiset",
+    category="setop",
+    oracle="""
+    SELECT o_custkey, count(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY o_custkey
+    """,
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: bag semantics with per-row multiplicity.
+
+    ``exceptAll`` subtracts *occurrences*, not membership — the SQL bag
+    algebra the distinct set ops can't express. Implemented by Spark as a
+    count-tagged aggregation + generate, so it stays one shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    fulfilled = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        fulfilled.exceptAll(urgent)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_string_concat",
+    category="aggregate",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg parity).
+
+    ``collect_list`` order is partition-dependent, so the deterministic
+    form is collect -> array_sort -> join — the exact semantics of SQL's
+    ``string_agg(x, ',' ORDER BY x)``.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations"
+            )
+        )
+    )
+
+
+@register(
+    "date_arithmetic",
+    category="transform",
+    oracle="""
+    SELECT o_orderkey,
+           date_diff('day', o_orderdate, TIMESTAMP '2001-09-01 00:00:00')
+               AS days_to_cutoff,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE)  AS due_date,
+           last_day(CAST(o_orderdate AS DATE))          AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+    FROM orders
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic vocabulary: diff, offset, month-end, quarter trunc."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.col("o_orderdate")
+        ).cast("long").alias("days_to_cutoff"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias(
+            "quarter_start"
+        ),
+    )
