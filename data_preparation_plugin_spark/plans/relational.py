@@ -1619,3 +1619,338 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quarter_start"
         ),
     )
+
+
+@register(
+    "q7_volume_shipping",
+    category="join",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 flavor: bilateral trade volume between two nations by year.
+
+    Both nation lookups broadcast, so lineitem is semi-reduced by the
+    supplier-nation filter before the only large shuffles (orders,
+    customer). The disjunctive nation-pair predicate lands after both
+    broadcasts; output cardinality is 2 directions x 2 years.
+    Reference grounding: ORM join surface README.md:159-164.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_3", "NATION_8"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_3", "NATION_8"))
+    return (
+        lineitem.join(
+            F.broadcast(
+                supplier.join(n1, F.col("s_nationkey") == F.col("n1_key"))
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            customer.join(
+                F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    category="join",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END), 2) / round(sum(volume), 2)
+               AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE'
+          AND p_type = 'STANDARD'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 flavor: one nation's market share inside a region by year.
+
+    All dimensions (part, supplier, both nation roles, region) broadcast;
+    the ratio divides two sums rounded to cents so both engines divide
+    bit-identical operands (cross-engine float discipline, SURVEY.md '5).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    cust_region = customer.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select(F.col("n_nationkey").alias("cn_key"))
+        ),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey")
+    supp_nation = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp_nation), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_3", volume
+                        ).otherwise(F.lit(0.0))
+                    ),
+                    2,
+                )
+                / F.round(F.sum(volume), 2)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    category="aggregate",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1996-03-31 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 flavor: supplier(s) with the maximum quarterly revenue.
+
+    The scalar subquery becomes a 1-row aggregate broadcast cross-join —
+    no single-partition window, so the revenue relation never collapses
+    to one task no matter how many suppliers exist at scale.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        lineitem.filter(F.col("l_shipdate").between("1996-01-01", "1996-03-31"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    category="join",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 flavor: the only supplier who shipped late on a shared order.
+
+    Instead of the textbook EXISTS + NOT EXISTS double self-join of
+    lineitem, aggregate once per (order, supplier) and resolve both
+    quantifiers with window counts over the order — the window reuses the
+    groupBy's hash partitioning on l_orderkey, so the whole query costs
+    one lineitem shuffle plus the small final agg. (Lateness is
+    shipdate-based: this testdata has no commit/receipt dates.)
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_supp = (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("late_rows"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    qualified = (
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum(F.when(F.col("late_rows") > 0, 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("late_rows") > 0)
+            & (F.col("n_late_supp") == 1)
+            & (F.col("n_supp") >= 2)
+        )
+    )
+    return (
+        qualified.join(
+            F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").alias("numwait"))
+    )
+
+
+@register(
+    "window_distribution",
+    category="window",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+
+    Ties broken by c_custkey so every rank is deterministic; the ratios
+    are exact integer divisions, bit-identical across engines.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    category="transform",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount
+        FROM lineitem
+    )
+    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot of lineitem measures (melt / UNPIVOT parity).
+
+    ``DataFrame.unpivot`` is a Generate (no shuffle, no UDF): each input
+    row fans out to one row per measure column, streamed through codegen.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
