@@ -1858,11 +1858,13 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 flavor: the only supplier who shipped late on a shared order.
 
     Instead of the textbook EXISTS + NOT EXISTS double self-join of
-    lineitem, aggregate once per (order, supplier) and resolve both
-    quantifiers with window counts over the order — the window reuses the
-    groupBy's hash partitioning on l_orderkey, so the whole query costs
-    one lineitem shuffle plus the small final agg. (Lateness is
-    shipdate-based: this testdata has no commit/receipt dates.)
+    lineitem, collect each order's (supplier, late) entries in ONE
+    aggregation keyed on l_orderkey and resolve both quantifiers with
+    array expressions — one wide shuffle at any scale (a window over
+    l_orderkey after a (l_orderkey, l_suppkey) groupBy would re-exchange).
+    Orders have bounded line counts, so the per-order array cannot skew.
+    (Lateness is shipdate-based: this testdata has no commit/receipt
+    dates.)
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -1872,22 +1874,33 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 60 DAYS"
     )
-    per_supp = (
+    per_order = (
         lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("late_rows"))
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_suppkey", "late")).alias("entries"))
     )
-    w = Window.partitionBy("l_orderkey")
-    qualified = (
-        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "n_late_supp",
-            F.sum(F.when(F.col("late_rows") > 0, 1).otherwise(0)).over(w),
+    late_supps = F.array_distinct(
+        F.transform(
+            F.filter("entries", lambda e: e["late"]),
+            lambda e: e["l_suppkey"],
         )
-        .filter(
-            (F.col("late_rows") > 0)
-            & (F.col("n_late_supp") == 1)
-            & (F.col("n_supp") >= 2)
+    )
+    qualified = (
+        per_order.select(
+            late_supps.alias("late_supps"),
+            F.size(
+                F.array_distinct(
+                    F.transform("entries", lambda e: e["l_suppkey"])
+                )
+            ).alias("n_supp"),
+            F.size(F.filter("entries", lambda e: e["late"])).alias(
+                "late_rows"
+            ),
+        )
+        .filter((F.size("late_supps") == 1) & (F.col("n_supp") >= 2))
+        .select(
+            F.element_at("late_supps", 1).alias("l_suppkey"), "late_rows"
         )
     )
     return (
