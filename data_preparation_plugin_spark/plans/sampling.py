@@ -1,0 +1,143 @@
+"""Deterministic sampling / dataset-split queries over ``documents``.
+
+A training-data pipeline needs reproducible splits and samples: the same
+document must land in the same split on every run, on any cluster size, with
+no RNG state to ship. Everything here derives from md5 of the stable key
+(bit-identical in Spark and DuckDB — see ``functions/hashing.py``), so the
+queries are fully oracle-checkable.
+
+Reference grounding: the reference's transform step is arbitrary user pandas
+(README.md:48-83); sampling/splitting is the canonical such step in an ML
+ingest pipeline (BASELINE.json driver mandate: LLM-data-pipeline operators).
+
+Scale notes: every query is a narrow map over the table plus at most one
+bounded-key aggregation — no shuffle of the raw corpus is ever keyed on an
+unbounded value. Hash-bucket assignment is embarrassingly parallel and
+stable under repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_preparation_plugin_spark.plans.registry import load_table, register
+
+
+def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of the key's string form.
+
+    The first 8 hex chars (32 bits) go through base-16 -> base-10
+    conversion; both the digest and the conversion are engine-identical
+    (DuckDB twin: ``('0x' || substr(md5(x), 1, 8))::BIGINT % buckets``).
+    """
+    col = F.col(key) if isinstance(key, str) else key
+    piece = F.substring(F.md5(col.cast("string")), 1, 8)
+    return (F.conv(piece, 16, 10).cast("long") % buckets).alias("bucket")
+
+
+@register(
+    "split_train_test",
+    category="sampling",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket
+        FROM documents
+    )
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/validation/test split, stable per document forever.
+
+    Pure per-row projection — no shuffle, no RNG; adding documents never
+    reassigns existing ones, which is the property ML dataset versioning
+    actually needs (a ``randomSplit`` reshuffles everything on every run).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id", 100)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "sample_stratified",
+    category="sampling",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) AS n_sampled
+    FROM (
+        SELECT lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket
+        FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample, audited per language stratum.
+
+    The sample predicate is the same hash bucket as the split query, so
+    sample membership composes with split membership (a doc's bucket is
+    computed once, reused by any rate). One aggregation on the bounded
+    ``lang`` key is the only shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id", 100)
+    return (
+        docs.select("lang", bucket)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("bucket") < 20, 1).otherwise(0)).alias(
+                "n_sampled"
+            ),
+        )
+    )
+
+
+@register(
+    "sample_fixed_per_stratum",
+    category="sampling",
+    oracle="""
+    SELECT doc_id, lang, rn
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 10
+    """,
+)
+def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k (k=10) deterministic sample per language stratum.
+
+    md5 ordering is a reproducible shuffle; row_number + filter is Spark's
+    scalable top-k (rank pushes the limit into each partition's sort, no
+    global sort). Stratum count is bounded, so the window cannot skew
+    beyond one language's share of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+    )
