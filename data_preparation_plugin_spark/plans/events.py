@@ -138,6 +138,36 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_RUN_COUNTER = 0
 
 
+def _stage_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture as a multi-file dir for file-source replay."""
+    import os
+    import tempfile
+
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"dpp-events-replay-{abs(hash(sf_dir)) % 100000}",
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    return staged
+
+
+def _replay(spark: SparkSession, name: str, stream: DataFrame) -> DataFrame:
+    """Run a bounded streaming plan to completion into a memory sink."""
+    from data_preparation_plugin_spark.streaming import run_to_memory
+
+    global _STREAM_RUN_COUNTER
+    _STREAM_RUN_COUNTER += 1
+    return run_to_memory(
+        stream,
+        f"{name}_r{_STREAM_RUN_COUNTER}",
+        spark,
+        output_mode="complete",
+    )
+
+
 @register("events_stream_tumbling", category="streaming")
 def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling aggregation, replayed to completion.
@@ -151,36 +181,74 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked via the batch twin ``events_tumbling_hourly`` and the
     batch/stream equivalence tests (tests/test_streaming.py).
     """
-    import os
-    import tempfile
-
     from data_preparation_plugin_spark.streaming import (
         events_stream,
-        run_to_memory,
         tumbling_aggregate,
     )
 
-    global _STREAM_RUN_COUNTER
-    _STREAM_RUN_COUNTER += 1
-    staged = os.path.join(
-        tempfile.gettempdir(),
-        f"dpp-events-replay-{abs(hash(sf_dir)) % 100000}",
-    )
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(staged)
+    staged = _stage_events(spark, sf_dir)
     stream = tumbling_aggregate(
         events_stream(spark, staged, max_files_per_trigger=2)
     )
-    result = run_to_memory(
-        stream,
-        f"events_stream_tumbling_r{_STREAM_RUN_COUNTER}",
-        spark,
-        output_mode="complete",
-    )
+    result = _replay(spark, "events_stream_tumbling", stream)
     return result.withColumn(
         "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+
+
+@register("events_stream_sliding", category="streaming")
+def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1h size / 30m slide), replayed bounded.
+
+    Overlapping event-time windows: each event contributes to size/slide
+    windows, expanded pre-aggregation so state stays one row per
+    (window, event_type). Rows-only check; the window-expansion semantics
+    are oracle-checked by the batch sliding-window query.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        events_stream,
+        sliding_aggregate,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    stream = sliding_aggregate(
+        events_stream(spark, staged, max_files_per_trigger=2)
+    )
+    result = _replay(spark, "events_stream_sliding", stream)
+    return result.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register("events_stream_sessionize", category="streaming")
+def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30m gap) per user, replayed bounded.
+
+    Native ``session_window`` state merging — the genuinely stateful
+    streaming operator (dynamic window extension as events arrive, closed
+    by the watermark). Rows-only check; gap semantics are oracle-checked
+    by the batch ``events_sessionize`` lag/cumsum twin.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        events_stream,
+        sessionize_stream,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    stream = sessionize_stream(
+        events_stream(spark, staged, max_files_per_trigger=2)
+    )
+    result = _replay(spark, "events_stream_sessionize", stream)
+    return result.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "session_value",
     )
 
 
