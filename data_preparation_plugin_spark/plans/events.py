@@ -196,6 +196,55 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_sliding_windows",
+    category="events",
+    oracle="""
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+        SELECT unnest([b - INTERVAL 30 MINUTE, b]) AS window_start,
+               event_type, value
+        FROM (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS b,
+                   event_type, value
+            FROM events
+        )
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes (batch form).
+
+    ``F.window(size, slide)`` expands each event to its size/slide
+    containing windows before aggregation — the oracle reproduces that
+    expansion explicitly (each event's two window starts are its 30-minute
+    bucket and the one before). Shared operator with the streaming twin
+    ``events_stream_sliding``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 @register("events_stream_sliding", category="streaming")
 def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding windows (1h size / 30m slide), replayed bounded.
