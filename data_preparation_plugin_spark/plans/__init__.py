@@ -24,6 +24,7 @@ from data_preparation_plugin_spark.plans import dedup  # noqa: E402,F401
 from data_preparation_plugin_spark.plans import similarity  # noqa: E402,F401
 from data_preparation_plugin_spark.plans import multimodal  # noqa: E402,F401
 from data_preparation_plugin_spark.plans import sampling  # noqa: E402,F401
+from data_preparation_plugin_spark.plans import ingest  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

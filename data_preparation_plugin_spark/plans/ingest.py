@@ -1,0 +1,102 @@
+"""Source-format round-trip queries: CSV and JSON-lines ingestion.
+
+The reference's primary ingestion path is Embulk loading CSV files into
+Postgres (``operators/embulk.py:14-15``). These queries prove the whole
+load surface end-to-end — stage a table to the text format with Spark's
+distributed writer, read it back through :class:`CsvLoadOperator` /
+``spark.read.json``, and aggregate — with the DuckDB oracle reading the
+*same staged files* (``read_csv`` / ``read_json``), so the parse itself is
+oracle-checked, not just the downstream query.
+
+Staging goes to a fixed per-format directory, overwritten from the current
+``sf_dir`` on every build, so the static oracle SQL always sees the files
+the Spark side just read. Tables staged are dimension-sized; the format
+round-trip is what's under test, not volume.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_preparation_plugin_spark.operators.load import CsvLoadOperator, LoadSpec
+from data_preparation_plugin_spark.plans.registry import load_table, register
+
+_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "dpp-source-stage")
+_CSV_DIR = os.path.join(_STAGE_ROOT, "nation_csv")
+_JSON_DIR = os.path.join(_STAGE_ROOT, "customer_json")
+
+NATION_DDL = "n_nationkey INT, n_name STRING, n_regionkey INT"
+
+
+@register(
+    "source_csv_roundtrip",
+    category="source",
+    oracle=f"""
+    SELECT n_regionkey, count(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM read_csv('{_CSV_DIR}/*.csv', header=true,
+                  columns={{'n_nationkey': 'INT', 'n_name': 'VARCHAR',
+                            'n_regionkey': 'INT'}})
+    GROUP BY n_regionkey
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write → declarative CSV load (Embulk parity) → aggregate.
+
+    The LoadSpec carries an explicit DDL schema — the production path; the
+    oracle parses the identical files with matching column types, so any
+    quoting/serialization divergence in the round trip fails the hash.
+    """
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(_CSV_DIR)
+    df = CsvLoadOperator(
+        LoadSpec(
+            path=_CSV_DIR,
+            table="nation_csv",
+            schema=NATION_DDL,
+            options={"header": "true"},
+        )
+    ).read(spark)
+    return df.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    category="source",
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM read_json('{_JSON_DIR}/*.json', format='newline_delimited',
+                   columns={{'c_custkey': 'BIGINT', 'c_acctbal': 'DOUBLE',
+                             'c_mktsegment': 'VARCHAR'}})
+    GROUP BY c_mktsegment
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write → schema-declared JSON read → aggregate.
+
+    Doubles survive the decimal text round trip bit-exactly in both
+    engines (shortest-repr serialization), so the balance sum is
+    hash-checkable like any parquet-sourced query.
+    """
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    ).write.mode("overwrite").json(_JSON_DIR)
+    df = (
+        spark.read.schema(
+            "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING"
+        )
+        .json(_JSON_DIR)
+    )
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
