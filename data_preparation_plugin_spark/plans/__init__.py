@@ -25,6 +25,7 @@ from data_preparation_plugin_spark.plans import similarity  # noqa: E402,F401
 from data_preparation_plugin_spark.plans import multimodal  # noqa: E402,F401
 from data_preparation_plugin_spark.plans import sampling  # noqa: E402,F401
 from data_preparation_plugin_spark.plans import ingest  # noqa: E402,F401
+from data_preparation_plugin_spark.plans import udfs  # noqa: E402,F401
 
 __all__ = [
     "QUERIES",

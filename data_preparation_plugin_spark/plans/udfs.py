@@ -1,0 +1,102 @@
+"""Python UDF surface: grouped-map ``applyInPandas`` and GROUPED_AGG.
+
+The reference's canonical transform step is arbitrary user pandas over a
+whole table (README.md:48-83). At scale that becomes *grouped* pandas:
+Spark ships each group to a Python worker as one Arrow batch and the user
+function stays plain pandas. These queries exercise that surface with
+semantics chosen to be bit-exact across engines (median of 2-decimal
+values is either a data value or a midpoint of two — exact in binary;
+min/max span is exact subtraction), so the Python path is hash-checked
+against the DuckDB oracle like any built-in.
+
+Scale notes: grouped-map materializes one group per Python worker call —
+correct only when single-group size is bounded (here: group count is tiny
+and bounded, the classic per-segment/per-priority shape). For unbounded
+groups the engine's built-in aggregates or window functions are the right
+tool; these UDF paths are the escape hatch the reference's users had in
+pandas, not the default.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_preparation_plugin_spark.plans.registry import load_table, register
+
+
+@register(
+    "udf_grouped_map_median",
+    category="udf",
+    oracle="""
+    SELECT c_mktsegment,
+           median(c_acctbal) AS median_balance,
+           count(*)          AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def udf_grouped_map_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-segment median through pandas.
+
+    One Arrow round trip per group; the median (numpy linear
+    interpolation at the midpoint) is exact for 2-decimal inputs, so this
+    Python-side computation hash-matches DuckDB's ``median``.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+
+    def seg_median(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "median_balance": [pdf["c_acctbal"].median()],
+                "n_customers": [len(pdf)],
+            }
+        )
+
+    return customer.select("c_mktsegment", "c_acctbal").groupBy(
+        "c_mktsegment"
+    ).applyInPandas(
+        seg_median,
+        schema="c_mktsegment string, median_balance double, n_customers long",
+    )
+
+
+@register(
+    "udf_grouped_agg_span",
+    category="udf",
+    oracle="""
+    SELECT o_orderpriority,
+           max(o_totalprice) - min(o_totalprice) AS price_span,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def udf_grouped_agg_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG ``pandas_udf``: a custom aggregate inside ``agg(...)``.
+
+    Unlike grouped-map, a grouped-agg UDF slots into ``agg(...)`` and
+    Spark still hash-partitions per key — the Python function only ever
+    sees one group's column. Spark refuses to mix pandas and non-pandas
+    aggregates in one ``agg`` (INVALID_PANDAS_UDF_PLACEMENT), so the row
+    count is a pandas UDF too. Span (max - min) is exact, hence
+    oracle-checkable.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def span(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        span("o_totalprice").alias("price_span"),
+        n_rows("o_totalprice").alias("n_orders"),
+    )
