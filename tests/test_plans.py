@@ -1,0 +1,119 @@
+"""Physical-plan regression tests: the scale discipline, enforced.
+
+Correctness parity says a query computes the right rows; these tests pin
+the *plan shape* that makes it hold at 100 TB — dimension joins stay
+broadcast, filters and projections reach the parquet scan, single-shuffle
+constructions stay single-shuffle, and nothing reintroduces a cartesian
+product. A regression here is a performance bug even while every oracle
+still matches.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_preparation_plugin_spark.plans import QUERIES
+
+from conftest import SF_DIR
+
+
+def plan_of(spark, name: str, mode: str = "simple") -> str:
+    """Physical-plan string; 'formatted' keeps scan details untruncated."""
+    df = QUERIES[name].builder(spark, SF_DIR)
+    explain_mode = (
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+    return df._jdf.queryExecution().explainString(explain_mode)
+
+
+def count(pattern: str, plan: str) -> int:
+    return len(re.findall(pattern, plan))
+
+
+def test_q9_star_join_all_broadcast(spark):
+    """part/supplier/nation are dims: no sort-merge join, no fact shuffle
+    before the final bounded-key aggregation."""
+    plan = plan_of(spark, "q9_profit_by_nation_year")
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) == 3
+    # only the (nation, year) aggregation exchanges
+    assert count(r"Exchange hashpartitioning", plan) == 1
+
+
+def test_q1_scan_prunes_columns(spark):
+    """Q1 projects 7 of lineitem's 11 columns; the parquet ReadSchema must
+    not contain the unused ones (column pruning reached the scan)."""
+    plan = plan_of(spark, "q1_pricing_summary", mode="formatted")
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schemas, plan
+    for schema in read_schemas:
+        assert "l_partkey" not in schema
+        assert "l_suppkey" not in schema
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    """Q6's selective predicates must appear as PushedFilters on the scan."""
+    plan = plan_of(spark, "q6_forecast_revenue", mode="formatted")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q21_single_wide_shuffle(spark):
+    """The per-order entry-array construction: one exchange keyed on
+    l_orderkey plus the bounded final agg on s_name — nothing else."""
+    plan = plan_of(spark, "q21_sole_late_supplier")
+    assert count(r"Exchange hashpartitioning", plan) == 2
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_lsh_pairs_no_self_join(spark):
+    """Candidate pairs come from in-bucket array expansion: the signature
+    pipeline must appear once (no self-join re-executing lineage), and no
+    join operator at all before the pair explode."""
+    plan = plan_of(spark, "dedup_minhash_lsh_pairs")
+    assert count(r"Join", plan) == 0
+    # shingle agg + band-bucket agg + distinct = bounded exchange count
+    assert count(r"Exchange hashpartitioning", plan) <= 3
+
+
+def test_knn_not_cartesian(spark):
+    """Brute-force kNN must not plan a cartesian/nested-loop product of the
+    corpus with itself — query vectors are broadcast."""
+    plan = plan_of(spark, "knn_bruteforce_cosine")
+    assert count(r"CartesianProduct", plan) == 0
+
+
+def test_split_train_test_no_shuffle(spark):
+    """Hash-bucket split is a pure projection: zero exchanges."""
+    plan = plan_of(spark, "split_train_test")
+    assert count(r"Exchange", plan) == 0
+
+
+def test_unpivot_no_shuffle(spark):
+    """Unpivot is a Generate over the scan: zero exchanges."""
+    plan = plan_of(spark, "unpivot_measures")
+    assert count(r"Exchange", plan) == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "q18_large_volume_customer",
+        "events_tumbling_hourly",
+    ],
+)
+def test_benched_queries_whole_stage_codegen(spark, name):
+    """Every benched relational query keeps its hot path inside
+    whole-stage codegen (the "*(n)" stage markers in the finalized AQE
+    plan) with no interpreted row-at-a-time Python operators."""
+    df = QUERIES[name].builder(spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
