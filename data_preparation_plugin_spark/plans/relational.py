@@ -1967,3 +1967,55 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+@register(
+    "agg_arg_max",
+    category="aggregate",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_name, c_custkey) AS newest_customer,
+           arg_min(c_name, c_custkey) AS oldest_customer,
+           round(max(c_acctbal), 2)   AS top_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max / arg_min (max_by / min_by): value at the group's extremum.
+
+    Keyed on the unique c_custkey so the extremum is deterministic —
+    arg_max over a column with ties is engine-dependent and would not
+    hash-match.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_custkey").alias("newest_customer"),
+        F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("top_balance"),
+    )
+
+
+@register(
+    "join_right_outer",
+    category="join",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM (SELECT * FROM supplier WHERE s_acctbal > 0) s
+    RIGHT JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every nation survives, supplier side nullable.
+
+    Completes the how= matrix (inner/left/right/full/semi/anti). Spark
+    plans a right-outer broadcast with the *left* side built — the
+    preserved side must stream.
+    """
+    supplier = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") > 0
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return supplier.join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey"), "right"
+    ).select("s_suppkey", "s_name", "n_name")

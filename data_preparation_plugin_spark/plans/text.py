@@ -366,3 +366,61 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("wmin").alias("fingerprint"))
         .distinct()
     )
+
+
+@register(
+    "text_bigrams",
+    category="text",
+    oracle=r"""
+    SELECT bigram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id, unnest(
+            CASE WHEN len(tokens) >= 2
+                 THEN list_transform(range(1, len(tokens)),
+                                     i -> tokens[i] || ' ' || tokens[i+1])
+                 ELSE [] END
+        ) AS bigram
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS tokens
+            FROM documents
+        )
+    )
+    GROUP BY bigram
+    HAVING count(*) >= 5
+    """,
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram (2-gram) frequencies with document frequency.
+
+    Same tokenize-once-below-the-Generate discipline as the shingle
+    pipeline (HOF lambdas are interpreted: materialize inputs in a
+    Project under the explode). HAVING >= 5 keeps output keyed on a
+    bounded vocabulary, the same reason TF-IDF prunes rare terms.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("tokens") >= 2,
+                F.transform(
+                    F.slice("tokens", 1, F.size("tokens") - 1),
+                    lambda _, i: F.concat_ws(
+                        " ",
+                        F.element_at("tokens", i + 1),
+                        F.element_at("tokens", i + 2),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram"),
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 5)
+    )
