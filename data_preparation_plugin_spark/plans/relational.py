@@ -2019,3 +2019,42 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supplier.join(
         nation, F.col("s_nationkey") == F.col("n_nationkey"), "right"
     ).select("s_suppkey", "s_name", "n_name")
+
+
+@register(
+    "window_value_functions",
+    category="window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS latest_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a running ROWS frame.
+
+    The frame is explicit because last_value over the default frame is the
+    CURRENT row (a classic SQL trap both engines share); ordering ties are
+    broken by o_orderkey so every frame is deterministic. Running frames
+    stream — no per-partition materialization.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
