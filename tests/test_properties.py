@@ -94,3 +94,68 @@ def test_row2dict_roundtrip(spark):
         {"id": 1, "name": "a", "vec": [1.0, 2.0]},
         {"id": 2, "name": "b", "vec": []},
     ]
+
+
+# ---------------------------------------------------------------------------
+# Sampling invariants (plans/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_split_deterministic_under_repartition(spark):
+    """A document's split must not depend on physical layout: the same
+    assignment regardless of partitioning (the property randomSplit lacks)."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    build = QUERIES["split_train_test"].builder
+    base = {r["doc_id"]: r["split"] for r in build(spark, sf).collect()}
+    # same query over a repartitioned scan
+    from data_preparation_plugin_spark.plans.registry import load_table
+    from data_preparation_plugin_spark.plans.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents").repartition(13, "lang")
+    bucket = hash_bucket("doc_id", 100)
+    again = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id",
+            F.when(bucket < 90, "train")
+            .when(bucket < 95, "validation")
+            .otherwise("test")
+            .alias("split"),
+        ).collect()
+    }
+    assert base == again
+
+
+def test_split_fractions_near_nominal(spark):
+    """Hash buckets are uniform: observed fractions within a loose band of
+    90/5/5 (binomial tolerance at n=500)."""
+    from collections import Counter
+
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    rows = QUERIES["split_train_test"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n = len(rows)
+    frac = Counter(r["split"] for r in rows)
+    assert 0.84 <= frac["train"] / n <= 0.96
+    assert 0.01 <= frac["validation"] / n <= 0.10
+    assert 0.01 <= frac["test"] / n <= 0.10
+
+
+def test_sample_composes_with_split(spark):
+    """The 20% sample is a subset property of the bucket space: every
+    sampled doc's bucket < 20, so sample ∩ train is exactly bucket < 20
+    drawn from the train buckets — no correlation surprise."""
+    from data_preparation_plugin_spark.plans.registry import load_table
+    from data_preparation_plugin_spark.plans.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = docs.select(hash_bucket("doc_id", 100).alias("b")).agg(
+        F.max(F.col("b")).alias("mx"), F.min(F.col("b")).alias("mn")
+    ).collect()[0]
+    assert 0 <= got["mn"] and got["mx"] <= 99
