@@ -2058,3 +2058,26 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("latest_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register("agg_approx_percentile", category="aggregate")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable percentile sketch (the 100 TB percentile path).
+
+    Exact percentiles sort each group; ``approx_percentile`` keeps a
+    fixed-size mergeable summary per partition (accuracy set to 10000,
+    ~0.01% rank error) — the combinable form that scales like any
+    partial aggregation. No oracle: the sketch's interpolation differs
+    from DuckDB's exact ``quantile_cont`` by design; the test suite
+    bounds it against the exact per-group percentile instead.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "median_price_approx"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias(
+            "p95_price_approx"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )

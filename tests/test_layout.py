@@ -161,3 +161,27 @@ def test_compact_table(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_fragmented")
         spark.sql("DROP TABLE IF EXISTS t_fragmented__compacting")
+
+
+def test_agg_approx_percentile_within_tolerance(spark):
+    """Sketch percentiles land within 1% of the exact rank values."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    got = {
+        r.l_returnflag: (r.median_price_approx, r.p95_price_approx)
+        for r in QUERIES["agg_approx_percentile"].builder(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k, (m, p95) in got.items():
+        assert abs(m - exact[k][0]) / exact[k][0] < 0.01, (k, m, exact[k])
+        assert abs(p95 - exact[k][1]) / exact[k][1] < 0.01, (k, p95, exact[k])
