@@ -1624,6 +1624,7 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     category="join",
+    bench=True,
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
            round(sum(volume), 2) AS revenue
@@ -1833,6 +1834,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q21_sole_late_supplier",
     category="join",
+    bench=True,
     oracle="""
     SELECT s_name, count(*) AS numwait
     FROM supplier, lineitem l1, orders
