@@ -89,6 +89,9 @@ PROBES = [
     "dedup_minhash_lsh_pairs",   # explode + hash + band shuffle
     "text_tfidf",                # double aggregation over explode
     "window_range_interval",     # partitioned range-frame window
+    "q21_sole_late_supplier",    # per-order quantifiers, single wide shuffle
+    "unpivot_measures",          # generate fan-out, zero shuffle
+    "split_train_test",          # pure-projection hash split
 ]
 
 
