@@ -93,9 +93,10 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), numbered AS (
         SELECT user_id, ts, event_id, value,
-               sum(is_new_session) OVER (
+               CAST(sum(is_new_session) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_seq
         FROM flagged
     )
     SELECT user_id,

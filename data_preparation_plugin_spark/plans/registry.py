@@ -80,16 +80,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos
     and is converted here to a microsecond TIMESTAMP_NTZ — the identical
     truncation DuckDB applies, keeping oracle parity exact.
+
+    The conf is set here on the *live* session (it is a runtime SQL conf),
+    not only in :func:`session.get_spark`, so builders work under any
+    caller-provided SparkSession — e.g. the driver's vanilla
+    ``SparkSession.builder.getOrCreate()``.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # Runtime-settable; only affects TIMESTAMP(NANOS) columns, which
+        # exist solely in the events fixture.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
+        # Pure NTZ arithmetic — NOT timestamp_micros(...).cast(ntz), which
+        # routes through a session-TZ LTZ value and shifts wall-clock under
+        # non-UTC sessions (caught by test_session_independence).
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
     return df
 

@@ -339,7 +339,12 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.select(
-            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            # F.trunc (DATE) + NTZ cast, not F.date_trunc: date_trunc
+            # returns session-TZ TIMESTAMP, which shifts wall-clock under a
+            # non-UTC caller session (caught by test_session_independence).
+            F.trunc("o_orderdate", "month").cast("timestamp_ntz").alias(
+                "order_month"
+            ),
             F.year("o_orderdate").alias("o_year"),
             F.quarter("o_orderdate").alias("o_quarter"),
             "o_totalprice",
@@ -981,10 +986,10 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1615,9 +1620,8 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("days_to_cutoff"),
         F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
         F.last_day("o_orderdate").alias("month_end"),
-        F.date_trunc("quarter", "o_orderdate").cast("date").alias(
-            "quarter_start"
-        ),
+        # Tz-free truncation (see date_functions note on F.date_trunc).
+        F.trunc("o_orderdate", "quarter").alias("quarter_start"),
     )
 
 

@@ -77,7 +77,8 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) AS n_sampled
+           CAST(sum(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled
     FROM (
         SELECT lang,
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -80,3 +80,44 @@ def duckdb_result(con, sql):
     cur = con.execute(sql)
     columns = [d[0] for d in cur.description]
     return canonical_rows(columns, cur.fetchall())
+
+
+#: DuckDB result type -> Spark dtypes that serialize identically through a
+#: typed comparator (pandas/arrow). Anything NOT in this table — HUGEINT,
+#: DECIMAL, unsigned ints — is a parity hazard: values can be equal while a
+#: type-aware value hash differs (the r1 q12 failure mode).
+DUCK_TO_SPARK_TYPES = {
+    "BOOLEAN": {"boolean"},
+    # Width-only int divergence is hash-safe (proven by r1: window_topk,
+    # q9 etc. were green with DuckDB BIGINT vs Spark int) — both map to
+    # integer dtypes through pandas. HUGEINT maps to float64, hence fatal.
+    "INTEGER": {"int", "bigint"},
+    "BIGINT": {"bigint", "int"},
+    "FLOAT": {"float"},
+    "DOUBLE": {"double"},
+    "VARCHAR": {"string"},
+    "DATE": {"date"},
+    "TIMESTAMP": {"timestamp_ntz", "timestamp"},
+    "INTEGER[]": {"array<int>"},
+    "BIGINT[]": {"array<bigint>"},
+    "FLOAT[]": {"array<float>"},
+    "DOUBLE[]": {"array<double>"},
+    "VARCHAR[]": {"array<string>"},
+}
+
+
+def assert_types_parity(name, spark_df, con, sql):
+    """Fail if the oracle's DuckDB types can't hash-match Spark's dtypes."""
+    rel = con.sql(sql)
+    duck = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    sp = dict(spark_df.dtypes)
+    assert set(duck) == set(sp), f"{name}: column sets differ {duck} vs {sp}"
+    for col, dtype in duck.items():
+        allowed = DUCK_TO_SPARK_TYPES.get(dtype)
+        assert allowed is not None, (
+            f"{name}.{col}: oracle type {dtype} has no safe Spark twin — "
+            f"CAST it (r1 q12 HUGEINT lesson)"
+        )
+        assert sp[col] in allowed, (
+            f"{name}.{col}: oracle {dtype} vs spark {sp[col]}"
+        )

@@ -10,10 +10,24 @@ from __future__ import annotations
 import pytest
 
 from data_preparation_plugin_spark import plans
-from tests.conftest import SF_DIR, duckdb_result, spark_result
+from tests.conftest import (
+    SF_DIR,
+    assert_types_parity,
+    duckdb_result,
+    spark_result,
+)
 
 ORACLE_QUERIES = sorted(n for n, q in plans.QUERIES.items() if q.oracle)
 ROWS_ONLY_QUERIES = sorted(n for n, q in plans.QUERIES.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_types_safe(spark, oracle, name):
+    """A type-aware value hash (the driver's) must not see HUGEINT/DECIMAL
+    on the DuckDB side where Spark emits bigint/double (r1 q12 lesson)."""
+    query = plans.QUERIES[name]
+    df = query.builder(spark, SF_DIR)
+    assert_types_parity(name, df, oracle, query.oracle)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

@@ -1,0 +1,103 @@
+"""Builders must work under a caller-provided vanilla SparkSession.
+
+The driver builds its own ``SparkSession.builder.getOrCreate()`` — none of
+the repo's ``session.py`` conf (UTC timezone, nanosAsLong, NTZ inference)
+is preset. Round 1 failed ``window_lag_lead``/``join_asof`` exactly this
+way (CORRECTNESS_r01.json). This test reproduces the driver's environment
+in a subprocess: vanilla session, non-UTC JVM timezone, and checks the
+timestamp-heavy queries value-for-value against their DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+from tests.conftest import SF_DIR, duckdb_result
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Every query that touches events (nanos timestamps) or timestamp literals,
+# plus one plain relational anchor.
+CHECKED = [
+    "q1_pricing_summary",
+    "date_functions",
+    "window_lag_lead",
+    "join_asof",
+    "events_json_props",
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "events_sliding_windows",
+    "events_type_pivot",
+    "events_props_map",
+    "window_range_interval",
+    "q12_priority_by_linestatus",
+    "date_arithmetic",
+]
+
+DRIVER_SCRIPT = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+# Vanilla session, deliberately NON-UTC: any hidden dependence on the
+# repo's session.py conf shows up as an error or a value mismatch.
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.extraJavaOptions", "-Duser.timezone=America/New_York")
+    .getOrCreate()
+)
+
+from data_preparation_plugin_spark import plans
+
+def enc(v):
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+out = {{}}
+for name in {checked!r}:
+    df = plans.QUERIES[name].builder(spark, {sf_dir!r})
+    out[name] = [list(row) for row in df.collect()]
+    out[name + "__cols"] = df.columns
+print("RESULT_JSON:" + json.dumps(out, default=enc))
+"""
+
+
+def test_builders_under_vanilla_non_utc_session(oracle):
+    script = DRIVER_SCRIPT.format(repo=str(REPO), checked=CHECKED, sf_dir=SF_DIR)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=480,
+    )
+    assert proc.returncode == 0, f"vanilla-session run failed:\n{proc.stderr[-3000:]}"
+    payload = next(
+        line for line in proc.stdout.splitlines() if line.startswith("RESULT_JSON:")
+    )
+    got = json.loads(payload[len("RESULT_JSON:"):])
+
+    from tests.conftest import canonical_rows
+
+    for name in CHECKED:
+        q = plans_query(name)
+        d_cols, d_rows = duckdb_result(oracle, q.oracle)
+        s_cols, s_rows = canonical_rows(got[name + "__cols"], got[name])
+        # JSON round-trips datetimes as isoformat strings; _normalize
+        # renders oracle datetimes the same way, so plain compare works.
+        assert s_cols == d_cols, f"{name}: columns {s_cols} vs {d_cols}"
+        assert s_rows == d_rows, (
+            f"{name}: vanilla-session values diverge from oracle; "
+            f"first spark={s_rows[:2]} oracle={d_rows[:2]}"
+        )
+
+
+def plans_query(name):
+    from data_preparation_plugin_spark import plans
+
+    return plans.QUERIES[name]
