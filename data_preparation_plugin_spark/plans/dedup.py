@@ -317,12 +317,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", category="dedup")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (xxhash64 token hashes, sign-aggregated).
+_SIMHASH_BITS = 16
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(token), 1, 4))::BIGINT AS h
+        FROM tok
+    ), bits AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+                   f" AS bit{b}"
+                   for b in range(_SIMHASH_BITS)
+               )}
+        FROM hashed
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(
+               f"(CASE WHEN bit{b} > 0 THEN {1 << b} ELSE 0 END)"
+               for b in range(_SIMHASH_BITS)
+           )} AS BIGINT) AS simhash16
+    FROM bits
+"""
 
-    No oracle: DuckDB has no xxhash64, so the driver records a rows-only
-    check (one deterministic row per document). Hamming-near signatures
+
+@register("dedup_simhash", category="dedup", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (md5-derived token hashes, sign-aggregated).
+
+    Token hash = first 16 bits of md5 — md5 is bit-identical in Spark and
+    DuckDB, which makes the whole signature oracle-checkable (xxhash64
+    would be faster per-token but has no DuckDB twin; at scale swap the
+    hash back and keep the identical shape). Hamming-near signatures
     cluster near-duplicate docs; 16 bits keeps the demo compact while the
     shape (explode -> per-bit sign sums -> reassemble) is the real one.
     """
@@ -330,7 +360,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
     )
-    hashed = tok.select("doc_id", F.xxhash64("token").alias("h"))
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 4), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(

