@@ -125,15 +125,48 @@ def compact_table(spark, table: str, target_files: int) -> None:
 
     The standard maintenance pass for streaming/append-heavy tables: many
     small files inflate task counts and listing time; a periodic
-    repartition-overwrite restores scan efficiency. Writes to a side table
-    then renames (Spark cannot overwrite a table from itself lazily), so a
-    failure mid-compaction leaves the original intact.
+    repartition-overwrite restores scan efficiency. Writes to a side table,
+    renames the original to a backup, renames the compacted table into
+    place, and only then drops the backup — the original data exists under
+    some catalog name at every step, so a failure at any point leaves a
+    recoverable table (a crash between the two renames leaves it as
+    ``<table>__precompact``). Directory partitioning is re-applied from the
+    catalog; bucketed tables should be rewritten via :func:`write_bucketed`
+    instead (bucket specs don't survive a DataFrame round-trip).
     """
-    compacted = spark.table(table).repartition(target_files)
+    part_cols = [
+        c.name for c in spark.catalog.listColumns(table) if c.isPartition
+    ]
+    df = spark.table(table)
     tmp = f"{table}__compacting"
-    compacted.write.mode("overwrite").format("parquet").saveAsTable(tmp)
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    backup = f"{table}__precompact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    if part_cols:
+        # Hash by the partition key: each key lands in one task, so each
+        # directory gets one file; target_files bounds the task count.
+        writer = df.repartition(target_files, *part_cols).write.partitionBy(
+            *part_cols
+        )
+    else:
+        writer = df.repartition(target_files).write
+    writer.mode("overwrite").format("parquet").saveAsTable(tmp)
+
+    def _rename(src: str, dst: str) -> None:
+        spark.sql(f"ALTER TABLE {src} RENAME TO {dst}")
+        if part_cols:
+            # Managed-table rename moves the directory but leaves stale
+            # absolute partition locations in the catalog; re-discover.
+            spark.sql(f"MSCK REPAIR TABLE {dst}")
+
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    _rename(table, backup)
+    try:
+        _rename(tmp, table)
+    except Exception:
+        # Roll the original back into place before re-raising.
+        _rename(backup, table)
+        raise
+    spark.sql(f"DROP TABLE {backup}")
 
 
 __all__ = [

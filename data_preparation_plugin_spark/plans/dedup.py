@@ -260,10 +260,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingled = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE).distinct()
     df_counts = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # No broadcast hint: the kept-shingle vocabulary is nearly the whole
+    # corpus vocabulary (only stop-shingles are dropped) and grows with
+    # data — a forced broadcast would OOM executors at scale. Left to AQE,
+    # this is a shuffle join at 100 TB and an automatic broadcast at test
+    # scale; both are valid plans.
     kept = (
-        shingled.join(
-            F.broadcast(df_counts.filter(F.col("df") <= MAX_SHINGLE_DF)), "shingle"
-        )
+        shingled.join(df_counts.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle")
         .select("doc_id", "shingle")
     )
     from pyspark.sql.window import Window

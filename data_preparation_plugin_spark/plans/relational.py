@@ -2105,11 +2105,24 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver compare.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    price = "l_extendedprice"
-    ap = lambda p: F.approx_percentile(price, F.lit(p), F.lit(10000))  # noqa: E731
-    ex = lambda p: F.percentile(price, F.lit(p))  # noqa: E731
-    return lineitem.groupBy("l_returnflag").agg(
+    # One exact-percentile sort and one sketch pass per group — the four
+    # band edges come out of a single array-percentile aggregate, not four
+    # separate sorts.
+    agged = lineitem.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
-        ap(0.5).between(ex(0.49), ex(0.51)).alias("p50_in_rank_band"),
-        ap(0.95).between(ex(0.94), ex(0.96)).alias("p95_in_rank_band"),
+        F.expr(
+            "percentile(l_extendedprice,"
+            " array(0.49D, 0.51D, 0.94D, 0.96D))"
+        ).alias("ex"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)"
+        ).alias("ap"),
+    )
+    ex = lambda i: F.element_at("ex", i)  # noqa: E731
+    ap = lambda i: F.element_at("ap", i)  # noqa: E731
+    return agged.select(
+        "l_returnflag",
+        "n_items",
+        ap(1).between(ex(1), ex(2)).alias("p50_in_rank_band"),
+        ap(2).between(ex(3), ex(4)).alias("p95_in_rank_band"),
     )

@@ -16,6 +16,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def jdbc_reader_options(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> dict[str, str]:
+    """Build the option map for a (possibly partitioned) JDBC scan.
+
+    Pure function so the partitioned-read contract is testable without a
+    live database: a partition column requires both bounds, and the four
+    partitioning options travel together or not at all.
+    """
+    opts = {"url": url, "dbtable": table}
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC reads need lower/upper bounds")
+        opts.update(
+            partitionColumn=partition_column,
+            numPartitions=str(num_partitions),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+        )
+    opts.update(options)
+    return opts
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -31,22 +60,46 @@ def read_jdbc(
     Unlike the reference's single-connection full fetch
     (``hooks/dataset.py:120-126``), a partition column splits the scan into
     ``num_partitions`` concurrent range queries — the JDBC equivalent of
-    input splits. Untested in this container (no database); kept thin on
-    purpose: everything downstream is ordinary DataFrame code.
+    input splits. Exercised in-container against Spark's bundled embedded
+    Derby (tests/test_jdbc.py); against PostgreSQL the only delta is the
+    url/driver pair. Kept thin on purpose: everything downstream is
+    ordinary DataFrame code.
     """
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    if partition_column is not None:
-        if lower_bound is None or upper_bound is None:
-            raise ValueError("partitioned JDBC reads need lower/upper bounds")
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-        )
-    for key, value in options.items():
+    reader = spark.read.format("jdbc")
+    for key, value in jdbc_reader_options(
+        url,
+        table,
+        partition_column,
+        num_partitions,
+        lower_bound,
+        upper_bound,
+        **options,
+    ).items():
         reader = reader.option(key, value)
     return reader.load()
 
 
-__all__ = ["read_jdbc"]
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    **options: str,
+) -> None:
+    """Write a DataFrame to a database table (reference ``to_sql`` parity,
+    ``hooks/dataset.py:49-59,189-201``).
+
+    Each partition opens one connection and inserts in ``batchsize`` row
+    batches — the write parallelism IS the partition count, so
+    ``df.repartition(n)`` is the knob that matches the reference's
+    chunked ``to_sql`` while actually running n-way parallel.
+    """
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    writer = writer.option("batchsize", str(batchsize))
+    for key, value in options.items():
+        writer = writer.option(key, value)
+    writer.mode(mode).save()
+
+
+__all__ = ["jdbc_reader_options", "read_jdbc", "write_jdbc"]

@@ -4,6 +4,7 @@ from data_preparation_plugin_spark.streaming.events import (
     EVENTS_SCHEMA,
     dedup_within_watermark,
     events_stream,
+    idempotent_batch_writer,
     run_to_memory,
     sessionize_stream,
     sliding_aggregate,
@@ -16,6 +17,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "dedup_within_watermark",
     "events_stream",
+    "idempotent_batch_writer",
     "run_to_memory",
     "sessionize_stream",
     "sliding_aggregate",

@@ -193,6 +193,36 @@ def dedup_within_watermark(
     )
 
 
+def idempotent_batch_writer(table: str):
+    """A ``foreachBatch`` body whose replays cannot duplicate rows.
+
+    ``foreachBatch`` is at-least-once: a micro-batch that fails after a
+    partial write, or a restart between the write and the checkpoint
+    commit, re-runs with the same ``batch_id``. A blind append would
+    duplicate those rows; instead each batch lands in its own
+    ``_batch_id`` partition under dynamic partition overwrite, so a
+    replay overwrites exactly its own partition and nothing else —
+    idempotence keyed on the one value Spark guarantees stable across
+    retries.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        df = batch_df.withColumn("_batch_id", F.lit(batch_id).cast("long"))
+        sess = df.sparkSession
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if sess.catalog.tableExists(table):
+            # Position-based: _batch_id is last in both df and table.
+            df.write.mode("overwrite").insertInto(table)
+        else:
+            df.write.partitionBy("_batch_id").format("parquet").saveAsTable(
+                table
+            )
+
+    return write_batch
+
+
 def stream_to_table(
     stream: DataFrame,
     table: str,
@@ -200,21 +230,18 @@ def stream_to_table(
     checkpoint_dir: str,
     available_now: bool = True,
 ):
-    """Sink a stream into a catalog table via ``foreachBatch`` (idempotent
-    appends keyed by the checkpoint).
+    """Sink a stream into a catalog table via ``foreachBatch``.
 
-    The production sink shape: each micro-batch lands as an atomic append
-    through the batch writer, with exactly-once bookkeeping from the
-    checkpoint directory — restarts resume from the last committed batch
-    instead of re-ingesting. Works for any non-complete-mode stream (raw
-    events, deduped streams, update-mode stateful output).
+    The production sink shape: each micro-batch lands in a
+    ``_batch_id``-keyed partition (see :func:`idempotent_batch_writer`),
+    with restart bookkeeping from the checkpoint directory — replayed
+    batches overwrite themselves instead of appending duplicates. Works
+    for any non-complete-mode stream (raw events, deduped streams,
+    update-mode stateful output).
     """
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").format("parquet").saveAsTable(table)
-
     writer = (
-        stream.writeStream.foreachBatch(write_batch)
+        stream.writeStream.foreachBatch(idempotent_batch_writer(table))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -159,6 +159,44 @@ def test_compact_table(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_fragmented")
         spark.sql("DROP TABLE IF EXISTS t_fragmented__compacting")
+        spark.sql("DROP TABLE IF EXISTS t_fragmented__precompact")
+
+
+def test_compact_table_preserves_partitioning(spark):
+    from data_preparation_plugin_spark.layout import compact_table, month_key
+
+    table = "t_part_compact"
+    for suffix in ("", "__compacting", "__precompact"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+    try:
+        orders = load_table(spark, SF_DIR, "orders").withColumn(
+            "order_month", month_key("o_orderdate")
+        )
+        orders.repartition(8).write.partitionBy("order_month").saveAsTable(
+            table
+        )
+        before = spark.table(table).count()
+        compact_table(spark, table, 4)
+        assert spark.table(table).count() == before
+        # Partition columns survive the rewrite...
+        part_cols = [
+            c.name
+            for c in spark.catalog.listColumns(table)
+            if c.isPartition
+        ]
+        assert part_cols == ["order_month"]
+        # ...and pruning still works: one directory's files only.
+        one_month = spark.table(table).where(
+            F.col("order_month") == "1997-03"
+        )
+        files = one_month.inputFiles()
+        assert files and all("order_month=1997-03" in f for f in files)
+        # No stray intermediate tables left behind.
+        assert not spark.catalog.tableExists(f"{table}__compacting")
+        assert not spark.catalog.tableExists(f"{table}__precompact")
+    finally:
+        for suffix in ("", "__compacting", "__precompact"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
 
 
 def test_agg_approx_percentile_within_tolerance(spark):

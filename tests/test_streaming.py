@@ -226,3 +226,29 @@ def test_stream_to_table_checkpointed_appends(spark, events_dir, tmp_path):
         assert spark.table(table).count() == expected
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_batch_writer_replay_is_idempotent(spark):
+    """Re-delivering a micro-batch (same batch_id) must not duplicate rows —
+    foreachBatch is at-least-once, so the sink carries the idempotence."""
+    from data_preparation_plugin_spark.streaming import idempotent_batch_writer
+
+    table = "t_replay_sink"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write = idempotent_batch_writer(table)
+        b0 = load_table(spark, SF_DIR, "events").limit(40)
+        b1 = load_table(spark, SF_DIR, "events").limit(100).subtract(b0)
+        write(b0, 0)
+        write(b1, 1)
+        total = spark.table(table).count()
+        # Replay both batches (failure-recovery path): counts unchanged.
+        write(b1, 1)
+        write(b0, 0)
+        assert spark.table(table).count() == total
+        # And the union of batches is intact, not clobbered.
+        assert (
+            spark.table(table).select("event_id").distinct().count() == total
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
