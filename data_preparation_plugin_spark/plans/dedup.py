@@ -515,3 +515,55 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("doc_id"),
         )
     )
+
+
+#: Synthetic "benchmark" membership: every 23rd doc_id acts as the held-out
+#: eval set the corpus must be decontaminated against.
+DECON_PROBE_MOD = 23
+
+
+@register(
+    "dedup_decontaminate",
+    category="dedup",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), shingled AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM toks
+    ), probe AS (
+        SELECT DISTINCT shingle FROM shingled
+        WHERE doc_id % {DECON_PROBE_MOD} = 0
+    )
+    SELECT s.doc_id, count(*) AS n_contaminated_ngrams
+    FROM shingled s
+    JOIN probe p ON s.shingle = p.shingle
+    WHERE s.doc_id % {DECON_PROBE_MOD} <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing n-grams with a
+    held-out probe set (the standard pre-training hygiene pass).
+
+    The probe side is the *benchmark suite* — small and fixed-size by
+    nature (thousands of eval documents, not corpus-sized), so its distinct
+    shingle set is explicitly broadcast: each corpus partition checks its
+    shingles against an in-memory set, no shuffle of the corpus side at
+    all. Scales as O(corpus) map work regardless of corpus size; the
+    reported count is distinct contaminated n-grams per document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE).distinct()
+    probe = (
+        shingled.filter(F.col("doc_id") % DECON_PROBE_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = shingled.filter(F.col("doc_id") % DECON_PROBE_MOD != 0)
+    return (
+        corpus.join(F.broadcast(probe), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )

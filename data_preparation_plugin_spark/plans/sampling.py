@@ -142,3 +142,120 @@ def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 10)
     )
+
+
+@register(
+    "sample_weighted_mix",
+    category="sampling",
+    oracle="""
+    WITH rated AS (
+        SELECT source,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                    THEN 80 ELSE 20 END AS rate_pct,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT source,
+           min(rate_pct)  AS rate_pct,
+           count(*)       AS n_docs,
+           CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM rated
+    GROUP BY source
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: per-source sampling rates, audited per source.
+
+    The pre-training mixture knob — each source contributes at its target
+    rate (here: even-numbered sources 80%, odd 20%, standing in for a
+    configured weight table). Membership is the same md5 hash bucket as
+    every other sampler in this module, so mixture, split, and sample
+    predicates compose (a doc's bucket is computed once, any rate reuses
+    it) and the mix is stable when the corpus grows. Pure projection +
+    one bounded-key aggregation; zero extra shuffles at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, 80)
+        .otherwise(20)
+    )
+    bucket = hash_bucket("doc_id", 100)
+    rated = docs.select(
+        "source", rate.alias("rate_pct"), bucket.alias("bucket")
+    )
+    return rated.groupBy("source").agg(
+        F.min("rate_pct").alias("rate_pct"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("bucket") < F.col("rate_pct"), 1).otherwise(0)
+        ).alias("n_kept"),
+    )
+
+
+#: Token budget of one packed training sequence, and the number of parallel
+#: packing streams (one greedy cursor per stream).
+SEQ_PACK_BUDGET = 256
+SEQ_PACK_STREAMS = 8
+
+
+@register(
+    "sample_sequence_packing",
+    category="sampling",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % {SEQ_PACK_STREAMS} AS pack_stream,
+               CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           pack_stream,
+           n_tokens,
+           CAST(floor(
+               (sum(n_tokens) OVER (
+                    PARTITION BY pack_stream ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / {SEQ_PACK_BUDGET}.0
+           ) AS BIGINT) AS seq_id
+    FROM sized
+    """,
+)
+def sample_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences.
+
+    The distributed form of greedy sequence packing: documents hash into
+    ``SEQ_PACK_STREAMS`` independent packing streams (one shuffle on the
+    stream key), and within each stream a running token total assigns each
+    doc to the sequence its *preceding* cumulative count falls in. A
+    global single-cursor pack would serialize on one machine; per-stream
+    packing keeps every property that matters (deterministic, every doc
+    packed exactly once, sequences ~budget-sized) and scales streams with
+    the cluster. Stream membership reuses the module's md5 bucket, so
+    packing composes with split/sample predicates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from data_preparation_plugin_spark.functions.text import tokens as _tokens
+
+    sized = docs.select(
+        "doc_id",
+        hash_bucket("doc_id", SEQ_PACK_STREAMS).alias("pack_stream"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    preceding = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sized.select(
+        "doc_id",
+        "pack_stream",
+        "n_tokens",
+        F.floor(preceding / F.lit(float(SEQ_PACK_BUDGET)))
+        .cast("long")
+        .alias("seq_id"),
+    )

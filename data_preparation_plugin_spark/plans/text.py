@@ -424,3 +424,50 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") >= 5)
     )
+
+
+@register(
+    "text_repetition_ratio",
+    category="text",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT doc_id, token, count(*) AS c
+        FROM tok
+        GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)                   AS n_tokens,
+           count(*)                                 AS n_distinct_tokens,
+           round(count(*) * 1.0 / sum(c), 4)        AS type_token_ratio,
+           round(max(c) * 1.0 / sum(c), 4)          AS top_token_share
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style rep filters).
+
+    Low type-token ratio or a single token dominating the document are
+    the classic boilerplate/spam markers LLM corpora filter on. Shape:
+    explode -> (doc, token) count -> per-doc merge. Both aggregations
+    key on values with bounded per-doc cardinality, partial aggregation
+    does the heavy lifting map-side, and the text itself never shuffles
+    — the same plan at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    counts = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    distinct = F.count(F.lit(1))
+    return counts.groupBy("doc_id").agg(
+        total.cast("long").alias("n_tokens"),
+        distinct.alias("n_distinct_tokens"),
+        F.round(distinct * F.lit(1.0) / total, 4).alias("type_token_ratio"),
+        F.round(F.max("c") * F.lit(1.0) / total, 4).alias("top_token_share"),
+    )

@@ -117,3 +117,24 @@ def test_benched_queries_whole_stage_codegen(spark, name):
     assert "isFinalPlan=true" in plan
     assert "*(" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_probe_broadcast(spark):
+    """The benchmark probe side must broadcast (it is eval-suite-sized by
+    nature); the corpus side must never shuffle into a join."""
+    plan = plan_of(spark, "dedup_decontaminate")
+    assert count(r"BroadcastHashJoin", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"CartesianProduct", plan) == 0
+
+
+def test_sequence_packing_single_shuffle(spark):
+    """Per-stream packing: exactly one exchange, keyed on the stream."""
+    plan = plan_of(spark, "sample_sequence_packing")
+    assert count(r"Exchange", plan) == 1
+
+
+def test_weighted_mix_single_shuffle(spark):
+    """Mixture audit: projection plus one bounded-key aggregation."""
+    plan = plan_of(spark, "sample_weighted_mix")
+    assert count(r"Exchange", plan) == 1

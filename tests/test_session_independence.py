@@ -19,23 +19,21 @@ from tests.conftest import SF_DIR, duckdb_result
 
 REPO = Path(__file__).resolve().parent.parent
 
-# Every query that touches events (nanos timestamps) or timestamp literals,
-# plus one plain relational anchor.
-CHECKED = [
-    "q1_pricing_summary",
-    "date_functions",
-    "window_lag_lead",
-    "join_asof",
-    "events_json_props",
-    "events_tumbling_hourly",
-    "events_sessionize",
-    "events_sliding_windows",
-    "events_type_pivot",
-    "events_props_map",
-    "window_range_interval",
-    "q12_priority_by_linestatus",
-    "date_arithmetic",
-]
+def _checked() -> list[str]:
+    """Every oracle query in the driver's 50 checked slots (the graded
+    set), plus the timestamp-heavy stragglers below the cutoff."""
+    from data_preparation_plugin_spark import plans
+
+    first_50 = [
+        n
+        for n in plans.DRIVER_CHECK_PRIORITY
+        if plans.QUERIES[n].oracle is not None
+    ]
+    extras = ["date_functions", "date_arithmetic", "window_range_interval"]
+    return first_50 + [n for n in extras if n not in first_50]
+
+
+CHECKED = _checked()
 
 DRIVER_SCRIPT = r"""
 import json, sys
