@@ -38,6 +38,98 @@ class LoadSpec:
     mode: str = "overwrite"
     partition_by: tuple[str, ...] = ()
 
+    #: Embulk column type -> Spark DDL type (Embulk's public type system:
+    #: boolean, long, double, string, timestamp, json).
+    _EMBULK_TYPES = {
+        "boolean": "BOOLEAN",
+        "long": "BIGINT",
+        "double": "DOUBLE",
+        "string": "STRING",
+        "timestamp": "TIMESTAMP",
+        "json": "STRING",
+    }
+
+    #: Ruby strftime directive -> Spark datetime pattern (the subset Embulk
+    #: configs actually use).
+    _STRFTIME = {
+        "%Y": "yyyy", "%m": "MM", "%d": "dd",
+        "%H": "HH", "%M": "mm", "%S": "ss", "%N": "SSSSSSSSS",
+        "%z": "XX", "%Z": "zz", "%%": "%",
+    }
+
+    @classmethod
+    def from_embulk_yaml(cls, config: str, table: str | None = None) -> "LoadSpec":
+        """Build a :class:`LoadSpec` from an Embulk YAML config.
+
+        Accepts the config text or a path to it. Supports the file-input
+        CSV/JSON parser surface the reference's ``EmbulkOperator`` runs
+        (``operators/embulk.py:8-24`` shells out to ``embulk run`` on such
+        a file): ``path_prefix``, delimiter/quote/escape/null_string,
+        ``skip_header_lines``, typed ``columns`` (becoming an explicit
+        Spark schema — no inference pass), and the output table/schema/
+        mode (``replace`` → overwrite, ``insert`` → append).
+        """
+        import os
+
+        import yaml
+
+        if "\n" not in config and os.path.exists(config):
+            with open(config) as fh:
+                cfg = yaml.safe_load(fh)
+        else:
+            cfg = yaml.safe_load(config)
+
+        src = cfg.get("in", {})
+        parser = src.get("parser", {})
+        out = cfg.get("out", {})
+
+        fmt = {"csv": "csv", "json": "json", "jsonl": "json"}.get(
+            parser.get("type", "csv"), parser.get("type", "csv")
+        )
+        options: dict[str, str] = {}
+        if fmt == "csv":
+            if "delimiter" in parser:
+                options["sep"] = str(parser["delimiter"])
+            if "quote" in parser:
+                options["quote"] = str(parser["quote"])
+            if "escape" in parser:
+                options["escape"] = str(parser["escape"])
+            if "null_string" in parser:
+                options["nullValue"] = str(parser["null_string"])
+            if int(parser.get("skip_header_lines", 0) or 0) >= 1:
+                options["header"] = "true"
+
+        schema = None
+        columns = parser.get("columns") or []
+        if columns:
+            parts = []
+            for col in columns:
+                ddl = cls._EMBULK_TYPES.get(col.get("type", "string"), "STRING")
+                parts.append(f"`{col['name']}` {ddl}")
+                if col.get("type") == "timestamp" and col.get("format"):
+                    pat = col["format"]
+                    for ruby, spark in cls._STRFTIME.items():
+                        pat = pat.replace(ruby, spark)
+                    options.setdefault("timestampFormat", pat)
+            schema = ", ".join(parts)
+
+        path = src.get("path_prefix", src.get("path", ""))
+        if path and "*" not in path and not os.path.isfile(path):
+            # Embulk's path_prefix matches every file starting with it.
+            path = f"{path}*"
+
+        return cls(
+            path=path,
+            table=table or out.get("table", "embulk_load"),
+            db_schema=out.get("schema"),
+            format=fmt,
+            schema=schema,
+            options=options,
+            mode={"replace": "overwrite", "insert": "append"}.get(
+                out.get("mode", "replace"), "overwrite"
+            ),
+        )
+
 
 class CsvLoadOperator(BaseOperator):
     """Load files into a catalog table per a :class:`LoadSpec`."""

@@ -92,6 +92,9 @@ PROBES = [
     "q21_sole_late_supplier",    # per-order quantifiers, single wide shuffle
     "unpivot_measures",          # generate fan-out, zero shuffle
     "split_train_test",          # pure-projection hash split
+    "dedup_decontaminate",       # shingle explode + broadcast probe join
+    "sample_sequence_packing",   # hash-stream window cumsum, one shuffle
+    "text_repetition_ratio",     # two bounded-key aggs over explode
 ]
 
 

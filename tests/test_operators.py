@@ -339,3 +339,56 @@ def test_csv_load_permissive_corrupt_records(tmp_path, spark):
         assert rows[2][0] is None and "not_a_number" in rows[2][1]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_dirty")
+
+
+def test_embulk_yaml_to_loadspec_and_load(spark, tmp_path):
+    """An Embulk file-input CSV config drives a real load end-to-end."""
+    from data_preparation_plugin_spark.operators.load import (
+        CsvLoadOperator,
+        LoadSpec,
+    )
+
+    csv = tmp_path / "users_001.csv"
+    csv.write_text(
+        "id;name;signup\n"
+        "1;ada;2024-01-01 10:00:00\n"
+        "2;linus;2024-02-03 09:30:00\n"
+        "3;NULL;2024-03-05 08:15:00\n"
+    )
+    config = f"""
+in:
+  type: file
+  path_prefix: {tmp_path}/users_
+  parser:
+    type: csv
+    delimiter: ';'
+    null_string: 'NULL'
+    skip_header_lines: 1
+    columns:
+      - {{name: id, type: long}}
+      - {{name: name, type: string}}
+      - {{name: signup, type: timestamp, format: '%Y-%m-%d %H:%M:%S'}}
+out:
+  type: postgresql
+  table: users_embulk
+  mode: replace
+"""
+    spec = LoadSpec.from_embulk_yaml(config)
+    assert spec.format == "csv"
+    assert spec.options["sep"] == ";"
+    assert spec.options["header"] == "true"
+    assert spec.options["nullValue"] == "NULL"
+    assert spec.options["timestampFormat"] == "yyyy-MM-dd HH:mm:ss"
+    assert spec.schema == "`id` BIGINT, `name` STRING, `signup` TIMESTAMP"
+    assert spec.mode == "overwrite"
+    assert spec.table == "users_embulk"
+
+    spark.sql("DROP TABLE IF EXISTS users_embulk")
+    try:
+        got = CsvLoadOperator(spec).execute(spark)
+        rows = {r.id: (r.name, str(r.signup)) for r in got.collect()}
+        assert rows[1] == ("ada", "2024-01-01 10:00:00")
+        assert rows[3][0] is None  # null_string honored
+        assert dict(got.dtypes)["id"] == "bigint"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS users_embulk")
