@@ -20,17 +20,11 @@ from tests.conftest import SF_DIR, duckdb_result
 REPO = Path(__file__).resolve().parent.parent
 
 def _checked() -> list[str]:
-    """Every oracle query in the driver's 50 checked slots (the graded
-    set), plus the timestamp-heavy stragglers below the cutoff."""
+    """Every oracle-checkable query — the driver may widen or rotate its
+    checked slots in any round, so all of them must be session-proof."""
     from data_preparation_plugin_spark import plans
 
-    first_50 = [
-        n
-        for n in plans.DRIVER_CHECK_PRIORITY
-        if plans.QUERIES[n].oracle is not None
-    ]
-    extras = ["date_functions", "date_arithmetic", "window_range_interval"]
-    return first_50 + [n for n in extras if n not in first_50]
+    return [n for n, q in plans.QUERIES.items() if q.oracle is not None]
 
 
 CHECKED = _checked()
