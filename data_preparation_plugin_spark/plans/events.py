@@ -156,31 +156,69 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _replay(spark: SparkSession, name: str, stream: DataFrame) -> DataFrame:
-    """Run a bounded streaming plan to completion into a memory sink."""
+    """Run a bounded streaming plan to completion into a memory sink.
+
+    Runs under a UTC session timezone: watermark columns must be LTZ
+    TIMESTAMP (Spark rejects NTZ event time), and only under UTC do the
+    staged wall-clock values and the LTZ instants coincide — any other
+    caller timezone would shift every window boundary. Timestamp outputs
+    are converted to NTZ and *materialized* (localCheckpoint) before the
+    caller's timezone is restored, so the returned frame is a plain
+    session-independent batch result.
+    """
     from data_preparation_plugin_spark.streaming import run_to_memory
 
     global _STREAM_RUN_COUNTER
     _STREAM_RUN_COUNTER += 1
-    return run_to_memory(
-        stream,
-        f"{name}_r{_STREAM_RUN_COUNTER}",
-        spark,
-        output_mode="complete",
-    )
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        result = run_to_memory(
+            stream,
+            f"{name}_r{_STREAM_RUN_COUNTER}",
+            spark,
+            output_mode="complete",
+        )
+        as_ntz = result.select(
+            *[
+                F.col(c).cast("timestamp_ntz").alias(c)
+                if t == "timestamp"
+                else F.col(c)
+                for c, t in result.dtypes
+            ]
+        )
+        # Eager: evaluate the NTZ rendering while UTC is still in force.
+        return as_ntz.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)
 
 
-@register("events_stream_tumbling", category="streaming")
+@register(
+    "events_stream_tumbling",
+    category="streaming",
+    oracle="""
+    SELECT date_trunc('hour', ts)   AS window_start,
+           event_type,
+           count(*)                 AS n_events,
+           round(sum(value), 2)     AS total_value,
+           true                     AS n_users_within_tol
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling aggregation, replayed to completion.
 
     The registry's window into the streaming slice: stages the events
     fixture as a multi-file directory, replays it through ``readStream`` →
     watermark → tumbling window (streaming/events.py) with
-    ``trigger(availableNow=True)``, and returns the bounded result. No
-    oracle — streaming plans aren't DuckDB-expressible — so the driver
-    records the weaker rows-only check; the equivalent *semantics* are
-    oracle-checked via the batch twin ``events_tumbling_hourly`` and the
-    batch/stream equivalence tests (tests/test_streaming.py).
+    ``trigger(availableNow=True)``, and returns the bounded result. The
+    bounded ``availableNow`` replay in complete mode aggregates exactly the
+    staged data, so counts and sums hash-match the batch SQL the oracle
+    runs; the one incremental-only divergence — ``approx_count_distinct``
+    users (exact distinct isn't mergeable streaming state) — is reported
+    as a tolerance bit against the exact batch count, which the oracle
+    matches as a literal.
     """
     from data_preparation_plugin_spark.streaming import (
         events_stream,
@@ -191,9 +229,31 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = tumbling_aggregate(
         events_stream(spark, staged, max_files_per_trigger=2)
     )
-    result = _replay(spark, "events_stream_tumbling", stream)
-    return result.withColumn(
+    result = _replay(spark, "events_stream_tumbling", stream).withColumn(
         "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_users_exact",
+        )
+    )
+    # Per-window user counts are tiny (3-30), where HLL++ (rsd 5%) is off
+    # by a few absolute units: measured max error is ±1 at sf0.01 and ±4
+    # at sf0.1. "Within 25% or ±3" holds with margin at both scales while
+    # still failing loudly if the sketch ever returns garbage.
+    err = F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+    tol = F.greatest(F.lit(3.0), 0.25 * F.col("n_users_exact"))
+    return result.join(exact, ["window_start", "event_type"]).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        "total_value",
+        (err <= tol).alias("n_users_within_tol"),
     )
 
 
@@ -246,14 +306,36 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_stream_sliding", category="streaming")
+@register(
+    "events_stream_sliding",
+    category="streaming",
+    oracle="""
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+        SELECT unnest([b - INTERVAL 30 MINUTE, b]) AS window_start,
+               event_type, value
+        FROM (
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b,
+                   event_type, value
+            FROM events
+        )
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
 def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding windows (1h size / 30m slide), replayed bounded.
 
     Overlapping event-time windows: each event contributes to size/slide
     windows, expanded pre-aggregation so state stays one row per
-    (window, event_type). Rows-only check; the window-expansion semantics
-    are oracle-checked by the batch sliding-window query.
+    (window, event_type). All aggregates are exact, and the bounded
+    ``availableNow`` complete-mode replay covers every staged event, so
+    the result hash-matches the same window expansion the batch
+    ``events_sliding_windows`` oracle expresses in SQL.
     """
     from data_preparation_plugin_spark.streaming import (
         events_stream,
@@ -274,14 +356,47 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_stream_sessionize", category="streaming")
+@register(
+    "events_stream_sessionize",
+    category="streaming",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                       AS session_start,
+           max(ts) + INTERVAL 30 MINUTE  AS session_end,
+           count(*)                      AS n_events,
+           round(sum(value), 2)          AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
 def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30m gap) per user, replayed bounded.
 
     Native ``session_window`` state merging — the genuinely stateful
     streaming operator (dynamic window extension as events arrive, closed
-    by the watermark). Rows-only check; gap semantics are oracle-checked
-    by the batch ``events_sessionize`` lag/cumsum twin.
+    by the watermark). The oracle reproduces ``session_window`` semantics
+    exactly: a gap >= 30min (half-open ``[start, end)`` windows) starts a
+    new session, and the reported end is the last event plus the gap.
+    Note the deliberate delta from the batch ``events_sessionize`` twin,
+    whose lag/cumsum idiom uses a strict > gap and reports ``max(ts)`` as
+    the session end.
     """
     from data_preparation_plugin_spark.streaming import (
         events_stream,

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 #: TIMESTAMP (with local timezone): Spark watermarks reject TIMESTAMP_NTZ.
 #: The engine pins the session timezone to UTC (session.py), so values
 #: align exactly with the batch NTZ reads.
+# ts must be TIMESTAMP (with-local-timezone): Spark rejects TIMESTAMP_NTZ
+# event-time columns for watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+# The staged parquet stores wall-clock micros; under a UTC session the two
+# types coincide, so bounded replays pin the session timezone to UTC for
+# their duration (see plans/events._replay) to stay session-independent.
 EVENTS_SCHEMA = (
     "event_id LONG, ts TIMESTAMP, user_id LONG, "
     "event_type STRING, value DOUBLE, props STRING"
