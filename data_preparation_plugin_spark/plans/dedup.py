@@ -495,17 +495,47 @@ def connected_components(
     return labels
 
 
-@register("dedup_minhash_clusters", category="dedup")
+_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE pairs AS ("
+    + _minhash_sql(
+        """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        """
+    )
+    + """),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS node, src AS r FROM edges
+        UNION
+        SELECT e.dst AS node, reach.r FROM reach
+        JOIN edges e ON e.src = reach.node
+    )
+    SELECT min(r) AS cluster_rep, node AS doc_id
+    FROM reach
+    GROUP BY node
+    """
+)
+
+
+@register("dedup_minhash_clusters", category="dedup", oracle=_CLUSTERS_ORACLE)
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: LSH pairs transitively closed, min-id keeper.
 
     Completes the MinHash pipeline end-to-end: signatures -> banded
     candidate pairs -> connected components -> one row per clustered doc
     with its cluster representative (the minimum doc_id, the deterministic
-    "keeper" of the duplicate group). No oracle: the fixpoint iteration is
-    not single-statement-SQL-expressible; correctness is unit-tested on
-    known graphs and by the pair-consistency test (every candidate pair
-    lands in one cluster).
+    "keeper" of the duplicate group). The Spark side iterates min-label
+    propagation (a fixpoint no single Spark statement expresses); the
+    oracle reaches the same fixpoint as a DuckDB recursive CTE computing
+    reachability closure — min reachable node == component minimum.
     """
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
     return (

@@ -362,17 +362,40 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_bruteforce_cosine_arrow", category="similarity")
+@register(
+    "knn_bruteforce_cosine_arrow",
+    category="similarity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}
+    ), scored AS (
+        SELECT query_id,
+               e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(qv, e.v), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(qv, e.v), 6) DESC,
+                            e.vec_id) AS rn
+        FROM q CROSS JOIN e
+        WHERE e.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rn
+    FROM scored WHERE rn <= {TOP_K}
+    """,
+)
 def knn_bruteforce_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized twin of ``knn_bruteforce_cosine`` (numpy batch math).
 
     The higher-order-function cosine is interpreted per element; this path
     moves each Arrow batch to numpy and scores the whole batch against the
     probe matrix with one BLAS matmul — the drop-in when profile shows the
-    expression path bottlenecked. No oracle: numpy's pairwise summation
-    and the SQL left-fold differ in final ulps, so cross-engine hashing
-    would be brittle; the test suite instead asserts it returns the same
-    neighbor ids as the oracle-checked expression twin.
+    expression path bottlenecked. Shares the expression twin's oracle:
+    BLAS summation order differs from the SQL left-fold only in final
+    ulps, which the round-to-6dp scoring step absorbs before ranking
+    (verified hash-identical at sf0.01 and sf0.1); the twin-equality test
+    additionally pins both paths to each other.
     """
     import numpy as np
     import pandas as pd
