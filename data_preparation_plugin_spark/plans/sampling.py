@@ -259,3 +259,51 @@ def sample_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("seq_id"),
     )
+
+
+@register(
+    "sample_packed_sequences",
+    category="sampling",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % {SEQ_PACK_STREAMS} AS pack_stream,
+               CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), assigned AS (
+        SELECT doc_id, pack_stream, n_tokens,
+               CAST(floor(
+                   (sum(n_tokens) OVER (
+                        PARTITION BY pack_stream ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens) / {SEQ_PACK_BUDGET}.0
+               ) AS BIGINT) AS seq_id
+        FROM sized
+    )
+    SELECT pack_stream,
+           seq_id,
+           count(*)                        AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
+           list(doc_id ORDER BY doc_id)    AS doc_ids
+    FROM assigned
+    GROUP BY pack_stream, seq_id
+    """,
+)
+def sample_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the packed sequences: one row per training sequence.
+
+    The consumption shape of :func:`sample_sequence_packing` — each row is
+    one context-window's worth of documents (ordered ids + token total),
+    ready for a downstream tokenizer join. The doc-id arrays are bounded
+    by budget/min-doc-tokens, so the per-sequence aggregation state stays
+    small no matter how large the corpus grows; still one shuffle, keyed
+    on (stream, seq).
+    """
+    assigned = sample_sequence_packing(spark, sf_dir)
+    return assigned.groupBy("pack_stream", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+    )

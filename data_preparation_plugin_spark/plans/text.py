@@ -471,3 +471,72 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(distinct * F.lit(1.0) / total, 4).alias("type_token_ratio"),
         F.round(F.max("c") * F.lit(1.0) / total, 4).alias("top_token_share"),
     )
+
+
+#: RE2-and-Java-compatible patterns (identical semantics in both engines).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+@register(
+    "text_scrub_pii",
+    category="text",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact_' || CAST(doc_id AS VARCHAR)
+                    || '@example.com http://site'
+                    || CAST(doc_id % 7 AS VARCHAR) || '.example.org'
+                   AS raw
+        FROM documents
+    ), scrubbed AS (
+        SELECT doc_id, raw,
+               regexp_replace(
+                   regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{URL_RE}', '<URL>', 'g') AS clean
+        FROM enriched
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{EMAIL_RE}'))  AS n_emails,
+           len(regexp_extract_all(raw, '{URL_RE}'))    AS n_urls,
+           length(raw)                                 AS chars_before,
+           length(clean)                               AS chars_after,
+           md5(clean)                                  AS clean_fingerprint
+    FROM scrubbed
+    """,
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails and URLs replaced with placeholder tokens.
+
+    The corpus-hygiene scrub every released dataset runs. The fixture text
+    contains no PII, so the query *injects* one deterministic email + URL
+    per document before scrubbing — the redaction path is exercised on
+    every row, and the oracle verifies counts, before/after lengths, and
+    an md5 fingerprint of the scrubbed text (so a single missed character
+    hash-fails). Pure per-row projection: zero shuffles at any scale;
+    patterns are RE2-and-Java compatible so both engines agree.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact_"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com http://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
+        F.length(raw).cast("long").alias("chars_before"),
+        F.length(clean).cast("long").alias("chars_after"),
+        F.md5(clean).alias("clean_fingerprint"),
+    )

@@ -159,3 +159,82 @@ def test_sample_composes_with_split(spark):
         F.max(F.col("b")).alias("mx"), F.min(F.col("b")).alias("mn")
     ).collect()[0]
     assert 0 <= got["mn"] and got["mx"] <= 99
+
+
+def test_sequence_packing_invariants(spark):
+    """Every doc packed exactly once; within a stream, seq ids are dense
+    from 0 and each sequence's token total stays under budget + one doc
+    (the doc that crosses the boundary closes the sequence)."""
+    from collections import defaultdict
+
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.registry import load_table
+    from data_preparation_plugin_spark.plans.sampling import SEQ_PACK_BUDGET
+
+    rows = QUERIES["sample_sequence_packing"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_docs = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+
+    per_seq = defaultdict(int)
+    max_doc = defaultdict(int)
+    for r in rows:
+        per_seq[(r.pack_stream, r.seq_id)] += r.n_tokens
+        max_doc[(r.pack_stream, r.seq_id)] = max(
+            max_doc[(r.pack_stream, r.seq_id)], r.n_tokens
+        )
+    for key, total in per_seq.items():
+        assert total <= SEQ_PACK_BUDGET + max_doc[key], (key, total)
+    # Dense sequence ids per stream.
+    streams = defaultdict(set)
+    for r in rows:
+        streams[r.pack_stream].add(r.seq_id)
+    for stream, seqs in streams.items():
+        assert seqs == set(range(len(seqs))), (stream, sorted(seqs))
+
+
+def test_weighted_mix_rates_hold(spark):
+    """Kept fraction tracks the declared per-source rate (hash-exact
+    membership, so the tolerance only covers small-source granularity)."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    rows = QUERIES["sample_weighted_mix"].builder(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.rate_pct in (20, 80)
+        got = r.n_kept / r.n_docs
+        assert abs(got - r.rate_pct / 100) <= 0.2, (r.source, got, r.rate_pct)
+
+
+def test_decontaminate_flags_are_real_overlaps(spark):
+    """Every flagged doc genuinely shares >=1 shingle with the probe set,
+    and no probe doc flags itself."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.dedup import (
+        DECON_PROBE_MOD,
+        SHINGLE_SIZE,
+    )
+    from data_preparation_plugin_spark.functions.text import exploded_shingles
+    from data_preparation_plugin_spark.plans.registry import load_table
+
+    flagged = QUERIES["dedup_decontaminate"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert flagged, "fixture should contain at least one contaminated doc"
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    probe = set()
+    for doc_id, shingles in by_doc.items():
+        if doc_id % DECON_PROBE_MOD == 0:
+            probe |= shingles
+    for r in flagged:
+        assert r.doc_id % DECON_PROBE_MOD != 0
+        overlap = by_doc[r.doc_id] & probe
+        assert len(overlap) == r.n_contaminated_ngrams, r

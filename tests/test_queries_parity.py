@@ -47,14 +47,13 @@ def test_query_matches_oracle(spark, oracle, name):
     )
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_query_runs(spark, name):
-    """Queries without an oracle must still run and be deterministic."""
-    query = plans.QUERIES[name]
-    first = spark_result(query.builder(spark, SF_DIR))
-    second = spark_result(query.builder(spark, SF_DIR))
-    assert first == second, f"{name}: nondeterministic result"
-    assert len(first[1]) >= 0
+def test_every_query_has_an_oracle():
+    """Full oracle coverage is an invariant now — a new rows-only query
+    needs an explicit construction (tolerance bit, recursive CTE, shared
+    twin oracle...) before it lands. See README 'Capability coverage'."""
+    assert ROWS_ONLY_QUERIES == [], (
+        f"queries without oracles: {ROWS_ONLY_QUERIES}"
+    )
 
 
 def test_arrow_knn_matches_expression_twin(spark):
