@@ -87,9 +87,11 @@ DRIVER_CHECK_PRIORITY = [
     "knn_lsh_cosine",
     "knn_ivf_cosine",
     "embedding_norm_stats",
-    # Multimodal.
+    # Multimodal (decode_ppm is the REAL decoder — strictly stronger
+    # signal than the fake-decode plumbing twin, which sits past the
+    # cutoff).
     "multimodal_binary_meta",
-    "multimodal_decode_meta",
+    "multimodal_decode_ppm",
     "multimodal_frame_sample",
     # Sampling / splits.
     "split_train_test",

@@ -134,3 +134,78 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+def _synth_ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic PPM (P6) image synthesis — the fake *capture* step.
+
+    Dimensions and pixel bytes are pure functions of doc_id, so the
+    decode's output (including pixel statistics) is reproducible in SQL.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            w = int(doc_id) % 16 + 4
+            h = int(doc_id) % 12 + 3
+            n = w * h * 3
+            header = f"P6\n{w} {h}\n255\n".encode()
+            k = np.arange(n, dtype=np.int64)
+            body = ((int(doc_id) * 7 + k) % 256).astype(np.uint8).tobytes()
+            payloads.append(header + body)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@register(
+    "multimodal_decode_ppm",
+    category="multimodal",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 16 + 4 AS w,
+               doc_id % 12 + 3 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS k
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(3 + length(CAST(w AS VARCHAR)) + 1
+                  + length(CAST(h AS VARCHAR)) + 1 + 4
+                  + w * h * 3 AS BIGINT)        AS payload_bytes,
+           CAST(w AS INTEGER)                   AS width,
+           CAST(h AS INTEGER)                   AS height,
+           CAST(3 AS INTEGER)                   AS n_channels,
+           round(avg((doc_id * 7 + k) % 256), 4) AS mean_pixel
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no codec library: binary PPM through mapInPandas.
+
+    Two Arrow-batched passes, zero shuffles: a deterministic synthesizer
+    writes real binary PPM (P6) images into a payload column (the fake
+    *capture* — this container ships no camera either), then
+    ``operators.multimodal.decode_ppm`` genuinely parses the header and
+    pixel buffer with numpy and reports dimensions + mean pixel value.
+    The oracle recomputes every output — including the pixel mean — from
+    the synthesis function in SQL, so a single corrupted byte offset in
+    the parser hash-fails the driver compare.
+    """
+    from data_preparation_plugin_spark.operators.multimodal import decode_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _synth_ppm_batches, schema="doc_id long, payload binary"
+    )
+    decoded = decode_ppm(payloads)
+    return decoded.select(
+        "doc_id",
+        "payload_bytes",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_pixel", 4).alias("mean_pixel"),
+    )

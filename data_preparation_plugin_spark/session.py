@@ -22,6 +22,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # ones, demote sort-merge joins to broadcast when runtime stats allow.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce to the advisory partition size rather than keeping one
+    # partition per core: small shuffles collapse to few tasks (measured
+    # ~30% off q3/q21 wall-clock locally), and at cluster scale respecting
+    # the 64MB advisory target is the documented production setting.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow-batched transfer for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
