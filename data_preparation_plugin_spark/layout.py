@@ -120,6 +120,39 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*phase2)
 
 
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics (upsert + optional delete) as a join rewrite.
+
+    The reference's Postgres habitat gets row-level upsert from
+    ``INSERT ... ON CONFLICT`` / SQL MERGE for free; a parquet-backed
+    engine has no row-level mutation, so the Spark-native equivalent is a
+    *relation rewrite*: keep every target row whose key is absent from the
+    change batch (left-anti join), then union the change rows — matched
+    keys are thereby replaced (UPDATE), new keys appended (INSERT), and
+    rows flagged true in ``delete_col`` dropped entirely (DELETE). Source
+    rows must be unique per key, the same precondition SQL MERGE enforces.
+
+    At scale this is the CDC-compaction pattern: the anti join shuffles on
+    the merge key, and because a change batch is normally tiny relative to
+    the table, AQE demotes it to a broadcast anti join — the table itself
+    streams through map-side with no shuffle. Pair with
+    :func:`write_partitioned` on a key prefix to rewrite only touched
+    partitions (dynamic partition overwrite).
+    """
+    change_keys = updates.select(*keys)
+    survivors = target.join(change_keys, list(keys), "left_anti")
+    if delete_col is not None:
+        updates = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    return survivors.unionByName(updates)
+
+
 def compact_table(spark, table: str, target_files: int) -> None:
     """Rewrite a catalog table into ``target_files`` parquet files.
 
@@ -171,6 +204,7 @@ def compact_table(spark, table: str, target_files: int) -> None:
 
 __all__ = [
     "compact_table",
+    "merge_upsert",
     "month_key",
     "salted_aggregate",
     "with_salt",

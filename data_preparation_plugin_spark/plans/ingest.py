@@ -100,3 +100,74 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
     )
+
+
+@register(
+    "sink_merge_upsert",
+    category="transform",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey,
+               'U' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice,
+               FALSE AS del
+        FROM orders
+        WHERE o_orderkey % 100 = 0 AND o_orderkey % 250 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', o_totalprice, FALSE
+        FROM orders WHERE o_orderkey % 500 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE
+        FROM orders WHERE o_orderkey % 250 = 0
+    ), merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM changes WHERE NOT del
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM merged
+    WHERE o_orderkey % 50 = 0 OR o_orderkey > 10000000
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-MERGE semantics on a parquet relation: update + insert + delete.
+
+    A deterministic CDC batch derived from ``orders`` itself — doubled
+    prices for one key stripe (UPDATE), shifted new keys (INSERT), and a
+    tombstoned stripe (DELETE) — merged through ``layout.merge_upsert``'s
+    anti-join + union rewrite. The oracle recomputes the merged relation
+    with NOT IN + UNION ALL; output restricted to the touched stripes plus
+    a control stripe so all four row fates (kept, updated, inserted,
+    deleted) are value-checked. Prices stay unrounded: ``x * 2`` is exact
+    in IEEE doubles, so both engines agree bit-for-bit.
+    """
+    from data_preparation_plugin_spark.layout import merge_upsert
+
+    key = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter((key % 100 == 0) & (key % 250 != 0)).select(
+        key.alias("o_orderkey"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(False).alias("_deleted"),
+    )
+    inserts = orders.filter(key % 500 == 0).select(
+        (key + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.lit(False).alias("_deleted"),
+    )
+    deletes = orders.filter(key % 250 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(True).alias("_deleted"),
+    )
+    changes = updates.unionByName(inserts).unionByName(deletes)
+    merged = merge_upsert(orders, changes, ["o_orderkey"], delete_col="_deleted")
+    return merged.filter((key % 50 == 0) | (key > 10_000_000))

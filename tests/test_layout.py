@@ -208,3 +208,35 @@ def test_agg_approx_percentile_within_tolerance(spark):
     for r in rows:
         assert r.p50_in_rank_band, r
         assert r.p95_in_rank_band, r
+
+
+def test_merge_upsert_semantics(spark):
+    """All four row fates: kept, updated, inserted, deleted."""
+    from data_preparation_plugin_spark.layout import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", 200.0, False), (4, "d", 40.0, False), (3, None, None, True)],
+        "k long, s string, v double, _deleted boolean",
+    )
+    merged = merge_upsert(target, changes, ["k"], delete_col="_deleted")
+    rows = {r.k: (r.s, r.v) for r in merged.collect()}
+    assert rows == {1: ("a", 10.0), 2: ("B", 200.0), 4: ("d", 40.0)}
+    # Plan shape: an anti join on the key, never a cartesian.
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+
+
+def test_merge_upsert_without_deletes(spark):
+    from data_preparation_plugin_spark.layout import merge_upsert
+
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    changes = spark.createDataFrame([(2, 99.0), (5, 50.0)], "k long, v double")
+    merged = merge_upsert(target, changes, ["k"])
+    assert {(r.k, r.v) for r in merged.collect()} == {
+        (1, 10.0), (2, 99.0), (5, 50.0)
+    }
