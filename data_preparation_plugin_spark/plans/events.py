@@ -155,7 +155,12 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     return staged
 
 
-def _replay(spark: SparkSession, name: str, stream: DataFrame) -> DataFrame:
+def _replay(
+    spark: SparkSession,
+    name: str,
+    stream: DataFrame,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Run a bounded streaming plan to completion into a memory sink.
 
     Runs under a UTC session timezone: watermark columns must be LTZ
@@ -177,7 +182,7 @@ def _replay(spark: SparkSession, name: str, stream: DataFrame) -> DataFrame:
             stream,
             f"{name}_r{_STREAM_RUN_COUNTER}",
             spark,
-            output_mode="complete",
+            output_mode=output_mode,
         )
         as_ntz = result.select(
             *[
@@ -471,4 +476,54 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.filter(F.col("props").isNotNull())
         .select("event_id", F.explode(props_map).alias("prop_key", "prop_value"))
+    )
+
+
+@register(
+    "events_stream_interval_join",
+    category="streaming",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS left_id,
+           b.event_id AS right_id,
+           CAST(date_diff('microsecond', a.ts, b.ts) AS BIGINT) AS delay_micros
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase'
+     AND b.event_type = 'click'
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join replayed to completion (attribution).
+
+    Two file-source streams over the same staged events directory —
+    purchases and clicks — joined per user with a (0, 30 min] event-time
+    band through ``streaming.interval_join_stream``, emitted in append
+    mode. The staged files are not time-ordered, so the replay passes a
+    watermark exceeding the fixture's 30-day span: no match is ever
+    declared late, making the bounded replay exactly equivalent to the
+    batch range self-join the oracle runs (delay in microseconds — exact
+    integers in both engines). In production the watermark is the state
+    and lateness knob; the join plan is identical.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        events_stream,
+        interval_join_stream,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    purchases = events_stream(spark, staged, max_files_per_trigger=2).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = events_stream(spark, staged, max_files_per_trigger=2).filter(
+        F.col("event_type") == "click"
+    )
+    joined = interval_join_stream(
+        purchases, clicks, max_delay_minutes=30, watermark="45 days"
+    )
+    return _replay(
+        spark, "events_stream_interval_join", joined, output_mode="append"
     )

@@ -5,6 +5,7 @@ from data_preparation_plugin_spark.streaming.events import (
     dedup_within_watermark,
     events_stream,
     idempotent_batch_writer,
+    interval_join_stream,
     run_to_memory,
     sessionize_stream,
     sliding_aggregate,
@@ -18,6 +19,7 @@ __all__ = [
     "dedup_within_watermark",
     "events_stream",
     "idempotent_batch_writer",
+    "interval_join_stream",
     "run_to_memory",
     "sessionize_stream",
     "sliding_aggregate",

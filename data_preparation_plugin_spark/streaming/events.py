@@ -138,6 +138,58 @@ def sliding_aggregate(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    max_delay_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: right events following left
+    events for the same user within ``max_delay_minutes``.
+
+    The attribution-join shape (purchase → subsequent click). Both sides
+    carry a watermark — for an *inner* interval join Spark uses them plus
+    the time-bound condition to expire buffered rows, so per-side state is
+    bounded by (watermark + interval) of input, not the whole stream.
+    Emits in append mode as soon as a match arrives; a bounded replay that
+    must not drop cross-batch matches on out-of-order files should pass a
+    watermark exceeding the replayed time span (the delay is a semantics
+    knob, not a constant).
+    """
+    l = (
+        left.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col("user_id"),
+            F.col("ts").alias("left_ts"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+        )
+    )
+    cond = (
+        (l.user_id == r.r_user_id)
+        & (r.right_ts > l.left_ts)
+        & (
+            r.right_ts
+            <= l.left_ts + F.expr(f"INTERVAL {max_delay_minutes} MINUTES")
+        )
+    )
+    return l.join(r, cond, "inner").select(
+        "user_id",
+        "left_id",
+        "right_id",
+        (F.unix_micros("right_ts") - F.unix_micros("left_ts")).alias(
+            "delay_micros"
+        ),
+    )
+
+
 def stateful_user_totals(
     stream: DataFrame,
     watermark: str = "2 hours",

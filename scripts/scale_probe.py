@@ -95,6 +95,8 @@ PROBES = [
     "dedup_decontaminate",       # shingle explode + broadcast probe join
     "sample_sequence_packing",   # hash-stream window cumsum, one shuffle
     "text_repetition_ratio",     # two bounded-key aggs over explode
+    "multimodal_decode_ppm",     # chained mapInPandas, zero shuffle
+    "sink_merge_upsert",         # CDC anti-join + union rewrite
 ]
 
 

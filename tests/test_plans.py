@@ -138,3 +138,25 @@ def test_weighted_mix_single_shuffle(spark):
     """Mixture audit: projection plus one bounded-key aggregation."""
     plan = plan_of(spark, "sample_weighted_mix")
     assert count(r"Exchange", plan) == 1
+
+
+def test_scrub_pii_no_shuffle(spark):
+    """PII scrubbing is a pure per-row projection: zero exchanges."""
+    plan = plan_of(spark, "text_scrub_pii")
+    assert count(r"Exchange", plan) == 0
+
+
+def test_ppm_decode_no_shuffle(spark):
+    """Synthesize + decode are two chained mapInPandas passes over the
+    scan — Arrow-batched, partition-parallel, zero exchanges."""
+    plan = plan_of(spark, "multimodal_decode_ppm")
+    assert count(r"Exchange", plan) == 0
+    assert count(r"MapInPandas", plan) == 2
+
+
+def test_merge_upsert_anti_join_no_extra_shuffle(spark):
+    """The CDC merge plans a key anti join and never a cartesian; the
+    union adds no exchange of its own."""
+    plan = plan_of(spark, "sink_merge_upsert")
+    assert count(r"CartesianProduct", plan) == 0
+    assert count(r"LeftAnti", plan) >= 1
