@@ -22,11 +22,13 @@ _DEFAULT_CONF: dict[str, str] = {
     # ones, demote sort-merge joins to broadcast when runtime stats allow.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Coalesce to the advisory partition size rather than keeping one
-    # partition per core: small shuffles collapse to few tasks (measured
-    # ~30% off q3/q21 wall-clock locally), and at cluster scale respecting
-    # the 64MB advisory target is the documented production setting.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Keep Spark's default parallelismFirst=true: post-shuffle coalescing
+    # preserves one partition per core, which a min-of-3 A/B measured
+    # ~20% faster on the explode-heavy LSH stage at local scale (small
+    # shuffles underfill 32 cores when collapsed to the 64MB advisory
+    # size). A 100 TB deployment with large shuffles should flip this to
+    # false per the Spark SQL guide — there the advisory target governs
+    # and per-core partitioning only inflates task counts.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow-batched transfer for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
