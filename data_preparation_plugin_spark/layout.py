@@ -120,6 +120,61 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*phase2)
 
 
+def materialize_rollup(
+    fact: DataFrame,
+    rollup_table: str,
+    partition_col: str,
+    build,
+) -> None:
+    """Initial build of a partitioned rollup (materialized aggregate).
+
+    ``build`` maps the fact frame to its aggregate and must retain
+    ``partition_col`` in the output; the result is written as a
+    directory-partitioned catalog table so later refreshes can replace
+    single partitions.
+    """
+    build(fact).write.partitionBy(partition_col).mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(rollup_table)
+
+
+def refresh_rollup(
+    spark,
+    fact: DataFrame,
+    rollup_table: str,
+    partition_col: str,
+    build,
+    changed_keys: Sequence,
+) -> None:
+    """Incrementally refresh a rollup: recompute changed partitions only.
+
+    The 100 TB materialized-view pattern: when late or corrected data
+    lands in a few partitions, recomputing the whole aggregate rescans
+    the entire fact table; this filters the fact scan to the changed
+    partition keys (partition pruning — only those directories are read)
+    and rewrites exactly the matching rollup partitions via dynamic
+    partition overwrite. Work scales with the *change*, not the table.
+
+    Requires ``build`` to be partition-local: every output row's
+    ``partition_col`` must be derived from same-partition input rows
+    (true for any groupBy that includes the partition key).
+    """
+    keys = list(changed_keys)
+    subset = fact.filter(F.col(partition_col).isin(keys))
+    result = build(subset)
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # insertInto is positional: align to the table's column order
+        # (data columns first, partition column last).
+        cols = [c.name for c in spark.catalog.listColumns(rollup_table)]
+        result.select(*cols).write.mode("overwrite").insertInto(rollup_table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,
@@ -204,8 +259,10 @@ def compact_table(spark, table: str, target_files: int) -> None:
 
 __all__ = [
     "compact_table",
+    "materialize_rollup",
     "merge_upsert",
     "month_key",
+    "refresh_rollup",
     "salted_aggregate",
     "with_salt",
     "write_bucketed",

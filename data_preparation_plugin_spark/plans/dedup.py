@@ -597,3 +597,98 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
     )
+
+
+#: Non-overlapping token-chunk width for cross-document segment dedup.
+SEGMENT_TOKENS = 4
+
+
+@register(
+    "dedup_segments_cross_doc",
+    category="dedup",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   toks[i*{SEGMENT_TOKENS}+1 : i*{SEGMENT_TOKENS}+{SEGMENT_TOKENS}],
+                   ' ')) AS digest
+        FROM tok,
+             unnest(range(0, CAST(floor(len(toks) / {SEGMENT_TOKENS}) AS BIGINT)))
+             AS t(i)
+    ), counts AS (
+        SELECT digest, count(DISTINCT doc_id) AS nd
+        FROM chunks
+        GROUP BY digest
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           round(sum(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS dup_ratio
+    FROM chunks c
+    JOIN counts k USING (digest)
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_segments_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-segment scoring (RefinedWeb line-dedup shape).
+
+    Documents are cut into non-overlapping ``SEGMENT_TOKENS``-token chunks;
+    a chunk is *duplicated* when its digest occurs in more than one
+    document. Output is the per-document duplication profile the filter
+    stage thresholds on. Scale shape: chunks are md5'd map-side so only
+    (digest, doc_id) pairs ever shuffle — never text; the digest-frequency
+    aggregation and the chunk↔count join share one hash partitioning
+    (exchange reuse), and the final per-doc rollup keys on doc_id. The
+    corpus-scale frequency table stays a shuffle join — broadcasting it
+    would OOM at 100 TB (same reasoning as dedup_ngram_jaccard).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).withColumn(
+        "n_chunks", F.floor(F.size("toks") / SEGMENT_TOKENS).cast("long")
+    )
+    chunks = (
+        base.filter(F.col("n_chunks") >= 1)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "toks",
+                        F.col("i") * SEGMENT_TOKENS + 1,
+                        SEGMENT_TOKENS,
+                    ),
+                )
+            ).alias("digest"),
+        )
+    )
+    counts = chunks.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = (F.col("nd") > 1).cast("long")
+    return (
+        chunks.join(counts, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+            F.round(F.sum(dup) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "dup_ratio"
+            ),
+        )
+    )

@@ -240,3 +240,94 @@ def test_merge_upsert_without_deletes(spark):
     assert {(r.k, r.v) for r in merged.collect()} == {
         (1, 10.0), (2, 99.0), (5, 50.0)
     }
+
+
+def test_refresh_rollup_incremental(spark):
+    """A one-partition refresh matches the full recompute and rewrites
+    only the touched partition's files."""
+    from data_preparation_plugin_spark.layout import (
+        materialize_rollup,
+        month_key,
+        refresh_rollup,
+    )
+
+    table = "t_rollup_events"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        events = load_table(spark, SF_DIR, "events").withColumn(
+            "month", month_key("ts")
+        )
+
+        def build(df):
+            return df.groupBy("month", "event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+
+        materialize_rollup(events, table, "month", build)
+        before = {
+            f for f in spark.table(table).inputFiles() if "month=2024-02" not in f
+        }
+
+        # Late data lands in 2024-02: double that month's values.
+        changed = events.withColumn(
+            "value",
+            F.when(F.col("month") == "2024-02", F.col("value") * 2).otherwise(
+                F.col("value")
+            ),
+        )
+        refresh_rollup(spark, changed, table, "month", build, ["2024-02"])
+
+        got = {
+            (r.month, r.event_type): (r.n, r.total)
+            for r in spark.table(table).collect()
+        }
+        want = {
+            (r.month, r.event_type): (r.n, r.total)
+            for r in build(changed).collect()
+        }
+        assert got == want
+        after = {
+            f for f in spark.table(table).inputFiles() if "month=2024-02" not in f
+        }
+        assert before == after  # untouched partitions keep their files
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_refresh_rollup_prunes_fact_scan(spark):
+    """The refresh's fact-side read must prune to the changed partition
+    when the fact table is directory-partitioned on the key."""
+    import os
+
+    from data_preparation_plugin_spark.layout import (
+        month_key,
+        refresh_rollup,
+        write_partitioned,
+    )
+
+    fact_path = os.path.join("/tmp", "dpp-rollup-fact")
+    table = "t_rollup_pruned"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        events = load_table(spark, SF_DIR, "events").withColumn(
+            "month", month_key("ts")
+        )
+        write_partitioned(events, fact_path, ["month"])
+        fact = spark.read.parquet(fact_path)
+
+        def build(df):
+            return df.groupBy("month").agg(F.count(F.lit(1)).alias("n"))
+
+        build(fact).write.partitionBy("month").mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(table)
+
+        subset = fact.filter(F.col("month").isin(["2024-01"]))
+        files = subset.inputFiles()
+        assert files and all("month=2024-01" in f for f in files)
+
+        refresh_rollup(spark, fact, table, "month", build, ["2024-01"])
+        assert spark.table(table).count() == build(fact).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
