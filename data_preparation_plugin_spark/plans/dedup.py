@@ -641,12 +641,15 @@ def dedup_segments_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents are cut into non-overlapping ``SEGMENT_TOKENS``-token chunks;
     a chunk is *duplicated* when its digest occurs in more than one
     document. Output is the per-document duplication profile the filter
-    stage thresholds on. Scale shape: chunks are md5'd map-side so only
-    (digest, doc_id) pairs ever shuffle — never text; the digest-frequency
-    aggregation and the chunk↔count join share one hash partitioning
-    (exchange reuse), and the final per-doc rollup keys on doc_id. The
-    corpus-scale frequency table stays a shuffle join — broadcasting it
-    would OOM at 100 TB (same reasoning as dedup_ngram_jaccard).
+    stage thresholds on. Scale shape — single text scan, three bounded
+    shuffles: chunks are md5'd map-side so only (digest, doc_id) pairs
+    ever shuffle, a (digest, doc_id) pre-aggregation collapses within-doc
+    repeats with map-side combine, a count-only window over digest yields
+    the cross-doc frequency (O(1) window state — a ``collect_set`` here
+    would OOM on boilerplate segments shared by millions of documents),
+    and the per-doc rollup keys on doc_id. A join of chunks against a
+    digest-frequency table would re-execute the chunk lineage per side
+    (self-join trap) and scan the corpus twice.
     """
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
@@ -677,17 +680,20 @@ def dedup_segments_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("digest"),
         )
     )
-    counts = chunks.groupBy("digest").agg(
-        F.countDistinct("doc_id").alias("nd")
+    from pyspark.sql.window import Window
+
+    per_pair = chunks.groupBy("digest", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    dup = (F.col("nd") > 1).cast("long")
+    nd = F.count(F.lit(1)).over(Window.partitionBy("digest"))
+    dup_chunks = F.when(F.col("nd") > 1, F.col("c")).otherwise(F.lit(0))
     return (
-        chunks.join(counts, "digest")
+        per_pair.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(dup).alias("n_dup_chunks"),
-            F.round(F.sum(dup) * 1.0 / F.count(F.lit(1)), 4).alias(
+            F.sum("c").cast("long").alias("n_chunks"),
+            F.sum(dup_chunks).cast("long").alias("n_dup_chunks"),
+            F.round(F.sum(dup_chunks) * 1.0 / F.sum("c"), 4).alias(
                 "dup_ratio"
             ),
         )

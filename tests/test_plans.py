@@ -160,3 +160,13 @@ def test_merge_upsert_anti_join_no_extra_shuffle(spark):
     plan = plan_of(spark, "sink_merge_upsert")
     assert count(r"CartesianProduct", plan) == 0
     assert count(r"LeftAnti", plan) >= 1
+
+
+def test_segment_dedup_single_scan(spark):
+    """Cross-doc segment profile: one corpus scan, digests-only shuffles,
+    no join (a chunk↔frequency join would re-execute the chunk lineage
+    per side and scan the text twice)."""
+    plan = plan_of(spark, "dedup_segments_cross_doc")
+    assert count(r"FileScan", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"Exchange", plan) <= 3
