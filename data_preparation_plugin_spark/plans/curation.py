@@ -1,0 +1,172 @@
+r"""End-to-end corpus curation: the composed LLM-training-data filter.
+
+Every large-scale pre-training pipeline runs the same funnel over raw
+documents — quality gate, language filter, exact dedup, fuzzy dedup — and
+what ships to the tokenizer is the survivors. The individual stages exist
+as standalone queries (``plans/text.py``, ``plans/dedup.py``); this module
+composes them into one per-document verdict, proving the stages are
+*composable* (one scan feeds every gate) and that the whole funnel is
+oracle-checkable end-to-end, recursive duplicate-closure included.
+
+Reference parity: the reference (MTES-MCT/data-preparation-plugin) ships
+raw tables to PostgreSQL and leaves filtering to downstream SQL; this is
+the downstream SQL, made first-class and distributed.
+
+Scale shape at 100 TB:
+- Quality / language / fingerprint are pure projections over one scan of
+  the text — no shuffle until the fingerprint window.
+- The exact-dup keeper is a window ``min`` keyed on the 32-char digest —
+  shuffles (doc_id, digest, two small flags), never the text.
+- Near-dup labels ride the MinHash-LSH pipeline (banded buckets, zero
+  self-joins) plus min-label-propagation components whose per-round cost
+  is one join on the *pairs* table — a tiny fraction of corpus rows.
+- The final labels join keys on doc_id; labels covers only clustered
+  documents, so AQE picks broadcast when small and shuffle when not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_preparation_plugin_spark.functions.text import tokens as tokens_col
+from data_preparation_plugin_spark.plans.dedup import (
+    _minhash_sql,
+    connected_components,
+    dedup_minhash_lsh_pairs,
+)
+from data_preparation_plugin_spark.plans.registry import load_table, register
+from data_preparation_plugin_spark.plans.text import (
+    LANG_MARKERS,
+    predicted_lang_col,
+    quality_pass_col,
+)
+
+#: Order of the CASE in both engines — first failing gate names the reason.
+DROP_REASONS = ("quality", "language", "exact_dup", "near_dup", "kept")
+
+
+def _scores_sql() -> str:
+    return ",\n               ".join(
+        "len(list_filter(tokens, t -> t IN ({}))) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in LANG_MARKERS.items()
+    )
+
+
+_CURATION_ORACLE = (
+    "WITH RECURSIVE pairs AS ("
+    + _minhash_sql(
+        """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        """
+    )
+    + rf"""),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS node, src AS r FROM edges
+        UNION
+        SELECT e.dst AS node, reach.r FROM reach
+        JOIN edges e ON e.src = reach.node
+    ),
+    labels AS (
+        SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
+    ),
+    feat AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ),
+    gates AS (
+        SELECT doc_id, fingerprint,
+               CASE WHEN len(tokens) BETWEEN 5 AND 1000
+                     AND len(list_filter(tokens, t -> t IN ('the','a','of','and')))
+                         * 1.0 / len(tokens) BETWEEN 0.001 AND 0.5
+                    THEN 1 ELSE 0 END AS quality_pass,
+               {_scores_sql()}
+        FROM feat
+    ),
+    lang AS (
+        SELECT doc_id, fingerprint, quality_pass,
+               CASE WHEN score_en >= score_fr AND score_en >= score_es
+                     AND score_en >= score_de AND score_en >= score_zh
+                     AND score_en > 0 THEN 'en'
+                    WHEN score_fr >= score_es AND score_fr >= score_de
+                     AND score_fr >= score_zh AND score_fr > 0 THEN 'fr'
+                    WHEN score_es >= score_de AND score_es >= score_zh
+                     AND score_es > 0 THEN 'es'
+                    WHEN score_de >= score_zh AND score_de > 0 THEN 'de'
+                    WHEN score_zh > 0 THEN 'zh'
+                    ELSE 'und' END AS predicted_lang
+        FROM gates
+    ),
+    exact AS (
+        SELECT doc_id, quality_pass, predicted_lang,
+               min(doc_id) OVER (PARTITION BY fingerprint) AS keeper
+        FROM lang
+    )
+    SELECT e.doc_id,
+           CASE WHEN e.quality_pass = 0 THEN 'quality'
+                WHEN e.predicted_lang = 'und' THEN 'language'
+                WHEN e.keeper <> e.doc_id THEN 'exact_dup'
+                WHEN l.cluster_rep IS NOT NULL AND l.cluster_rep <> e.doc_id
+                    THEN 'near_dup'
+                ELSE 'kept' END AS status
+    FROM exact e
+    LEFT JOIN labels l ON e.doc_id = l.doc_id
+    """
+)
+
+
+@register("curation_corpus_status", category="curation", oracle=_CURATION_ORACLE)
+def curation_corpus_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation verdict: first failing gate or ``kept``.
+
+    Funnel order is the cheap-to-expensive order a real pipeline uses
+    (quality -> language -> exact dedup -> fuzzy dedup), so a document
+    dropped by a projection-only gate never pays for the dedup stages'
+    verdict. Quality and language reuse the exact column builders of
+    ``text_quality_score`` / ``text_langid``; near-dup labels reuse the
+    full MinHash-LSH + connected-components pipeline, keeping every stage
+    bit-identical to its standalone query.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    base = docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        quality_pass_col(toks).alias("quality_pass"),
+        predicted_lang_col(toks).alias("predicted_lang"),
+    )
+    gated = base.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
+    labels = connected_components(
+        dedup_minhash_lsh_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+    status = (
+        F.when(F.col("quality_pass") == 0, "quality")
+        .when(F.col("predicted_lang") == "und", "language")
+        .when(F.col("keeper") != F.col("doc_id"), "exact_dup")
+        .when(
+            F.col("cluster_rep").isNotNull()
+            & (F.col("cluster_rep") != F.col("doc_id")),
+            "near_dup",
+        )
+        .otherwise("kept")
+    )
+    return gated.join(labels, "doc_id", "left").select(
+        "doc_id", status.alias("status")
+    )

@@ -95,16 +95,49 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length("text") * 1.0 / n_tokens, 4).alias("avg_token_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(punct * F.lit(1.0) / F.length("text"), 4).alias("punct_ratio"),
-        F.when(
-            n_tokens.between(5, 1000) & stop_ratio.between(0.001, 0.5), 1
-        )
-        .otherwise(0)
-        .alias("quality_pass"),
+        quality_pass_col(toks).alias("quality_pass"),
     )
 
 
 def _lang_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def quality_pass_col(toks: Column) -> Column:
+    """The Gopher/C4-style keep gate: token-count + stopword-ratio bounds.
+
+    Shared by :func:`text_quality_score` and the end-to-end curation
+    pipeline (``plans/curation.py``) so the gate cannot drift between the
+    per-signal report and the corpus filter.
+    """
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+        * F.lit(1.0)
+        / n_tokens
+    )
+    return (
+        F.when(n_tokens.between(5, 1000) & stop_ratio.between(0.001, 0.5), 1)
+        .otherwise(0)
+    )
+
+
+def predicted_lang_col(toks: Column) -> Column:
+    """Marker-lexicon language prediction with 'en'-first deterministic ties.
+
+    Built lowest-priority-first so the highest-priority language wins ties;
+    shared by :func:`text_langid` and the curation pipeline.
+    """
+    scores = {lang: _lang_score(toks, m) for lang, m in LANG_MARKERS.items()}
+    order = list(LANG_MARKERS)
+    predicted = F.lit("und")
+    for i in range(len(order) - 1, -1, -1):
+        lang = order[i]
+        cond = scores[lang] > 0
+        for later in order[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[later])
+        predicted = F.when(cond, lang).otherwise(predicted)
+    return predicted
 
 
 @register(
@@ -145,17 +178,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
-    scores = {lang: _lang_score(toks, m) for lang, m in LANG_MARKERS.items()}
-    order = ["en", "fr", "es", "de", "zh"]
-    predicted = F.lit("und")
-    # Build the CASE from lowest to highest priority so 'en' wins ties.
-    for i in range(len(order) - 1, -1, -1):
-        lang = order[i]
-        cond = scores[lang] > 0
-        for later in order[i + 1 :]:
-            cond = cond & (scores[lang] >= scores[later])
-        predicted = F.when(cond, lang).otherwise(predicted)
-    return docs.select("doc_id", "lang", predicted.alias("predicted_lang"))
+    return docs.select(
+        "doc_id", "lang", predicted_lang_col(toks).alias("predicted_lang")
+    )
 
 
 @register(
