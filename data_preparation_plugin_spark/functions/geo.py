@@ -18,6 +18,8 @@ shuffle-partitioned (never cartesian) when it is not.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -65,11 +67,25 @@ def haversine_km(
     return 2 * 6371.0 * F.asin(F.sqrt(a))
 
 
+def _row_stride(cell_deg: float) -> int:
+    """Columns-per-row stride for the linearised (row, col) cell key.
+
+    Derived from ``cell_deg`` so distinct (row, col) pairs always map to
+    distinct keys: longitudes span 360°, so any cell size yields at most
+    ``ceil(360/cell_deg) + 1`` column indices (the +1 absorbs boundary
+    floor effects for coordinates exactly at +180°). A fixed stride of
+    1000 collided for cell_deg < ~0.36°, which duplicated join matches in
+    ``grid_blocked_join``.
+    """
+    return int(math.ceil(360.0 / cell_deg)) + 2
+
+
 def grid_cell(x: Column, y: Column, cell_deg: float = GRID_DEG) -> Column:
     """Integer grid-cell key for a point: the spatial-join blocking key."""
+    stride = _row_stride(cell_deg)
     col = F.floor((x + 180.0) / cell_deg)
     row = F.floor((y + 90.0) / cell_deg)
-    return (row * F.lit(1_000) + col).cast("long")
+    return (row * F.lit(stride) + col).cast("long")
 
 
 def covering_cells(
@@ -82,6 +98,7 @@ def covering_cells(
     ceil(W/cell)×ceil(H/cell) keys. Regions explode through this before
     the equi-join; points carry a single ``grid_cell`` key.
     """
+    stride = _row_stride(cell_deg)
     col_lo = F.floor((min_x + 180.0) / cell_deg).cast("long")
     col_hi = F.floor((max_x + 180.0) / cell_deg).cast("long")
     row_lo = F.floor((min_y + 90.0) / cell_deg).cast("long")
@@ -91,7 +108,7 @@ def covering_cells(
     return F.flatten(
         F.transform(
             rows,
-            lambda r: F.transform(cols, lambda c: r * F.lit(1_000) + c),
+            lambda r: F.transform(cols, lambda c: r * F.lit(stride) + c),
         )
     )
 

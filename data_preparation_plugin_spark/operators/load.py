@@ -58,6 +58,30 @@ class LoadSpec:
     }
 
     @classmethod
+    def _strftime_to_spark(cls, pattern: str) -> str:
+        """Translate a Ruby strftime pattern in a single left-to-right pass.
+
+        Sequential ``str.replace`` over the directive table mangled escaped
+        literals: ``%%Y`` had its ``%Y`` substituted first, yielding
+        ``%yyyy`` instead of the literal ``%Y``. Scanning ``%`` tokens once
+        consumes ``%%`` before any directive can match inside it.
+        """
+        import re
+
+        def _sub(match: "re.Match[str]") -> str:
+            token = match.group(0)
+            if token == "%%":
+                return "%"
+            if token in cls._STRFTIME:
+                return cls._STRFTIME[token]
+            raise ValueError(
+                f"Unsupported strftime directive {token!r} in Embulk "
+                f"timestamp format {pattern!r}"
+            )
+
+        return re.sub(r"%.", _sub, pattern)
+
+    @classmethod
     def from_embulk_yaml(cls, config: str, table: str | None = None) -> "LoadSpec":
         """Build a :class:`LoadSpec` from an Embulk YAML config.
 
@@ -96,7 +120,17 @@ class LoadSpec:
                 options["escape"] = str(parser["escape"])
             if "null_string" in parser:
                 options["nullValue"] = str(parser["null_string"])
-            if int(parser.get("skip_header_lines", 0) or 0) >= 1:
+            skip = int(parser.get("skip_header_lines", 0) or 0)
+            if skip > 1:
+                # Spark's header=true skips exactly one line per file;
+                # silently mapping 2+ would turn extra header lines into
+                # data rows.
+                raise ValueError(
+                    f"skip_header_lines={skip} is not representable: Spark "
+                    "CSV skips at most one header line per file. Strip the "
+                    "extra lines upstream or preprocess the files."
+                )
+            if skip == 1:
                 options["header"] = "true"
 
         schema = None
@@ -107,10 +141,9 @@ class LoadSpec:
                 ddl = cls._EMBULK_TYPES.get(col.get("type", "string"), "STRING")
                 parts.append(f"`{col['name']}` {ddl}")
                 if col.get("type") == "timestamp" and col.get("format"):
-                    pat = col["format"]
-                    for ruby, spark in cls._STRFTIME.items():
-                        pat = pat.replace(ruby, spark)
-                    options.setdefault("timestampFormat", pat)
+                    options.setdefault(
+                        "timestampFormat", cls._strftime_to_spark(col["format"])
+                    )
             schema = ", ".join(parts)
 
         path = src.get("path_prefix", src.get("path", ""))

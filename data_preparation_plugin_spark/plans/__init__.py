@@ -115,6 +115,13 @@ DRIVER_CHECK_PRIORITY = [
 
 
 def _reorder_for_driver() -> None:
+    unknown = [n for n in DRIVER_CHECK_PRIORITY if n not in QUERIES]
+    if unknown:
+        raise ValueError(
+            "DRIVER_CHECK_PRIORITY names queries missing from the registry "
+            f"(renamed or removed?): {unknown}. Update the list in "
+            "data_preparation_plugin_spark/plans/__init__.py."
+        )
     ordered = {name: QUERIES[name] for name in DRIVER_CHECK_PRIORITY}
     for name, query in QUERIES.items():
         if name not in ordered:

@@ -140,13 +140,24 @@ _STREAM_RUN_COUNTER = 0
 
 
 def _stage_events(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the events fixture as a multi-file dir for file-source replay."""
+    """Stage the events fixture as a multi-file dir for file-source replay.
+
+    The staging dir name must be stable across processes: Python's
+    ``hash()`` of a string is salted per process (PYTHONHASHSEED), which
+    both defeated the ``_SUCCESS`` cache across runs and risked two sf
+    dirs colliding onto one staged dir that would then be silently
+    replayed as the wrong fixture. md5 of the path plus the basename is
+    deterministic and collision-safe.
+    """
+    import hashlib
     import os
     import tempfile
 
+    digest = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir)) or "root"
     staged = os.path.join(
         tempfile.gettempdir(),
-        f"dpp-events-replay-{abs(hash(sf_dir)) % 100000}",
+        f"dpp-events-replay-{base}-{digest}",
     )
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         load_table(spark, sf_dir, "events").repartition(4).write.mode(

@@ -268,14 +268,26 @@ def idempotent_batch_writer(table: str):
 
         df = batch_df.withColumn("_batch_id", F.lit(batch_id).cast("long"))
         sess = df.sparkSession
+        # Scope the dynamic-overwrite mode to this write: a bare conf.set
+        # would leak into every later write on the shared session and turn
+        # an unrelated static-mode overwrite into a partial one.
+        saved = sess.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        if sess.catalog.tableExists(table):
-            # Position-based: _batch_id is last in both df and table.
-            df.write.mode("overwrite").insertInto(table)
-        else:
-            df.write.partitionBy("_batch_id").format("parquet").saveAsTable(
-                table
-            )
+        try:
+            if sess.catalog.tableExists(table):
+                # Position-based: _batch_id is last in both df and table.
+                df.write.mode("overwrite").insertInto(table)
+            else:
+                df.write.partitionBy("_batch_id").format("parquet").saveAsTable(
+                    table
+                )
+        finally:
+            if saved is None:
+                sess.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                sess.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", saved
+                )
 
     return write_batch
 
