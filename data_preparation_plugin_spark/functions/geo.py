@@ -67,6 +67,62 @@ def haversine_km(
     return 2 * 6371.0 * F.asin(F.sqrt(a))
 
 
+def wkt_polygon_vertices(geom: Column) -> tuple[Column, Column]:
+    """Parse a single-ring ``POLYGON ((x y, ...))`` WKT into vertex arrays.
+
+    Returns ``(xs, ys)`` as ``array<double>`` columns over the closed ring
+    (first vertex repeated last, the WKT convention). Pure JVM string ops
+    — regexp + split + cast — so parsing stays inside codegen; no UDF.
+    Spark's double→string→double cast round-trips exactly (shortest-repr
+    serialization), so vertices written by :func:`polygon_wkt` survive the
+    text round trip bit-for-bit.
+    """
+    inner = F.regexp_extract(geom, r"POLYGON \(\((.*)\)\)", 1)
+    pairs = F.split(inner, ", ")
+    xs = F.transform(
+        pairs, lambda p: F.split(p, " ").getItem(0).cast("double")
+    )
+    ys = F.transform(
+        pairs, lambda p: F.split(p, " ").getItem(1).cast("double")
+    )
+    return xs, ys
+
+
+def polygon_wkt(xs: Column, ys: Column) -> Column:
+    """Render closed-ring vertex arrays as single-ring POLYGON WKT."""
+    pts = F.zip_with(
+        xs,
+        ys,
+        lambda x, y: F.concat_ws(" ", x.cast("string"), y.cast("string")),
+    )
+    return F.concat(
+        F.lit("POLYGON (("), F.array_join(pts, ", "), F.lit("))")
+    )
+
+
+def point_in_polygon(x: Column, y: Column, xs: Column, ys: Column) -> Column:
+    """Ray-casting point-in-polygon over closed-ring vertex arrays.
+
+    Casts a ray to +x and counts edge crossings; odd count = inside. The
+    whole predicate is one higher-order ``filter`` over the edge indices —
+    a JVM expression, no UDF, usable directly as a join/filter condition.
+    Works for arbitrary simple polygons (convex or not); points exactly on
+    an edge follow the usual half-open crossing convention. The DuckDB
+    oracle mirrors the identical formula via ``list_filter``, so the two
+    engines agree bit-for-bit on every IEEE comparison.
+    """
+    edges = F.sequence(F.lit(1), F.size(xs) - 1)
+
+    def crosses(i: Column) -> Column:
+        xi, yi = F.element_at(xs, i), F.element_at(ys, i)
+        xj, yj = F.element_at(xs, i + 1), F.element_at(ys, i + 1)
+        return ((yi > y) != (yj > y)) & (
+            x < xi + (xj - xi) * (y - yi) / (yj - yi)
+        )
+
+    return F.size(F.filter(edges, crosses)) % 2 == 1
+
+
 def _row_stride(cell_deg: float) -> int:
     """Columns-per-row stride for the linearised (row, col) cell key.
 
@@ -121,12 +177,16 @@ def grid_blocked_join(
     bbox: tuple[str, str, str, str] = ("min_x", "min_y", "max_x", "max_y"),
     cell_deg: float = GRID_DEG,
     broadcast_regions: bool = True,
+    predicate: Column | None = None,
 ) -> DataFrame:
-    """Point-in-bbox join via grid blocking: equi-join, never cartesian.
+    """Point-in-region join via grid blocking: equi-join, never cartesian.
 
     Regions explode to their covering cells; points map to one cell; the
     hash join on the cell key prunes the candidate space to co-located
-    pairs before the exact ``bbox_contains`` filter runs. With a
+    pairs before the exact predicate runs (``bbox_contains`` by default;
+    pass ``predicate`` for a finer shape test such as
+    :func:`point_in_polygon` — the bbox columns must still bound the
+    region so the covering-cell set stays lossless). With a
     dimension-sized region table the exploded side broadcasts (default);
     at planetary region counts pass ``broadcast_regions=False`` and both
     sides shuffle on the bounded-cardinality cell key.
@@ -138,9 +198,12 @@ def grid_blocked_join(
     if broadcast_regions:
         exploded = F.broadcast(exploded)
     keyed = points.withColumn("__cell", grid_cell(F.col(x), F.col(y), cell_deg))
-    joined = keyed.join(exploded, "__cell").filter(
-        bbox_contains(mnx, mny, mxx, mxy, F.col(x), F.col(y))
+    exact = (
+        predicate
+        if predicate is not None
+        else bbox_contains(mnx, mny, mxx, mxy, F.col(x), F.col(y))
     )
+    joined = keyed.join(exploded, "__cell").filter(exact)
     return joined.drop("__cell")
 
 
@@ -152,4 +215,7 @@ __all__ = [
     "grid_cell",
     "haversine_km",
     "planar_distance_sq",
+    "point_in_polygon",
+    "polygon_wkt",
+    "wkt_polygon_vertices",
 ]

@@ -140,6 +140,55 @@ def _parse_dbf(data: bytes) -> tuple[list[tuple[str, str]], list[list]]:
     return schema, records
 
 
+def write_point_shapefile(
+    path_base: Path,
+    points: list[tuple[float, float]],
+    attrs: list[tuple[int, str]],
+) -> None:
+    """Craft a minimal ``.shp``/``.dbf`` pair: point shapes + (N, C) fields.
+
+    The writing half of the format round trip — used by tests and by the
+    ``source_shapefile_ingest`` driver query to synthesize a real binary
+    shapefile that :func:`read_shapefile` then parses back. Fields are
+    ``id`` (numeric, width 8) and ``name`` (character, width 10), matching
+    the shapes shp2pgsql meets in attribute tables.
+    """
+    records = b""
+    for i, (x, y) in enumerate(points, start=1):
+        content = struct.pack("<i", 1) + struct.pack("<dd", x, y)
+        records += struct.pack(">ii", i, len(content) // 2) + content
+    file_len_words = (100 + len(records)) // 2
+    header = struct.pack(">iiiiiii", 9994, 0, 0, 0, 0, 0, file_len_words)
+    header += struct.pack("<ii", 1000, 1)
+    header += struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+    path_base.with_suffix(".shp").write_bytes(header + records)
+
+    fields = [("id", "N", 8, 0), ("name", "C", 10, 0)]
+    descs = b""
+    for name, ftype, length, dec in fields:
+        descs += (
+            name.encode().ljust(11, b"\x00")
+            + ftype.encode()
+            + b"\x00" * 4
+            + bytes([length, dec])
+            + b"\x00" * 14
+        )
+    record_size = 1 + sum(f[2] for f in fields)
+    header_size = 32 + len(descs) + 1
+    dbf_header = (
+        bytes([3, 124, 1, 1])
+        + struct.pack("<i", len(attrs))
+        + struct.pack("<hh", header_size, record_size)
+        + b"\x00" * 20
+    )
+    body = b""
+    for rid, name in attrs:
+        body += b" " + str(rid).rjust(8).encode() + name.ljust(10).encode()
+    path_base.with_suffix(".dbf").write_bytes(
+        dbf_header + descs + b"\x0d" + body + b"\x1a"
+    )
+
+
 def read_shapefile(spark: SparkSession, shapefile: str) -> DataFrame:
     """Read ``.shp`` + sibling ``.dbf`` into a DataFrame(geometry WKT, attrs)."""
     shp_path = Path(shapefile)

@@ -458,6 +458,22 @@ def connected_components(
     truncates lineage each round so plan depth stays O(1) instead of
     O(iterations). Converges in O(component diameter) rounds — small for
     near-dup clusters, bounded by ``max_iter`` as a safety rail.
+
+    Convergence detection is folded into the label aggregation: each
+    node's own previous label rides along the union (``own`` flag) so the
+    same groupBy that computes the new min-label also recovers the old
+    one. The changed-probe is then a filter over the just-checkpointed
+    result — no join against the previous labels, one checkpoint job plus
+    one cheap local-scan count per round (the round-2 version paid an
+    extra shuffle join per round for the same answer).
+
+    At extreme scale (a giant component with a large diameter — not the
+    near-dup regime, where clusters are small and dense), min-label
+    propagation's O(diameter) rounds become the bottleneck; the documented
+    escape hatch is the large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), which
+    converges in O(log^2 n) rounds with the same (node, label) contract —
+    a drop-in replacement for this loop if profiles ever show it.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     labels = (
@@ -474,22 +490,25 @@ def connected_components(
         bwd = e.join(labels, e.dst == labels.node).select(
             F.col("src").alias("node"), "label"
         )
-        new_labels = (
-            labels.select("node", "label")
-            .unionByName(fwd)
-            .unionByName(bwd)
+        new = (
+            labels.select("node", "label", F.lit(True).alias("own"))
+            .unionByName(fwd.withColumn("own", F.lit(False)))
+            .unionByName(bwd.withColumn("own", F.lit(False)))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                # Every node contributes exactly one own=True row, so this
+                # recovers its previous label inside the same shuffle.
+                F.min(F.when(F.col("own"), F.col("label"))).alias(
+                    "old_label"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = new.select("node", "label")
         if changed == 0:
             break
     return labels

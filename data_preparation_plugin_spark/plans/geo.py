@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 from data_preparation_plugin_spark.functions.geo import (
     grid_blocked_join,
     planar_distance_sq,
+    point_in_polygon,
+    polygon_wkt,
+    wkt_polygon_vertices,
 )
 from data_preparation_plugin_spark.plans.registry import load_table, register
 
@@ -100,4 +103,96 @@ def geo_point_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         planar_distance_sq(F.col("x"), F.col("y"), cx, cy).alias(
             "dist2_center"
         ),
+    )
+
+
+def _diamond_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One diamond (rotated-square) polygon per nation, as WKT text.
+
+    Centred in the nation's bbox band (see :func:`_boxes`) with
+    half-diagonals 6.75°x3.25°, built as a closed 5-vertex ring and
+    rendered to WKT — the engine's geometry representation — so the query
+    exercises the full text round trip: numbers → WKT → parsed vertex
+    arrays. All vertex coordinates are exact in IEEE doubles and Spark's
+    double↔string casts round-trip exactly.
+    """
+    n = F.col("n_nationkey")
+    cx = n * 14.0 - 173.0
+    cy = n * 7.0 - 86.75
+    xs = F.array(cx - 6.75, cx, cx + 6.75, cx, cx - 6.75)
+    ys = F.array(cy, cy - 3.25, cy, cy + 3.25, cy)
+    return load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", polygon_wkt(xs, ys).alias("geometry")
+    )
+
+
+@register(
+    "geo_point_in_polygon",
+    category="geo",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey % 360) - 180
+                   + ((c_custkey * 7919) % 1000) / 1000.0  AS x,
+               ((c_custkey * 31) % 180) - 90
+                   + ((c_custkey * 104729) % 1000) / 1000.0 AS y
+        FROM customer
+    ), polys AS (
+        SELECT n_nationkey,
+               [n_nationkey * 14.0 - 179.75, n_nationkey * 14.0 - 173.0,
+                n_nationkey * 14.0 - 166.25, n_nationkey * 14.0 - 173.0,
+                n_nationkey * 14.0 - 179.75]                 AS xs,
+               [n_nationkey * 7.0 - 86.75, n_nationkey * 7.0 - 90.0,
+                n_nationkey * 7.0 - 86.75, n_nationkey * 7.0 - 83.5,
+                n_nationkey * 7.0 - 86.75]                   AS ys
+        FROM nation
+    )
+    SELECT p.c_custkey,
+           q.n_nationkey AS region_key,
+           p.x,
+           p.y
+    FROM pts p, polys q
+    WHERE len(list_filter(range(1, len(q.xs)), i ->
+              ((q.ys[i] > p.y) != (q.ys[i+1] > p.y))
+              AND (p.x < q.xs[i]
+                   + (q.xs[i+1] - q.xs[i]) * (p.y - q.ys[i])
+                     / (q.ys[i+1] - q.ys[i])))) % 2 = 1
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ray-cast point-in-polygon join through the same grid blocking.
+
+    Completes PostGIS query-half parity for non-rectangular regions
+    (reference ``operators/shp2pgsql.py:13-27``): polygons arrive as WKT
+    text (the shapefile reader's output format), are parsed to vertex
+    arrays JVM-side, and the exact predicate is the higher-order
+    ray-casting filter — no UDF anywhere. Spark runs the scale path
+    (covering-cell explode → broadcast hash join → exact predicate);
+    the oracle runs the naive cross join with the *identical* crossing
+    formula via DuckDB list lambdas, so a hash match proves the grid
+    blocking lossless for polygon shapes, not just bboxes.
+    """
+    polys = _diamond_wkt(spark, sf_dir)
+    xs, ys = wkt_polygon_vertices(F.col("geometry"))
+    regions = polys.select(
+        "n_nationkey",
+        xs.alias("xs"),
+        ys.alias("ys"),
+        F.array_min(xs).alias("min_x"),
+        F.array_min(ys).alias("min_y"),
+        F.array_max(xs).alias("max_x"),
+        F.array_max(ys).alias("max_y"),
+    )
+    joined = grid_blocked_join(
+        _points(spark, sf_dir),
+        regions,
+        predicate=point_in_polygon(
+            F.col("x"), F.col("y"), F.col("xs"), F.col("ys")
+        ),
+    )
+    return joined.select(
+        "c_custkey",
+        F.col("n_nationkey").alias("region_key"),
+        "x",
+        "y",
     )

@@ -171,3 +171,117 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = updates.unionByName(inserts).unionByName(deletes)
     merged = merge_upsert(orders, changes, ["o_orderkey"], delete_col="_deleted")
     return merged.filter((key % 50 == 0) | (key > 10_000_000))
+
+
+_ZIP_SRC = os.path.join(_STAGE_ROOT, "supplier_zip_src")
+_ZIP_ARCHIVE = os.path.join(_STAGE_ROOT, "supplier.zip")
+_ZIP_EXTRACT = os.path.join(_STAGE_ROOT, "supplier_zip_extracted")
+
+SUPPLIER_DDL = (
+    "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, s_acctbal DOUBLE"
+)
+
+
+@register(
+    "source_zip_ingest",
+    category="source",
+    oracle=f"""
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_balance,
+           min(s_name) AS first_name
+    FROM read_csv('{_ZIP_EXTRACT}/*.csv', header=true,
+                  columns={{'s_suppkey': 'BIGINT', 's_name': 'VARCHAR',
+                            's_nationkey': 'BIGINT', 's_acctbal': 'DOUBLE'}})
+    GROUP BY s_nationkey
+    """,
+)
+def source_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zip archive → DownloadUnzipOperator (file:// URL) → CSV load → agg.
+
+    The reference's zip path end-to-end (reference ``operators/
+    download.py:8-22``: wget + unzip -o): supplier is staged to CSV with
+    the distributed writer, the part files are zipped driver-side (the
+    fetch artifact), the operator downloads-and-extracts the archive, and
+    Spark reads the extracted files with a declared schema. The oracle
+    parses the *same extracted files* with DuckDB ``read_csv``, so both
+    the unzip and the parse are value-checked. The extract dir is wiped
+    first so stale part files from a previous run can't leak into either
+    engine's glob.
+    """
+    import glob
+    import shutil
+    import zipfile
+    from pathlib import Path
+
+    from data_preparation_plugin_spark.operators.download import (
+        DownloadUnzipOperator,
+    )
+
+    load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    ).write.mode("overwrite").option("header", "true").csv(_ZIP_SRC)
+    with zipfile.ZipFile(_ZIP_ARCHIVE, "w") as archive:
+        for i, part in enumerate(sorted(glob.glob(f"{_ZIP_SRC}/*.csv"))):
+            archive.write(part, arcname=f"part-{i:05d}.csv")
+    shutil.rmtree(_ZIP_EXTRACT, ignore_errors=True)
+    DownloadUnzipOperator(
+        url=Path(_ZIP_ARCHIVE).as_uri(), dir_path=_ZIP_EXTRACT
+    ).execute(spark)
+    df = (
+        spark.read.schema(SUPPLIER_DDL)
+        .option("header", "true")
+        .csv(_ZIP_EXTRACT)
+    )
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+        F.min("s_name").alias("first_name"),
+    )
+
+
+_SHP_DIR = os.path.join(_STAGE_ROOT, "sites_shp")
+_SHP_N_SITES = 25
+
+
+@register(
+    "source_shapefile_ingest",
+    category="source",
+    oracle=f"""
+    SELECT 'POINT (' || CAST(i * 2 + 0.5 AS VARCHAR) || ' '
+               || CAST(i * 3 + 0.25 AS VARCHAR) || ')' AS geometry,
+           i + 1 AS site_id,
+           'site_' || CAST(i AS VARCHAR) AS site_name
+    FROM range(0, {_SHP_N_SITES}) t(i)
+    """,
+)
+def source_shapefile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary shapefile → pure-Python .shp/.dbf parse → WKT rows.
+
+    The reference's shp2pgsql ingest half with hard driver signal
+    (reference ``operators/shp2pgsql.py:11-27``): a real ESRI binary pair
+    is synthesized from a closed-form site list (exact doubles, %g-stable
+    WKT text), parsed back by :func:`read_shapefile`, and emitted as
+    (geometry WKT, typed attributes). DuckDB can't read shapefiles, so
+    the oracle recomputes the expected rows from the same closed form —
+    an independent expected-value check of the full binary round trip:
+    shp geometry words, dbf field descriptors, record parsing, WKT
+    rendering, and dbf N/C type mapping.
+    """
+    from pathlib import Path
+
+    from data_preparation_plugin_spark.operators.shapefile import (
+        read_shapefile,
+        write_point_shapefile,
+    )
+
+    base = Path(_SHP_DIR) / "sites"
+    base.parent.mkdir(parents=True, exist_ok=True)
+    points = [(i * 2 + 0.5, i * 3 + 0.25) for i in range(_SHP_N_SITES)]
+    attrs = [(i + 1, f"site_{i}") for i in range(_SHP_N_SITES)]
+    write_point_shapefile(base, points, attrs)
+    df = read_shapefile(spark, str(base.with_suffix(".shp")))
+    return df.select(
+        "geometry",
+        F.col("id").alias("site_id"),
+        F.col("name").alias("site_name"),
+    )
