@@ -74,24 +74,25 @@ DRIVER_CHECK_PRIORITY = [
     "q8_market_share",
     "q9_profit_by_nation_year",
     "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_predicate_join",
-    "q22_dormant_rich_customers",
     "join_range_band",
     "grouping_sets",
     "rollup_agg",
     "window_range_interval",
-    "exists_late_shipment",
     "set_ops_multiset",
-    # --- New this round: last §2.A surfaces without hard signal, plus
-    # --- polygon-grade spatial predicate (PostGIS query-half parity).
+    # --- New this round: last §2.A surfaces without hard signal, the
+    # --- polygon-grade spatial predicate (PostGIS query-half parity),
+    # --- and four new training-pipeline operators.
     "source_zip_ingest",
     "source_shapefile_ingest",
     "geo_point_in_polygon",
+    "text_gopher_repetition",
+    "text_url_canonicalize",
+    "text_chunk_sliding",
+    "knn_kmeans_step",
+    "events_stream_dedup",
     # --- Category-coverage re-confirms (sort / source / udf). ---
     "sort_limit_topk",
     "source_csv_roundtrip",

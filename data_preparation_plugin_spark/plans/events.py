@@ -538,3 +538,75 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(
         spark, "events_stream_interval_join", joined, output_mode="append"
     )
+
+
+def _stage_events_duplicated(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events twice (two appended writes) for streaming-dedup replay.
+
+    The second write's part files carry later modification times, and the
+    file stream source orders micro-batches by mod time — so the replay
+    sees every event once in an early batch and again in a later one,
+    which is exactly the cross-batch duplicate stream
+    ``dropDuplicatesWithinWatermark`` exists to clean. A dedicated
+    ``_STAGED_OK`` marker (written only after BOTH writes land) gates the
+    cache, because each append also drops its own ``_SUCCESS``.
+    """
+    import hashlib
+    import os
+    import tempfile
+    from pathlib import Path
+
+    digest = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    staged = os.path.join(
+        tempfile.gettempdir(), f"dpp-events-dupreplay-{base}-{digest}"
+    )
+    marker = Path(staged) / "_STAGED_OK"
+    if not marker.exists():
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events")
+        events.repartition(4).write.mode("overwrite").parquet(staged)
+        events.repartition(2).write.mode("append").parquet(staged)
+        marker.touch()
+    return staged
+
+
+@register(
+    "events_stream_dedup",
+    category="streaming",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: every event arrives twice, exactly one survives.
+
+    The exactly-once gate of a training-data event feed:
+    ``dropDuplicatesWithinWatermark`` on the event key keeps per-key state
+    only until the watermark passes — bounded state at any stream length,
+    unlike an unbounded ``dropDuplicates``. The staged replay delivers
+    each event twice across different micro-batches (see
+    ``_stage_events_duplicated``), so the oracle match — exactly the
+    distinct event set — is hard evidence the dedup state survives across
+    batches rather than only within one. The generous replay watermark
+    makes no delivery "late"; in production the watermark IS the
+    duplicate-horizon knob, and shrinking it trades state size for
+    how-late duplicates are caught.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        dedup_within_watermark,
+        events_stream,
+    )
+
+    staged = _stage_events_duplicated(spark, sf_dir)
+    deduped = dedup_within_watermark(
+        events_stream(spark, staged, max_files_per_trigger=2),
+        keys=["event_id"],
+        watermark="30 days",
+    ).select("event_id", "user_id", "event_type", "value")
+    return _replay(
+        spark, "events_stream_dedup", deduped, output_mode="append"
+    )

@@ -443,3 +443,120 @@ def knn_bruteforce_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+#: K-means assignment step: cluster count and quantization scale. The
+#: embeddings are quantized to integers (floor(x*1000)) before any
+#: cross-row aggregation, so centroid sums are exact integers and the
+#: whole E/M step is bit-reproducible in any summation order — the
+#: property cross-row float sums cannot give.
+KMEANS_K = 8
+KMEANS_QSCALE = 1000
+
+
+@register(
+    "knn_kmeans_step",
+    category="similarity",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, vec_id % {KMEANS_K} AS seed,
+               list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * {KMEANS_QSCALE}.0)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ), dims AS (
+        SELECT seed, unnest(qv) AS val,
+               unnest(range(1, len(qv) + 1)) AS pos
+        FROM q
+    ), cent AS (
+        SELECT seed, pos, sum(val) * 1.0 / count(*) AS c
+        FROM dims GROUP BY seed, pos
+    ), carr AS (
+        SELECT seed, list(c ORDER BY pos) AS cv FROM cent GROUP BY seed
+    ), pairs AS (
+        SELECT q.vec_id, carr.seed,
+               list_reduce(list_transform(range(1, len(q.qv) + 1),
+                   i -> (q.qv[i] - carr.cv[i]) * (q.qv[i] - carr.cv[i])),
+                   (acc, x) -> acc + x) AS dist2
+        FROM q, carr
+    ), best AS (
+        SELECT vec_id, min(dist2) AS md FROM pairs GROUP BY vec_id
+    ), assigned AS (
+        SELECT p.vec_id, min(p.seed) AS centroid, min(b.md) AS dist2
+        FROM pairs p JOIN best b
+          ON p.vec_id = b.vec_id AND p.dist2 = b.md
+        GROUP BY p.vec_id
+    )
+    SELECT centroid,
+           count(*)    AS n_assigned,
+           min(dist2)  AS min_dist2,
+           max(dist2)  AS max_dist2
+    FROM assigned
+    GROUP BY centroid
+    """,
+)
+def knn_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact k-means E/M step over quantized embeddings.
+
+    The clustering primitive behind SemDeDup-style semantic dedup and
+    diversity sampling: seed centroids as the elementwise mean of a
+    deterministic partition (vec_id mod k), then reassign every vector to
+    its nearest centroid. Quantizing to integers first makes the
+    cross-row centroid sums exact (order-independent — the one thing
+    distributed float summation can't guarantee), so the full step is
+    hash-checkable against the oracle rather than tolerance-compared.
+
+    Plan shape at 100 TB: the M step is a posexplode + two bounded-key
+    aggregations (k×dim rows cross the wire, never vectors × dims
+    unaggregated — partial aggregation runs map-side); the E step
+    broadcasts the k centroid arrays and streams the corpus once with a
+    left-fold distance (no cartesian: the join is a broadcast of k rows).
+    Iterating the loop is this same job repeated — the standard Spark
+    k-means shape (cf. MLlib's KMeans which adds distributed sampling
+    for init).
+    """
+    k = KMEANS_K
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        (F.col("vec_id") % k).alias("seed"),
+        F.transform(
+            "embedding",
+            lambda e: F.floor(e.cast("double") * KMEANS_QSCALE).cast("long"),
+        ).alias("qv"),
+    )
+    dims = q.select("seed", F.posexplode("qv").alias("pos", "val"))
+    cent = dims.groupBy("seed", "pos").agg(
+        (F.sum("val") * F.lit(1.0) / F.count(F.lit(1))).alias("c")
+    )
+    carr = cent.groupBy("seed").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    ).withColumnRenamed("seed", "cand")
+    pairs = q.drop("seed").join(F.broadcast(carr)).select(
+        "vec_id",
+        F.col("cand").alias("seed"),
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    best = pairs.groupBy("vec_id").agg(F.min("dist2").alias("md"))
+    assigned = (
+        pairs.alias("p")
+        .join(
+            best.alias("b"),
+            (F.col("p.vec_id") == F.col("b.vec_id"))
+            & (F.col("p.dist2") == F.col("b.md")),
+        )
+        .groupBy("p.vec_id")
+        .agg(F.min("p.seed").alias("centroid"), F.min("b.md").alias("dist2"))
+    )
+    return assigned.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.min("dist2").alias("min_dist2"),
+        F.max("dist2").alias("max_dist2"),
+    )

@@ -565,3 +565,274 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("chars_after"),
         F.md5(clean).alias("clean_fingerprint"),
     )
+
+
+@register(
+    "text_gopher_repetition",
+    category="text",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, length(text) AS n_chars,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, n_chars, 2 AS n, unnest(
+            CASE WHEN len(tokens) >= 2
+                 THEN list_transform(range(1, len(tokens)),
+                                     i -> tokens[i] || ' ' || tokens[i+1])
+                 ELSE [] END) AS gram
+        FROM toks
+        UNION ALL
+        SELECT doc_id, n_chars, 3, unnest(
+            CASE WHEN len(tokens) >= 3
+                 THEN list_transform(range(1, len(tokens) - 1),
+                                     i -> tokens[i] || ' ' || tokens[i+1]
+                                          || ' ' || tokens[i+2])
+                 ELSE [] END)
+        FROM toks
+    ), counts AS (
+        SELECT doc_id, n_chars, n, gram, length(gram) AS gram_chars,
+               count(*) AS c
+        FROM grams
+        GROUP BY ALL
+    )
+    SELECT doc_id,
+           max(CASE WHEN n = 2 THEN c * gram_chars ELSE 0 END)
+               * 1.0 / min(n_chars)  AS top_bigram_char_frac,
+           sum(CASE WHEN n = 3 AND c > 1 THEN c * gram_chars ELSE 0 END)
+               * 1.0 / min(n_chars)  AS dup_trigram_char_frac
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style n-gram repetition fractions per document.
+
+    The two remaining repetition rules from the Gopher corpus-filtering
+    recipe (Rae et al. 2021, §A1.1) that ``text_repetition_ratio``'s
+    unigram stats don't capture: the character share of the dominant
+    bigram, and the character share locked up in *duplicated* trigrams.
+    Ties on the dominant bigram are made deterministic by maximizing the
+    char-occupancy product ``count * len(gram)`` directly (the quantity
+    the rule thresholds anyway). One tokenize, two gram explodes, two
+    bounded-key aggregations — the text column never shuffles, numerators
+    are exact integers, and the single final division happens identically
+    in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        tokens_col(F.col("text")).alias("tokens"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        windows = F.transform(
+            F.slice("tokens", 1, F.size("tokens") - (n - 1)),
+            lambda _, i: F.concat_ws(
+                " ", *[F.element_at("tokens", i + 1 + off) for off in range(n)]
+            ),
+        )
+        return toks.select(
+            "doc_id",
+            "n_chars",
+            F.lit(n).alias("n"),
+            F.explode(
+                F.when(F.size("tokens") >= n, windows).otherwise(F.array())
+            ).alias("gram"),
+        )
+
+    counts = (
+        grams(2)
+        .unionByName(grams(3))
+        .groupBy("doc_id", "n_chars", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("gram_chars", F.length("gram"))
+    )
+    occupancy = F.col("c") * F.col("gram_chars")
+    # Raw quotients, deliberately unrounded: both engines divide the same
+    # exact integers, so the doubles are bit-identical — rounding is the
+    # only step that could diverge (shortest-repr vs binary halfway ties).
+    return counts.groupBy("doc_id").agg(
+        (
+            F.max(F.when(F.col("n") == 2, occupancy).otherwise(0))
+            * F.lit(1.0)
+            / F.min("n_chars")
+        ).alias("top_bigram_char_frac"),
+        (
+            F.sum(
+                F.when((F.col("n") == 3) & (F.col("c") > 1), occupancy)
+                .otherwise(0)
+            )
+            * F.lit(1.0)
+            / F.min("n_chars")
+        ).alias("dup_trigram_char_frac"),
+    )
+
+
+@register(
+    "text_url_canonicalize",
+    category="text",
+    oracle=r"""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://'
+               || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+               || source || '-' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.org/page/' || CAST(doc_id % 40 AS VARCHAR)
+               || CASE WHEN doc_id % 5 = 0
+                       THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END AS url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(url, '^https?://', ''),
+                           '^www\.', ''),
+                       '\?.*$', ''),
+                   '/$', '') AS canonical_url
+        FROM urls
+    )
+    SELECT regexp_extract(canonical_url, '^([^/]+)', 1) AS host,
+           count(*)                        AS n_docs,
+           count(DISTINCT canonical_url)   AS n_distinct_pages
+    FROM canon
+    GROUP BY host
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host-level duplicate accounting.
+
+    The web-corpus prep step before any URL-keyed dedup: strip scheme,
+    ``www.`` prefix, query string (tracking parameters), and trailing
+    slash, then aggregate per host. URLs are synthesized from doc keys in
+    closed form (the fixture carries no URL column) — the operator under
+    test is the canonicalization chain itself, four sequential
+    ``regexp_replace`` passes kept RE2-and-Java compatible so both
+    engines rewrite identically. ``n_docs - n_distinct_pages`` per host
+    is exactly the duplicate mass an URL-level dedup would remove.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(k % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("-"),
+        (k % 7).cast("string"),
+        F.lit(".example.org/page/"),
+        (k % 40).cast("string"),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="), k.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(url, r"^https?://", ""), r"^www\.", ""
+            ),
+            r"\?.*$",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    canon = docs.select(canonical.alias("canonical_url"))
+    return (
+        canon.groupBy(
+            F.regexp_extract("canonical_url", r"^([^/]+)", 1).alias("host")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_url").alias("n_distinct_pages"),
+        )
+    )
+
+
+#: Sliding-window chunking: window size and stride in tokens.
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "text_chunk_sliding",
+    category="text",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), spans AS (
+        SELECT doc_id, tokens, len(tokens) AS n,
+               unnest(range(0,
+                   CASE WHEN len(tokens) <= {CHUNK_SIZE} THEN 1
+                        ELSE CAST(floor((len(tokens) - {CHUNK_SIZE}
+                                         + {CHUNK_STRIDE} - 1)
+                                        / {CHUNK_STRIDE}) AS BIGINT) + 1
+                   END)) AS chunk_idx
+        FROM toks
+    )
+    SELECT doc_id,
+           chunk_idx,
+           chunk_idx * {CHUNK_STRIDE} + 1 AS chunk_start,
+           CAST(len(list_slice(tokens, chunk_idx * {CHUNK_STRIDE} + 1,
+                    least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)))
+                AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+               list_slice(tokens, chunk_idx * {CHUNK_STRIDE} + 1,
+                          least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)),
+               ' ')) AS chunk_hash
+    FROM spans
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: overlapping fixed-size token windows.
+
+    The RAG / long-context preprocessing step: each document becomes
+    ceil-div overlapping chunks of {CHUNK_SIZE} tokens at stride
+    {CHUNK_STRIDE} (8-token overlap), short docs one chunk. All HOF array
+    ops below a single Generate — ``sequence`` for the chunk offsets,
+    ``slice`` for the window, md5 of the joined window as the chunk
+    fingerprint — so chunking is a zero-shuffle projection at any corpus
+    size, and the hash makes any off-by-one in the window boundaries a
+    hard driver failure.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    )
+    n = F.size("tokens")
+    n_chunks = (
+        F.when(n <= CHUNK_SIZE, F.lit(1).cast("long"))
+        .otherwise(
+            F.floor(
+                (n - CHUNK_SIZE + CHUNK_STRIDE - 1) / F.lit(CHUNK_STRIDE)
+            ).cast("long")
+            + 1
+        )
+    )
+    spans = toks.select(
+        "doc_id",
+        "tokens",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE + 1
+    length = F.least(
+        F.lit(CHUNK_SIZE).cast("long"), F.col("n") - start + 1
+    )
+    window = F.slice("tokens", start, length)
+    return spans.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("chunk_start"),
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(window, " ")).alias("chunk_hash"),
+    )

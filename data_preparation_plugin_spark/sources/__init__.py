@@ -45,6 +45,67 @@ def jdbc_reader_options(
     return opts
 
 
+#: PostgreSQL column type → Spark SQL type, as Spark's JDBC PostgresDialect
+#: maps them on read. This is the contract that makes the reference's
+#: native habitat (PostgresDataset over psycopg2, reference
+#: ``hooks/dataset.py:120-137``: SQLAlchemy reflection + pandas implicit
+#: conversions) a config-only swap from the embedded-Derby tests: the
+#: url/driver pair changes, the downstream DataFrame schema follows this
+#: table. ``serial``/``bigserial`` are storage aliases for int/bigint with
+#: a sequence default — the scan sees the integer type. ``numeric`` with
+#: no declared precision arrives as Spark's maximum decimal;
+#: ``timestamptz`` is normalized to the session timezone (an instant, like
+#: the reference's pandas ``datetime64[ns, tz]``).
+PG_TYPE_MAP: dict[str, str] = {
+    "smallint": "smallint",
+    "integer": "int",
+    "bigint": "bigint",
+    "serial": "int",
+    "bigserial": "bigint",
+    "real": "float",
+    "double precision": "double",
+    "numeric": "decimal(38,18)",
+    "numeric(p,s)": "decimal(p,s)",
+    "text": "string",
+    "varchar(n)": "string",
+    "char(n)": "string",
+    "boolean": "boolean",
+    "bytea": "binary",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+    "uuid": "string",
+    "json": "string",
+    "jsonb": "string",
+}
+
+
+def pg_reader_options(
+    host: str,
+    database: str,
+    table: str,
+    port: int = 5432,
+    user: str | None = None,
+    password: str | None = None,
+    **kwargs,
+) -> dict[str, str]:
+    """Postgres-flavoured :func:`jdbc_reader_options`.
+
+    Produces the exact option map :func:`read_jdbc` needs for a live
+    PostgreSQL — the only delta from the Derby-backed tests is the
+    url/driver/credential entries this helper adds, which is the
+    config-only-swap contract ``tests/test_jdbc.py`` pins.
+    """
+    url = f"jdbc:postgresql://{host}:{port}/{database}"
+    opts = jdbc_reader_options(url, table, **kwargs)
+    opts["driver"] = "org.postgresql.Driver"
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    return opts
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -102,4 +163,10 @@ def write_jdbc(
     writer.mode(mode).save()
 
 
-__all__ = ["jdbc_reader_options", "read_jdbc", "write_jdbc"]
+__all__ = [
+    "PG_TYPE_MAP",
+    "jdbc_reader_options",
+    "pg_reader_options",
+    "read_jdbc",
+    "write_jdbc",
+]

@@ -97,6 +97,10 @@ PROBES = [
     "text_repetition_ratio",     # two bounded-key aggs over explode
     "multimodal_decode_ppm",     # chained mapInPandas, zero shuffle
     "sink_merge_upsert",         # CDC anti-join + union rewrite
+    "curation_corpus_status",    # one scan feeding a gate cascade
+    "geo_point_in_region",       # grid-cell explode + broadcast hash join
+    "geo_point_in_polygon",      # same blocking, ray-cast HOF predicate
+    "dedup_minhash_clusters",    # iterative label propagation fixpoint
 ]
 
 

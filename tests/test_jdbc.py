@@ -92,3 +92,46 @@ def test_jdbc_roundtrip_embedded_derby(spark):
         for r in got_df.collect()
     )
     assert got == expected
+
+
+def test_pg_reader_options_is_config_only_delta():
+    """Swapping Derby for PostgreSQL must change ONLY url/driver/creds —
+    the partitioning contract travels unchanged (README 'JDBC')."""
+    from data_preparation_plugin_spark.sources import (
+        jdbc_reader_options,
+        pg_reader_options,
+    )
+
+    common = dict(
+        partition_column="o_orderkey",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=1000,
+    )
+    derby = jdbc_reader_options(DERBY_URL, "ORDERS", **common)
+    pg = pg_reader_options(
+        "db.example.org", "tpch", "ORDERS",
+        user="etl", password="s3cret", **common,
+    )
+    delta = {k for k in pg.keys() ^ derby.keys()} | {
+        k for k in pg.keys() & derby.keys() if pg[k] != derby[k]
+    }
+    assert delta == {"url", "driver", "user", "password"}
+    assert pg["url"] == "jdbc:postgresql://db.example.org:5432/tpch"
+    assert pg["driver"] == "org.postgresql.Driver"
+    assert pg["partitionColumn"] == derby["partitionColumn"]
+
+
+def test_pg_type_map_targets_are_valid_spark_ddl(spark):
+    """Every mapped Spark type must parse as DDL, so a reflected PG schema
+    can be declared verbatim (reference hooks/dataset.py:163-170 parity)."""
+    from data_preparation_plugin_spark.sources import PG_TYPE_MAP
+
+    for pg_type, spark_type in PG_TYPE_MAP.items():
+        ddl = spark_type.replace("(p,s)", "(10,2)").replace("(n)", "")
+        # Parses or raises: an invalid type name fails the test.
+        spark.createDataFrame([], schema=f"c {ddl}")
+    # The core scalar types the reference round-trips must be present.
+    for required in ("integer", "bigint", "numeric", "text", "timestamp",
+                     "timestamptz", "serial", "boolean", "date", "bytea"):
+        assert required in PG_TYPE_MAP
