@@ -73,13 +73,11 @@ DRIVER_CHECK_PRIORITY = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",
-    "q10_returned_items",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_predicate_join",
     "join_range_band",
     "grouping_sets",
-    "rollup_agg",
     "window_range_interval",
     "set_ops_multiset",
     # --- New this round: last §2.A surfaces without hard signal, the
@@ -93,6 +91,8 @@ DRIVER_CHECK_PRIORITY = [
     "text_chunk_sliding",
     "knn_kmeans_step",
     "events_stream_dedup",
+    "multimodal_resize_ppm",
+    "multimodal_decode_wav",
     # --- Category-coverage re-confirms (sort / source / udf). ---
     "sort_limit_topk",
     "source_csv_roundtrip",

@@ -209,3 +209,136 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_channels",
         F.round("mean_pixel", 4).alias("mean_pixel"),
     )
+
+
+@register(
+    "multimodal_resize_ppm",
+    category="multimodal",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 16 + 4 AS w,
+               doc_id % 12 + 3 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS k
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER)            AS width,
+           CAST(h AS INTEGER)            AS height,
+           CAST((w + 1) // 2 AS INTEGER) AS out_width,
+           CAST((h + 1) // 2 AS INTEGER) AS out_height,
+           avg((doc_id * 7 + k) % 256)   AS mean_pixel_resized
+    FROM px
+    WHERE ((k // 3) // w) % 2 = 0
+      AND ((k // 3) % w) % 2 = 0
+    GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: strided nearest-neighbor over decoded pixels.
+
+    The preprocessing step between decode and feature extraction: the
+    synthesized binary PPMs are parsed and genuinely subsampled
+    (``img[::2, ::2, :]`` on the numpy pixel array), and the mean over the
+    *resampled* pixels is value-checked against the oracle's closed-form
+    reconstruction of exactly the even-row/even-column pixel set — a
+    wrong stride, axis order, or channel handling shifts the sampled set
+    and hash-fails. Pixel sums are integers below 2^53, so the float64
+    mean is exact in any summation order; no rounding needed.
+    """
+    from data_preparation_plugin_spark.operators.multimodal import (
+        resize_ppm_nearest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _synth_ppm_batches, schema="doc_id long, payload binary"
+    )
+    return resize_ppm_nearest(payloads, stride=2)
+
+
+def _synth_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic canonical PCM WAV synthesis — the fake *capture* step.
+
+    16-bit mono 8 kHz; sample values are a pure function of doc_id, so
+    every decoded statistic is reproducible in SQL.
+    """
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = d % 500 + 100
+            samples = (
+                ((d * 31 + 17 * np.arange(n, dtype=np.int64)) % 65536) - 32768
+            ).astype("<i2")
+            data = samples.tobytes()
+            header = struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF",
+                36 + len(data),
+                b"WAVE",
+                b"fmt ",
+                16,
+                1,      # PCM
+                1,      # mono
+                8000,   # sample rate
+                16000,  # byte rate
+                2,      # block align
+                16,     # bits per sample
+                b"data",
+                len(data),
+            )
+            payloads.append(header + data)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@register(
+    "multimodal_decode_wav",
+    category="multimodal",
+    oracle="""
+    WITH sam AS (
+        SELECT doc_id,
+               doc_id % 500 + 100 AS n,
+               unnest(range(0, doc_id % 500 + 100)) AS i
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER)              AS sample_rate,
+           CAST(1 AS INTEGER)                 AS n_channels,
+           CAST(16 AS INTEGER)                AS bits_per_sample,
+           CAST(n AS BIGINT)                  AS n_samples,
+           CAST(n * 125 AS BIGINT)            AS duration_us,
+           avg((doc_id * 31 + i * 17) % 65536 - 32768) AS mean_sample,
+           CAST(min((doc_id * 31 + i * 17) % 65536 - 32768) AS INTEGER)
+                                              AS min_sample,
+           CAST(max((doc_id * 31 + i * 17) % 65536 - 32768) AS INTEGER)
+                                              AS max_sample
+    FROM sam
+    GROUP BY doc_id, n
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no codec library: canonical PCM WAV end-to-end.
+
+    The audio twin of ``multimodal_decode_ppm``: a synthesizer writes
+    genuine RIFF/WAVE binaries (44-byte canonical header + int16 PCM),
+    then ``operators.multimodal.decode_wav`` parses the header with
+    ``struct`` and the sample buffer with numpy, reporting format fields,
+    duration, and sample statistics. Every output — including the exact
+    float64 sample mean — is reconstructed by the oracle in closed form,
+    so a single wrong header offset or endianness mistake hash-fails.
+    Two chained ``mapInPandas`` passes, Arrow-batched, zero shuffle.
+    """
+    from data_preparation_plugin_spark.operators.multimodal import decode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _synth_wav_batches, schema="doc_id long, payload binary"
+    )
+    return decode_wav(payloads)
