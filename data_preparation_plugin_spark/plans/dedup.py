@@ -476,24 +476,27 @@ def connected_components(
     a drop-in replacement for this loop if profiles ever show it.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the symmetric edge list once: labels then flow both ways
+    # through a single join per round instead of separate fwd/bwd joins.
+    bidir = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
     labels = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        bidir.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        fwd = e.join(labels, e.src == labels.node).select(
+        prop = bidir.join(labels, bidir.src == labels.node).select(
             F.col("dst").alias("node"), "label"
-        )
-        bwd = e.join(labels, e.dst == labels.node).select(
-            F.col("src").alias("node"), "label"
         )
         new = (
             labels.select("node", "label", F.lit(True).alias("own"))
-            .unionByName(fwd.withColumn("own", F.lit(False)))
-            .unionByName(bwd.withColumn("own", F.lit(False)))
+            .unionByName(prop.withColumn("own", F.lit(False)))
             .groupBy("node")
             .agg(
                 F.min("label").alias("label"),

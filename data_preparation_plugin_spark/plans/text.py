@@ -626,25 +626,28 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_col(F.col("text")).alias("tokens"),
     )
 
-    def grams(n: int) -> DataFrame:
+    def tagged(n: int):
         windows = F.transform(
             F.slice("tokens", 1, F.size("tokens") - (n - 1)),
             lambda _, i: F.concat_ws(
                 " ", *[F.element_at("tokens", i + 1 + off) for off in range(n)]
             ),
         )
-        return toks.select(
-            "doc_id",
-            "n_chars",
-            F.lit(n).alias("n"),
-            F.explode(
-                F.when(F.size("tokens") >= n, windows).otherwise(F.array())
-            ).alias("gram"),
+        safe = F.when(F.size("tokens") >= n, windows).otherwise(F.array())
+        return F.transform(
+            safe, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
         )
 
+    # Both gram sizes ride one Generate off one scan (a union of per-size
+    # branches would scan the text twice — no CSE across union arms).
     counts = (
-        grams(2)
-        .unionByName(grams(3))
+        toks.select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.concat(tagged(2), tagged(3))).alias("g"),
+        )
+        .select("doc_id", "n_chars", F.col("g.n").alias("n"),
+                F.col("g.gram").alias("gram"))
         .groupBy("doc_id", "n_chars", "n", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("gram_chars", F.length("gram"))
