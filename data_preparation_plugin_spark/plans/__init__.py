@@ -70,7 +70,6 @@ DRIVER_CHECK_PRIORITY = [
     "window_distribution",
     # --- r1-only greens worth re-confirming (complex plans first). ---
     "q5_local_supplier",
-    "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",
     "q17_small_quantity_revenue",
@@ -93,6 +92,7 @@ DRIVER_CHECK_PRIORITY = [
     "events_stream_dedup",
     "multimodal_resize_ppm",
     "multimodal_decode_wav",
+    "agg_salted_skew",
     # --- Category-coverage re-confirms (sort / source / udf). ---
     "sort_limit_topk",
     "source_csv_roundtrip",

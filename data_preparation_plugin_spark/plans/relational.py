@@ -2126,3 +2126,41 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ap(1).between(ex(1), ex(2)).alias("p50_in_rank_band"),
         ap(2).between(ex(3), ex(4)).alias("p95_in_rank_band"),
     )
+
+
+@register(
+    "agg_salted_skew",
+    category="aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation through an explicit salt.
+
+    ``l_returnflag`` has 3 values over the whole fact table — the textbook
+    hot-key aggregation. The salted plan (``layout.salted_aggregate``)
+    spreads each key over 16 reducers in phase 1 and merges at most 16
+    partial rows per key in phase 2; the oracle runs the plain GROUP BY,
+    so the hash match proves salting is *lossless* — the 100 TB skew
+    lever changes the physical plan only. Measures are integer (quantity
+    cast to bigint, row count), so the sums are exact in any merge order;
+    the oracle casts its sum back to BIGINT because DuckDB widens summed
+    bigints to HUGEINT, which has no hash-safe Spark twin (the round-1
+    q12 lesson).
+    """
+    from data_preparation_plugin_spark.layout import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return salted_aggregate(
+        li,
+        ["l_returnflag"],
+        16,
+        {"sum_qty": ("qty", "sum"), "n_items": ("qty", "count")},
+    )
