@@ -70,8 +70,6 @@ DRIVER_CHECK_PRIORITY = [
     "window_distribution",
     # --- r1-only greens worth re-confirming (complex plans first). ---
     "q5_local_supplier",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_predicate_join",
@@ -93,6 +91,8 @@ DRIVER_CHECK_PRIORITY = [
     "multimodal_resize_ppm",
     "multimodal_decode_wav",
     "agg_salted_skew",
+    "source_schema_evolution",
+    "source_partition_pruning",
     # --- Category-coverage re-confirms (sort / source / udf). ---
     "sort_limit_topk",
     "source_csv_roundtrip",

@@ -285,3 +285,94 @@ def source_shapefile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("site_id"),
         F.col("name").alias("site_name"),
     )
+
+
+_EVO_DIR = os.path.join(_STAGE_ROOT, "region_evolved")
+
+
+@register(
+    "source_schema_evolution",
+    category="source",
+    oracle=f"""
+    WITH unified AS (
+        SELECT r_regionkey, r_name, NULL AS ingest_batch
+        FROM read_parquet('{_EVO_DIR}/v1/*.parquet')
+        UNION ALL
+        SELECT r_regionkey, r_name, ingest_batch
+        FROM read_parquet('{_EVO_DIR}/v2/*.parquet')
+    )
+    SELECT r_regionkey, r_name,
+           count(*)                AS n_rows,
+           count(ingest_batch)     AS n_with_batch,
+           max(ingest_batch)       AS last_batch
+    FROM unified
+    GROUP BY r_regionkey, r_name
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: old and new parquet under one scan.
+
+    The data-lake reality the reference's reflected-Postgres schema never
+    meets: a feed adds a column (``ingest_batch``), history keeps the old
+    layout. ``mergeSchema=true`` unifies both generations in a single
+    distributed scan, back-filling the missing column with NULL. The
+    oracle reads the same two staged directories and unifies them by
+    hand, so both the merge semantics and the NULL back-fill are
+    value-checked. At scale this is a footer-only schema merge — data
+    files are never rewritten.
+    """
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    region.write.mode("overwrite").parquet(f"{_EVO_DIR}/v1")
+    region.withColumn(
+        "ingest_batch", (F.col("r_regionkey") % 3 + 1).cast("bigint")
+    ).write.mode("overwrite").parquet(f"{_EVO_DIR}/v2")
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{_EVO_DIR}/v1", f"{_EVO_DIR}/v2")
+    )
+    return df.groupBy("r_regionkey", "r_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("ingest_batch").alias("n_with_batch"),
+        F.max("ingest_batch").alias("last_batch"),
+    )
+
+
+_PART_DIR = os.path.join(_STAGE_ROOT, "orders_by_year")
+
+
+@register(
+    "source_partition_pruning",
+    category="source",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM read_parquet('{_PART_DIR}/o_year=1995/*.parquet')
+    GROUP BY o_orderpriority
+    """,
+)
+def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned staging + partition-pruned scan.
+
+    The physical-layout contract every 100 TB fact table depends on:
+    orders staged partitioned by year (dynamic partition write), then a
+    year-filtered aggregation whose scan must touch only the one matching
+    directory — ``tests/test_plans.py`` pins ``PartitionFilters`` in the
+    physical plan so a regression to a full scan fails the build. The
+    oracle reads the pruned directory path directly: identical values
+    prove the partition column round-trips through the directory name.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(_PART_DIR)
+    df = spark.read.parquet(_PART_DIR).filter(F.col("o_year") == 1995)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -170,3 +170,12 @@ def test_segment_dedup_single_scan(spark):
     assert count(r"FileScan", plan) == 1
     assert count(r"Join", plan) == 0
     assert count(r"Exchange", plan) <= 3
+
+
+def test_partition_pruned_scan(spark):
+    """The year filter must prune to one Hive partition directory, not
+    filter a full scan (source_partition_pruning's 100 TB contract)."""
+    plan = plan_of(spark, "source_partition_pruning", mode="formatted")
+    assert re.search(r"PartitionFilters: \[[^\]]*o_year[^\]]*1995", plan), (
+        "o_year=1995 not applied as a partition filter:\n" + plan
+    )
