@@ -108,3 +108,51 @@ def test_grid_blocked_join_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_point_in_polygon_matches_bbox_for_rectangles(spark):
+    """For a rectangle ring, ray casting must agree with bbox containment
+    on every non-boundary point — cross-validates the two predicates."""
+    from pyspark.sql import functions as F
+
+    from data_preparation_plugin_spark.functions.geo import (
+        bbox_contains,
+        point_in_polygon,
+    )
+
+    # Rectangle (2,1)-(8,5); probe grid offset by 0.5 to avoid edges.
+    pts = spark.range(0, 121).select(
+        ((F.col("id") % 11) + 0.5).alias("x"),
+        ((F.col("id") / 11).cast("int") + 0.5).alias("y"),
+    )
+    xs = F.array(*[F.lit(v) for v in (2.0, 8.0, 8.0, 2.0, 2.0)])
+    ys = F.array(*[F.lit(v) for v in (1.0, 1.0, 5.0, 5.0, 1.0)])
+    checked = pts.select(
+        point_in_polygon(F.col("x"), F.col("y"), xs, ys).alias("ray"),
+        bbox_contains(
+            F.lit(2.0), F.lit(1.0), F.lit(8.0), F.lit(5.0),
+            F.col("x"), F.col("y"),
+        ).alias("box"),
+    )
+    assert checked.filter(F.col("ray") != F.col("box")).count() == 0
+    assert checked.filter(F.col("ray")).count() == 6 * 4
+
+
+def test_wkt_polygon_roundtrip(spark):
+    """polygon_wkt -> wkt_polygon_vertices is exact for arbitrary doubles."""
+    from pyspark.sql import functions as F
+
+    from data_preparation_plugin_spark.functions.geo import (
+        polygon_wkt,
+        wkt_polygon_vertices,
+    )
+
+    vals = [0.1, -179.999, 2.5e-7, 88.25, 0.1]
+    xs = F.array(*[F.lit(v) for v in vals])
+    ys = F.array(*[F.lit(v) for v in reversed(vals)])
+    wkt = polygon_wkt(xs, ys)
+    px, py = wkt_polygon_vertices(wkt)
+    row = spark.range(1).select(
+        (px == xs).alias("x_ok"), (py == ys).alias("y_ok")
+    ).first()
+    assert row.x_ok and row.y_ok

@@ -360,3 +360,41 @@ out:
         assert dict(got.dtypes)["id"] == "bigint"
     finally:
         spark.sql("DROP TABLE IF EXISTS users_embulk")
+
+
+def test_wav_decoder_rejects_malformed():
+    """Real-decoder contract: clear errors for non-WAV / non-PCM bytes."""
+    from data_preparation_plugin_spark.operators.multimodal import _parse_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        _parse_wav(b"JUNK" + b"\x00" * 60)
+    # Valid RIFF/WAVE wrapper but a compressed (non-PCM) format code.
+    import struct
+
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36, b"WAVE", b"fmt ", 16, 2, 1, 8000, 16000, 2, 16,
+        b"data", 0,
+    )
+    with pytest.raises(ValueError, match="PCM"):
+        _parse_wav(hdr)
+
+
+def test_wav_roundtrip_stats():
+    """Synthesized PCM16 round-trips: header fields + exact sample stats."""
+    import struct
+
+    import numpy as np
+
+    from data_preparation_plugin_spark.operators.multimodal import _parse_wav
+
+    samples = np.array([-32768, -1, 0, 1, 32767], dtype="<i2")
+    data = samples.tobytes()
+    payload = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1, 8000,
+        16000, 2, 16, b"data", len(data),
+    ) + data
+    rate, ch, bits, got = _parse_wav(payload)
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert got.tolist() == samples.tolist()
