@@ -39,15 +39,28 @@ def main() -> None:
         # never funnels results through the driver.
         df.write.format("noop").mode("overwrite").save()
 
+    # Repetitions per query (best-of): transient machine contention has
+    # been observed to inflate single-shot wall clocks >2x on this host;
+    # the minimum of a few runs recovers the steady-state cost of the
+    # plan, which is what this benchmark is meant to track. BENCH_ALL
+    # stays single-shot (it times 100+ queries; aggregate trends matter
+    # there, not per-query precision).
+    reps = 1 if os.environ.get("BENCH_ALL") == "1" else int(
+        os.environ.get("BENCH_REPS", "2")
+    )
+
     timings: dict[str, float] = {}
     for name in names:
         builder = plans.QUERIES[name].builder
         # Warm once at tiny scale so JVM/codegen warmup doesn't pollute t0.
         if os.environ.get("BENCH_NO_WARMUP") != "1":
             run(builder(spark, "/root/testdata/sf0.001"))
-        start = time.perf_counter()
-        run(builder(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(reps):
+            start = time.perf_counter()
+            run(builder(spark, sf_dir))
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
