@@ -35,10 +35,22 @@ from data_preparation_plugin_spark.plans import curation  # noqa: E402,F401
 #: no driver row in any round and 42 checked only in round 1 (before the
 #: r2/r3 code evolution). This round-4 slate burns down the dark set:
 #: 8 green anchors (regression canaries, one per fragile category), all
-#: 18 never-checked queries, and the 24 most complex r1-only queries for
-#: re-confirmation. Everything below the cutoff stays declared with
-#: identical local pytest parity (tests/test_queries_parity.py mirrors the
-#: driver's comparison discipline over all registered queries).
+#: 18 never-checked queries, every query added this round (13), and the
+#: most complex r1-only queries for re-confirmation. Everything below the
+#: cutoff stays declared with identical local pytest parity
+#: (tests/test_queries_parity.py mirrors the driver's comparison
+#: discipline over all registered queries).
+#:
+#: Round-5 rotation guidance: if CORRECTNESS_r04 is green, every
+#: registered query has a hard driver row in the r1..r4 union. Rotate the
+#: non-anchor slots to the rows whose last green is OLDEST (the remaining
+#: r1-only set: agg_distinct, agg_percentiles, agg_statistics,
+#: agg_string_concat, array_functions, date_arithmetic, date_functions,
+#: dedup_exact_distinct, dedup_keep_first, filter_compute, join_anti,
+#: join_full_outer, join_left, join_semi, null_handling, project_columns,
+#: regex_extract, string_format, window_rank_dense, window_running,
+#: above_customer_avg, exists_late_shipment, q6/q7/q8/q9/q10/q13/q14/q15/
+#: q22, rollup_agg, cube_agg, window_topk_per_group) plus anything new.
 DRIVER_CHECK_PRIORITY = [
     # --- Anchors: r2+r3 double-green, one per fragile category. ---
     "q1_pricing_summary",
