@@ -307,3 +307,60 @@ def sample_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
     )
+
+
+@register(
+    "sample_epoch_upsample",
+    category="sampling",
+    oracle="""
+    WITH epochs AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) % 3 = 0 THEN 3
+                    WHEN CAST(substr(source, 4) AS INTEGER) % 3 = 1 THEN 2
+                    ELSE 1 END AS n_epochs
+        FROM documents
+    ), replicated AS (
+        SELECT doc_id, source, n_chars, n_epochs,
+               unnest(range(0, n_epochs)) AS epoch
+        FROM epochs
+    )
+    SELECT source,
+           min(n_epochs)                       AS n_epochs,
+           count(DISTINCT doc_id)              AS n_docs,
+           count(*)                            AS n_rows_after,
+           CAST(sum(n_chars) AS BIGINT)        AS chars_after
+    FROM replicated
+    GROUP BY source
+    """,
+)
+def sample_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch upsampling: replicate low-resource sources N times.
+
+    The inverse mixture knob of ``sample_weighted_mix``: high-value or
+    low-resource sources are repeated for multiple epochs in the training
+    mix (the Pile / Llama recipe) instead of downsampling the rest. The
+    replication is a bounded ``explode(sequence(0, n_epochs-1))`` — a
+    Generate with per-row fan-out ≤ max epochs, streamed through codegen,
+    never materialized — so the corpus can be upsampled at any scale
+    without a shuffle before the audit aggregation. The per-source audit
+    (docs, rows after replication, char volume) is what a mixture config
+    review actually reads.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    n_epochs = (
+        F.when(src_num % 3 == 0, 3).when(src_num % 3 == 1, 2).otherwise(1)
+    )
+    replicated = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        n_epochs.alias("n_epochs"),
+        F.explode(F.sequence(F.lit(0), n_epochs - 1)).alias("epoch"),
+    )
+    return replicated.groupBy("source").agg(
+        F.min("n_epochs").alias("n_epochs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_rows_after"),
+        F.sum("n_chars").cast("long").alias("chars_after"),
+    )
