@@ -87,7 +87,6 @@ DRIVER_CHECK_PRIORITY = [
     "q19_disjunctive_predicate_join",
     "join_range_band",
     "grouping_sets",
-    "window_range_interval",
     "set_ops_multiset",
     # --- New this round: last §2.A surfaces without hard signal, the
     # --- polygon-grade spatial predicate (PostGIS query-half parity),
@@ -105,6 +104,7 @@ DRIVER_CHECK_PRIORITY = [
     "agg_salted_skew",
     "source_schema_evolution",
     "source_partition_pruning",
+    "events_stream_stateful_totals",
     # --- Category-coverage re-confirms (sort / source / udf). ---
     "sort_limit_topk",
     "source_csv_roundtrip",

@@ -625,3 +625,47 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(
         spark, "events_stream_dedup", deduped, output_mode="append"
     )
+
+
+@register(
+    "events_stream_stateful_totals",
+    category="streaming",
+    oracle="""
+    SELECT user_id,
+           count(*)                          AS n_events,
+           round(sum(coalesce(value, 0)), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) with hard signal.
+
+    The escape-hatch surface for per-key logic built-ins can't express:
+    ``streaming.stateful_user_totals`` keeps one (count, sum) state pair
+    per user and re-emits the cumulative snapshot every micro-batch the
+    user appears in (update mode). The memory sink therefore holds one
+    snapshot per (user, appearance-batch); the final state is the
+    snapshot with the maximal event count (strictly increasing per key),
+    recovered with ``max_by``. Matching the oracle's plain batch GROUP BY
+    proves the Arrow state round-trip accumulated every batch exactly
+    once — the property that breaks first if state is dropped, double-
+    applied, or keyed wrong across micro-batches.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        events_stream,
+        stateful_user_totals,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    stream = stateful_user_totals(
+        events_stream(spark, staged, max_files_per_trigger=2),
+        watermark="30 days",
+    )
+    sink = _replay(
+        spark, "events_stream_stateful_totals", stream, output_mode="update"
+    )
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
