@@ -85,7 +85,6 @@ DRIVER_CHECK_PRIORITY = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_predicate_join",
-    "join_range_band",
     "grouping_sets",
     "set_ops_multiset",
     # --- New this round: last §2.A surfaces without hard signal, the
@@ -105,6 +104,7 @@ DRIVER_CHECK_PRIORITY = [
     "source_schema_evolution",
     "source_partition_pruning",
     "events_stream_stateful_totals",
+    "dedup_minhash_clusters_star",
     # --- Category-coverage re-confirms (sort / source / udf). ---
     "sort_limit_topk",
     "source_csv_roundtrip",

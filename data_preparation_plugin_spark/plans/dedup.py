@@ -720,3 +720,130 @@ def dedup_segments_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _canonical_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set, canonically oriented (u < v), deduped."""
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star.
+
+    The O(log^2 n)-round algorithm of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SoCC'14) — the scale escape
+    hatch :func:`connected_components`'s min-label propagation documents:
+    propagation needs O(component diameter) rounds, which is fine for
+    near-dup clusters but degenerates on a giant high-diameter component;
+    star contraction's round count is logarithmic in component size
+    regardless of diameter.
+
+    Each round is two rewrites of the *edge set* (not per-node labels):
+
+    - **large-star**: every node attaches its strictly-larger neighbors
+      to the minimum of its closed neighborhood.
+    - **small-star**: edges oriented to their larger endpoint; every node
+      attaches its smaller neighbors (and itself) to their minimum.
+
+    Both are one groupBy + one join over the current edges — the same
+    shuffle budget per round as one propagation step. At the fixpoint the
+    edge set is a union of min-rooted stars; labels read off directly.
+    Returns (node, label) like :func:`connected_components`, label = the
+    component's minimum node id.
+    """
+    orig = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        orig.select(F.col("u").alias("node"))
+        .unionByName(orig.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = _canonical_edges(orig).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # Large-star: neighborhoods of every node (both directions).
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        ls = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e1 = _canonical_edges(ls).localCheckpoint(eager=True)
+        # Small-star: orient to the larger endpoint (canonical v >= u, so
+        # the larger endpoint's smaller-neighbor list is keyed on v).
+        sn = e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        smins = sn.groupBy("u").agg(F.min("v").alias("m"))
+        pairs = (
+            sn.join(smins, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .unionByName(
+                smins.select(F.col("u").alias("x"), F.col("m").alias("y"))
+            )
+        )
+        e2 = _canonical_edges(
+            pairs.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        ).localCheckpoint(eager=True)
+        # Fixpoint: both rewrites left the edge set unchanged. Cheap on
+        # checkpointed inputs (two anti-join probes, limit-1 each).
+        changed = (
+            e2.exceptAll(e).limit(1).count()
+            + e.exceptAll(e2).limit(1).count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    # Star edges are (center=min, member); members read their label from
+    # the center, centers and isolated nodes label themselves. The min()
+    # collapse guards the (max_iter exhausted before fixpoint) case where
+    # a node could still carry two star edges.
+    member_labels = e.select(
+        F.col("v").alias("node"), F.col("u").alias("label")
+    )
+    return (
+        nodes.join(member_labels, "node", "left")
+        .select(
+            "node", F.coalesce("label", F.col("node")).alias("label")
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
+@register(
+    "dedup_minhash_clusters_star",
+    category="dedup",
+    oracle=_CLUSTERS_ORACLE,
+)
+def dedup_minhash_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via large-star/small-star contraction.
+
+    Same contract and oracle as ``dedup_minhash_clusters`` — LSH candidate
+    pairs transitively closed into (cluster_rep, doc_id) — but through
+    :func:`connected_components_star`, the O(log^2 n)-round algorithm that
+    stays viable when a 100 TB corpus produces a giant high-diameter
+    duplicate component (min-label propagation's O(diameter) worst case).
+    Both implementations hash-matching the same recursive-CTE closure is
+    the cross-check that the star rewrites preserve components exactly.
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components_star(pairs, src="doc_a", dst="doc_b").select(
+        F.col("label").alias("cluster_rep"),
+        F.col("node").alias("doc_id"),
+    )

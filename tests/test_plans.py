@@ -179,3 +179,24 @@ def test_partition_pruned_scan(spark):
     assert re.search(r"PartitionFilters: \[[^\]]*o_year[^\]]*1995", plan), (
         "o_year=1995 not applied as a partition filter:\n" + plan
     )
+
+
+def test_star_cc_equivalent_to_propagation(spark):
+    """Both CC implementations must produce identical components on
+    adversarial shapes (chain = worst case for propagation; star graphs
+    = worst case for naive contraction)."""
+    from data_preparation_plugin_spark.plans.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        [(i, i + 1) for i in range(0, 12)],              # one long chain
+        [(0, i) for i in range(1, 8)] + [(20, 21)],      # star + pair
+        [(1, 2), (2, 1), (3, 3), (2, 4)],                # dupes + self-loop
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = sorted(map(tuple, connected_components(df).collect()))
+        b = sorted(map(tuple, connected_components_star(df).collect()))
+        assert a == b
