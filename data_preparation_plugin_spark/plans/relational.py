@@ -2164,3 +2164,61 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         {"sum_qty": ("qty", "sum"), "n_items": ("qty", "count")},
     )
+
+
+@register(
+    "transform_winsorize",
+    category="transform",
+    oracle="""
+    WITH bounds AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           round(sum(least(greatest(o.o_totalprice, b.lo), b.hi)), 2)
+               AS winsorized_total
+    FROM orders o
+    JOIN bounds b ON o.o_orderpriority = b.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def transform_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip per-group outliers at exact p05/p95.
+
+    The feature-cleaning transform every tabular training pipeline runs
+    before normalization. Plan shape: one exact-percentile aggregation
+    over the group key (5 rows out), broadcast back onto the fact scan,
+    clip with pure ``greatest``/``least`` expressions, aggregate. At
+    100 TB the drop-in scale substitution is ``approx_percentile`` for
+    the bounds pass — the clip/aggregate stages are unchanged. Clip
+    comparisons are exact (both engines interpolate percentiles
+    identically — proven by ``agg_percentiles``), clip counts are
+    integers, and the clipped sum follows the round-sums-only rule.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    joined = orders.join(F.broadcast(bounds), "o_orderpriority")
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("o_totalprice") < F.col("lo")).cast("long")).alias(
+            "n_clipped_low"
+        ),
+        F.sum((F.col("o_totalprice") > F.col("hi")).cast("long")).alias(
+            "n_clipped_high"
+        ),
+        F.round(F.sum(clipped), 2).alias("winsorized_total"),
+    )
