@@ -2222,3 +2222,137 @@ def transform_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum(clipped), 2).alias("winsorized_total"),
     )
+
+
+@register(
+    "transform_quantile_bin",
+    category="transform",
+    oracle="""
+    WITH binned AS (
+        SELECT o_orderpriority,
+               o_totalprice,
+               ntile(10) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS price_decile
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           price_decile,
+           count(*)                     AS n_orders,
+           round(min(o_totalprice), 2)  AS decile_floor,
+           round(max(o_totalprice), 2)  AS decile_ceil
+    FROM binned
+    GROUP BY o_orderpriority, price_decile
+    """,
+)
+def transform_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning: per-group price deciles via ntile.
+
+    The featurization step that turns a continuous column into a
+    categorical one with balanced bucket populations — ntile's
+    remainder-distribution rule is engine-identical, and the full ORDER
+    BY tiebreak (price, then key) makes every row's bucket deterministic,
+    so bucket populations AND boundary values hash-match. One shuffle on
+    the group key; the per-partition sort is the ntile cost, same shape
+    as any ranking window at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.withColumn("price_decile", F.ntile(10).over(win))
+        .groupBy("o_orderpriority", "price_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("decile_floor"),
+            F.round(F.max("o_totalprice"), 2).alias("decile_ceil"),
+        )
+    )
+
+
+@register(
+    "join_asof_tolerance",
+    category="join",
+    oracle="""
+    WITH views AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    ), purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           p.ts,
+           p.value AS purchase_value,
+           CASE WHEN v.ts IS NOT NULL AND p.ts - v.ts <= INTERVAL 2 HOUR
+                THEN v.ts END    AS last_view_ts,
+           CASE WHEN v.ts IS NOT NULL AND p.ts - v.ts <= INTERVAL 2 HOUR
+                THEN v.value END AS last_view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas ``merge_asof`` parity).
+
+    Same union-window idiom as ``join_asof`` — one shuffle on the key,
+    O(1) carried state, no range join — plus the tolerance rule every
+    attribution pipeline actually needs: a prior view only counts if it
+    happened within the window (2 h here). The tolerance is a pure
+    post-window expression (timestamp difference vs interval literal,
+    exact microsecond integers in both engines), so the scale shape is
+    unchanged from the unbounded as-of.
+    """
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+        F.lit(0).alias("side"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast(events.schema["ts"].dataType).alias("view_ts"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("side"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        views.unionByName(purchases)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "purchase_value",
+            "side",
+            F.last("view_ts", ignorenulls=True).over(win).alias("raw_view_ts"),
+            F.last("view_value", ignorenulls=True)
+            .over(win)
+            .alias("raw_view_value"),
+        )
+        .filter(F.col("side") == 1)
+    )
+    within = F.col("raw_view_ts").isNotNull() & (
+        F.col("ts") - F.col("raw_view_ts") <= F.expr("INTERVAL 2 HOURS")
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.when(within, F.col("raw_view_ts")).alias("last_view_ts"),
+        F.when(within, F.col("raw_view_value")).alias("last_view_value"),
+    )
