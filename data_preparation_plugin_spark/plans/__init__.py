@@ -28,6 +28,7 @@ from data_preparation_plugin_spark.plans import ingest  # noqa: E402,F401
 from data_preparation_plugin_spark.plans import udfs  # noqa: E402,F401
 from data_preparation_plugin_spark.plans import geo  # noqa: E402,F401
 from data_preparation_plugin_spark.plans import curation  # noqa: E402,F401
+from data_preparation_plugin_spark.plans import analytics  # noqa: E402,F401
 
 #: The driver's correctness gate checks the FIRST 50 registered queries
 #: (observed in CORRECTNESS_r01.json: exactly the first 50 names). Rounds

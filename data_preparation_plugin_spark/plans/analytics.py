@@ -1,0 +1,265 @@
+"""Product-analytics shapes: funnel, retention cohorts, SCD2 history.
+
+The reference's users run its loaded tables through downstream analytics
+SQL (SURVEY.md §2.B); these queries cover the classic event-analytics
+vocabulary that a warehouse built on the reference would serve — ordered
+funnel conversion, cohort retention, slowly-changing-dimension history —
+each as a declarative single-lineage Spark plan with a DuckDB oracle.
+
+Scale notes: every query here shuffles on exactly one key (``user_id`` or
+``o_custkey``); windows and the final aggregate reuse that exchange, so the
+shapes hold at 100 TB the same way the TPC-H windows do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_preparation_plugin_spark.plans.registry import load_table, register
+
+
+@register(
+    "events_funnel_conversion",
+    category="events",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id
+    ), fc AS (
+        SELECT e.user_id, min(e.ts) AS first_click
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'click' AND e.ts > fv.first_view
+        GROUP BY e.user_id
+    ), fp AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+        GROUP BY e.user_id
+    )
+    SELECT fv.user_id,
+           fv.first_view,
+           fc.first_click,
+           fp.first_purchase,
+           fc.first_click    IS NOT NULL AS reached_click,
+           fp.first_purchase IS NOT NULL AS reached_purchase
+    FROM fv
+    LEFT JOIN fc ON fv.user_id = fc.user_id
+    LEFT JOIN fp ON fv.user_id = fp.user_id
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel, strictly time-ordered.
+
+    Each stage is the *first* qualifying event strictly after the previous
+    stage's timestamp — the semantics product funnels actually need (a
+    purchase before the first click does not convert). Three per-user
+    aggregates chained by equi-joins on ``user_id``: one shuffle key
+    throughout, so AQE plans the stage joins off the same exchange; no
+    window over the raw event stream is needed.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    fv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fc = (
+        events.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        fv.join(fc, "user_id", "left")
+        .join(fp, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            F.col("first_click").isNotNull().alias("reached_click"),
+            F.col("first_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+@register(
+    "events_retention_cohort",
+    category="events",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT
+               f.cohort_day,
+               e.user_id,
+               CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                          / 7.0) AS BIGINT) AS week_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, week_offset, count(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_day, week_offset
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: first-seen day × week offset → active users.
+
+    Week offsets are day-difference based (``floor(days/7)``) rather than
+    calendar ``date_trunc('week')`` so both engines share one unambiguous
+    definition. The distinct on (cohort, user, offset) is the usual
+    retention-dedup; everything keys on ``user_id`` then the small
+    (cohort, offset) pair, both natural shuffle keys.
+    """
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = events.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        events.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            "user_id",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7.0
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+@register(
+    "transform_scd2",
+    category="transform",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER w AS prev_status
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN prev_status IS NULL
+                         OR prev_status <> o_orderstatus
+                    THEN 1 ELSE 0 END AS is_change
+        FROM ordered
+    ), runs AS (
+        SELECT *,
+               CAST(sum(is_change) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS version
+        FROM flagged
+    ), grouped AS (
+        SELECT o_custkey, version, o_orderstatus AS status,
+               min(o_orderdate) AS valid_from,
+               count(*)         AS n_orders
+        FROM runs
+        GROUP BY o_custkey, version, o_orderstatus
+    )
+    SELECT o_custkey, version, status, valid_from,
+           lead(valid_from) OVER v AS valid_to,
+           lead(valid_from) OVER v IS NULL AS is_current,
+           n_orders
+    FROM grouped
+    WINDOW v AS (PARTITION BY o_custkey ORDER BY version)
+    """,
+)
+def transform_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from change events.
+
+    Treats each customer's order stream as a status feed and emits validity
+    intervals: consecutive runs of one status collapse to a single version
+    row with ``valid_from`` / ``valid_to`` (half-open, NULL = current).
+    The lag→cumsum→lead pipeline is the standard islands idiom; all three
+    windows and the run aggregation share the ``o_custkey`` exchange, so
+    the whole history build is a single shuffle at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = (
+        orders.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .withColumn(
+            "is_change",
+            F.when(
+                F.col("prev_status").isNull()
+                | (F.col("prev_status") != F.col("o_orderstatus")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("version", F.sum("is_change").over(cum).cast("bigint"))
+    )
+    grouped = runs.groupBy(
+        "o_custkey", "version", F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    v = Window.partitionBy("o_custkey").orderBy("version")
+    return grouped.select(
+        "o_custkey",
+        "version",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(v).alias("valid_to"),
+        F.lead("valid_from").over(v).isNull().alias("is_current"),
+        "n_orders",
+    )
+
+
+@register(
+    "agg_histogram_fixed",
+    category="aggregate",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT) AS bin,
+           round(least(floor(o_totalprice / 25000.0), 19) * 25000.0, 2)
+               AS bin_lo,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: 20 bins of 25k over order totals.
+
+    The closed-form bucket expression (``least(floor(x/w), n-1)``) keeps
+    the histogram a pure map + 20-group aggregate — fully map-side
+    combinable, no sort, no per-group state — which is the shape a
+    histogram over 100 TB must have (contrast the exact-percentile
+    ``transform_quantile_bin``, which pays a sort-based window).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19))
+    return (
+        orders.select(
+            bin_col.cast("bigint").alias("bin"),
+            F.round(bin_col * 25000.0, 2).alias("bin_lo"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
