@@ -847,3 +847,133 @@ def dedup_minhash_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_rep"),
         F.col("node").alias("doc_id"),
     )
+
+
+#: Bloom-filter geometry for the decontamination prescreen: 2^16 bits,
+#: 4 md5-derived hash functions. At a real deployment m scales with the
+#: eval-suite shingle count (m ≈ 10 bits/key keeps FP ~1%); the *shape*
+#: — constant per-executor memory, zero corpus shuffle — is what's under
+#: test here.
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 4
+
+
+def _bloom_position_cols(shingle: Column) -> list[Column]:
+    """Four 16-bit bit positions from one md5: hex slices 1-4, 5-8, 9-12,
+    13-16 of the digest — bit-identical in Spark and DuckDB, so the whole
+    filter is oracle-checkable (swap xxhash64 in production, same shape)."""
+    h = F.md5(shingle)
+    return [
+        F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10)
+        .cast("long")
+        .alias(f"p{i}")
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+@register(
+    "dedup_bloom_decontaminate",
+    category="dedup",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), shingled AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM toks
+    ), pos AS (
+        SELECT doc_id, shingle,
+               ('0x' || substr(md5(shingle), 1, 4))::BIGINT  AS p0,
+               ('0x' || substr(md5(shingle), 5, 4))::BIGINT  AS p1,
+               ('0x' || substr(md5(shingle), 9, 4))::BIGINT  AS p2,
+               ('0x' || substr(md5(shingle), 13, 4))::BIGINT AS p3
+        FROM shingled
+    ), probe_bits AS (
+        SELECT DISTINCT p FROM (
+            SELECT unnest([p0, p1, p2, p3]) AS p
+            FROM pos WHERE doc_id % {DECON_PROBE_MOD} = 0
+        )
+    )
+    SELECT doc_id, count(*) AS n_flagged_ngrams
+    FROM pos
+    WHERE doc_id % {DECON_PROBE_MOD} <> 0
+      AND p0 IN (SELECT p FROM probe_bits)
+      AND p1 IN (SELECT p FROM probe_bits)
+      AND p2 IN (SELECT p FROM probe_bits)
+      AND p3 IN (SELECT p FROM probe_bits)
+    GROUP BY doc_id
+    """,
+)
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prescreen: constant-memory scale path.
+
+    ``dedup_decontaminate`` broadcasts the probe set's distinct shingles —
+    fine while the eval suite is small, but the broadcast grows with the
+    suite. This variant compresses the probe side to a fixed 8 KiB bitset
+    (2^16 bits, 4 md5-derived hashes): the corpus side then needs *no
+    shuffle and no join at all* — a pure map over (doc, shingle) testing
+    4 bits against a constant-folded array<long> literal, followed by one
+    per-doc count. Flagged counts are a superset of the exact
+    contamination counts (Bloom false positives); the standard deployment
+    runs this prescreen over 100 TB and the exact broadcast probe only
+    over the survivors. The oracle reproduces the *filter's own
+    semantics* — membership of all four positions in the probe position
+    set is exactly the bitset test — so false positives match
+    bit-for-bit too.
+
+    Reference parity: the reference has no dedup surface at all (its 329
+    LoC delegate to Postgres); this is part of the LLM-pipeline layer the
+    repo adds on top (SURVEY.md §2 'beyond the reference').
+    """
+    from data_preparation_plugin_spark.functions.text import (
+        shingles_from_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Per-document shingle dedup happens *inside the row* (array_distinct
+    # before the explode) — equivalent to distinct on (doc_id, shingle)
+    # but with zero shuffle: the only exchange left in the whole plan is
+    # the final per-doc count.
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    shingled = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                shingles_from_tokens(F.col("__toks"), SHINGLE_SIZE)
+            )
+        ).alias("shingle"),
+    )
+    pos = shingled.select(
+        "doc_id", *_bloom_position_cols(F.col("shingle"))
+    )
+    pcols = [f"p{i}" for i in range(BLOOM_HASHES)]
+    # The probe side is the eval suite — bounded and small by nature (same
+    # argument as the broadcast in dedup_decontaminate), so collecting its
+    # distinct bit positions to build the bitset is a dimension-sized job.
+    probe_positions = [
+        r.p
+        for r in pos.filter(F.col("doc_id") % DECON_PROBE_MOD == 0)
+        .select(F.explode(F.array(*pcols)).alias("p"))
+        .distinct()
+        .collect()
+    ]
+    words = [0] * (BLOOM_BITS >> 6)
+    for p in probe_positions:
+        words[p >> 6] |= 1 << (p & 63)
+    # Spark long literals are signed 64-bit.
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    corpus = pos.filter(F.col("doc_id") % DECON_PROBE_MOD != 0).withColumn(
+        "bits", F.lit(words)
+    )
+    hit = None
+    for c in pcols:
+        bit = F.expr(
+            f"(shiftright(element_at(bits, CAST(({c} div 64) + 1 AS INT)),"
+            f" CAST({c} % 64 AS INT)) & 1) = 1"
+        )
+        hit = bit if hit is None else hit & bit
+    return (
+        corpus.filter(hit)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged_ngrams"))
+    )
