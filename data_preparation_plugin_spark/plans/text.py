@@ -839,3 +839,139 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(window).cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join(window, " ")).alias("chunk_hash"),
     )
+
+
+#: Vocabulary size for the token-id mapping demo; production vocabs are
+#: 32k-256k but the plan shape (bounded top-V + broadcast map) is identical.
+VOCAB_SIZE = 300
+
+
+@register(
+    "text_vocab_ids",
+    category="text",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token,
+               generate_subscripts(
+                   string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+        FROM documents
+    ), counts AS (
+        SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), vocab AS (
+        SELECT token,
+               row_number() OVER (ORDER BY cnt DESC, token) AS token_id
+        FROM (SELECT * FROM counts ORDER BY cnt DESC, token LIMIT {VOCAB_SIZE})
+    )
+    SELECT t.doc_id,
+           count(*)          AS n_tokens,
+           count(v.token_id) AS n_in_vocab,
+           list(v.token_id ORDER BY t.pos)
+               FILTER (WHERE v.token_id IS NOT NULL) AS token_ids
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + document token-id encoding.
+
+    The tokenizer-prep primitive: build the top-V vocabulary (count desc,
+    token asc — a deterministic total order) with dense ids, then encode
+    every document as its in-vocab token-id sequence, order-preserving.
+    The vocab is V rows — broadcast to the encode join, so the corpus
+    side never shuffles on token; the id sequence is reassembled with an
+    in-row sort (``array_sort`` of (pos, id) structs), not a window. At
+    100 TB the only wide exchange is the token-count aggregate, which is
+    map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    tok = toks.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), "token")
+    vocab = (
+        counts.orderBy(F.desc("cnt"), "token")
+        .limit(VOCAB_SIZE)
+        .withColumn("token_id", F.row_number().over(w).cast("bigint"))
+        .select("token", "token_id")
+    )
+    mapped = tok.join(F.broadcast(vocab), "token", "left")
+    return mapped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("token_id").alias("n_in_vocab"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("token_id").isNotNull(),
+                        F.struct("pos", "token_id"),
+                    )
+                )
+            ),
+            lambda x: x.getField("token_id"),
+        ).alias("token_ids"),
+    )
+
+
+#: Number of candidate merges reported by the BPE pair-count step.
+BPE_TOP_MERGES = 20
+
+
+@register(
+    "text_bpe_merge_step",
+    category="text",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ), pairs AS (
+        SELECT unnest(list_transform(
+                   range(1, length(token)),
+                   i -> substr(token, CAST(i AS INT), 2))) AS pair
+        FROM tok WHERE length(token) >= 2
+    ), counted AS (
+        SELECT pair, count(*) AS pair_count FROM pairs GROUP BY pair
+    )
+    SELECT pair, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
+                AS BIGINT) AS merge_rank
+    FROM (SELECT * FROM counted
+          ORDER BY pair_count DESC, pair LIMIT {BPE_TOP_MERGES})
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE training step: corpus-wide adjacent-pair counts.
+
+    BPE training is iterated "count all adjacent symbol pairs, merge the
+    most frequent" — the count step is the part that must scale to the
+    corpus. Pairs are generated in-row with a higher-order function over
+    the character positions (no Python, no per-char explode of
+    intermediate state), then one map-side-combinable count feeds a
+    bounded top-k. Ties break on the pair itself so the chosen merge is
+    reproducible across cluster sizes — a real requirement for tokenizer
+    training. Subsequent iterations re-run the same shape over the
+    re-segmented corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    ).filter(F.length("token") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    w = Window.orderBy(F.desc("pair_count"), "pair")
+    return (
+        counted.orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOP_MERGES)
+        .withColumn("merge_rank", F.row_number().over(w).cast("bigint"))
+    )
