@@ -669,3 +669,57 @@ def events_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
     )
+
+
+@register(
+    "events_stream_enrich",
+    category="streaming",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT user_id,
+               'seg_' || CAST(user_id % 5 AS VARCHAR) AS segment
+        FROM events
+    )
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           d.segment,
+           count(*)             AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, replayed to completion.
+
+    Events stream through a broadcast join against a static user→segment
+    dimension (derived deterministically from the fixture so the oracle
+    can rebuild it), then aggregate per (hour, segment). The join itself
+    is stateless — each micro-batch joins against the broadcast dim — so
+    the only streaming state is the watermarked window aggregate. The
+    oracle runs the identical join+aggregate as batch SQL: availableNow
+    replay in complete mode sees exactly the staged data, so values
+    hash-match.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        enrich_aggregate,
+        events_stream,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(
+                F.lit("seg_"), (F.col("user_id") % 5).cast("string")
+            ).alias("segment"),
+        )
+    )
+    stream = enrich_aggregate(
+        events_stream(spark, staged, max_files_per_trigger=2), dim
+    )
+    return _replay(spark, "events_stream_enrich", stream).withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )

@@ -376,3 +376,41 @@ def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+_ORC_DIR = os.path.join(_STAGE_ROOT, "part_orc")
+
+
+@register(
+    "source_orc_roundtrip",
+    category="source",
+    oracle="""
+    SELECT p_brand,
+           count(*)                      AS n_parts,
+           CAST(sum(p_size) AS BIGINT)   AS total_size,
+           round(sum(p_retailprice), 2)  AS total_price,
+           min(p_name)                   AS first_name
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → ORC scan → aggregate, value-checked against the source.
+
+    Spark's second first-class columnar format: ``part`` is staged to ORC
+    with the distributed writer and read back. DuckDB cannot read ORC, so
+    the oracle aggregates the *original parquet table* instead — values
+    matching proves the ORC round trip lossless for every column type
+    involved (BIGINT/INT/DOUBLE/VARCHAR), which is exactly what a
+    format-migration job needs to know. ORC predicate pushdown and column
+    pruning work like parquet's (both go through the same v2 scan
+    framework), so the scan-side guarantees pinned elsewhere carry over.
+    """
+    load_table(spark, sf_dir, "part").write.mode("overwrite").orc(_ORC_DIR)
+    df = spark.read.orc(_ORC_DIR)
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").alias("total_size"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        F.min("p_name").alias("first_name"),
+    )

@@ -3,6 +3,7 @@
 from data_preparation_plugin_spark.streaming.events import (
     EVENTS_SCHEMA,
     dedup_within_watermark,
+    enrich_aggregate,
     events_stream,
     idempotent_batch_writer,
     interval_join_stream,
@@ -17,6 +18,7 @@ from data_preparation_plugin_spark.streaming.events import (
 __all__ = [
     "EVENTS_SCHEMA",
     "dedup_within_watermark",
+    "enrich_aggregate",
     "events_stream",
     "idempotent_batch_writer",
     "interval_join_stream",

@@ -82,6 +82,40 @@ def tumbling_aggregate(
     )
 
 
+def enrich_aggregate(
+    stream: "DataFrame",
+    dim: "DataFrame",
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> "DataFrame":
+    """Stream-static enrichment join + windowed aggregate.
+
+    The canonical "enrich events with a dimension" streaming shape: the
+    static side is joined per micro-batch with an explicit broadcast hint
+    — no streaming state is kept for the join itself (only the downstream
+    window aggregate holds state, bounded by the watermark). At scale the
+    dimension is the small side by construction (users/segments vs the
+    event firehose), exactly the case Spark's stream-static join is built
+    for.
+    """
+    enriched = stream.withWatermark("ts", watermark).join(
+        F.broadcast(dim), "user_id"
+    )
+    return (
+        enriched.groupBy(F.window("ts", window_size).alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionize_stream(
     stream: DataFrame,
     gap: str = "30 minutes",
