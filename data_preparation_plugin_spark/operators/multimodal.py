@@ -303,3 +303,51 @@ def decode_wav(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     )
     return selected.mapInPandas(_decode_wav_batches, schema=WAV_META_SCHEMA)
+
+
+def _dhash_ppm_batches(hash_w: int, hash_h: int):
+    """Arrow-batched REAL perceptual hash (dHash) over binary PPMs."""
+
+    def inner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _c, px = _parse_ppm(bytes(payload))
+                img = px.reshape(h, w, 3).astype(np.int64)
+                # Nearest-neighbor sample onto a (hash_h, hash_w+1) grid;
+                # gray value = channel sum (integers — exact, no /3
+                # rounding to diverge between engines).
+                yi = (np.arange(hash_h) * h) // hash_h
+                xi = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+                gray = img[np.ix_(yi, xi)].sum(axis=2)
+                bits = (gray[:, :-1] > gray[:, 1:]).flatten()
+                phash = int(
+                    (bits.astype(np.int64) << np.arange(hash_w * hash_h)).sum()
+                )
+                rows.append((doc_id, phash))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return inner
+
+
+def dhash_ppm(
+    df: DataFrame,
+    hash_w: int = 8,
+    hash_h: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Difference-hash (dHash) each binary PPM payload: (id, phash) rows.
+
+    The image-dedup primitive: perceptually-near images collapse to equal
+    (or Hamming-near) hashes. ``hash_w x hash_h`` bits; the 8x4 = 32-bit
+    default keeps every value in a signed BIGINT for the SQL oracle —
+    production uses 8x8 = 64 bits, same shape. Real numpy decode + strided
+    resize per payload, Arrow-batched, zero shuffle.
+    """
+    payloads = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return payloads.mapInPandas(
+        _dhash_ppm_batches(hash_w, hash_h), schema="doc_id long, phash long"
+    )

@@ -342,3 +342,105 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_wav_batches, schema="doc_id long, payload binary"
     )
     return decode_wav(payloads)
+
+
+#: Number of distinct images behind the 500 docs in the phash-dedup
+#: fixture — doc_id % 40 keys the synthesis, so each image recurs ~12x.
+PHASH_IMG_KEYS = 40
+
+
+def _synth_dup_ppm_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """PPM synthesis keyed on ``doc_id % PHASH_IMG_KEYS`` — the duplicated
+    corpus for image dedup (same closed form as ``_synth_ppm_batches``,
+    but many docs share one image)."""
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            img = int(doc_id) % PHASH_IMG_KEYS
+            w = img % 16 + 4
+            h = img % 12 + 3
+            n = w * h * 3
+            header = f"P6\n{w} {h}\n255\n".encode()
+            k = np.arange(n, dtype=np.int64)
+            body = ((img * 7 + k) % 256).astype(np.uint8).tobytes()
+            payloads.append(header + body)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@register(
+    "multimodal_phash_dedup",
+    category="multimodal",
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id,
+               doc_id % {PHASH_IMG_KEYS}            AS img,
+               (doc_id % {PHASH_IMG_KEYS}) % 16 + 4 AS w,
+               (doc_id % {PHASH_IMG_KEYS}) % 12 + 3 AS h
+        FROM documents
+    ), bits AS (
+        SELECT doc_id, img, w, h,
+               unnest(range(0, 32)) AS b
+        FROM img
+    ), grays AS (
+        SELECT doc_id, b,
+               ((b // 8) * h) // 4                    AS yi,
+               ((b % 8) * w) // 9                     AS xi1,
+               (((b % 8) + 1) * w) // 9               AS xi2,
+               img, w
+        FROM bits
+    ), cmp AS (
+        SELECT doc_id, b,
+               ((img * 7 + (yi * w + xi1) * 3) % 256)
+             + ((img * 7 + (yi * w + xi1) * 3 + 1) % 256)
+             + ((img * 7 + (yi * w + xi1) * 3 + 2) % 256) AS gray_l,
+               ((img * 7 + (yi * w + xi2) * 3) % 256)
+             + ((img * 7 + (yi * w + xi2) * 3 + 1) % 256)
+             + ((img * 7 + (yi * w + xi2) * 3 + 2) % 256) AS gray_r
+        FROM grays
+    ), hashes AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN gray_l > gray_r
+                             THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+                    AS BIGINT) AS phash
+        FROM cmp
+        GROUP BY doc_id
+    )
+    SELECT phash,
+           count(*)    AS n_images,
+           min(doc_id) AS keeper_doc_id
+    FROM hashes
+    GROUP BY phash
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL perceptual-hash image dedup: dHash + group-by, end-to-end.
+
+    The image-corpus dedup pass a multimodal training pipeline runs
+    before captioning/training: synthesize a *duplicated* image corpus
+    (500 docs over {PHASH_IMG_KEYS} distinct PPMs), dHash every payload
+    with real numpy decode + strided grayscale resize (``operators.
+    multimodal.dhash_ppm``), and collapse equal hashes exactly like
+    ``dedup_exact_fingerprint`` does for text. The oracle recomputes all
+    32 comparison bits per image in closed form from the synthesis
+    function — a wrong resize index, channel order, or bit order changes
+    the hash and fails the driver compare. Map-only until the final
+    (phash) count shuffle, which moves 8-byte hashes, never pixels.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _synth_dup_ppm_batches, schema="doc_id long, payload binary"
+    )
+    from data_preparation_plugin_spark.operators.multimodal import dhash_ppm
+
+    return (
+        dhash_ppm(payloads)
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
