@@ -263,3 +263,63 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    category="events",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id,
+               count(*)            AS n,
+               sum(value)          AS s,
+               sum(value * value)  AS ss
+        FROM events
+        GROUP BY user_id
+    ), scored AS (
+        SELECT e.event_id, e.user_id, e.event_type, e.value,
+               (e.value - st.s / st.n)
+                   / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)) AS z
+        FROM events e
+        JOIN stats st ON e.user_id = st.user_id
+        WHERE st.n > 1
+    )
+    SELECT event_id, user_id, event_type, value, round(z, 4) AS zscore
+    FROM scored
+    WHERE abs(z) > 2.0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier flagging over event values.
+
+    The simple statistical anomaly gate run over metric streams before
+    alerting/training. The standard deviation is written in *closed form*
+    from (n, sum, sum-of-squares) — not ``stddev_samp`` — so Spark and
+    DuckDB execute the identical IEEE expression tree and the rounded
+    z-scores hash-match exactly (builtin stddev implementations differ in
+    summation order, which flips last-ulp bits). One shuffle for the
+    per-user moments (map-side combinable), one equi-join back; both on
+    ``user_id``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        events.join(stats.filter(F.col("n") > 1), "user_id")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.round("z", 4).alias("zscore"),
+        )
+    )

@@ -975,3 +975,57 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BPE_TOP_MERGES)
         .withColumn("merge_rank", F.row_number().over(w).cast("bigint"))
     )
+
+
+@register(
+    "text_unigram_logprob",
+    category="text",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), total AS (
+        SELECT sum(cnt) AS n FROM counts
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(c.cnt)) - ln(max(total.n)), 4) AS avg_logprob
+    FROM tok t
+    JOIN counts c ON t.token = c.token
+    CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score per document.
+
+    The KenLM-style perplexity filter reduced to its distributed skeleton:
+    corpus unigram counts, then each document scored by its mean token
+    log-probability ``avg(ln(cnt)) - ln(N)`` (algebraically identical to
+    ``avg(ln(cnt/N))`` but the corpus total N stays out of the per-token
+    path — one scalar subtraction per doc instead of a per-token divide).
+    Two shuffles (token counts, per-doc aggregate); the count join is a
+    plain equi-join that AQE sizes, and the scalar total rides a 1-row
+    broadcast cross join. A real deployment swaps in KenLM shards via
+    mapInPandas; the data movement — the expensive part — is this exact
+    shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    tok = toks.select("doc_id", F.explode("__toks").alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        tok.join(counts, "token")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log("cnt")) - F.log(F.max("n")), 4
+            ).alias("avg_logprob"),
+        )
+    )
