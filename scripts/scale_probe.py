@@ -101,6 +101,12 @@ PROBES = [
     "geo_point_in_region",       # grid-cell explode + broadcast hash join
     "geo_point_in_polygon",      # same blocking, ray-cast HOF predicate
     "dedup_minhash_clusters",    # iterative label propagation fixpoint
+    "dedup_bloom_decontaminate", # join-free bitset probe, one count shuffle
+    "text_vocab_ids",            # bounded top-V + broadcast encode join
+    "transform_scd2",            # islands idiom: one custkey exchange
+    "events_funnel_conversion",  # chained per-user aggregates, one key
+    "multimodal_phash_dedup",    # mapInPandas hash + 8-byte-key shuffle
+    "text_unigram_logprob",      # corpus counts + scalar-broadcast score
 ]
 
 
