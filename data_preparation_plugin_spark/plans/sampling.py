@@ -364,3 +364,86 @@ def sample_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows_after"),
         F.sum("n_chars").cast("long").alias("chars_after"),
     )
+
+
+@register(
+    "sample_temperature_mix",
+    category="sampling",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), denom AS (
+        SELECT CAST(sum(CAST(floor(sqrt(n_docs)) AS BIGINT)) AS BIGINT) AS s,
+               CAST(sum(n_docs) AS BIGINT) AS total
+        FROM counts
+    ), rates AS (
+        SELECT c.lang, c.n_docs,
+               CAST(floor(sqrt(c.n_docs)) AS BIGINT) AS w_num,
+               least(100,
+                     (100 * (d.total // 2)
+                          * CAST(floor(sqrt(c.n_docs)) AS BIGINT))
+                         // (c.n_docs * d.s)) AS rate_pct
+        FROM counts c CROSS JOIN denom d
+    )
+    SELECT r.lang,
+           min(r.n_docs)   AS n_docs,
+           min(r.w_num)    AS w_num,
+           min(r.rate_pct) AS rate_pct,
+           CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc.doc_id AS VARCHAR)),
+                                              1, 8))::BIGINT % 100
+                              < r.rate_pct
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents doc JOIN rates r ON doc.lang = r.lang
+    GROUP BY r.lang
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α = 0.5) language mixing with data-derived rates.
+
+    The multilingual pre-training mixture: sampling weight ∝ count^α
+    flattens the language distribution (rare languages upsampled relative
+    to their share). Unlike ``sample_weighted_mix`` (configured rates),
+    the rates here are *computed from the corpus* — per-class counts →
+    normalized temperature weights → per-class keep rates targeting half
+    the corpus. The α = 0.5 power is taken as ``floor(sqrt(n))`` and the
+    normalization stays in **integer arithmetic** end-to-end, so there is
+    no float summation order for the two engines (or 1000 executors) to
+    disagree on — determinism that matters for reproducible data recipes,
+    not just for this oracle. Class counts are a bounded aggregate; the
+    rate table broadcasts back onto the corpus; membership is the shared
+    md5 bucket, composing with every other sampler in this module.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_num = F.floor(F.sqrt("n_docs")).cast("bigint")
+    denom = counts.select(w_num.alias("w")).agg(
+        F.sum("w").cast("bigint").alias("s")
+    )
+    total = counts.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    rates = (
+        counts.crossJoin(denom)
+        .crossJoin(total)
+        .select(
+            "lang",
+            "n_docs",
+            w_num.alias("w_num"),
+            F.least(
+                F.lit(100).cast("bigint"),
+                F.expr(
+                    "(100 * (total div 2)"
+                    " * cast(floor(sqrt(n_docs)) as bigint))"
+                    " div (n_docs * s)"
+                ),
+            ).cast("bigint").alias("rate_pct"),
+        )
+    )
+    kept = docs.join(F.broadcast(rates), "lang")
+    return kept.groupBy("lang").agg(
+        F.min("n_docs").alias("n_docs"),
+        F.min("w_num").alias("w_num"),
+        F.min("rate_pct").alias("rate_pct"),
+        F.sum(
+            F.when(hash_bucket("doc_id", 100) < F.col("rate_pct"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_kept"),
+    )
