@@ -517,7 +517,9 @@ def connected_components(
     return labels
 
 
-_CLUSTERS_ORACLE = (
+#: Shared recursive-closure CTE chain: LSH pairs -> symmetric edges ->
+#: reachability -> per-node component minimum (as CTE ``clusters``).
+_CLUSTERS_CTE = (
     "WITH RECURSIVE pairs AS ("
     + _minhash_sql(
         """
@@ -539,12 +541,16 @@ _CLUSTERS_ORACLE = (
         UNION
         SELECT e.dst AS node, reach.r FROM reach
         JOIN edges e ON e.src = reach.node
+    ),
+    clusters AS (
+        SELECT min(r) AS cluster_rep, node AS doc_id
+        FROM reach
+        GROUP BY node
     )
-    SELECT min(r) AS cluster_rep, node AS doc_id
-    FROM reach
-    GROUP BY node
     """
 )
+
+_CLUSTERS_ORACLE = _CLUSTERS_CTE + "SELECT cluster_rep, doc_id FROM clusters"
 
 
 @register("dedup_minhash_clusters", category="dedup", oracle=_CLUSTERS_ORACLE)
@@ -976,4 +982,68 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.filter(hit)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_flagged_ngrams"))
+    )
+
+
+@register(
+    "dedup_cluster_canonicalize",
+    category="dedup",
+    oracle=_CLUSTERS_CTE
+    + r""",
+    member_quality AS (
+        SELECT c.cluster_rep, c.doc_id,
+               len(string_split_regex(trim(lower(d.text)), '\s+')) AS n_tokens
+        FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT cluster_rep, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY cluster_rep
+                                  ORDER BY n_tokens DESC, doc_id) AS rn,
+               count(*)    OVER (PARTITION BY cluster_rep) AS n_members
+        FROM member_quality
+    )
+    SELECT cluster_rep,
+           CAST(n_members AS BIGINT) AS n_members,
+           doc_id                    AS keeper_doc_id,
+           CAST(n_tokens AS BIGINT)  AS keeper_n_tokens
+    FROM ranked
+    WHERE rn = 1
+    """,
+)
+def dedup_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection per near-dup cluster: keep the richest doc.
+
+    Min-id keepers are arbitrary; real curation keeps the *best* member of
+    each duplicate group. Here quality = token count (keep the most
+    complete copy; deterministic integer, ties broken on doc_id), and the
+    argmax is a pure ``max(struct(quality, -doc_id))`` aggregate — one
+    map-side-combinable pass over the members, no per-cluster sort or
+    window, so the canonicalization costs one bounded shuffle regardless
+    of corpus size. The oracle replays the same choice through the
+    recursive-closure clusters with a ranked window.
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("label").alias("cluster_rep"), F.col("node").alias("doc_id")
+    )
+    quality = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    members = clusters.join(quality, "doc_id")
+    best = F.max(
+        F.struct(
+            F.col("n_tokens").alias("n_tokens"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    ).alias("best")
+    return (
+        members.groupBy("cluster_rep")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"), best)
+        .select(
+            "cluster_rep",
+            "n_members",
+            (-F.col("best.neg_id")).cast("long").alias("keeper_doc_id"),
+            F.col("best.n_tokens").cast("long").alias("keeper_n_tokens"),
+        )
     )

@@ -41,8 +41,11 @@ SCALED_TABLES = {
     "customer": ["c_custkey"],
     "documents": ["doc_id"],
     "embeddings": [],  # probe set must stay vec_id<10: replicate w/o offset
+    # New users per replica: per-user funnels/cohorts/z-scores scale by
+    # user count, the honest axis for an event firehose.
+    "events": ["event_id", "user_id"],
 }
-PASSTHROUGH_TABLES = ["region", "nation", "supplier", "part", "events"]
+PASSTHROUGH_TABLES = ["region", "nation", "supplier", "part"]
 KEY_STRIDE = 100_000_000
 
 
@@ -107,6 +110,7 @@ PROBES = [
     "events_funnel_conversion",  # chained per-user aggregates, one key
     "multimodal_phash_dedup",    # mapInPandas hash + 8-byte-key shuffle
     "text_unigram_logprob",      # corpus counts + scalar-broadcast score
+    "events_anomaly_zscore",     # per-user moments + equi-join back
 ]
 
 
