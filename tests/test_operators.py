@@ -398,3 +398,58 @@ def test_wav_roundtrip_stats():
     rate, ch, bits, got = _parse_wav(payload)
     assert (rate, ch, bits) == (8000, 1, 16)
     assert got.tolist() == samples.tolist()
+
+
+def test_dhash_known_image():
+    """dHash bits computed by hand for a tiny gradient PPM.
+
+    A 2x1 image with left pixel darker than right: after the strided
+    resize every sampled column pair compares left<right, so no bit is
+    set; flipping the pixels sets every comparison bit. Pins bit order,
+    resize indexing, and the channel-sum gray definition.
+    """
+    import pandas as pd
+
+    from data_preparation_plugin_spark.operators.multimodal import (
+        _dhash_ppm_batches,
+    )
+
+    def ppm(px):
+        return b"P6\n2 1\n255\n" + bytes(px)
+
+    dark_light = ppm([0, 0, 0, 200, 200, 200])   # gray: [0, 600]
+    light_dark = ppm([200, 200, 200, 0, 0, 0])   # gray: [600, 0]
+    batch = pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [dark_light, light_dark]}
+    )
+    out = pd.concat(list(_dhash_ppm_batches(8, 4)([batch])))
+    hashes = dict(zip(out["doc_id"], out["phash"]))
+    # Width 2 sampled onto 9 columns: xi = (x*2)//9 -> [0,0,0,0,0,1,1,1,1];
+    # adjacent pairs differ only at x=4 (gray[0] vs gray[1]).
+    # dark->light: 0 > 600 false everywhere -> no bits.
+    assert hashes[1] == 0
+    # light->dark: bit set at x=4 of every of the 4 rows: b = y*8 + 4.
+    assert hashes[2] == sum(1 << (y * 8 + 4) for y in range(4))
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """Bloom flags are a superset of the exact contamination set (false
+    positives allowed, false negatives never) and counts are >= exact —
+    the prescreen contract the docstring states."""
+    from data_preparation_plugin_spark.plans.dedup import (
+        dedup_bloom_decontaminate,
+        dedup_decontaminate,
+    )
+    from tests.conftest import SF_DIR
+
+    exact = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in dedup_decontaminate(spark, SF_DIR).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_flagged_ngrams
+        for r in dedup_bloom_decontaminate(spark, SF_DIR).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for doc_id, n in exact.items():
+        assert bloom[doc_id] >= n
