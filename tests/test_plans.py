@@ -200,3 +200,53 @@ def test_star_cc_equivalent_to_propagation(spark):
         a = sorted(map(tuple, connected_components(df).collect()))
         b = sorted(map(tuple, connected_components_star(df).collect()))
         assert a == b
+
+
+def test_bloom_decontaminate_join_free(spark):
+    """The Bloom prescreen's whole point: no join, no broadcast relation —
+    the probe side is a constant-folded bitset literal; the only exchange
+    is the final per-doc count."""
+    plan = plan_of(spark, "dedup_bloom_decontaminate")
+    assert count(r"Join", plan) == 0
+    assert count(r"Exchange hashpartitioning", plan) == 1
+
+
+def test_funnel_single_exchange(spark):
+    """Stacked whole-partition window minimums + per-user collapse must
+    ride ONE user_id exchange (the join-chain form costs 10)."""
+    plan = plan_of(spark, "events_funnel_conversion")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_scd2_single_exchange(spark):
+    """lag -> cumsum -> run-agg -> lead all share the custkey exchange."""
+    plan = plan_of(spark, "transform_scd2")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+
+
+def test_phash_dedup_no_pixel_shuffle(spark):
+    """Decode+hash stay in mapInPandas before the single count exchange:
+    the shuffle moves (phash, doc_id) longs, never payload bytes."""
+    plan = plan_of(spark, "multimodal_phash_dedup")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    exchange_pos = plan.index("Exchange hashpartitioning")
+    pandas_pos = plan.index("MapInPandas")
+    # Plans print top-down: the exchange node appears above (before) the
+    # mapInPandas source feeding it.
+    assert pandas_pos > exchange_pos
+
+
+def test_vocab_encode_join_is_broadcast(spark):
+    """The top-V vocab must broadcast onto the token stream — a shuffled
+    token join would move the whole corpus token column."""
+    plan = plan_of(spark, "text_vocab_ids")
+    assert count(r"BroadcastHashJoin", plan) >= 1
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_histogram_pure_map_agg(spark):
+    """Closed-form binning: one exchange (the 20-key agg), no sort."""
+    plan = plan_of(spark, "agg_histogram_fixed")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"\bSort\b", plan) == 0
