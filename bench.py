@@ -46,7 +46,7 @@ def main() -> None:
     # stays single-shot (it times 100+ queries; aggregate trends matter
     # there, not per-query precision).
     reps = 1 if os.environ.get("BENCH_ALL") == "1" else int(
-        os.environ.get("BENCH_REPS", "2")
+        os.environ.get("BENCH_REPS", "3")
     )
 
     timings: dict[str, float] = {}

@@ -1047,3 +1047,81 @@ def dedup_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.n_tokens").cast("long").alias("keeper_n_tokens"),
         )
     )
+
+
+_PAGERANK_ORACLE = (
+    "WITH pairs AS ("
+    + _minhash_sql(
+        """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        """
+    )
+    + """),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    degs AS (
+        SELECT src, count(*) AS out_degree FROM edges GROUP BY src
+    ),
+    contrib AS (
+        SELECT e.dst AS doc_id, sum(1.0 / d.out_degree) AS c
+        FROM edges e JOIN degs d ON e.src = d.src
+        GROUP BY e.dst
+    )
+    SELECT c.doc_id,
+           CAST(d.out_degree AS BIGINT) AS out_degree,
+           round(0.15 + 0.85 * c.c, 4) AS pagerank
+    FROM contrib c JOIN degs d ON c.doc_id = d.src
+    """
+)
+
+
+@register("graph_pagerank_step", category="dedup", oracle=_PAGERANK_ORACLE)
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power iteration over the near-duplicate graph.
+
+    Duplicate-cluster *centrality*: within a near-dup neighborhood the
+    highest-rank node is the best canonical representative by link
+    structure (complementing ``dedup_cluster_canonicalize``'s quality
+    rule). One iteration from the uniform start (p=1, damping 0.85) is
+    the inner loop of distributed PageRank — degree aggregate, contribution
+    sum keyed on the destination, both plain shuffles on node ids; a full
+    run repeats this shape with the ranks checkpointed each round exactly
+    like :func:`connected_components` checkpoints labels. The symmetric
+    edge list is ``localCheckpoint``-ed so the LSH candidate pipeline
+    executes once, not once per downstream consumer. Contribution sums are
+    rounded to 4dp — far above the ulp-level reorder drift of float
+    addition, so the driver hash is stable (same argument as the kNN
+    scores).
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    degs = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_degree")
+    )
+    contrib = (
+        edges.join(degs, "src")
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.sum(F.lit(1.0) / F.col("out_degree")).alias("c"))
+    )
+    return contrib.join(
+        degs.select(F.col("src").alias("doc_id"), "out_degree"), "doc_id"
+    ).select(
+        "doc_id",
+        "out_degree",
+        F.round(0.15 + 0.85 * F.col("c"), 4).alias("pagerank"),
+    )
