@@ -341,3 +341,116 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("z", 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "transform_quality_constraints",
+    category="transform",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS rule, count(*) AS n_violations
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_key_unique',
+           count(*) - count(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'orders_price_positive',
+           count(*) FILTER (WHERE o_totalprice <= 0
+                               OR o_totalprice IS NULL) FROM orders
+    UNION ALL
+    SELECT 'orders_date_not_null',
+           count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           count(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+    FROM lineitem
+    """,
+)
+def transform_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed data-quality constraint report (the Postgres parity gap).
+
+    The reference gets NOT NULL / UNIQUE / FK enforcement for free from
+    its Postgres tables (``hooks/dataset.py`` reflects them); a data lake
+    must *check* instead of enforce. Each rule compiles to the cheapest
+    distributed form: FK checks are anti-join counts (broadcast when the
+    parent is dimension-sized, AQE decides), uniqueness is
+    ``count - count(distinct)`` (partial-agg friendly), range/null rules
+    are pure map-side conditional counts. Output is the audit row a
+    pipeline gate consumes — rule name, violation count; all six rules
+    here are clean on the fixture by construction, so any nonzero count
+    is itself the regression signal.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def one(rule: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(F.lit(rule).alias("rule"), F.col("n_violations"))
+
+    fk_orders = one(
+        "orders_custkey_fk",
+        orders.join(
+            customer.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_violations")),
+    )
+    uniq = one(
+        "orders_key_unique",
+        orders.agg(
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                "n_violations"
+            )
+        ),
+    )
+    price = one(
+        "orders_price_positive",
+        orders.agg(
+            F.count(
+                F.when(
+                    F.col("o_totalprice").isNull()
+                    | (F.col("o_totalprice") <= 0),
+                    1,
+                )
+            ).alias("n_violations")
+        ),
+    )
+    dates = one(
+        "orders_date_not_null",
+        orders.agg(
+            F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias(
+                "n_violations"
+            )
+        ),
+    )
+    fk_lineitem = one(
+        "lineitem_orderkey_fk",
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_violations")),
+    )
+    qty = one(
+        "lineitem_qty_range",
+        lineitem.agg(
+            F.count(
+                F.when(
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                )
+            ).alias("n_violations")
+        ),
+    )
+    return (
+        fk_orders.unionByName(uniq)
+        .unionByName(price)
+        .unionByName(dates)
+        .unionByName(fk_lineitem)
+        .unionByName(qty)
+    )
