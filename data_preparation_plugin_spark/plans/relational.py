@@ -2356,3 +2356,83 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("raw_view_ts")).alias("last_view_ts"),
         F.when(within, F.col("raw_view_value")).alias("last_view_value"),
     )
+
+
+@register(
+    "join_asof_forward",
+    category="join",
+    oracle="""
+    WITH views AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    ), purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           p.ts,
+           p.value AS purchase_value,
+           v.ts    AS next_view_ts,
+           v.value AS next_view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the user's NEXT view.
+
+    ``merge_asof(direction='forward')`` parity — the mirror of
+    :func:`join_asof`: the union-window idiom with a FOLLOWING frame and
+    ``first(..., ignorenulls)`` instead of PRECEDING + ``last``. Purchases
+    sort before views at equal timestamps so a same-instant view matches
+    (ASOF's ``<=``). Identical scale shape: one user_id shuffle, no join
+    operator, O(1) state per row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast(events.schema["ts"].dataType).alias("view_ts"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(0).alias("side"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+        F.lit(1).alias("side"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        purchases.unionByName(views)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "purchase_value",
+            "side",
+            F.first("view_ts", ignorenulls=True).over(win).alias("next_view_ts"),
+            F.first("view_value", ignorenulls=True)
+            .over(win)
+            .alias("next_view_value"),
+        )
+        .filter(F.col("side") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "purchase_value",
+            "next_view_ts",
+            "next_view_value",
+        )
+    )
