@@ -1029,3 +1029,57 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "text_token_entropy",
+    category="text",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS c
+        FROM tok GROUP BY doc_id, token
+    ), sized AS (
+        SELECT doc_id, token, c,
+               sum(c) OVER (PARTITION BY doc_id) AS n
+        FROM tf
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT)    AS n_tokens,
+           CAST(count(*) AS BIGINT)  AS n_distinct_tokens,
+           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 4) AS token_entropy
+    FROM sized
+    GROUP BY doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token entropy: the lexical-diversity quality signal.
+
+    Low entropy flags repetitive/template/spam documents (the
+    information-theoretic cousin of ``text_repetition_ratio``; CCNet uses
+    the same idea via LM perplexity). Two-level aggregate: per-(doc, token)
+    counts, then a per-doc window for the total and the entropy sum — the
+    window and final collapse reuse the doc partitioning, and both
+    aggregates are map-side combinable. Identical expression tree in both
+    engines; the 4dp round absorbs summation-order ulps exactly as the kNN
+    scores do.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    tf = (
+        toks.select("doc_id", F.explode("__toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sized = tf.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    return sized.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+        F.round(-F.sum(p * F.log(p)), 4).alias("token_entropy"),
+    )
