@@ -351,3 +351,46 @@ def dhash_ppm(
     return payloads.mapInPandas(
         _dhash_ppm_batches(hash_w, hash_h), schema="doc_id long, phash long"
     )
+
+
+def _audio_features_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched REAL audio feature extraction over PCM WAV payloads."""
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, _ch, _bits, samples = _parse_wav(bytes(payload))
+            s = samples.astype(np.int64)
+            # Integer sum of squares is exact below 2^53; the sqrt then
+            # matches the oracle's identical expression bit-for-bit.
+            rms = math.sqrt(int((s * s).sum()) / len(s))
+            zc = int(((s[1:] * s[:-1]) < 0).sum())
+            rows.append((doc_id, len(s), zc, round(rms, 4)))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_samples", "zero_crossings", "rms"],
+        )
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload audio features: RMS energy + zero-crossing count.
+
+    The feature-extraction stage after decode in an audio-data pipeline
+    (silence/noise filtering, speech-vs-music heuristics). Same
+    ``mapInPandas`` shape as the decoders: Arrow batches,
+    partition-parallel, zero shuffle.
+    """
+    payloads = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+    return payloads.mapInPandas(
+        _audio_features_batches,
+        schema="doc_id long, n_samples long, zero_crossings long, rms double",
+    )

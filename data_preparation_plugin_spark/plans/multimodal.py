@@ -444,3 +444,51 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+@register(
+    "multimodal_audio_features",
+    category="multimodal",
+    oracle="""
+    WITH sam AS (
+        SELECT doc_id,
+               doc_id % 500 + 100 AS n,
+               unnest(range(0, doc_id % 500 + 100)) AS i
+        FROM documents
+    ), vals AS (
+        SELECT doc_id, n, i,
+               (doc_id * 31 + i * 17) % 65536 - 32768 AS s,
+               CASE WHEN i >= 1
+                    THEN (doc_id * 31 + (i - 1) * 17) % 65536 - 32768
+               END AS s_prev
+        FROM sam
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN s * s_prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_crossings,
+           round(sqrt(sum(s * s) * 1.0 / max(n)), 4) AS rms
+    FROM vals
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction: RMS energy + zero-crossing rate.
+
+    The stage after ``multimodal_decode_wav`` in a speech-data pipeline —
+    silence and noise gating run on exactly these two features. The
+    synthesized PCM buffers are genuinely parsed and the features computed
+    with numpy; the oracle rebuilds both from the synthesis closed form —
+    sample sums of squares stay integer (exact below 2^53) so the RMS
+    sqrt matches bit-for-bit, and the crossing count is pure integer
+    logic. Chained mapInPandas, Arrow batches, zero shuffle.
+    """
+    from data_preparation_plugin_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _synth_wav_batches, schema="doc_id long, payload binary"
+    )
+    return audio_features(payloads)
