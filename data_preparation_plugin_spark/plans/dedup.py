@@ -1125,3 +1125,68 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_degree",
         F.round(0.15 + 0.85 * F.col("c"), 4).alias("pagerank"),
     )
+
+
+@register(
+    "dedup_fuzzy_entity_match",
+    category="dedup",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS entity_id, c_name AS name FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000,
+               substr(c_name, 1, 2) || substr(c_name, 4)
+        FROM customer WHERE c_custkey % 3 = 0
+    ), blocked AS (
+        SELECT entity_id, name, substr(name, -3) AS block_key FROM base
+    )
+    SELECT a.entity_id AS entity_a,
+           b.entity_id AS entity_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
+    FROM blocked a
+    JOIN blocked b
+      ON a.block_key = b.block_key AND a.entity_id < b.entity_id
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def dedup_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution: Levenshtein record linkage.
+
+    The customer-matching shape of every MDM/record-linkage pipeline: a
+    corrupted copy of every third customer name (one char dropped —
+    deterministic, so the oracle rebuilds it) must re-link to its
+    original under ``levenshtein <= 2``. The quadratic distance predicate
+    runs only *inside* blocks (last-3-chars key, invariant under the
+    corruption) — the same candidate-generation discipline as the LSH
+    band join, so cost scales with block sizes, never |entities|².
+    Levenshtein is a JVM builtin with an identical DuckDB twin, making
+    the whole match set hash-checkable.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    base = customer.select(
+        F.col("c_custkey").alias("entity_id"), F.col("c_name").alias("name")
+    ).unionByName(
+        customer.filter(F.col("c_custkey") % 3 == 0).select(
+            (F.col("c_custkey") + 1_000_000).alias("entity_id"),
+            F.concat(
+                F.substring("c_name", 1, 2), F.expr("substring(c_name, 4)")
+            ).alias("name"),
+        )
+    )
+    blocked = base.withColumn("block_key", F.substring("name", -3, 3))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.entity_id") < F.col("b.entity_id")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.entity_id").alias("entity_a"),
+            F.col("b.entity_id").alias("entity_b"),
+            dist.cast("bigint").alias("edit_distance"),
+        )
+    )
