@@ -414,3 +414,53 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("p_retailprice"), 2).alias("total_price"),
         F.min("p_name").alias("first_name"),
     )
+
+
+@register(
+    "source_date_spine",
+    category="source",
+    oracle="""
+    SELECT CAST(d AS DATE)                           AS cal_date,
+           CAST(year(d) AS BIGINT)                   AS cal_year,
+           CAST(month(d) AS BIGINT)                  AS cal_month,
+           CAST(day(d) AS BIGINT)                    AS cal_day,
+           CAST((year(d) * 100 + month(d)) AS BIGINT) AS month_key,
+           CAST((date_diff('day', DATE '1970-01-01', CAST(d AS DATE)) + 3) % 7
+                AS BIGINT)                           AS weekday0_mon,
+           day(d) = 1                                AS is_month_start
+    FROM generate_series(DATE '1998-01-01', DATE '1998-12-31',
+                         INTERVAL 1 DAY) t(d)
+    """,
+)
+def source_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension: a date spine with derived attributes.
+
+    Every warehouse the reference loads into keeps a date dimension; lakes
+    *generate* it. ``sequence(start, stop, interval 1 day)`` + explode is
+    the Spark generator idiom (one row in, 365 out — no driver loop, no
+    data source). The weekday is computed engine-neutrally from epoch-day
+    arithmetic ((days + 3) % 7, 0 = Monday) because Spark's ``dayofweek``
+    and DuckDB's ``dayofweek`` disagree on numbering; everything else is
+    shared vocabulary. A production spine spans decades — still one
+    explode of ~10k elements, trivially parallel.
+    """
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(DATE '1998-01-01', DATE '1998-12-31',"
+                " interval 1 day)"
+            )
+        ).alias("cal_date")
+    )
+    d = F.col("cal_date")
+    return spine.select(
+        d,
+        F.year(d).cast("bigint").alias("cal_year"),
+        F.month(d).cast("bigint").alias("cal_month"),
+        F.dayofmonth(d).cast("bigint").alias("cal_day"),
+        (F.year(d) * 100 + F.month(d)).cast("bigint").alias("month_key"),
+        ((F.datediff(d, F.lit("1970-01-01").cast("date")) + 3) % 7)
+        .cast("bigint")
+        .alias("weekday0_mon"),
+        (F.dayofmonth(d) == 1).alias("is_month_start"),
+    )

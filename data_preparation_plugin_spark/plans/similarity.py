@@ -560,3 +560,75 @@ def knn_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist2").alias("min_dist2"),
         F.max("dist2").alias("max_dist2"),
     )
+
+
+@register(
+    "embedding_standardize",
+    category="similarity",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ), st AS (
+        SELECT dim,
+               count(*)   AS n,
+               sum(v)     AS s,
+               sum(v * v) AS ss
+        FROM e GROUP BY dim
+    )
+    SELECT e.vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           list(round((e.v - st.s / st.n)
+                      / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)), 4)
+                ORDER BY e.dim) AS scaled
+    FROM e JOIN st ON e.dim = st.dim
+    GROUP BY e.vec_id
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature standardization over the embedding column.
+
+    The classic ML feature-scaling pass ((x - μ)/σ per dimension),
+    distributed the only way that scales: per-dimension moments are one
+    map-side-combinable aggregate over the exploded (dim, value) stream
+    — 64 rows out — broadcast back onto the stream, and each vector is
+    rebuilt with an in-row sort, no window. Standard deviation is closed
+    form from (n, Σ, Σx²) — the same IEEE-identical construction as
+    ``events_anomaly_zscore`` — and the 4dp round absorbs
+    summation-order ulps in the μ/σ estimates.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+        .select("vec_id", (F.col("dim") + 1).alias("dim"),
+                F.col("v").cast("double").alias("v"))
+    )
+    stats = emb.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    scaled = (F.col("v") - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        emb.join(F.broadcast(stats), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("dim").alias("dim"),
+                            F.round(scaled, 4).alias("sv"),
+                        )
+                    )
+                ),
+                lambda x: x.getField("sv"),
+            ).alias("scaled"),
+        )
+    )
