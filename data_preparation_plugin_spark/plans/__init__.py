@@ -52,12 +52,17 @@ from data_preparation_plugin_spark.plans import analytics  # noqa: E402,F401
 #: regex_extract, string_format, window_rank_dense, window_running,
 #: above_customer_avg, exists_late_shipment, q6/q7/q8/q9/q10/q13/q14/q15/
 #: q22, rollup_agg, cube_agg, window_topk_per_group) plus anything new.
-#: New-in-r4 queries with no driver row yet (pytest + sf0.01 drive green,
-#: first in line for r5 slots): events_funnel_conversion,
-#: events_retention_cohort, transform_scd2, agg_histogram_fixed,
-#: dedup_bloom_decontaminate, text_vocab_ids, text_bpe_merge_step,
-#: events_stream_enrich, source_orc_roundtrip, multimodal_phash_dedup,
-#: text_unigram_logprob, events_anomaly_zscore, transform_winsorize,
+#: New-in-r4 queries with no driver row yet (pytest + sf0.01 full-drive
+#: green this session — see scripts/drive.py; first in line for r5
+#: slots): events_funnel_conversion, events_retention_cohort,
+#: transform_scd2, agg_histogram_fixed, dedup_bloom_decontaminate,
+#: text_vocab_ids, text_bpe_merge_step, events_stream_enrich,
+#: source_orc_roundtrip, multimodal_phash_dedup, text_unigram_logprob,
+#: events_anomaly_zscore, sample_temperature_mix,
+#: dedup_cluster_canonicalize, graph_pagerank_step,
+#: transform_quality_constraints, join_asof_forward, text_token_entropy,
+#: multimodal_audio_features, dedup_fuzzy_entity_match,
+#: source_date_spine, embedding_standardize, transform_winsorize,
 #: transform_quantile_bin, join_asof_tolerance, sample_epoch_upsample.
 DRIVER_CHECK_PRIORITY = [
     # --- Anchors: r2+r3 double-green, one per fragile category. ---

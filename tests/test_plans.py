@@ -250,3 +250,19 @@ def test_histogram_pure_map_agg(spark):
     plan = plan_of(spark, "agg_histogram_fixed")
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"\bSort\b", plan) == 0
+
+
+def test_fuzzy_match_blocked_equi_join(spark):
+    """Record linkage must join on the block key (hash join), never a
+    cartesian with a distance filter."""
+    plan = plan_of(spark, "dedup_fuzzy_entity_match")
+    assert count(r"Cartesian|BroadcastNestedLoop", plan) == 0
+    assert count(r"Join", plan) >= 1
+
+
+def test_embedding_standardize_broadcast_stats(spark):
+    """64 per-dimension moment rows broadcast back onto the value stream —
+    a shuffled join would move the whole exploded corpus twice."""
+    plan = plan_of(spark, "embedding_standardize")
+    assert count(r"BroadcastHashJoin", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
