@@ -2436,3 +2436,87 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_view_value",
         )
     )
+
+
+#: Salt fan-out for the replicated-dimension skew join.
+JOIN_SKEW_SALTS = 8
+
+
+@register(
+    "join_salted_skew",
+    category="join",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 100 = 0 THEN 0
+                    ELSE l_orderkey END AS join_key,
+               l_extendedprice, l_discount
+        FROM lineitem
+    ), dim AS (
+        SELECT CASE WHEN o_orderkey % 100 = 0 THEN 0
+                    ELSE o_orderkey END AS join_key,
+               min(o_orderpriority) AS o_orderpriority
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT d.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(f.l_extendedprice * (1 - f.l_discount)), 2) AS revenue
+    FROM fact f JOIN dim d ON f.join_key = d.join_key
+    GROUP BY d.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof equi-join: salt the hot fact keys, replicate the dim.
+
+    The join-side twin of ``agg_salted_skew``: 1% of the fact rows
+    collapse onto one artificial hot key (the grafted-celebrity-row
+    pattern every real fact table has). The salted rewrite adds a
+    deterministic salt (``l_linenumber-free``: md5-derived so it needs no
+    extra column) to the fact side and **replicates the dimension once
+    per salt** with an in-row explode — the join key becomes (key, salt),
+    spreading the hot key over ``JOIN_SKEW_SALTS`` reducers. The oracle
+    runs the plain unsalted join: the hash match proves the rewrite is
+    lossless. AQE's skew-join split handles moderate skew without plan
+    changes; the explicit salt is the lever for the pathological keys AQE
+    can't subdivide (single-key partitions).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 100 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("join_key"),
+        "l_extendedprice",
+        "l_discount",
+        # Deterministic uniform salt from the row's content.
+        (
+            F.conv(F.substring(F.md5(F.concat_ws("|", "l_orderkey",
+                                                 "l_extendedprice")), 1, 8),
+                   16, 10)
+            .cast("long") % JOIN_SKEW_SALTS
+        ).alias("salt"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderkey") % 100 == 0, F.lit(0))
+            .otherwise(F.col("o_orderkey"))
+            .alias("join_key"),
+            "o_orderpriority",
+        )
+        .groupBy("join_key")
+        .agg(F.min("o_orderpriority").alias("o_orderpriority"))
+        .select(
+            "join_key",
+            "o_orderpriority",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(JOIN_SKEW_SALTS - 1))
+            ).alias("salt"),
+        )
+    )
+    joined = fact.join(dim, ["join_key", "salt"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
