@@ -416,13 +416,12 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     w_num = F.floor(F.sqrt("n_docs")).cast("bigint")
-    denom = counts.select(w_num.alias("w")).agg(
-        F.sum("w").cast("bigint").alias("s")
+    scalars = counts.agg(
+        F.sum(w_num).cast("bigint").alias("s"),
+        F.sum("n_docs").cast("bigint").alias("total"),
     )
-    total = counts.agg(F.sum("n_docs").cast("bigint").alias("total"))
     rates = (
-        counts.crossJoin(denom)
-        .crossJoin(total)
+        counts.crossJoin(scalars)
         .select(
             "lang",
             "n_docs",
