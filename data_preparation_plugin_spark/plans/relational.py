@@ -2487,12 +2487,14 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("join_key"),
         "l_extendedprice",
         "l_discount",
-        # Deterministic uniform salt from the row's content.
-        (
-            F.conv(F.substring(F.md5(F.concat_ws("|", "l_orderkey",
-                                                 "l_extendedprice")), 1, 8),
-                   16, 10)
-            .cast("long") % JOIN_SKEW_SALTS
+        # Deterministic uniform salt from the row's content. xxhash64 has
+        # no DuckDB twin, but the salt never reaches the oracle — the
+        # unsalted join it runs is salt-agnostic (the dim covers every
+        # salt value) — so the fast JVM hash is safe here, unlike in
+        # oracle-visible md5 constructions.
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_extendedprice"),
+            F.lit(JOIN_SKEW_SALTS),
         ).alias("salt"),
     )
     dim = (
