@@ -394,3 +394,62 @@ def audio_features(
         _audio_features_batches,
         schema="doc_id long, n_samples long, zero_crossings long, rms double",
     )
+
+
+def _patch_features_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 2x2 patch extraction: quadrant gray means per image."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _c, px = _parse_ppm(bytes(payload))
+            gray = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+            hy, hx = h // 2, w // 2
+            quads = {
+                (0, 0): gray[:hy, :hx],
+                (0, 1): gray[:hy, hx:],
+                (1, 0): gray[hy:, :hx],
+                (1, 1): gray[hy:, hx:],
+            }
+            for (py, qx), patch in quads.items():
+                if patch.size == 0:
+                    continue
+                rows.append(
+                    (
+                        doc_id,
+                        py,
+                        qx,
+                        patch.size,
+                        round(int(patch.sum()) / patch.size, 4),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "patch_y", "patch_x", "n_px", "mean_gray"],
+        )
+
+
+def extract_patches(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """ViT-style patch features per binary PPM: one row per 2x2 quadrant.
+
+    The patchification step every vision-transformer pipeline runs between
+    decode and embedding — here reduced to quadrant gray means so the
+    whole computation is oracle-reconstructable, while the data movement
+    (decode → per-patch rows, bounded fan-out, no shuffle) is the real
+    shape.
+    """
+    payloads = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+    return payloads.mapInPandas(
+        _patch_features_batches,
+        schema=(
+            "doc_id long, patch_y long, patch_x long,"
+            " n_px long, mean_gray double"
+        ),
+    )

@@ -492,3 +492,55 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_wav_batches, schema="doc_id long, payload binary"
     )
     return audio_features(payloads)
+
+
+@register(
+    "multimodal_patch_extract",
+    category="multimodal",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 16 + 4 AS w,
+               doc_id % 12 + 3 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h)) AS p
+        FROM dims
+    ), g AS (
+        SELECT doc_id,
+               ((doc_id * 7 + p * 3) % 256)
+             + ((doc_id * 7 + p * 3 + 1) % 256)
+             + ((doc_id * 7 + p * 3 + 2) % 256)            AS gray,
+               CASE WHEN (p // w) < h // 2 THEN 0 ELSE 1 END AS patch_y,
+               CASE WHEN (p % w) < w // 2 THEN 0 ELSE 1 END AS patch_x
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(patch_y AS BIGINT)  AS patch_y,
+           CAST(patch_x AS BIGINT)  AS patch_x,
+           CAST(count(*) AS BIGINT) AS n_px,
+           round(sum(gray) * 1.0 / count(*), 4) AS mean_gray
+    FROM g
+    GROUP BY doc_id, patch_y, patch_x
+    """,
+)
+def multimodal_patch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image patchification: 2x2 quadrant features per decoded PPM.
+
+    The ViT front-door (image → patch grid → per-patch features), run as
+    genuine numpy slicing over parsed pixel buffers in ``mapInPandas``.
+    Quadrant boundaries are ``h//2``/``w//2`` (uneven halves for odd
+    dimensions — the oracle reproduces the same split), and the gray mean
+    is an exact integer sum divided once, so both engines agree to the
+    4dp round. Bounded 4× fan-out per image, zero shuffle — the plan a
+    per-patch embedding UDF slots straight into.
+    """
+    from data_preparation_plugin_spark.operators.multimodal import (
+        extract_patches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _synth_ppm_batches, schema="doc_id long, payload binary"
+    )
+    return extract_patches(payloads)
