@@ -100,3 +100,54 @@ def udf_grouped_agg_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         span("o_totalprice").alias("price_span"),
         n_rows("o_totalprice").alias("n_orders"),
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    category="udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT)
+               AS n_vowels
+    FROM documents
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy Python UDF surface, hash-checked.
+
+    One tier below the pandas UDFs: record batches arrive as raw
+    ``pyarrow.RecordBatch`` and the computation runs in Arrow compute
+    kernels (C++, SIMD) — no pandas conversion at all, the cheapest way
+    through Python that exists. Used here for per-document character and
+    vowel counts, reproduced by the oracle in SQL, so the Arrow path gets
+    the same hard value check as every built-in. At scale this is the
+    shape for custom vectorizable kernels (tokenizers, codecs) that ship
+    as Arrow UDFs; anything expressible as ``pyspark.sql.functions``
+    should still prefer the JVM (see LEAKCHECK discipline: no benched
+    query runs Python).
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    def counts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.count_substring_regex(text, "[aeiou]"), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "n_chars", "n_vowels"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        counts, schema="doc_id long, n_chars long, n_vowels long"
+    )
