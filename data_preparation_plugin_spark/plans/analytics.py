@@ -454,3 +454,109 @@ def transform_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(fk_lineitem)
         .unionByName(qty)
     )
+
+
+#: Nodes below this value are forest roots in the synthetic hierarchy
+#: (parent(k) = k div 2 while k >= HIERARCHY_ROOT_BOUND).
+HIERARCHY_ROOT_BOUND = 16
+
+
+@register(
+    "transform_hierarchy_flatten",
+    category="transform",
+    oracle=f"""
+    WITH RECURSIVE nodes AS (
+        SELECT DISTINCT o_orderkey AS node FROM orders
+    ), walk AS (
+        SELECT node, node AS anc, 0 AS depth FROM nodes
+        UNION ALL
+        SELECT walk.node, walk.anc // 2, walk.depth + 1
+        FROM walk WHERE walk.anc >= {HIERARCHY_ROOT_BOUND}
+    )
+    SELECT node,
+           anc               AS root,
+           CAST(depth AS BIGINT) AS depth
+    FROM walk
+    WHERE anc < {HIERARCHY_ROOT_BOUND}
+    """,
+)
+def transform_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening by pointer doubling: root + depth per node.
+
+    The BOM-explosion / org-chart / category-tree primitive Spark has no
+    recursive CTE for. The naive loop walks one parent level per round
+    (O(depth) joins); this implementation **doubles the pointer** each
+    round — join every node's known ancestor onto that ancestor's known
+    ancestor, accumulating depths — so a depth-2^r chain resolves in r
+    rounds (here: ~17 levels in 5 rounds). Each round is one equi-join on
+    the ancestor key plus a ``localCheckpoint`` to cut lineage, the same
+    discipline as ``connected_components``; this is THE technique for
+    100 TB hierarchies whose depth makes per-level walking the driver
+    bottleneck. The synthetic forest (parent = k div 2 above a root
+    bound) lets the DuckDB recursive CTE replay the exact walk, value-
+    checking every (root, depth) pair.
+    """
+    nodes = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("node"))
+        .distinct()
+    )
+    bound = HIERARCHY_ROOT_BOUND
+    # (node, anc, depth): anc = farthest known ancestor, depth = #edges to
+    # it. Roots start resolved (anc = self).
+    labels = nodes.select(
+        "node",
+        F.when(F.col("node") >= bound, (F.col("node") / 2).cast("long"))
+        .otherwise(F.col("node"))
+        .alias("anc"),
+        F.when(F.col("node") >= bound, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("depth"),
+    ).localCheckpoint(eager=True)
+    while True:
+        hop = labels.select(
+            F.col("node").alias("__n"),
+            F.col("anc").alias("__anc"),
+            F.col("depth").alias("__d"),
+        )
+        # A missing ancestor key (sparse hierarchies: the parent id is
+        # derivable but carries no row of its own) falls back to one
+        # arithmetic step, so the walk never stalls on set membership.
+        arith_anc = (
+            F.when(
+                F.col("anc") >= bound, (F.col("anc") / 2).cast("long")
+            ).otherwise(F.col("anc"))
+        )
+        arith_step = (
+            F.when(F.col("anc") >= bound, F.lit(1)).otherwise(F.lit(0))
+        )
+        doubled = (
+            labels.join(hop, labels.anc == hop.__n, "left")
+            .select(
+                "node",
+                F.coalesce("__anc", arith_anc).alias("anc"),
+                (F.col("depth") + F.coalesce("__d", arith_step))
+                .cast("long")
+                .alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Converged when no node's ancestor moved this round; the check
+        # rides the checkpointed result (one cheap job, no recompute).
+        moved = (
+            doubled.join(
+                labels.select(
+                    F.col("node").alias("node"),
+                    F.col("anc").alias("prev_anc"),
+                ),
+                "node",
+            )
+            .filter(F.col("anc") != F.col("prev_anc"))
+            .limit(1)
+            .count()
+        )
+        labels = doubled
+        if moved == 0:
+            break
+    return labels.select("node", F.col("anc").alias("root"), "depth")
