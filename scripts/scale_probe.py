@@ -111,6 +111,10 @@ PROBES = [
     "multimodal_phash_dedup",    # mapInPandas hash + 8-byte-key shuffle
     "text_unigram_logprob",      # corpus counts + scalar-broadcast score
     "events_anomaly_zscore",     # per-user moments + equi-join back
+    "transform_hierarchy_flatten",  # pointer doubling, O(log depth) joins
+    "graph_pagerank_step",       # degree agg + contribution shuffle
+    "join_salted_skew",          # hot-key salt + replicated-dim join
+    "dedup_fuzzy_entity_match",  # blocked Levenshtein record linkage
 ]
 
 
