@@ -514,29 +514,37 @@ def transform_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("depth"),
     ).localCheckpoint(eager=True)
+    round_idx = 0
     while True:
+        round_idx += 1
         hop = labels.select(
             F.col("node").alias("__n"),
             F.col("anc").alias("__anc"),
             F.col("depth").alias("__d"),
         )
         # A missing ancestor key (sparse hierarchies: the parent id is
-        # derivable but carries no row of its own) falls back to one
-        # arithmetic step, so the walk never stalls on set membership.
-        arith_anc = (
-            F.when(
-                F.col("anc") >= bound, (F.col("anc") / 2).cast("long")
-            ).otherwise(F.col("anc"))
+        # derivable but carries no row of its own) falls back to an
+        # ARITHMETIC fast-forward that doubles like the join does: round
+        # r jumps up to 2^r parent steps in closed form (steps-to-root
+        # from the exact integer bit length, never past the root), so
+        # all-miss chains still resolve in O(log depth) rounds — the
+        # scale probe caught the 1-step fallback degrading to per-level
+        # walking (x8 ratio 11.7) when replica key offsets pushed every
+        # ancestor outside the node set.
+        jump_cap = F.lit(1 << round_idx).cast("long")
+        steps_to_root = F.greatest(
+            F.lit(0).cast("long"),
+            (F.length(F.bin(F.col("anc"))) - 4).cast("long"),
         )
-        arith_step = (
-            F.when(F.col("anc") >= bound, F.lit(1)).otherwise(F.lit(0))
-        )
+        jump = F.least(jump_cap, steps_to_root)
+        arith_anc = F.expr("shiftright(anc, CAST(__jump AS INT))")
         doubled = (
             labels.join(hop, labels.anc == hop.__n, "left")
+            .withColumn("__jump", jump)
             .select(
                 "node",
                 F.coalesce("__anc", arith_anc).alias("anc"),
-                (F.col("depth") + F.coalesce("__d", arith_step))
+                (F.col("depth") + F.coalesce("__d", F.col("__jump")))
                 .cast("long")
                 .alias("depth"),
             )

@@ -1138,7 +1138,7 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                substr(c_name, 1, 2) || substr(c_name, 4)
         FROM customer WHERE c_custkey % 3 = 0
     ), blocked AS (
-        SELECT entity_id, name, substr(name, -3) AS block_key FROM base
+        SELECT entity_id, name, substr(name, -4) AS block_key FROM base
     )
     SELECT a.entity_id AS entity_a,
            b.entity_id AS entity_b,
@@ -1156,9 +1156,13 @@ def dedup_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted copy of every third customer name (one char dropped —
     deterministic, so the oracle rebuilds it) must re-link to its
     original under ``levenshtein <= 2``. The quadratic distance predicate
-    runs only *inside* blocks (last-3-chars key, invariant under the
+    runs only *inside* blocks (last-4-chars key, invariant under the
     corruption) — the same candidate-generation discipline as the LSH
-    band join, so cost scales with block sizes, never |entities|².
+    band join, so cost scales with block sizes, never |entities|². Block
+    granularity is THE scale knob: the probe measured last-3 blocks going
+    quadratic at ×8 corpus (ratio 9.4 — block sizes grow with the data),
+    and one more suffix character buys 10× more blocks; production
+    linkage re-tunes the key as the entity count grows.
     Levenshtein is a JVM builtin with an identical DuckDB twin, making
     the whole match set hash-checkable.
     """
@@ -1173,7 +1177,7 @@ def dedup_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("name"),
         )
     )
-    blocked = base.withColumn("block_key", F.substring("name", -3, 3))
+    blocked = base.withColumn("block_key", F.substring("name", -4, 4))
     a = blocked.alias("a")
     b = blocked.alias("b")
     dist = F.levenshtein(F.col("a.name"), F.col("b.name"))

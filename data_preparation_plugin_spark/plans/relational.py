@@ -2481,21 +2481,28 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't subdivide (single-key partitions).
     """
     li = load_table(spark, sf_dir, "lineitem")
+    hot = F.col("join_key") == 0
     fact = li.select(
         F.when(F.col("l_orderkey") % 100 == 0, F.lit(0))
         .otherwise(F.col("l_orderkey"))
         .alias("join_key"),
         "l_extendedprice",
         "l_discount",
-        # Deterministic uniform salt from the row's content. xxhash64 has
-        # no DuckDB twin, but the salt never reaches the oracle — the
-        # unsalted join it runs is salt-agnostic (the dim covers every
-        # salt value) — so the fast JVM hash is safe here, unlike in
+    ).withColumn(
+        # Deterministic uniform salt from the row's content — HOT rows
+        # only; cold keys keep salt 0 so their dim rows are never
+        # replicated. xxhash64 has no DuckDB twin, but the salt never
+        # reaches the oracle — the unsalted join it runs is
+        # salt-agnostic — so the fast JVM hash is safe here, unlike in
         # oracle-visible md5 constructions.
-        F.pmod(
-            F.xxhash64("l_orderkey", "l_extendedprice"),
-            F.lit(JOIN_SKEW_SALTS),
-        ).alias("salt"),
+        "salt",
+        F.when(
+            hot,
+            F.pmod(
+                F.xxhash64("l_extendedprice", "l_discount"),
+                F.lit(JOIN_SKEW_SALTS),
+            ),
+        ).otherwise(F.lit(0)),
     )
     dim = (
         load_table(spark, sf_dir, "orders")
@@ -2510,8 +2517,15 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "join_key",
             "o_orderpriority",
+            # Replicate ONLY the hot key across the salt space; cold keys
+            # ship one row. The probe measured whole-dim replication
+            # going x6 at x8 input — the replicated volume, not the hot
+            # key, was the cost.
             F.explode(
-                F.sequence(F.lit(0), F.lit(JOIN_SKEW_SALTS - 1))
+                F.when(
+                    hot,
+                    F.sequence(F.lit(0), F.lit(JOIN_SKEW_SALTS - 1)),
+                ).otherwise(F.array(F.lit(0)))
             ).alias("salt"),
         )
     )
