@@ -121,6 +121,10 @@ PROBES = [
 def main() -> None:
     max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     factors = [f for f in (1, 2, 4, 8) if f <= max_factor]
+    only = os.environ.get("PROBE_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        PROBES[:] = [n for n in PROBES if n in wanted]
     spark = get_spark(app_name="dpp-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
