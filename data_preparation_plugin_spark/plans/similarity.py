@@ -632,3 +632,69 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scaled"),
         )
     )
+
+
+@register(
+    "knn_hard_negatives",
+    category="similarity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, label AS qlabel, v AS qv
+        FROM e WHERE vec_id < {N_QUERY_VECS}
+    ), scored AS (
+        SELECT query_id,
+               e.vec_id AS negative_id,
+               CAST(e.label AS INTEGER) AS negative_label,
+               round(list_cosine_similarity(qv, e.v), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(qv, e.v), 6) DESC,
+                            e.vec_id) AS rn
+        FROM q CROSS JOIN e
+        WHERE e.label <> q.qlabel
+    )
+    SELECT query_id, negative_id, negative_label,
+           round(cosine, 4) AS cosine, rn
+    FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: nearest neighbors with a DIFFERENT label.
+
+    The contrastive-training data op (embedding-model and reranker
+    pipelines live on it): for each anchor, the most-similar vectors from
+    *other* classes are exactly the negatives worth training on. Same
+    broadcast-probe + one-corpus-pass shape as ``knn_bruteforce_cosine``
+    — the label inequality just rides the join predicate — and the same
+    round-before-rank discipline keeps ranks hash-stable. Scale path:
+    swap the brute-force pass for the LSH/IVF candidate generation, keep
+    the label filter and per-anchor top-k.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("label") != F.col("qlabel"))
+        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine6").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").cast("int").alias("negative_label"),
+            F.round("cosine6", 4).alias("cosine"),
+            "rn",
+        )
+    )
