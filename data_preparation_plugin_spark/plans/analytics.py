@@ -501,7 +501,15 @@ def transform_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("node"))
         .distinct()
     )
-    bound = HIERARCHY_ROOT_BOUND
+    return resolve_hierarchy(nodes, HIERARCHY_ROOT_BOUND)
+
+
+def resolve_hierarchy(nodes: DataFrame, bound: int) -> DataFrame:
+    """Resolve (root, depth) for every node of the div-2 forest by
+    pointer doubling with arithmetic fast-forward (see
+    :func:`transform_hierarchy_flatten` for the full story). ``nodes``
+    needs one ``node`` long column; works for dense AND sparse node sets
+    (absent ancestors are walked in closed form at doubling pace)."""
     # (node, anc, depth): anc = farthest known ancestor, depth = #edges to
     # it. Roots start resolved (anc = self).
     labels = nodes.select(

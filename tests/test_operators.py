@@ -453,3 +453,29 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     assert set(exact) <= set(bloom)
     for doc_id, n in exact.items():
         assert bloom[doc_id] >= n
+
+
+def test_hierarchy_resolve_sparse_nodes(spark):
+    """Pointer doubling must resolve chains whose ancestors are NOT in
+    the node set (arithmetic fast-forward), matching a plain Python walk
+    — the scale probe caught the 1-step fallback degrading to per-level
+    walking on exactly this shape."""
+    from data_preparation_plugin_spark.plans.analytics import (
+        resolve_hierarchy,
+    )
+
+    nodes = [77, 1_000_000, 15, 16, 123_456_789]
+    df = spark.createDataFrame([(n,) for n in nodes], "node LONG")
+    got = {
+        r.node: (r.root, r.depth)
+        for r in resolve_hierarchy(df, 16).collect()
+    }
+
+    def walk(k):
+        d = 0
+        while k >= 16:
+            k //= 2
+            d += 1
+        return k, d
+
+    assert got == {n: walk(n) for n in nodes}
