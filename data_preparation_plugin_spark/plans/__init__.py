@@ -62,8 +62,12 @@ from data_preparation_plugin_spark.plans import analytics  # noqa: E402,F401
 #: dedup_cluster_canonicalize, graph_pagerank_step,
 #: transform_quality_constraints, join_asof_forward, text_token_entropy,
 #: multimodal_audio_features, dedup_fuzzy_entity_match,
-#: source_date_spine, embedding_standardize, transform_winsorize,
+#: source_date_spine, embedding_standardize, join_salted_skew,
+#: multimodal_patch_extract, udf_map_in_arrow,
+#: transform_hierarchy_flatten, knn_hard_negatives, transform_winsorize,
 #: transform_quantile_bin, join_asof_tolerance, sample_epoch_upsample.
+#: With 50 slots per round and 33 r4-dark + ~35 stale-r1 rows, plan two
+#: rotations (r5, r6) to re-cover everything; prefer r4-dark first.
 DRIVER_CHECK_PRIORITY = [
     # --- Anchors: r2+r3 double-green, one per fragile category. ---
     "q1_pricing_summary",
