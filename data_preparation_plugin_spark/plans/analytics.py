@@ -576,3 +576,110 @@ def resolve_hierarchy(nodes: DataFrame, bound: int) -> DataFrame:
         if moved == 0:
             break
     return labels.select("node", F.col("anc").alias("root"), "depth")
+
+
+@register(
+    "agg_correlation",
+    category="aggregate",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*)                          AS n,
+               sum(l_quantity)                   AS sx,
+               sum(l_extendedprice)              AS sy,
+               sum(l_quantity * l_quantity)      AS sxx,
+               sum(l_extendedprice * l_extendedprice) AS syy,
+               sum(l_quantity * l_extendedprice) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 4) AS qty_price_corr
+    FROM m
+    """,
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation from closed-form co-moments.
+
+    The feature-profiling pass (drift detection, redundant-feature
+    pruning) written scale-correctly: one map-side-combinable aggregate
+    of six sums, correlation derived afterwards — never ``F.corr``/
+    ``corr()``, whose streaming co-moment updates differ between engines
+    in summation order at the ulp level. The identical closed-form
+    expression tree on both sides keeps the 4dp round stable, the same
+    construction as ``events_anomaly_zscore``.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_items"),
+        F.round(corr, 4).alias("qty_price_corr"),
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    category="events",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               date_diff('microseconds',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_us) AS BIGINT)  AS n_gaps,
+           CAST(min(gap_us) AS BIGINT)    AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT)    AS max_gap_us,
+           CAST(sum(gap_us) AS BIGINT)    AS total_gap_us
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap statistics — pure integer microseconds.
+
+    The traffic-shape profile behind rate limiting, bot detection, and
+    session-gap tuning (the 30-minute sessionization threshold comes from
+    exactly this distribution). The lag rides one ``user_id`` window and
+    the aggregate reuses the same exchange; gaps are exact microsecond
+    longs end-to-end — no float in the whole query, so the hash needs no
+    rounding at all.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff on the NTZ values directly — never through a
+    # session-timezone cast (the lesson pinned by
+    # test_session_independence: LTZ round trips shift wall clocks).
+    gaps = events.withColumn("__prev", F.lag("ts").over(w)).withColumn(
+        "gap_us", F.expr("timestampdiff(MICROSECOND, __prev, ts)")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.sum("gap_us").cast("bigint").alias("total_gap_us"),
+    )
