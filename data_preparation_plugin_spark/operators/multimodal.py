@@ -26,6 +26,21 @@ except ImportError:
     Image = None
     _HAS_PIL = False
 
+
+def _round4(x: float) -> float:
+    """Round to 4dp, half away from zero (SQL ``round`` semantics).
+
+    Python's builtin ``round`` is banker's (half-to-even); DuckDB — and
+    Spark's ``F.round`` — round halves away from zero, so an exact
+    .xxxx5 tie would silently diverge between an operator using builtin
+    ``round`` and its SQL oracle. Ties are reachable here: a quadrant
+    gray mean over 2^k pixels with an odd sum lands exactly on a binary
+    .xxxx5.
+    """
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
+
 #: Schema produced by :func:`decode_images` per input row.
 IMAGE_META_SCHEMA = (
     "doc_id long, payload_bytes long, width int, height int, n_channels int"
@@ -370,7 +385,7 @@ def _audio_features_batches(
             # matches the oracle's identical expression bit-for-bit.
             rms = math.sqrt(int((s * s).sum()) / len(s))
             zc = int(((s[1:] * s[:-1]) < 0).sum())
-            rows.append((doc_id, len(s), zc, round(rms, 4)))
+            rows.append((doc_id, len(s), zc, _round4(rms)))
         yield pd.DataFrame(
             rows,
             columns=["doc_id", "n_samples", "zero_crossings", "rms"],
@@ -423,7 +438,7 @@ def _patch_features_batches(
                         py,
                         qx,
                         patch.size,
-                        round(int(patch.sum()) / patch.size, 4),
+                        _round4(int(patch.sum()) / patch.size),
                     )
                 )
         yield pd.DataFrame(

@@ -300,7 +300,7 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)) AS z
         FROM events e
         JOIN stats st ON e.user_id = st.user_id
-        WHERE st.n > 1
+        WHERE st.n > 1 AND st.ss - st.s * st.s / st.n > 0
     )
     SELECT event_id, user_id, event_type, value, round(z, 4) AS zscore
     FROM scored
@@ -317,7 +317,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-scores hash-match exactly (builtin stddev implementations differ in
     summation order, which flips last-ulp bits). One shuffle for the
     per-user moments (map-side combinable), one equi-join back; both on
-    ``user_id``.
+    ``user_id``. Zero-variance groups (all values equal) are excluded on
+    both sides: 0/0 would yield NaN, and Spark's NaN ordering (greater
+    than everything) diverges from SQL NULL/NaN semantics.
     """
     events = load_table(spark, sf_dir, "events")
     stats = events.groupBy("user_id").agg(
@@ -329,8 +331,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
         / (F.col("n") - 1)
     )
+    positive_var = (
+        F.col("ss") - F.col("s") * F.col("s") / F.col("n") > 0
+    )
     return (
-        events.join(stats.filter(F.col("n") > 1), "user_id")
+        events.join(stats.filter((F.col("n") > 1) & positive_var), "user_id")
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) > 2.0)
         .select(

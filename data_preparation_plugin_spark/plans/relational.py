@@ -1210,7 +1210,8 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
     WITH views AS (
-        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'view'
     ), purchases AS (
         SELECT event_id, user_id, ts, value
         FROM events WHERE event_type = 'purchase'
@@ -1222,8 +1223,10 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
            v.ts                   AS last_view_ts,
            v.value                AS last_view_value
     FROM purchases p
-    ASOF LEFT JOIN views v
-      ON p.user_id = v.user_id AND p.ts >= v.ts
+    LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    QUALIFY row_number() OVER (
+        PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) = 1
     """,
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1234,7 +1237,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``last(..., ignorenulls)`` over (user, time). One shuffle on user_id,
     no join at all, and state per partition is a single row — this is the
     shape that survives 100 TB where a range join would explode.
-    Ties (view.ts == purchase.ts) sort views first, matching ASOF's >=.
+    Ties (view.ts == purchase.ts) sort views first, matching ASOF's >=;
+    among equal-ts views the max event_id wins — a deterministic rule
+    (DuckDB's ASOF is unordered on ties, so the oracle spells out the
+    same rule with a join + QUALIFY instead).
     """
     events = load_table(spark, sf_dir, "events")
     views = events.filter(F.col("event_type") == "view").select(
@@ -1245,6 +1251,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("view_ts"),
         F.col("value").alias("view_value"),
         F.lit(0).alias("side"),
+        F.col("event_id").alias("view_event_id"),
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id",
@@ -1254,10 +1261,11 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast(events.schema["ts"].dataType).alias("view_ts"),
         F.lit(None).cast("double").alias("view_value"),
         F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("view_event_id"),
     )
     win = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "view_event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -2277,7 +2285,8 @@ def transform_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
     WITH views AS (
-        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'view'
     ), purchases AS (
         SELECT event_id, user_id, ts, value
         FROM events WHERE event_type = 'purchase'
@@ -2291,8 +2300,10 @@ def transform_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN v.ts IS NOT NULL AND p.ts - v.ts <= INTERVAL 2 HOUR
                 THEN v.value END AS last_view_value
     FROM purchases p
-    ASOF LEFT JOIN views v
-      ON p.user_id = v.user_id AND p.ts >= v.ts
+    LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    QUALIFY row_number() OVER (
+        PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) = 1
     """,
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2315,6 +2326,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("view_ts"),
         F.col("value").alias("view_value"),
         F.lit(0).alias("side"),
+        F.col("event_id").alias("view_event_id"),
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id",
@@ -2324,10 +2336,11 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast(events.schema["ts"].dataType).alias("view_ts"),
         F.lit(None).cast("double").alias("view_value"),
         F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("view_event_id"),
     )
     win = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "view_event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
@@ -2363,7 +2376,8 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
     WITH views AS (
-        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'view'
     ), purchases AS (
         SELECT event_id, user_id, ts, value
         FROM events WHERE event_type = 'purchase'
@@ -2375,8 +2389,10 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
            v.ts    AS next_view_ts,
            v.value AS next_view_value
     FROM purchases p
-    ASOF LEFT JOIN views v
-      ON p.user_id = v.user_id AND p.ts <= v.ts
+    LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts >= p.ts
+    QUALIFY row_number() OVER (
+        PARTITION BY p.event_id ORDER BY v.ts ASC, v.event_id ASC) = 1
     """,
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2386,8 +2402,9 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`join_asof`: the union-window idiom with a FOLLOWING frame and
     ``first(..., ignorenulls)`` instead of PRECEDING + ``last``. Purchases
     sort before views at equal timestamps so a same-instant view matches
-    (ASOF's ``<=``). Identical scale shape: one user_id shuffle, no join
-    operator, O(1) state per row.
+    (ASOF's ``<=``); among equal-ts views the min event_id wins — a
+    deterministic tie rule mirrored in the oracle (join + QUALIFY, since
+    DuckDB's ASOF is unordered on ties).
     """
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
@@ -2398,6 +2415,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast(events.schema["ts"].dataType).alias("view_ts"),
         F.lit(None).cast("double").alias("view_value"),
         F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("view_event_id"),
     )
     views = events.filter(F.col("event_type") == "view").select(
         F.lit(None).cast("long").alias("event_id"),
@@ -2407,10 +2425,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("view_ts"),
         F.col("value").alias("view_value"),
         F.lit(1).alias("side"),
+        F.col("event_id").alias("view_event_id"),
     )
     win = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "view_event_id")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     return (

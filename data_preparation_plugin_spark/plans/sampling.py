@@ -286,7 +286,7 @@ def sample_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
            seq_id,
            count(*)                        AS n_docs,
            CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
-           list(doc_id ORDER BY doc_id)    AS doc_ids
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
     FROM assigned
     GROUP BY pack_stream, seq_id
     """,
@@ -300,7 +300,23 @@ def sample_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     by budget/min-doc-tokens, so the per-sequence aggregation state stays
     small no matter how large the corpus grows; still one shuffle, keyed
     on (stream, seq).
+
+    ``doc_ids`` is emitted as a comma-joined string (numerically sorted
+    before the join) rather than ``ARRAY<BIGINT>``: the driver harness
+    canonicalizes rows via pandas hashing and cannot hash Python lists.
+    The array form remains available via :func:`packed_sequences_array`
+    (exercised in tests/test_sampling.py).
     """
+    return packed_sequences_array(spark, sf_dir).withColumn(
+        "doc_ids",
+        F.array_join(
+            F.transform(F.col("doc_ids"), lambda x: x.cast("string")), ","
+        ),
+    )
+
+
+def packed_sequences_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed form of :func:`sample_packed_sequences` (local use)."""
     assigned = sample_sequence_packing(spark, sf_dir)
     return assigned.groupBy("pack_stream", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -577,12 +577,16 @@ def knn_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(v)     AS s,
                sum(v * v) AS ss
         FROM e GROUP BY dim
+        HAVING ss - s * s / count(*) > 0
     )
     SELECT e.vec_id,
            CAST(count(*) AS BIGINT) AS n_dims,
-           list(round((e.v - st.s / st.n)
-                      / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)), 4)
-                ORDER BY e.dim) AS scaled
+           array_to_string(
+               list(round((e.v - st.s / st.n)
+                          / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)),
+                          4)::DECIMAL(12,4)
+                    ORDER BY e.dim),
+               ',') AS scaled
     FROM e JOIN st ON e.dim = st.dim
     GROUP BY e.vec_id
     """,
@@ -597,7 +601,11 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt with an in-row sort, no window. Standard deviation is closed
     form from (n, Σ, Σx²) — the same IEEE-identical construction as
     ``events_anomaly_zscore`` — and the 4dp round absorbs
-    summation-order ulps in the μ/σ estimates.
+    summation-order ulps in the μ/σ estimates. Constant dimensions
+    (zero variance) are dropped on both sides — 0/0 NaN semantics
+    diverge between engines, and a zero-information feature has no
+    standardized value anyway. ``scaled`` is emitted comma-joined (the
+    driver harness hashes rows via pandas and cannot hash list cells).
     """
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -609,7 +617,7 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("s"),
         F.sum(F.col("v") * F.col("v")).alias("ss"),
-    )
+    ).filter(F.col("ss") - F.col("s") * F.col("s") / F.col("n") > 0)
     scaled = (F.col("v") - F.col("s") / F.col("n")) / F.sqrt(
         (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
         / (F.col("n") - 1)
@@ -619,16 +627,21 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_dims"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("dim").alias("dim"),
-                            F.round(scaled, 4).alias("sv"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("dim").alias("dim"),
+                                F.round(scaled, 4).alias("sv"),
+                            )
                         )
-                    )
+                    ),
+                    lambda x: x.getField("sv").cast("decimal(12,4)").cast(
+                        "string"
+                    ),
                 ),
-                lambda x: x.getField("sv"),
+                ",",
             ).alias("scaled"),
         )
     )

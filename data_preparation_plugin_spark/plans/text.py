@@ -866,8 +866,10 @@ VOCAB_SIZE = 300
     SELECT t.doc_id,
            count(*)          AS n_tokens,
            count(v.token_id) AS n_in_vocab,
-           list(v.token_id ORDER BY t.pos)
-               FILTER (WHERE v.token_id IS NOT NULL) AS token_ids
+           COALESCE(array_to_string(
+               list(v.token_id ORDER BY t.pos)
+                   FILTER (WHERE v.token_id IS NOT NULL), ','), '')
+               AS token_ids
     FROM tok t LEFT JOIN vocab v ON t.token = v.token
     GROUP BY t.doc_id
     """,
@@ -898,19 +900,25 @@ def text_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "token_id")
     )
     mapped = tok.join(F.broadcast(vocab), "token", "left")
+    # Comma-joined id sequence (driver-hashable; "" when no token is
+    # in-vocab — the oracle COALESCEs its NULL list to match, per the
+    # DuckDB `list(...) FILTER` empty-group semantics).
     return mapped.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.count("token_id").alias("n_in_vocab"),
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.col("token_id").isNotNull(),
-                        F.struct("pos", "token_id"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("token_id").isNotNull(),
+                            F.struct("pos", "token_id"),
+                        )
                     )
-                )
+                ),
+                lambda x: x.getField("token_id").cast("string"),
             ),
-            lambda x: x.getField("token_id"),
+            ",",
         ).alias("token_ids"),
     )
 

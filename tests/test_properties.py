@@ -195,6 +195,31 @@ def test_sequence_packing_invariants(spark):
         assert seqs == set(range(len(seqs))), (stream, sorted(seqs))
 
 
+def test_packed_sequences_array_form_agrees(spark):
+    """The driver-facing string form is exactly the comma-join of the
+    local array form (same rows, numerically sorted ids)."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.sampling import (
+        packed_sequences_array,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    arr = {
+        (r.pack_stream, r.seq_id): (r.n_docs, r.total_tokens, r.doc_ids)
+        for r in packed_sequences_array(spark, sf).collect()
+    }
+    strd = {
+        (r.pack_stream, r.seq_id): (r.n_docs, r.total_tokens, r.doc_ids)
+        for r in QUERIES["sample_packed_sequences"].builder(spark, sf).collect()
+    }
+    assert arr.keys() == strd.keys()
+    for key, (n, tot, ids) in arr.items():
+        sn, stot, sids = strd[key]
+        assert (n, tot) == (sn, stot)
+        assert sids == ",".join(str(i) for i in ids)
+        assert ids == sorted(ids)
+
+
 def test_weighted_mix_rates_hold(spark):
     """Kept fraction tracks the declared per-source rate (hash-exact
     membership, so the tolerance only covers small-source granularity)."""
