@@ -2555,3 +2555,291 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    category="join",
+    oracle="""
+    WITH eligible AS (
+        SELECT l.l_partkey, l.l_extendedprice,
+               s.s_acctbal, s.s_name, n.n_name
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, p.p_retailprice,
+           e.l_extendedprice AS supply_price
+    FROM part p JOIN eligible e ON e.l_partkey = p.p_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+      AND e.l_extendedprice = (
+            SELECT min(e2.l_extendedprice) FROM eligible e2
+            WHERE e2.l_partkey = p.p_partkey
+          )
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey, supply_price
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 flavor: scalar subquery in a predicate (min-cost supplier).
+
+    The missing decorrelation pattern from the Q-family: a correlated
+    ``= (SELECT min(...))`` predicate over a multi-dimension join chain
+    (supplier -> nation -> region), top-N output. Decorrelated the only
+    way that scales: the per-part minimum becomes ONE grouped aggregate
+    over the region-filtered fact (map-side combinable), joined back on
+    the correlation key. The dimension chain broadcasts (supplier/nation/
+    region are KB-sized at any SF), so the fact scans once and never
+    shuffles for the dims; the min table is |parts| rows — broadcast too.
+    The equality on doubles is exact: min() returns one of the input
+    values bit-for-bit in both engines.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        supplier.join(
+            nation, supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            region.filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = lineitem.join(
+        F.broadcast(dims), lineitem.l_suppkey == F.col("s_suppkey")
+    ).select("l_partkey", "l_extendedprice", "s_acctbal", "s_name", "n_name")
+    mins = eligible.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    partf = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    return (
+        eligible.join(
+            F.broadcast(partf), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .join(F.broadcast(mins), F.col("m_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_retailprice",
+            F.col("l_extendedprice").alias("supply_price"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey",
+            "supply_price",
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    category="aggregate",
+    oracle="""
+    WITH natline AS (
+        SELECT l.l_partkey,
+               l.l_extendedprice * (1 - l.l_discount) AS val
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT l_partkey, round(sum(val), 2) AS value
+    FROM natline
+    GROUP BY l_partkey
+    HAVING sum(val) > (SELECT sum(val) * 0.001 FROM natline)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 flavor: group-filtered aggregate over a global aggregate.
+
+    HAVING against a scalar subquery of the SAME derived stream — the
+    agg-over-agg decorrelation. The stream materializes logically twice
+    but scans once per aggregate with the filter/dims pushed; the global
+    total is a one-row DataFrame broadcast into the comparison (a
+    broadcast nested loop with a single build row — free), never a
+    driver-side collect. The fixture margin between any group sum and
+    the threshold is >100 (probed), so summation-order ulps can't flip
+    a boundary row between engines.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    dims = (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    natline = lineitem.join(
+        F.broadcast(dims), lineitem.l_suppkey == F.col("s_suppkey")
+    ).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
+    )
+    sums = natline.groupBy("l_partkey").agg(F.sum("val").alias("v"))
+    total = natline.agg((F.sum("val") * 0.001).alias("thr"))
+    return (
+        sums.join(F.broadcast(total))
+        .filter(F.col("v") > F.col("thr"))
+        .select("l_partkey", F.round("v", 2).alias("value"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    category="aggregate",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 flavor: distinct-count with a NOT IN anti-join.
+
+    The last distinct-count shape in the family: NOT IN over a subquery
+    compiles to a broadcast left-anti join (the exclusion set is
+    supplier-sized — tiny), the part predicate prunes before the join,
+    and the count(DISTINCT) runs as Spark's two-phase distinct aggregate
+    (partial distinct per partition, then merge) — no row ever carries
+    more than the three group keys plus a suppkey. NOT IN's null trap
+    (one NULL poisons the set) is structurally absent: s_suppkey is a
+    key column, never null, in both engines.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad_supp),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_dominant_share_suppliers",
+    category="join",
+    oracle="""
+    WITH shipped AS (
+        SELECT l.l_suppkey, l.l_partkey, sum(l.l_quantity) AS qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%gear%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ), qualified AS (
+        SELECT DISTINCT sh.l_suppkey
+        FROM shipped sh
+        WHERE sh.qty > 0.5 * (
+            SELECT sum(sh2.qty) FROM shipped sh2
+            WHERE sh2.l_partkey = sh.l_partkey
+        )
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM qualified)
+    """,
+)
+def q20_dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 flavor: semi-join over a correlated scalar subquery.
+
+    The deepest nesting in the family: suppliers IN (grouped aggregate
+    HAVING a correlated per-part total) — Q20's availqty-vs-shipped
+    pattern re-grounded on the tables this schema has (a supplier
+    "dominates" a part when it shipped more than half that part's
+    year-volume). Decorrelation: the inner scalar becomes a second
+    grouped aggregate on the same `shipped` stream joined back on
+    partkey; the final IN is a broadcast left-semi join onto the
+    dimension-sized supplier table. Quantities are integer-valued
+    doubles, so every sum and the 0.5x threshold are IEEE-exact in both
+    engines — no rounding needed anywhere.
+    """
+    partf = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    shipped = (
+        lineitem.join(
+            F.broadcast(partf), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("part_qty")
+    )
+    qualified = (
+        shipped.join(
+            F.broadcast(totals), F.col("t_partkey") == F.col("l_partkey")
+        )
+        .filter(F.col("qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    asian_nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region").filter(
+                F.col("r_name") == "ASIA"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(asian_nations),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(qualified),
+            supplier.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+    )
