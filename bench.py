@@ -2,11 +2,21 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "value_single": N, "queries_single": {...}}
 
 ``value`` is the total wall-clock of all benched queries (each executed as a
 count-collapsed action so results never funnel through the driver). Set
 ``BENCH_ALL=1`` to time every registered query instead of the headline set.
+
+Two methodologies are reported side by side so round-over-round deltas stay
+honest (the r3->r4 comparison was muddied by a single-shot->best-of switch):
+
+- ``value``/``queries``: per-query best-of-``BENCH_REPS`` (default 3) —
+  robust to the >2x transient host-contention inflation observed on this
+  machine; tracks the steady-state cost of the plan.
+- ``value_single``/``queries_single``: the FIRST (cold-cache, post-warmup)
+  rep of the same runs — directly comparable to any single-shot round.
 """
 
 from __future__ import annotations
@@ -50,19 +60,26 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    singles: dict[str, float] = {}
     for name in names:
         builder = plans.QUERIES[name].builder
         # Warm once at tiny scale so JVM/codegen warmup doesn't pollute t0.
         if os.environ.get("BENCH_NO_WARMUP") != "1":
             run(builder(spark, "/root/testdata/sf0.001"))
         best = float("inf")
+        first = None
         for _ in range(reps):
             start = time.perf_counter()
             run(builder(spark, sf_dir))
-            best = min(best, time.perf_counter() - start)
+            elapsed = time.perf_counter() - start
+            if first is None:
+                first = elapsed
+            best = min(best, elapsed)
         timings[name] = round(best, 3)
+        singles[name] = round(first, 3)
 
     total = round(sum(timings.values()), 3)
+    total_single = round(sum(singles.values()), 3)
     print(
         json.dumps(
             {
@@ -71,6 +88,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "value_single": total_single,
+                "queries_single": singles,
             }
         )
     )

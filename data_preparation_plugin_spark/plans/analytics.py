@@ -509,12 +509,20 @@ def transform_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_hierarchy(nodes, HIERARCHY_ROOT_BOUND)
 
 
-def resolve_hierarchy(nodes: DataFrame, bound: int) -> DataFrame:
+def resolve_hierarchy(
+    nodes: DataFrame, bound: int, max_rounds: int | None = None
+) -> DataFrame:
     """Resolve (root, depth) for every node of the div-2 forest by
     pointer doubling with arithmetic fast-forward (see
     :func:`transform_hierarchy_flatten` for the full story). ``nodes``
     needs one ``node`` long column; works for dense AND sparse node sets
-    (absent ancestors are walked in closed form at doubling pace)."""
+    (absent ancestors are walked in closed form at doubling pace).
+
+    ``max_rounds`` is the regression leash: pointer doubling must finish
+    a depth-D forest in ceil(log2(D)) + O(1) rounds; pass the bound and
+    the function raises ``RuntimeError`` if a change ever degrades the
+    doubling back to per-level walking (the x8-probe incident this
+    guards against)."""
     # (node, anc, depth): anc = farthest known ancestor, depth = #edges to
     # it. Roots start resolved (anc = self).
     labels = nodes.select(
@@ -580,6 +588,12 @@ def resolve_hierarchy(nodes: DataFrame, bound: int) -> DataFrame:
         labels = doubled
         if moved == 0:
             break
+        if max_rounds is not None and round_idx >= max_rounds:
+            raise RuntimeError(
+                f"resolve_hierarchy did not converge in {max_rounds} "
+                "rounds — pointer doubling has regressed toward "
+                "per-level walking"
+            )
     return labels.select("node", F.col("anc").alias("root"), "depth")
 
 

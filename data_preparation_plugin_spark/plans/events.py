@@ -17,22 +17,13 @@ from pyspark.sql.window import Window
 from data_preparation_plugin_spark.plans.registry import load_table, register
 
 
-@register(
-    "events_json_props",
-    category="events",
-    oracle=r"""
-    SELECT event_id,
-           user_id,
-           CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS prop_k
-    FROM events
-    WHERE props IS NOT NULL
-    """,
-)
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the JSON ``props`` column into a typed column.
 
-    Spark side uses real JSON parsing (``get_json_object``); the oracle uses
-    a regex so it does not depend on DuckDB's JSON extension being loaded.
+    Library form only — unregistered: ``events_props_map`` now carries
+    both JSON primitives (``from_json`` map-explode AND the typed
+    ``get_json_object`` path) under one oracle, so this single-column
+    twin added no coverage of its own.
     """
     events = load_table(spark, sf_dir, "events")
     return events.filter(F.col("props").isNotNull()).select(
@@ -484,7 +475,9 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT event_id,
            'k' AS prop_key,
-           regexp_extract(props, '"k":\s*(-?\d+)', 1) AS prop_value
+           regexp_extract(props, '"k":\s*(-?\d+)', 1) AS prop_value,
+           CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)
+               AS prop_k
     FROM events
     WHERE props IS NOT NULL
     """,
@@ -495,13 +488,20 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     The generic schema-free JSON path: ``from_json`` to map<string,string>
     handles arbitrary flat props without a declared struct, and the
     explode yields the long-format table analytics pivots from. The
-    oracle regex-extracts the single key the fixture populates.
+    typed column (``prop_k``) rides the same row via ``get_json_object``
+    — the second JSON primitive, folded in from the former
+    ``events_json_props`` twin. The oracle regex-extracts the single key
+    the fixture populates.
     """
     events = load_table(spark, sf_dir, "events")
     props_map = F.from_json("props", "map<string,string>")
     return (
         events.filter(F.col("props").isNotNull())
-        .select("event_id", F.explode(props_map).alias("prop_key", "prop_value"))
+        .select(
+            "event_id",
+            F.explode(props_map).alias("prop_key", "prop_value"),
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        )
     )
 
 

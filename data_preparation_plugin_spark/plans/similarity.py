@@ -122,24 +122,15 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "knn_lsh_buckets",
-    category="similarity",
-    oracle=f"""
-    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
-    FROM (
-        SELECT vec_id, {_bucket_sql("embedding::DOUBLE[]")} AS bucket
-        FROM embeddings
-    )
-    GROUP BY bucket
-    """,
-)
 def knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment (the ANN index itself).
 
     Bucketing is a narrow map — each vector hashes independently, so index
     construction scales embarrassingly; the bucket histogram here is what
-    an operator would monitor for skew.
+    an operator would monitor for skew. Library form only — unregistered:
+    ``knn_lsh_cosine`` exercises the identical bucket expression end-to-end
+    (bucket build + candidate join + top-k), so the histogram alone added
+    no oracle coverage.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")

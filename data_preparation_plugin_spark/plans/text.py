@@ -183,17 +183,14 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_fingerprint",
-    category="text",
-    oracle=r"""
-    SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
-    FROM documents
-    """,
-)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-content fingerprint (md5 over whitespace-collapsed text)."""
+    """Normalized-content fingerprint (md5 over whitespace-collapsed text).
+
+    Library form only — unregistered: ``dedup_exact_fingerprint``
+    (plans/dedup.py) is the oracle-checked superset (same projection
+    plus the digest group-agg), so registering both would double-count
+    one capability in the registry.
+    """
     docs = load_table(spark, sf_dir, "documents")
     normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))

@@ -115,6 +115,10 @@ PROBES = [
     "graph_pagerank_step",       # degree agg + contribution shuffle
     "join_salted_skew",          # hot-key salt + replicated-dim join
     "dedup_fuzzy_entity_match",  # blocked Levenshtein record linkage
+    "dedup_minhash_clusters_star",  # star-contraction CC, O(log^2) rounds
+    "events_stream_stateful_totals",  # applyInPandasWithState replay
+    "q2_min_cost_supplier",      # correlated-min decorrelation + dims
+    "q20_dominant_share_suppliers",  # semi-join over grouped HAVING
 ]
 
 
