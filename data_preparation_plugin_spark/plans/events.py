@@ -723,3 +723,86 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay(spark, "events_stream_enrich", stream).withColumn(
         "window_start", F.col("window_start").cast("timestamp_ntz")
     )
+
+
+@register(
+    "events_stream_merge_totals",
+    category="streaming",
+    oracle="""
+    SELECT user_id,
+           event_type,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 2)      AS total_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def events_stream_merge_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregation MERGE-upserted into a warehouse table.
+
+    The production stream->warehouse CDC shape: an update-mode running
+    aggregate emits, per micro-batch, the keys whose totals changed, and
+    ``foreachBatch`` applies them to a parquet relation with MERGE
+    semantics (``layout.merge_upsert``: anti-join survivors + union of
+    the change rows). The final table therefore holds exactly the last
+    cumulative snapshot per key — the oracle's plain batch GROUP BY —
+    which is hard evidence that (a) the agg state survived across
+    micro-batches, and (b) replayed/overlapping upserts replace rather
+    than duplicate. At scale each micro-batch's change set is tiny
+    relative to the table, so AQE demotes the anti-join to a broadcast
+    and the table streams map-side; the checkpointed rewrite is the
+    same compact-on-write discipline as ``sink_merge_upsert``.
+    """
+    import tempfile
+
+    from data_preparation_plugin_spark.layout import merge_upsert
+    from data_preparation_plugin_spark.streaming import events_stream
+
+    staged = _stage_events(spark, sf_dir)
+    totals = (
+        events_stream(spark, staged, max_files_per_trigger=2)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    target_dir = tempfile.mkdtemp(prefix="dpp-stream-merge-table-")
+    ckpt_dir = tempfile.mkdtemp(prefix="dpp-stream-merge-ckpt-")
+    state = {"initialized": False}
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        if not state["initialized"]:
+            batch_df.write.mode("overwrite").parquet(target_dir)
+            state["initialized"] = True
+            return
+        target = sess.read.parquet(target_dir)
+        # Materialize the merge BEFORE overwriting the directory it reads
+        # from (a lazy write would scan its own output mid-rewrite).
+        merged = merge_upsert(
+            target, batch_df, ["user_id", "event_type"]
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target_dir)
+
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_STATE_PARTITIONS)
+    )
+    try:
+        query = (
+            totals.writeStream.foreachBatch(upsert_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    return spark.read.parquet(target_dir).select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )

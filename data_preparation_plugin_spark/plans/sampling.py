@@ -462,3 +462,67 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).cast("bigint").alias("n_kept"),
     )
+
+
+#: Per-source sample size for the weighted reservoir sample.
+RESERVOIR_PER_SOURCE = 25
+
+
+@register(
+    "sample_weighted_reservoir",
+    category="sampling",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 0.5) / 4294967296.0) / n_chars AS k
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, round(k, 6) AS res_key,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY k DESC, doc_id) AS rn
+    FROM keyed
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY k DESC, doc_id) <= {RESERVOIR_PER_SOURCE}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res).
+
+    The mixture-building primitive stratified sampling can't give you:
+    each document's inclusion probability is proportional to its weight
+    (here ``n_chars`` — longer docs more likely), with NO RNG state. The
+    A-Res key is ``ln(u) / w`` for a per-doc uniform ``u``; taking the
+    top-k keys per source is exactly weighted sampling without
+    replacement. ``u`` derives from md5 of the doc id — the module's
+    deterministic-uniform trick — so the sample is reproducible on any
+    cluster and oracle-checkable. Scale shape: a narrow map computes the
+    key, then a per-group top-k (rank + filter) — one shuffle on
+    ``source``, and at 100 TB the same statement runs as per-partition
+    partial top-k before the merge; no global sort, no payload shuffle
+    (join the sampled ids back for the text). The hash-uniform is
+    ``(h32 + 0.5) / 2^32`` — an exact power-of-two division both engines
+    compute identically; ``ln`` agrees to the last ulp on these inputs
+    (probed: nearest boundary gap is orders of magnitude above ulp).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.col("k").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("k"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RESERVOIR_PER_SOURCE)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("k", 6).alias("res_key"),
+            "rn",
+        )
+    )
