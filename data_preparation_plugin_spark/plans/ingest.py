@@ -464,3 +464,58 @@ def source_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weekday0_mon"),
         (F.dayofmonth(d) == 1).alias("is_month_start"),
     )
+
+
+_BINARY_DIR = os.path.join(_STAGE_ROOT, "binary_payloads")
+
+#: Every 25th document becomes one payload file (bounded, fixture-derived).
+_BINARY_STRIDE = 25
+
+
+@register(
+    "source_binaryfile_ingest",
+    category="source",
+    oracle=f"""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           CAST(size AS BIGINT)               AS n_bytes,
+           md5(CAST(content AS VARCHAR))      AS content_md5
+    FROM read_blob('{_BINARY_DIR}/*.bin')
+    """,
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion via Spark's ``binaryFile`` source.
+
+    The front door of every multimodal pipeline: raw image/audio blobs
+    land as files, and ``spark.read.format("binaryFile")`` turns the
+    directory into (path, length, content) rows read in parallel — the
+    step *before* ``plans/multimodal.py``'s Arrow-batched decoders. The
+    fixture stages one UTF-8 payload file per 25th document so DuckDB's
+    ``read_blob`` can verify the exact bytes Spark saw (length + md5 per
+    file). At scale the source lists and splits files across executors
+    like any FileScan; pair with ``pathGlobFilter``/partitioned dirs for
+    pruning, and keep per-file payloads under the block size (the source
+    never splits inside a file).
+    """
+    import glob
+    import shutil
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _BINARY_STRIDE == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    shutil.rmtree(_BINARY_DIR, ignore_errors=True)
+    os.makedirs(_BINARY_DIR, exist_ok=True)
+    for row in docs:
+        with open(
+            os.path.join(_BINARY_DIR, f"doc-{row.doc_id:08d}.bin"), "wb"
+        ) as fh:
+            fh.write(row.text.encode("utf-8"))
+    assert glob.glob(f"{_BINARY_DIR}/*.bin")
+    binary = spark.read.format("binaryFile").load(_BINARY_DIR)
+    return binary.select(
+        F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
