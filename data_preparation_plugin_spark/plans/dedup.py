@@ -1194,3 +1194,100 @@ def dedup_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("edit_distance"),
         )
     )
+
+
+@register(
+    "graph_triangle_cooccurrence",
+    category="dedup",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey)    AS u,
+                        greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), triangles AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), member AS (
+        SELECT a AS part FROM triangles
+        UNION ALL SELECT b FROM triangles
+        UNION ALL SELECT c FROM triangles
+    )
+    SELECT part, count(*) AS n_triangles
+    FROM member
+    GROUP BY part
+    """,
+)
+def graph_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part co-occurrence graph.
+
+    The graph-mining shape behind community/cohesion analysis of
+    co-occurrence data (parts bought together here; tokens, authors, or
+    near-dup docs in a corpus pipeline). Edges are distinct ordered
+    part pairs sharing an order — the self-join stays keyed on
+    ``l_orderkey`` so its cost is sum-of-squares of *order sizes*
+    (bounded: an order has ~4-7 items), never a global cross join.
+    Triangles are counted on the ORIENTED graph (u<v<w): each triangle
+    is materialized exactly once via wedge join (e1.v = e2.u) + closing
+    probe (e1.u, e2.v), the standard distributed formulation whose work
+    is bounded by sum of per-node wedge counts; production adds
+    degree-based orientation to cap hub wedges — same plan, different
+    sort key. Every join is an equi-join Catalyst can shuffle-hash; the
+    final explode + count is map-side combinable.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    # Materialize the edge list once (two longs per edge): the wedge and
+    # closing joins reference it three times, and without a checkpoint
+    # Spark would re-run the lineitem self-join per reference (measured
+    # 9.4s -> 3.4s at sf0.1) — the DataFrame analogue of DuckDB's
+    # once-materialized CTE.
+    edges = (
+        li.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("p2")),
+        )
+        .select(
+            F.col("l_partkey").alias("u"),
+            F.col("p2").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    # Broadcast the edge list into both probes: the wedge stream is the
+    # quadratic object (sum of deg_out*deg_in ~ 60x the edge count here)
+    # and must stay pipelined inside one codegen stage — a sort-merge
+    # plan would shuffle AND sort all wedges (measured 8.9s vs 2.9s at
+    # sf0.1). The broadcast side is only the deduplicated edge list
+    # (two longs per edge); for unbounded-catalog graphs swap to a
+    # shuffled hash join on the same keys — the wedge stream still never
+    # sorts.
+    wedges = e1.join(F.broadcast(e2), F.col("b") == F.col("b2")).select(
+        "a", "b", "c"
+    )
+    closing = edges.select(
+        F.col("u").alias("a3"), F.col("v").alias("c3")
+    )
+    triangles = wedges.join(
+        F.broadcast(closing),
+        (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        "left_semi",
+    )
+    member = triangles.select(
+        F.explode(F.array("a", "b", "c")).alias("part")
+    )
+    return member.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
