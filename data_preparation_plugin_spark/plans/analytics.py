@@ -702,3 +702,88 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
         F.sum("gap_us").cast("bigint").alias("total_gap_us"),
     )
+
+
+#: KMV sketch size: estimate distinct counts from the K smallest hashes.
+KMV_K = 32
+
+
+@register(
+    "agg_kmv_distinct",
+    category="aggregation",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+        FROM events
+    ), ranked AS (
+        SELECT event_type, hx,
+               row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn,
+               count(*)    OVER (PARTITION BY event_type)              AS nd
+        FROM h
+    ), kth AS (
+        SELECT event_type, nd,
+               list_sum(list_transform(range(1, 14),
+                   i -> (strpos('0123456789abcdef', substr(hx, CAST(i AS INT), 1)) - 1)
+                        * power(16.0, -i))) AS frac
+        FROM ranked
+        WHERE rn = least({KMV_K}, nd)
+    )
+    SELECT event_type,
+           nd AS n_distinct_exact,
+           round(CASE WHEN nd < {KMV_K} THEN CAST(nd AS DOUBLE)
+                      ELSE ({KMV_K} - 1) / frac END, 4) AS kmv_estimate,
+           round(abs(CASE WHEN nd < {KMV_K} THEN CAST(nd AS DOUBLE)
+                          ELSE ({KMV_K} - 1) / frac END - nd) * 1.0 / nd, 4)
+               AS rel_error
+    FROM kth
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event type.
+
+    The mergeable-sketch family (KMV / theta): hash every key, keep the K
+    smallest hash values, estimate distinct = (K-1)/frac(K-th smallest).
+    Spark ships ``approx_count_distinct`` (HLL++) built in — this query
+    exists because KMV sketches also support set-operation estimates
+    (intersection/union of audiences) that HLL cannot, and because md5 has
+    a DuckDB twin so the WHOLE estimate is hash-checkable, not just
+    rows-only. Hex strings of equal length order identically to their
+    numeric values, so the K-th smallest is engine-agnostic; the fraction
+    is built from the first 13 hex digits (52 bits — exactly a double
+    mantissa, so the digit-weighted sum is exact and associativity-proof
+    on both engines).
+
+    Scale shape: the distinct pre-aggregation on (event_type, 16-byte
+    digest) is map-side combinable; after it, at most `nd` rows per group
+    enter one window sort. A production aggregator would carry O(K) state
+    per group (a bounded min-heap) through a single map-side-combine pass
+    — the relational form here trades that for a second exchange to stay
+    oracle-checkable.
+    """
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hx")
+    ).distinct()
+    w = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "hx",
+        F.row_number().over(w.orderBy("hx")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("nd"),
+    )
+    kth = ranked.where(F.col("rn") == F.least(F.lit(KMV_K), F.col("nd")))
+    frac = (
+        F.conv(F.substring("hx", 1, 13), 16, 10).cast("double")
+        / F.lit(float(2**52))
+    )
+    est = F.when(
+        F.col("nd") < KMV_K, F.col("nd").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) / frac)
+    return kth.select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_distinct_exact"),
+        F.round(est, 4).alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("nd")) * F.lit(1.0) / F.col("nd"), 4).alias(
+            "rel_error"
+        ),
+    )

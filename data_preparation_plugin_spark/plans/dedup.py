@@ -1291,3 +1291,163 @@ def graph_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member.groupBy("part").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+#: Gram width for maximal duplicated-span detection. 5 tokens is wide
+#: enough that chance collisions are negligible over word-level grams and
+#: narrow enough to catch short copied snippets.
+SPAN_GRAM_TOKENS = 5
+
+_SPAN_K = SPAN_GRAM_TOKENS
+
+
+@register(
+    "dedup_duplicate_spans",
+    category="dedup",
+    bench=True,
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               i - 1 AS pos,
+               md5(array_to_string(toks[i : i + {_SPAN_K} - 1], ' ')) AS digest
+        FROM tok,
+             unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS t(i)
+        WHERE len(toks) >= {_SPAN_K}
+    ), dupg AS (
+        SELECT digest
+        FROM (SELECT digest, count(DISTINCT doc_id) AS nd
+              FROM grams GROUP BY digest)
+        WHERE nd > 1
+    ), hits AS (
+        SELECT g.doc_id, g.pos, g.pos + {_SPAN_K} - 1 AS endp
+        FROM grams g JOIN dupg USING (digest)
+    ), marked AS (
+        SELECT doc_id, pos, endp,
+               CASE WHEN pos > coalesce(
+                        max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING),
+                        -2) + 1
+                    THEN 1 ELSE 0 END AS new_span
+        FROM hits
+    ), spans AS (
+        SELECT doc_id, pos, endp,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM marked
+    ), per_span AS (
+        SELECT doc_id, span_id, min(pos) AS s, max(endp) AS e
+        FROM spans GROUP BY doc_id, span_id
+    ), per_doc AS (
+        SELECT doc_id,
+               count(*)                           AS n_dup_spans,
+               CAST(sum(e - s + 1) AS BIGINT)     AS dup_tokens,
+               CAST(max(e - s + 1) AS BIGINT)     AS max_span_tokens
+        FROM per_span GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(p.n_dup_spans, 0)     AS n_dup_spans,
+           coalesce(p.dup_tokens, 0)      AS dup_tokens,
+           coalesce(p.max_span_tokens, 0) AS max_span_tokens,
+           round(coalesce(p.dup_tokens, 0) * 1.0 / len(t.toks), 4)
+               AS dup_token_ratio
+    FROM tok t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated spans (exact-substring dedup shape).
+
+    The Lee et al. "Deduplicating Training Data" operation, re-expressed
+    relationally: instead of a suffix array, every overlapping
+    ``SPAN_GRAM_TOKENS``-token gram is hashed, grams seen in more than one
+    document mark their positions as duplicated, and overlapping/adjacent
+    hit intervals are merged per document into *maximal* duplicated spans.
+    Unlike ``dedup_segments_cross_doc`` (fixed non-overlapping chunks),
+    this catches duplicates at ANY token alignment — the reason the paper
+    uses suffix structures rather than chunk fingerprints.
+
+    Scale shape: tokenization is materialized once below the Generate
+    (the measured-5x rule, see ``functions/text.py``); only
+    ``(digest, doc_id, pos)`` triples ever shuffle, never text. The
+    duplicated-gram set is found with a map-side-combinable distinct +
+    count on the 16-byte digest and joined back as a shuffled hash
+    semi-join keyed on digest (NOT broadcast — boilerplate grams make this
+    set corpus-sized at 100 TB). The interval merge is a per-document
+    window (running ``max(end)`` then a span-id running sum) whose state
+    is O(1) per document and whose partitioning (doc_id) is delivered by
+    the preceding join's shuffle. No quadratic stage anywhere: worst case
+    is O(total grams) rows through two hash shuffles and one sort within
+    documents.
+    """
+    k = SPAN_GRAM_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    from data_preparation_plugin_spark.functions.text import (
+        shingles_from_tokens,
+    )
+
+    tok = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    n_tok = tok.select(
+        "doc_id", F.size("__toks").alias("n_tokens")
+    )
+    grams = (
+        tok.where(F.size("__toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(shingles_from_tokens(F.col("__toks"), k)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select("doc_id", "pos", F.md5("gram").alias("digest"))
+    )
+    dup_digests = (
+        grams.select("digest", "doc_id")
+        .distinct()
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("digest")
+    )
+    hits = grams.join(dup_digests, "digest").select(
+        "doc_id", "pos", (F.col("pos") + (k - 1)).alias("endp")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("endp").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "new_span",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(
+            0
+        ),
+    )
+    spans = marked.withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_span = spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("s"), F.max("endp").alias("e")
+    )
+    span_len = F.col("e") - F.col("s") + 1
+    per_doc = per_span.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(span_len).alias("dup_tokens"),
+        F.max(span_len).alias("max_span_tokens"),
+    )
+    return n_tok.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("max_span_tokens", F.lit(0))
+        .cast("long")
+        .alias("max_span_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) * F.lit(1.0) / F.col("n_tokens"),
+            4,
+        ).alias("dup_token_ratio"),
+    )

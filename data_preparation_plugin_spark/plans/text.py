@@ -1088,3 +1088,102 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
         F.round(-F.sum(p * F.log(p)), 4).alias("token_entropy"),
     )
+
+
+#: Hashed-feature dimension for the linear quality classifier.
+CLS_BUCKETS = 64
+
+
+@register(
+    "text_quality_classifier",
+    category="text",
+    bench=True,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ), feat AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 4))::BIGINT % {CLS_BUCKETS} AS bucket,
+               count(*) AS cnt
+        FROM tok
+        GROUP BY doc_id, bucket
+    ), weighted AS (
+        SELECT doc_id,
+               sum(cnt * (('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 4))::BIGINT
+                          % {CLS_BUCKETS} - {CLS_BUCKETS // 2})) AS num,
+               sum(cnt) AS n_tokens
+        FROM feat
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(num * 1.0 / ({CLS_BUCKETS} * n_tokens), 4) AS score,
+           CASE WHEN num > 0 THEN 1 ELSE 0 END AS keep_label
+    FROM weighted
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier scoring (fasttext-serving shape).
+
+    The standard LLM-corpus quality-classifier deployment: a trained
+    linear model over hashed bag-of-words features, applied corpus-wide.
+    Tokens hash into ``CLS_BUCKETS`` buckets (feature hashing / the
+    "hashing trick"), each bucket carries a weight, and the document score
+    is the mean feature weight. Weights here are derived deterministically
+    from md5 so the oracle can recompute them — swapping in real trained
+    weights is a one-line change (broadcast array literal), the plan shape
+    is identical.
+
+    Determinism: weights are integers in [-32, 31] divided by 64, so the
+    per-document accumulator sum(cnt * w_int) is INTEGER arithmetic —
+    exact, order-immune, engine-agnostic — with a single float division
+    at the end. No FP-associativity hazard despite the two-level
+    aggregation.
+
+    Scale shape: explode → two-level hash aggregation, both
+    map-side-combinable; only (doc_id, bucket_int, count) rows shuffle
+    (at most ``CLS_BUCKETS`` per document regardless of length). The
+    weight lookup is a pure expression on the bucket id — in a real
+    deployment an ``element_at(lit(weights), bucket+1)`` over a broadcast
+    literal array, never a join. Everything stays in whole-stage codegen;
+    no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    exploded = toks.select("doc_id", F.explode("__toks").alias("tok"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"),
+        F.lit(CLS_BUCKETS),
+    )
+    feat = exploded.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_int = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(CLS_BUCKETS),
+        )
+        - F.lit(CLS_BUCKETS // 2)
+    )
+    weighted = feat.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * w_int).alias("num"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    return weighted.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("num") * F.lit(1.0) / (F.lit(CLS_BUCKETS) * F.col("n_tokens")),
+            4,
+        ).alias("score"),
+        F.when(F.col("num") > 0, 1).otherwise(0).alias("keep_label"),
+    )
