@@ -257,6 +257,41 @@ def compact_table(spark, table: str, target_files: int) -> None:
     spark.sql(f"DROP TABLE {backup}")
 
 
+def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton (Z-order) key interleaving the low ``bits`` of two ints.
+
+    Sorting/range-partitioning by this key clusters rows that are close in
+    BOTH dimensions into the same parquet files, so min/max row-group
+    stats prune two-dimensional range predicates — the Delta/Iceberg
+    OPTIMIZE ZORDER effect with plain open-source Spark. Inputs must
+    already be bounded to ``[0, 2**bits)`` (quantile-rank or mod them
+    first); the key is pure integer arithmetic (``(x & 2^i) << i``
+    per bit), stays in whole-stage codegen, and is reproducible in any
+    SQL engine for verification.
+    """
+    terms: list[Column] = []
+    for i in range(bits):
+        mask = 1 << i
+        # (x & 2^i) already carries weight 2^i; multiplying by 2^i
+        # (resp. 2^(i+1)) lands the bit at position 2i (resp. 2i+1).
+        terms.append(x.bitwiseAND(F.lit(mask)) * F.lit(mask))
+        terms.append(y.bitwiseAND(F.lit(mask)) * F.lit(2 * mask))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_key_sql(x_expr: str, y_expr: str, bits: int = 8) -> str:
+    """The identical Morton key as a SQL string (for oracles/other engines)."""
+    terms = []
+    for i in range(bits):
+        mask = 1 << i
+        terms.append(f"(({x_expr}) & {mask}) * {mask}")
+        terms.append(f"(({y_expr}) & {mask}) * {2 * mask}")
+    return " + ".join(terms)
+
+
 __all__ = [
     "compact_table",
     "materialize_rollup",
@@ -267,4 +302,6 @@ __all__ = [
     "with_salt",
     "write_bucketed",
     "write_partitioned",
+    "zorder_key",
+    "zorder_key_sql",
 ]

@@ -710,7 +710,7 @@ KMV_K = 32
 
 @register(
     "agg_kmv_distinct",
-    category="aggregation",
+    category="aggregate",
     oracle=f"""
     WITH h AS (
         SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
@@ -786,4 +786,146 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(est - F.col("nd")) * F.lit(1.0) / F.col("nd"), 4).alias(
             "rel_error"
         ),
+    )
+
+
+#: CDC-apply parameters: entity key space and the tombstone rule that
+#: derives a deterministic changelog from ``orders``.
+CDC_KEYSPACE = 997
+CDC_DELETE_MOD = 7
+
+
+@register(
+    "transform_cdc_apply",
+    category="transform",
+    oracle=f"""
+    WITH log AS (
+        SELECT o_orderkey % {CDC_KEYSPACE} AS key,
+               o_orderkey                  AS seq,
+               CASE WHEN o_orderkey % {CDC_DELETE_MOD} = 0
+                    THEN 'D' ELSE 'U' END  AS op,
+               o_orderstatus, o_totalprice
+        FROM orders
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+               count(*)    OVER (PARTITION BY key)                    AS n_ops
+        FROM log
+    )
+    SELECT key,
+           seq            AS last_seq,
+           o_orderstatus  AS status,
+           o_totalprice   AS total_price,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM ranked
+    WHERE rn = 1 AND op = 'U'
+    """,
+)
+def transform_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction with tombstones (CDC apply / Kafka compaction).
+
+    The snapshot-from-changelog operation every CDC pipeline ends in:
+    a stream of keyed Upsert/Delete records is reduced to current state —
+    highest sequence number wins per key, and a winning Delete removes
+    the key entirely. (``sink_merge_upsert`` merges ONE batch into a
+    table; this collapses an ENTIRE ordered history, tombstones
+    included.) The changelog here is derived deterministically from
+    ``orders`` — key = orderkey mod {CDC_KEYSPACE}, every {CDC_DELETE_MOD}th
+    record a tombstone — so the oracle can rebuild it.
+
+    Scale shape: one shuffle on the entity key; latest-wins is a
+    row_number window over the same exchange (no self-join against a
+    max-seq aggregate, which would shuffle twice and rescan). The op
+    count rides the identical window partition for free. At 100 TB this
+    is the standard log-compaction plan: linear scan, single hash
+    exchange, O(1) window state per key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        (F.col("o_orderkey") % CDC_KEYSPACE).alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % CDC_DELETE_MOD == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    w = Window.partitionBy("key")
+    ranked = log.select(
+        "*",
+        F.row_number().over(w.orderBy(F.col("seq").desc())).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_ops"),
+    )
+    return ranked.where((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        "key",
+        F.col("seq").alias("last_seq"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("n_ops").cast("long").alias("n_ops"),
+    )
+
+
+#: Z-order bucket width: the 16-bit Morton space split into 64 buckets.
+ZORDER_BUCKET = 1024
+
+
+@register(
+    "layout_zorder_bucket",
+    category="transform",
+    oracle=f"""
+    WITH dims AS (
+        SELECT user_id % 256                               AS x,
+               CAST(floor(abs(value) * 10.0) AS BIGINT) % 256 AS y
+        FROM events
+    ), z AS (
+        SELECT x, y, (((x) & 1) * 1 + ((y) & 1) * 2 + ((x) & 2) * 2 + ((y) & 2) * 4 + ((x) & 4) * 4 + ((y) & 4) * 8 + ((x) & 8) * 8 + ((y) & 8) * 16 + ((x) & 16) * 16 + ((y) & 16) * 32 + ((x) & 32) * 32 + ((y) & 32) * 64 + ((x) & 64) * 64 + ((y) & 64) * 128 + ((x) & 128) * 128 + ((y) & 128) * 256) AS zval
+        FROM dims
+    )
+    SELECT zval // {ZORDER_BUCKET} AS zbucket,
+           count(*)          AS n_rows,
+           max(x) - min(x)   AS x_span,
+           max(y) - min(y)   AS y_span
+    FROM z
+    GROUP BY zbucket
+    """,
+)
+def layout_zorder_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key and its locality profile.
+
+    The OPTIMIZE ZORDER primitive on plain Spark: two bounded dimensions
+    are bit-interleaved into one sort key (``layout.zorder_key``), and
+    this query reports, per key range ("bucket" = what would become one
+    file under a range-partitioned write), how tight BOTH dimensions'
+    min/max spans stay — exactly the row-group statistics parquet would
+    store and a 2-D range scan would prune on. With a 1-D sort, one
+    dimension's span per file is ~the full domain; under Z-order both
+    spans are O(domain / sqrt(n_files)) — the measurable locality win.
+
+    Scale shape: the key is pure integer bit arithmetic in whole-stage
+    codegen (no UDF, no join); the profile is one map-side-combinable
+    aggregation on the bucket id. The production write is
+    ``df.repartitionByRange(n, zorder_key(...)).write.parquet(...)`` —
+    a single range exchange, same cost as any global sort-write.
+    """
+    from data_preparation_plugin_spark.layout import zorder_key
+
+    events = load_table(spark, sf_dir, "events")
+    dims = events.select(
+        (F.col("user_id") % 256).alias("x"),
+        (F.floor(F.abs("value") * 10.0).cast("bigint") % 256).alias("y"),
+    )
+    z = dims.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("zval")
+    )
+    return (
+        z.groupBy(
+            F.floor(F.col("zval") / ZORDER_BUCKET).cast("bigint").alias(
+                "zbucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
     )

@@ -702,3 +702,158 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+#: Product quantization: 64-dim vectors cut into PQ_M subspaces of
+#: PQ_SUBDIM dims; each subvector coded against a PQ_K-entry codebook.
+#: A coded vector stores PQ_M small ints instead of 64 floats — the
+#: compression that makes billion-vector ANN RAM-resident.
+PQ_M = 8
+PQ_K = 16
+PQ_SUBDIM = EMBEDDING_DIM // PQ_M
+
+_PQ_SUBDIST = (
+    "list_reduce(list_transform(range(1, {n}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "knn_pq_adc",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE) * {KMEANS_QSCALE}.0)
+                             AS BIGINT)) AS qv
+        FROM embeddings
+    ), subs AS (
+        SELECT vec_id, m,
+               qv[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+        FROM q, unnest(range(0, {PQ_M})) AS t(m)
+    ), cents AS (
+        SELECT m AS cm, vec_id AS cent_id, sv AS cv
+        FROM subs WHERE vec_id < {PQ_K}
+    ), enc AS (
+        SELECT vec_id, m, cent_id AS code FROM (
+            SELECT s.vec_id, s.m, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_PQ_SUBDIST.format(n=PQ_SUBDIM + 1, a='s.sv', b='c.cv')},
+                                c.cent_id) AS rn
+            FROM subs s JOIN cents c ON s.m = c.cm)
+        WHERE rn = 1
+    ), dtab AS (
+        SELECT s.vec_id AS query_id, s.m, c.cent_id,
+               {_PQ_SUBDIST.format(n=PQ_SUBDIM + 1, a='s.sv', b='c.cv')} AS qd2
+        FROM subs s JOIN cents c ON s.m = c.cm
+        WHERE s.vec_id < {N_QUERY_VECS}
+    ), scored AS (
+        SELECT d.query_id, e.vec_id, CAST(sum(d.qd2) AS BIGINT) AS adc
+        FROM enc e JOIN dtab d ON e.m = d.m AND e.code = d.cent_id
+        WHERE e.vec_id <> d.query_id
+        GROUP BY d.query_id, e.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc AS adc_dist2, rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring.
+
+    The Jegou et al. PQ index, relationally: vectors are integer-quantized
+    (exact arithmetic, see ``knn_kmeans_step``'s rationale), cut into
+    ``PQ_M`` subspaces, and each subvector is encoded as the id of its
+    nearest codebook entry (codebook = the first ``PQ_K`` vectors'
+    subvectors standing in for trained centroids — swap in persisted
+    k-means output in production, the plan is identical). Query-time ADC:
+    a per-query distance table (query subvector -> every codebook entry)
+    is broadcast, and each candidate's approximate distance is the sum of
+    ``PQ_M`` table lookups — no float math against corpus vectors at all.
+
+    Scale shape: the codebook (PQ_M x PQ_K subvectors) broadcasts
+    everywhere; encoding is one narrow pass over the corpus producing
+    ``PQ_M`` small ints per vector (the 32x compression vs raw floats is
+    the point — the coded corpus fits executor memory at scales where raw
+    vectors cannot). The ADC distance table is queries x PQ_M x PQ_K rows
+    — broadcast-sized for any bounded query batch — so scoring is a
+    broadcast hash join on (subspace, code) plus an integer sum-groupBy:
+    map-side combinable, shuffling only (query_id, vec_id, partial) rows.
+    All distances are exact integers, so ranking is order-immune and
+    engine-agnostic with no rounding step.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda e: F.floor(e * KMEANS_QSCALE).cast("bigint"),
+    )
+    vecs = emb.select("vec_id", qv.alias("qv"))
+    subs = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("qv", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sv"),
+    )
+    cents = subs.where(F.col("vec_id") < PQ_K).select(
+        F.col("m").alias("cm"),
+        F.col("vec_id").alias("cent_id"),
+        F.col("sv").alias("cv"),
+    )
+
+    def _sub_dist2(a: str, b: str) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    enc_win = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
+    encoded = (
+        subs.join(F.broadcast(cents), F.col("m") == F.col("cm"))
+        .withColumn("d2", _sub_dist2("sv", "cv"))
+        .withColumn("rn", F.row_number().over(enc_win))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cent_id").alias("code"))
+    )
+    dtab = (
+        subs.where(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("qm"),
+            F.col("sv").alias("qsv"),
+        )
+        .join(F.broadcast(cents), F.col("qm") == F.col("cm"))
+        .select(
+            "query_id", "qm", "cent_id", _sub_dist2("qsv", "cv").alias("qd2")
+        )
+    )
+    scored = (
+        encoded.join(
+            F.broadcast(dtab),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("cent_id")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2").alias("adc"))
+    )
+    topk_win = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(topk_win))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("adc").cast("long").alias("adc_dist2"),
+            "rn",
+        )
+    )

@@ -331,3 +331,69 @@ def test_refresh_rollup_prunes_fact_scan(spark):
         assert spark.table(table).count() == build(fact).count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """zorder_key must equal the classic bit-interleave (Morton) value."""
+    import pandas as pd
+
+    from data_preparation_plugin_spark.layout import zorder_key, zorder_key_sql
+
+    def morton(x: int, y: int, bits: int = 8) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(0, 0), (255, 255), (1, 0), (0, 1), (170, 85), (200, 3)]
+    pdf = pd.DataFrame(pts, columns=["x", "y"])
+    df = spark.createDataFrame(pdf).select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+    )
+    got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+    for x, y in pts:
+        assert got[(x, y)] == morton(x, y), (x, y)
+    # The SQL twin is literally the same arithmetic.
+    sql_df = spark.createDataFrame(pdf)
+    sql_df.createOrReplaceTempView("zpts")
+    sql_got = {
+        (r["x"], r["y"]): r["z"]
+        for r in spark.sql(
+            f"SELECT x, y, {zorder_key_sql('x', 'y')} AS z FROM zpts"
+        ).collect()
+    }
+    assert sql_got == got
+
+
+def test_zorder_sort_tightens_both_spans(spark):
+    """Range-splitting the Morton order must bound BOTH dims' spans per
+    chunk — the data-skipping property a 1-D sort cannot give."""
+    import pandas as pd
+
+    from data_preparation_plugin_spark.layout import zorder_key
+
+    n = 4096
+    pdf = pd.DataFrame(
+        {"x": [i % 256 for i in range(n)], "y": [(i * 37) % 256 for i in range(n)]}
+    )
+    df = spark.createDataFrame(pdf).select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+    )
+    n_chunks = 16
+    chunked = df.withColumn(
+        "chunk", F.floor(F.col("z") / F.lit(65536 / n_chunks)).cast("int")
+    )
+    spans = (
+        chunked.groupBy("chunk")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    # 16 Morton chunks of a 256x256 domain are 64x64 tiles: both spans
+    # must stay well under the 255 a 1-D sort leaves on the minor dim.
+    assert spans, "no chunks"
+    assert max(r["xs"] for r in spans) <= 63
+    assert max(r["ys"] for r in spans) <= 63
