@@ -929,3 +929,101 @@ def layout_zorder_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("y") - F.min("y")).alias("y_span"),
         )
     )
+
+
+def _kmv_frac_sql(hx_expr: str) -> str:
+    """DuckDB: fraction of the hash space below ``hx`` (13 hex digits =
+    52 bits, exactly a double mantissa — the digit sum is exact)."""
+    return (
+        "list_sum(list_transform(range(1, 14), "
+        f"i -> (strpos('0123456789abcdef', substr({hx_expr}, CAST(i AS INT), 1)) - 1)"
+        " * power(16.0, -i)))"
+    )
+
+
+@register(
+    "agg_kmv_union",
+    category="aggregate",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+        FROM events
+    ), sketches AS (
+        SELECT event_type, hx
+        FROM (SELECT event_type, hx,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hx) AS rn
+              FROM h)
+        WHERE rn <= {KMV_K}
+    ), pool AS (
+        SELECT DISTINCT hx FROM sketches
+    ), merged AS (
+        SELECT hx, row_number() OVER (ORDER BY hx) AS rn FROM pool
+    ), kth AS (
+        SELECT {_kmv_frac_sql('hx')} AS frac FROM merged WHERE rn = {KMV_K}
+    ), exact AS (
+        SELECT count(DISTINCT user_id)    AS n_exact,
+               count(DISTINCT event_type) AS n_sketches
+        FROM events
+    )
+    SELECT CAST(exact.n_sketches AS BIGINT) AS n_sketches,
+           CAST(exact.n_exact AS BIGINT)    AS union_exact,
+           round(({KMV_K} - 1) / kth.frac, 4) AS union_estimate,
+           round(abs(({KMV_K} - 1) / kth.frac - exact.n_exact) * 1.0
+                 / exact.n_exact, 4)          AS rel_error
+    FROM exact CROSS JOIN kth
+    """,
+)
+def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merging KMV sketches: union distinct-count without re-scanning.
+
+    The property that justifies KMV over HLL in ``agg_kmv_distinct``:
+    per-group sketches (K smallest hashes each) merge by simply taking
+    the K smallest of their union — the merged sketch is exactly the
+    sketch of the combined key set, so a warehouse can keep one tiny
+    sketch per partition/day and answer "distinct users across any
+    subset" without touching raw data. Compared here against the exact
+    union count, which is the verification baseline only.
+
+    Scale shape: the sketch build is the ``agg_kmv_distinct`` plan; the
+    merge operates on at most K x n_groups rows (bounded, tiny) through
+    one global top-K window. The exact count exists only to measure
+    estimator error — production drops it, leaving nothing that scans
+    raw keys twice. Assumes n_groups x K fits one partition (always, for
+    bounded group counts); a million-group merge would tree-reduce the
+    same min-K operation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hx")
+    ).distinct()
+    sk_win = Window.partitionBy("event_type").orderBy("hx")
+    sketches = (
+        h.withColumn("rn", F.row_number().over(sk_win))
+        .where(F.col("rn") <= KMV_K)
+        .select("hx")
+    )
+    pool = sketches.distinct()
+    merged = pool.withColumn(
+        "rn", F.row_number().over(Window.orderBy("hx"))
+    )
+    frac = (
+        F.conv(F.substring("hx", 1, 13), 16, 10).cast("double")
+        / F.lit(float(2**52))
+    )
+    kth = merged.where(F.col("rn") == KMV_K).select(frac.alias("frac"))
+    exact = events.agg(
+        F.countDistinct("event_type").cast("long").alias("n_sketches"),
+        F.countDistinct("user_id").cast("long").alias("union_exact"),
+    )
+    est = F.lit(float(KMV_K - 1)) / F.col("frac")
+    return exact.crossJoin(kth).select(
+        "n_sketches",
+        "union_exact",
+        F.round(est, 4).alias("union_estimate"),
+        F.round(
+            F.abs(est - F.col("union_exact")) * F.lit(1.0)
+            / F.col("union_exact"),
+            4,
+        ).alias("rel_error"),
+    )

@@ -119,6 +119,12 @@ PROBES = [
     "events_stream_stateful_totals",  # applyInPandasWithState replay
     "q2_min_cost_supplier",      # correlated-min decorrelation + dims
     "q20_dominant_share_suppliers",  # semi-join over grouped HAVING
+    "dedup_duplicate_spans",     # overlapping-gram hits + interval merge
+    "text_quality_classifier",   # hashed features, two-level int agg
+    "knn_pq_adc",                # PQ encode + broadcast ADC tables
+    "agg_kmv_distinct",          # distinct pre-agg + per-group top-K
+    "transform_cdc_apply",       # latest-wins log compaction window
+    "layout_zorder_bucket",      # Morton key + bucket stats, one agg
 ]
 
 
