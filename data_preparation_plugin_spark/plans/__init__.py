@@ -44,9 +44,16 @@ from data_preparation_plugin_spark.plans import analytics  # noqa: E402,F401
 #: (tests/test_queries_parity.py mirrors the driver's comparison
 #: discipline over all registered queries).
 #:
-#: Round-6 rotation guidance: if CORRECTNESS_r05 is green, every
-#: registered query has a hard driver row again. Rotate the non-anchor
-#: slots to the rows whose last green is OLDEST — the remaining r1-only
+#: Round-6 rotation guidance: if CORRECTNESS_r05 is green, the only
+#: queries with NO driver row are the 14 registered after the r5 slate
+#: froze (agg_kmv_distinct, agg_kmv_union, curation_adaptive_threshold,
+#: dedup_duplicate_spans, events_stream_merge_totals,
+#: graph_triangle_cooccurrence, knn_pq_adc, layout_zorder_bucket,
+#: sample_length_batches, sample_weighted_reservoir,
+#: source_binaryfile_ingest, text_quality_classifier,
+#: transform_cdc_apply, udf_cogroup_views_before_purchase) — put ALL of
+#: them in the r6 slate first, then fill the remaining non-anchor slots
+#: with the rows whose last green is OLDEST — the remaining r1-only
 #: set (agg_distinct, agg_percentiles, agg_statistics,
 #: agg_string_concat, array_functions, date_arithmetic, date_functions,
 #: dedup_exact_distinct, dedup_keep_first, filter_compute, join_anti,

@@ -170,3 +170,74 @@ def curation_corpus_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.join(labels, "doc_id", "left").select(
         "doc_id", status.alias("status")
     )
+
+
+#: Adaptive gate: fraction of each language's docs kept (by classifier
+#: score percentile within the language).
+ADAPTIVE_KEEP_FRAC = 0.6
+
+
+@register(
+    "curation_adaptive_threshold",
+    category="curation",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS bucket,
+               count(*) AS cnt
+        FROM tok
+        GROUP BY doc_id, lang, bucket
+    ), weighted AS (
+        SELECT doc_id, lang,
+               sum(cnt * (('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 4))::BIGINT
+                          % 64 - 32)) AS num,
+               sum(cnt) AS n_tokens
+        FROM feat
+        GROUP BY doc_id, lang
+    ), scored AS (
+        SELECT doc_id, lang,
+               round(num * 1.0 / (64 * n_tokens), 4) AS score
+        FROM weighted
+    )
+    SELECT doc_id, lang, score,
+           round(percent_rank() OVER (PARTITION BY lang ORDER BY score DESC),
+                 4) AS pct_rank,
+           CASE WHEN percent_rank() OVER (PARTITION BY lang ORDER BY score DESC)
+                     <= {ADAPTIVE_KEEP_FRAC} THEN 1 ELSE 0 END AS keep
+    FROM scored
+    """,
+)
+def curation_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality gating (percentile, not fixed cutoff).
+
+    The FineWeb/CCNet refinement over a global threshold: each language
+    keeps its own top ``ADAPTIVE_KEEP_FRAC`` of documents by classifier
+    score, so low-resource languages are not annihilated by a cutoff
+    tuned on the dominant one. Built on the shared scoring core of
+    ``text_quality_classifier`` (``plans/text.py``) with ``lang`` riding
+    the aggregation keys, then one ``percent_rank`` window per language.
+
+    Scale shape: scoring is the classifier's two map-side-combinable
+    integer aggregations; the gate adds a single exchange on ``lang``
+    with an in-partition sort on the score — per-language data, not
+    corpus-global. Languages are bounded in number; a skewed dominant
+    language is exactly the AQE-skew / salting case documented for every
+    keyed window in SCALE.md.
+    """
+    from data_preparation_plugin_spark.plans.text import classifier_scored
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier_scored(docs, "lang")
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc())
+    pr = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score",
+        F.round(pr, 4).alias("pct_rank"),
+        F.when(pr <= ADAPTIVE_KEEP_FRAC, 1).otherwise(0).alias("keep"),
+    )

@@ -1094,6 +1094,62 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLS_BUCKETS = 64
 
 
+def cls_bucket(tok: Column) -> Column:
+    """Feature-hash bucket id of a token (md5-derived, oracle-twinned)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long"),
+        F.lit(CLS_BUCKETS),
+    )
+
+
+def cls_weight_int(bucket: Column) -> Column:
+    """Integer classifier weight of a bucket, in [-32, 31] (divide by
+    ``CLS_BUCKETS`` for the real-valued weight; kept integral so
+    cross-row accumulation is exact in any summation order)."""
+    return (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w"), bucket.cast("string"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(CLS_BUCKETS),
+        )
+        - F.lit(CLS_BUCKETS // 2)
+    )
+
+
+def classifier_scored(docs: DataFrame, *carry: str) -> DataFrame:
+    """doc_id [+ carry cols] -> n_tokens + linear classifier score.
+
+    The shared scoring core of ``text_quality_classifier`` and the
+    adaptive-threshold curation gate; ``carry`` columns (functionally
+    dependent on doc_id, e.g. ``lang``) ride the aggregation keys.
+    """
+    keys = ["doc_id", *carry]
+    exploded = docs.select(
+        *keys, F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    feat = exploded.groupBy(*keys, cls_bucket(F.col("tok")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    weighted = feat.groupBy(*keys).agg(
+        F.sum(F.col("cnt") * cls_weight_int(F.col("bucket"))).alias("num"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    return weighted.select(
+        *keys,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("num").alias("num"),
+        F.round(
+            F.col("num") * F.lit(1.0) / (F.lit(CLS_BUCKETS) * F.col("n_tokens")),
+            4,
+        ).alias("score"),
+    )
+
+
 @register(
     "text_quality_classifier",
     category="text",
@@ -1150,40 +1206,10 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
-    exploded = toks.select("doc_id", F.explode("__toks").alias("tok"))
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"),
-        F.lit(CLS_BUCKETS),
-    )
-    feat = exploded.groupBy("doc_id", bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w_int = (
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
-                    1,
-                    4,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(CLS_BUCKETS),
-        )
-        - F.lit(CLS_BUCKETS // 2)
-    )
-    weighted = feat.groupBy("doc_id").agg(
-        F.sum(F.col("cnt") * w_int).alias("num"),
-        F.sum("cnt").alias("n_tokens"),
-    )
-    return weighted.select(
+    scored = classifier_scored(docs)
+    return scored.select(
         "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(
-            F.col("num") * F.lit(1.0) / (F.lit(CLS_BUCKETS) * F.col("n_tokens")),
-            4,
-        ).alias("score"),
+        "n_tokens",
+        "score",
         F.when(F.col("num") > 0, 1).otherwise(0).alias("keep_label"),
     )

@@ -151,3 +151,77 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         counts, schema="doc_id long, n_chars long, n_vowels long"
     )
+
+
+@register(
+    "udf_cogroup_views_before_purchase",
+    category="udf",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id,
+           CAST(coalesce(sum(CASE WHEN v.ts < p.ts THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_views_before
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+    GROUP BY p.user_id, p.event_id
+    """,
+)
+def udf_cogroup_views_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cogrouped ``applyInPandas``: two tables meet per key in one pandas call.
+
+    The remaining grouped-Python surface: ``groupBy(k).cogroup(other
+    .groupBy(k)).applyInPandas(fn)`` hands BOTH sides' rows for one key to
+    a single pandas function — the API for custom per-entity merges
+    (``pd.merge_asof`` with business rules, per-user sessionized
+    attribution...) that no built-in join expresses. Here each purchase is
+    attributed the count of that user's strictly-earlier views, computed
+    with a sorted ``searchsorted`` per user — O(n log n) per group in
+    Python versus the oracle's O(views x purchases) correlated join.
+
+    Scale shape: one hash shuffle of each side on ``user_id`` (Arrow
+    batches into Python, partition-parallel); per-group state is one
+    user's events, bounded. The relational alternative (range join or
+    windowed union) is preferred when semantics allow — this query exists
+    to prove the escape hatch end-to-end, hash-checked like any built-in.
+    """
+    events = load_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+
+    def attribute(views_pdf: pd.DataFrame, purch_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if purch_pdf.empty:
+            return pd.DataFrame(
+                {"user_id": [], "event_id": [], "n_views_before": []}
+            ).astype({"user_id": "int64", "event_id": "int64",
+                      "n_views_before": "int64"})
+        vts = np.sort(views_pdf["ts"].to_numpy())
+        n_before = np.searchsorted(
+            vts, purch_pdf["ts"].to_numpy(), side="left"
+        )
+        return pd.DataFrame(
+            {
+                "user_id": purch_pdf["user_id"].to_numpy(),
+                "event_id": purch_pdf["event_id"].to_numpy(),
+                "n_views_before": n_before.astype("int64"),
+            }
+        )
+
+    return (
+        views.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            attribute,
+            schema="user_id bigint, event_id bigint, n_views_before bigint",
+        )
+    )
