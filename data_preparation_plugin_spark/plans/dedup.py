@@ -1405,16 +1405,20 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "pos", F.md5("gram").alias("digest"))
     )
-    dup_digests = (
-        grams.select("digest", "doc_id")
-        .distinct()
-        .groupBy("digest")
-        .agg(F.count(F.lit(1)).alias("nd"))
+    # Cross-doc frequency via two windows over ONE exchange on digest —
+    # a join of grams against a digest-frequency aggregate would
+    # re-execute the tokenize/explode/md5 lineage per side (the segments
+    # query's lesson, measured ~1.8x here), and collect_set would OOM on
+    # boilerplate grams; max-of-dense_rank is a constant-state distinct
+    # count.
+    w_digest = Window.partitionBy("digest")
+    nd = F.max(
+        F.dense_rank().over(w_digest.orderBy("doc_id"))
+    ).over(w_digest)
+    hits = (
+        grams.withColumn("nd", nd)
         .where(F.col("nd") > 1)
-        .select("digest")
-    )
-    hits = grams.join(dup_digests, "digest").select(
-        "doc_id", "pos", (F.col("pos") + (k - 1)).alias("endp")
+        .select("doc_id", "pos", (F.col("pos") + (k - 1)).alias("endp"))
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max("endp").over(

@@ -263,3 +263,111 @@ def test_decontaminate_flags_are_real_overlaps(spark):
         assert r.doc_id % DECON_PROBE_MOD != 0
         overlap = by_doc[r.doc_id] & probe
         assert len(overlap) == r.n_contaminated_ngrams, r
+
+
+def test_duplicate_spans_invariants(spark):
+    """Spans are maximal, disjoint-by-construction, and bounded by doc size:
+    dup_tokens <= n_tokens, max_span <= dup_tokens, and every flagged doc
+    genuinely shares a k-gram with another doc (recomputed in Python)."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.dedup import SPAN_GRAM_TOKENS
+    from data_preparation_plugin_spark.plans.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["dedup_duplicate_spans"].builder(spark, sf).collect()
+    docs = {
+        r.doc_id: r.text.strip().lower().split()
+        for r in load_table(spark, sf, "documents").collect()
+    }
+    gram_docs: dict[tuple, set] = {}
+    k = SPAN_GRAM_TOKENS
+    for doc_id, toks in docs.items():
+        for i in range(len(toks) - k + 1):
+            gram_docs.setdefault(tuple(toks[i : i + k]), set()).add(doc_id)
+    dup_docs = {
+        d for grams in gram_docs.values() if len(grams) > 1 for d in grams
+    }
+    flagged = {r.doc_id for r in rows if r.n_dup_spans > 0}
+    assert flagged == dup_docs
+    for r in rows:
+        n_tokens = len(docs[r.doc_id])
+        assert 0 <= r.dup_tokens <= n_tokens, r
+        assert r.max_span_tokens <= r.dup_tokens, r
+        if r.n_dup_spans:
+            # Maximal merged spans each cover >= k tokens.
+            assert r.max_span_tokens >= k, r
+            assert r.dup_tokens >= r.n_dup_spans * k, r
+
+
+def test_kmv_estimate_within_sampling_error(spark):
+    """KMV with K=32 has relative standard error ~1/sqrt(K-2) ~ 18%;
+    the fixture estimates must land within 4 sigma of exact."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    rows = QUERIES["agg_kmv_distinct"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        if r.n_distinct_exact >= 32:
+            assert r.rel_error <= 4 / (30**0.5), r
+
+
+def test_pq_adc_recall_against_bruteforce(spark):
+    """PQ top-5 must overlap the exact top-5 (>= 30% mean recall on the
+    fixture). The synthetic embeddings are isotropic noise — PQ's worst
+    case (no low-dimensional structure to exploit; k-means training was
+    measured not to help) — so the floor is far below what real embedding
+    manifolds give, but far above chance (~1%): a broken encoder or
+    distance table fails it instantly."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = QUERIES["knn_bruteforce_cosine"].builder(spark, sf).collect()
+    approx = QUERIES["knn_pq_adc"].builder(spark, sf).collect()
+    by_q_exact: dict[int, set] = {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    by_q_pq: dict[int, set] = {}
+    for r in approx:
+        by_q_pq.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(by_q_pq) == set(by_q_exact)
+    recalls = [
+        len(by_q_pq[q] & by_q_exact[q]) / len(by_q_exact[q])
+        for q in by_q_exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_cdc_apply_matches_sequential_replay(spark):
+    """The windowed compaction must equal a literal sequential replay of
+    the changelog in Python."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.analytics import (
+        CDC_DELETE_MOD,
+        CDC_KEYSPACE,
+    )
+    from data_preparation_plugin_spark.plans.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.key: (r.last_seq, r.status, r.total_price, r.n_ops)
+        for r in QUERIES["transform_cdc_apply"].builder(spark, sf).collect()
+    }
+    state: dict = {}
+    counts: dict = {}
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+    for row in sorted(orders, key=lambda r: r.o_orderkey):
+        key = row.o_orderkey % CDC_KEYSPACE
+        counts[key] = counts.get(key, 0) + 1
+        if row.o_orderkey % CDC_DELETE_MOD == 0:
+            state.pop(key, None)
+        else:
+            state[key] = (row.o_orderkey, row.o_orderstatus, row.o_totalprice)
+    want = {
+        k: (seq, st, price, counts[k])
+        for k, (seq, st, price) in state.items()
+    }
+    assert got == want
