@@ -11,6 +11,7 @@ from data_preparation_plugin_spark.streaming.events import (
     sessionize_stream,
     sliding_aggregate,
     stateful_user_totals,
+    tws_user_profile,
     stream_to_table,
     tumbling_aggregate,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "sessionize_stream",
     "sliding_aggregate",
     "stateful_user_totals",
+    "tws_user_profile",
     "stream_to_table",
     "tumbling_aggregate",
 ]

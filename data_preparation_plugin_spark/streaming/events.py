@@ -379,3 +379,87 @@ def run_to_memory(
     )
     query.awaitTermination()
     return spark.table(query_name)
+
+
+def tws_user_profile(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user profile via ``transformWithStateInPandas`` (Spark 4 API).
+
+    The successor API to ``applyInPandasWithState`` (SPARK-46815,
+    "arbitrary stateful processing v2"): typed, composable state
+    primitives on a ``StatefulProcessor`` instead of one opaque tuple.
+    This processor carries TWO independent states per user — a
+    ``ValueState`` (event count + running max value) and a ``MapState``
+    (per-event-type counts, whose key cardinality is the bounded type
+    vocabulary) — and re-emits the cumulative profile snapshot every
+    micro-batch the user appears in (update mode).
+
+    Scale: state lives in the state store keyed by user — O(1) + O(types)
+    per key, partition-parallel, RocksDB-backed on a real cluster; the
+    Arrow transport batches rows per key exactly like the v1 operator.
+
+    Dependency gate: the v2 API's state-server protocol needs the
+    ``protobuf`` package, absent from this container — so this operator
+    is exercised by a skip-unless-protobuf test
+    (tests/test_streaming.py::test_tws_user_profile_matches_batch), not
+    by a registry query; it runs wherever protobuf is installed.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, mx DOUBLE"
+            )
+            self._types = handle.getMapState(
+                "type_counts", "event_type STRING", "cnt BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, mx = (
+                self._totals.get() if self._totals.exists() else (0, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf["value"].fillna(0.0)
+                if len(vals):
+                    batch_mx = float(vals.max())
+                    mx = batch_mx if mx is None or batch_mx > mx else mx
+                for t, cnt in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._types.getValue((t,))[0]
+                        if self._types.containsKey((t,))
+                        else 0
+                    )
+                    self._types.updateValue((t,), (prev + int(cnt),))
+            self._totals.update((n, mx))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_value": [mx],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserProfile(),
+            outputStructType=(
+                "user_id BIGINT, n_events BIGINT, "
+                "max_value DOUBLE, n_types BIGINT"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -7,6 +7,8 @@ aggregation in batch mode over the same input (deterministic replay with
 
 from __future__ import annotations
 
+import importlib.util
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -252,3 +254,60 @@ def test_batch_writer_replay_is_idempotent(spark):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+HAS_PROTOBUF = (
+    importlib.util.find_spec("google") is not None
+    and importlib.util.find_spec("google.protobuf") is not None
+)
+
+
+@pytest.mark.skipif(
+    not HAS_PROTOBUF,
+    reason="transformWithStateInPandas drives its state server over "
+    "protobuf, which this container does not ship",
+)
+def test_tws_user_profile_matches_batch(spark, events_dir):
+    """Spark 4 transformWithStateInPandas (ValueState + MapState) converges
+    to the batch group-by across a multi-batch replay."""
+    from data_preparation_plugin_spark.streaming import tws_user_profile
+
+    stream = tws_user_profile(
+        events_stream(spark, events_dir, max_files_per_trigger=2),
+        watermark="30 days",
+    )
+    got = run_to_memory(stream, "t_tws", spark, output_mode="update")
+    final = {}
+    for r in got.collect():
+        prev = final.get(r.user_id)
+        if prev is None or r.n_events > prev[0]:
+            final[r.user_id] = (r.n_events, r.max_value, r.n_types)
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.coalesce("value", F.lit(0.0))).alias("max_value"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+    expected = {
+        r.user_id: (r.n_events, r.max_value, r.n_types)
+        for r in batch.collect()
+    }
+    assert final == expected
+
+
+def test_tws_gate_reports_cleanly_without_protobuf(spark, events_dir):
+    """Without protobuf the v2 operator must fail with the protocol
+    ImportError surfaced by Spark, not silently wrong results."""
+    if HAS_PROTOBUF:
+        pytest.skip("protobuf installed: gating moot")
+    from data_preparation_plugin_spark.streaming import tws_user_profile
+
+    stream = tws_user_profile(
+        events_stream(spark, events_dir, max_files_per_trigger=2),
+        watermark="30 days",
+    )
+    with pytest.raises(Exception, match="protobuf|STREAM|crashed"):
+        run_to_memory(stream, "t_tws_gate", spark, output_mode="update")
