@@ -1027,3 +1027,250 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_error"),
     )
+
+
+#: Count-min sketch dimensions for `agg_cms_heavy_hitters`: depth-many
+#: independent hash rows, width buckets each. Width 64 on a 150-key space
+#: guarantees collisions, so the estimate-vs-exact gap is exercised.
+CMS_DEPTH_PARAMS = ((1000003, 12345), (999983, 54321), (1000033, 777))
+CMS_WIDTH = 64
+CMS_PRIME = 2147483647
+CMS_TOP_K = 10
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    category="aggregate",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT user_id, d.i,
+               ((d.a * user_id + d.b) % {CMS_PRIME}) % {CMS_WIDTH} AS bucket
+        FROM events
+        CROSS JOIN (VALUES (0, 1000003, 12345),
+                           (1, 999983, 54321),
+                           (2, 1000033, 777)) AS d(i, a, b)
+    ), counters AS (
+        SELECT i, bucket, count(*) AS c
+        FROM hashes GROUP BY i, bucket
+    ), keys AS (
+        SELECT DISTINCT user_id, i,
+               ((d.a * user_id + d.b) % {CMS_PRIME}) % {CMS_WIDTH} AS bucket
+        FROM events
+        CROSS JOIN (VALUES (0, 1000003, 12345),
+                           (1, 999983, 54321),
+                           (2, 1000033, 777)) AS d(i, a, b)
+    ), est AS (
+        SELECT k.user_id, min(c.c) AS cms_estimate
+        FROM keys k JOIN counters c ON k.i = c.i AND k.bucket = c.bucket
+        GROUP BY k.user_id
+    ), exact AS (
+        SELECT user_id, count(*) AS exact_count
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(x.exact_count  AS BIGINT) AS exact_count,
+           CAST(e.cms_estimate - x.exact_count AS BIGINT) AS overcount
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    ORDER BY e.cms_estimate DESC, e.user_id
+    LIMIT {CMS_TOP_K}
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters, with the exact counts alongside.
+
+    The mergeable frequency sketch (Cormode-Muthukrishnan): ``depth``
+    pairwise-independent hash rows of ``width`` counters; a key's
+    frequency estimate is the minimum of its ``depth`` counters, biased
+    only upward by collisions. Hash functions are plain modular
+    arithmetic ``((a*u + b) mod p) mod w`` so both engines compute them
+    bit-identically and the WHOLE sketch — counters, estimates, and the
+    overcount column that witnesses the one-sided error — is
+    hash-checked, not just rows-only. Width is deliberately smaller than
+    the key cardinality so collisions actually occur in the fixture.
+
+    Scale shape: the counter build is a map-side-combinable aggregate
+    over exactly ``depth x width`` cells (192 rows here) regardless of
+    input size — the defining sketch property. The candidate probe joins
+    distinct keys against that tiny counter table (broadcast). At 100 TB
+    you would not materialize all distinct keys: the standard deployment
+    keeps a bounded top-k heap beside the sketch per partition and merges
+    heaps; the relational probe here exists to make the estimate itself
+    oracle-checkable.
+    """
+    events = load_table(spark, sf_dir, "events")
+    dims = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(CMS_DEPTH_PARAMS)],
+        "i INT, a LONG, b LONG",
+    )
+    bucket = ((F.col("a") * F.col("user_id") + F.col("b")) % CMS_PRIME) % CMS_WIDTH
+    hashes = events.select("user_id").crossJoin(F.broadcast(dims)).select(
+        "user_id", "i", bucket.alias("bucket")
+    )
+    counters = hashes.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    keys = (
+        events.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(dims))
+        .select("user_id", "i", bucket.alias("bucket"))
+    )
+    est = (
+        keys.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("cms_estimate"), "user_id")
+        .limit(CMS_TOP_K)
+    )
+
+
+#: Column inventory for `profile_table_columns`: (name, kind) where kind
+#: drives which metric slots are populated. Mirrors the reference's
+#: ``read_dtype``/``reflect`` use case — but computed from the data, not
+#: from catalog metadata.
+PROFILE_COLUMNS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+@register(
+    "profile_table_columns",
+    category="profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           CAST(NULL AS DOUBLE) AS avg_len
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+           NULL, NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), NULL, NULL,
+           min(o_orderstatus), max(o_orderstatus),
+           round(avg(len(o_orderstatus)), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 6), round(max(o_totalprice), 6),
+           NULL, NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(min(o_orderdate) AS DATE)) AS DOUBLE),
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(max(o_orderdate) AS DATE)) AS DOUBLE),
+           NULL, NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), NULL, NULL,
+           min(o_orderpriority), max(o_orderpriority),
+           round(avg(len(o_orderpriority)), 4)
+    FROM orders
+    """,
+)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of ``orders`` — the lake-side ``reflect()``.
+
+    The reference answers "what does this table look like" from Postgres
+    catalog metadata (``PostgresDataset.reflect``/``read_dtype``); a lake
+    table has no authoritative catalog stats, so the profiler computes
+    them: per column, row/null/distinct counts, numeric or lexicographic
+    extremes (timestamps as engine-neutral epoch days), and mean string
+    length. This is the deequ/Great-Expectations "analyzer" core, and the
+    stats feed the same places Postgres's would: join-size estimation,
+    dictionary-encoding decisions, anomaly alerts on nulls/cardinality
+    drift.
+
+    Scale shape: ONE scan, one global aggregate computing every metric —
+    Catalyst plans the multi-count-distinct via a single Expand (x6 rows
+    map-side, all partial-aggregated) rather than six scans; everything
+    after the agg is a 1-row pivot to long form (inline of a literal
+    struct array). At 100 TB you'd swap exact count-distinct for
+    ``approx_count_distinct`` per column (the Expand disappears entirely);
+    exact is kept here because the oracle checks values.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in PROFILE_COLUMNS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if kind == "num":
+            aggs.append(F.round(F.min(c), 6).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.round(F.max(c), 6).cast("double").alias(f"mx_{c}"))
+        elif kind == "ts":
+            epoch = F.lit("1970-01-01").cast("date")
+            aggs.append(
+                F.datediff(F.min(c).cast("date"), epoch)
+                .cast("double")
+                .alias(f"mn_{c}")
+            )
+            aggs.append(
+                F.datediff(F.max(c).cast("date"), epoch)
+                .cast("double")
+                .alias(f"mx_{c}")
+            )
+        else:
+            aggs.append(F.min(c).alias(f"ms_{c}"))
+            aggs.append(F.max(c).alias(f"xs_{c}"))
+            aggs.append(
+                F.round(F.avg(F.length(c)), 4).alias(f"al_{c}")
+            )
+    m = orders.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = []
+    for c, kind in PROFILE_COLUMNS:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}"))
+                .cast("long")
+                .alias("n_nulls"),
+                F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+                (F.col(f"mn_{c}") if kind != "str" else null_d).alias(
+                    "min_num"
+                ),
+                (F.col(f"mx_{c}") if kind != "str" else null_d).alias(
+                    "max_num"
+                ),
+                (F.col(f"ms_{c}") if kind == "str" else null_s).alias(
+                    "min_str"
+                ),
+                (F.col(f"xs_{c}") if kind == "str" else null_s).alias(
+                    "max_str"
+                ),
+                (F.col(f"al_{c}") if kind == "str" else null_d).alias(
+                    "avg_len"
+                ),
+            )
+        )
+    return m.select(F.inline(F.array(*rows)))

@@ -609,3 +609,123 @@ def sample_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             waste * F.lit(1.0) / (F.count(F.lit(1)) * F.max("n_tokens")), 4
         ).alias("waste_ratio"),
     )
+
+
+#: Per-source token budget for `sample_token_budget` (tokens, not docs —
+#: the unit an LLM data mix is actually specified in).
+SOURCE_TOKEN_BUDGET = 800
+
+
+@register(
+    "sample_token_budget",
+    category="sampling",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY hx, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM sized
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum
+    WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget cap — the data-mix contract enforcer.
+
+    An LLM data mix is specified in *tokens per source*, not documents;
+    this query admits documents per source in stable hash order until the
+    running token total would exceed ``SOURCE_TOKEN_BUDGET``, emitting the
+    admitted manifest with its cumulative position. Hash order (md5 of
+    doc_id) makes the selection a uniform sample that is identical on
+    every run and cluster size — no RNG, no arrival-order dependence —
+    so a retrained tokenizer or a re-run backfill reproduces the exact
+    same corpus slice.
+
+    Scale shape: one map-side token count (text itself never shuffles —
+    only (doc_id, source, n_tokens, 32-byte digest) rows), one exchange
+    on ``source``, and a running-sum window whose sort is per-source.
+    A source so large its id-stream overwhelms one task would be cut by
+    budget long before that (the window can early-stop via the cum filter
+    pushed against top-k-style limits at the storage layer); alternately
+    the hash order admits range-partitioned parallel prefix sums because
+    the order key is data-independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from data_preparation_plugin_spark.functions.text import tokens as _toks
+
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hx", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.where(F.col("cum_tokens") <= SOURCE_TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+
+
+@register(
+    "sample_balanced_labels",
+    category="sampling",
+    oracle="""
+    WITH m AS (
+        SELECT min(cnt) AS m FROM (
+            SELECT count(*) AS cnt FROM embeddings GROUP BY label)
+    )
+    SELECT vec_id, label,
+           CAST(row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS BIGINT) AS rn
+    FROM embeddings CROSS JOIN m
+    QUALIFY rn <= m
+    """,
+)
+def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: every label kept at the minority count.
+
+    The classifier-training prep step: find the smallest class, keep
+    exactly that many rows of every class, chosen by stable hash rank so
+    the kept subset is a uniform, rerun-identical sample (contrast
+    ``df.sampleBy``, whose per-run RNG cannot be replayed across cluster
+    sizes). Output carries the in-class rank so a curriculum loader can
+    take balanced prefixes of any size ≤ m.
+
+    Scale shape: the minority count is a bounded aggregate (one row per
+    label) broadcast back as a scalar; ranking is one exchange on
+    ``label`` + an in-partition sort keyed on a 32-byte digest. Labels
+    are bounded-cardinality by construction, so per-label partitions are
+    the natural shard; a pathological giant class still only sorts ids,
+    never payloads (vectors join back by key downstream if needed).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("m"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = emb.select(
+        "vec_id", "label", F.row_number().over(w).cast("long").alias("rn")
+    )
+    return ranked.crossJoin(F.broadcast(m)).where(
+        F.col("rn") <= F.col("m")
+    ).select("vec_id", "label", "rn")
