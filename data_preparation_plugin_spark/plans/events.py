@@ -806,3 +806,232 @@ def events_stream_merge_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 2).alias("total_value"),
     )
+
+
+#: Watermark delay modeled by `events_watermark_audit`, in minutes.
+WATERMARK_DELAY_MIN = 10
+
+
+@register(
+    "events_watermark_audit",
+    category="events",
+    oracle=f"""
+    WITH arrival AS (
+        SELECT event_id, ts, user_id,
+               max(ts) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS max_seen
+        FROM events
+    ), flagged AS (
+        SELECT *,
+               max_seen - INTERVAL {WATERMARK_DELAY_MIN} MINUTE AS wm,
+               (max_seen IS NOT NULL
+                AND ts < max_seen - INTERVAL {WATERMARK_DELAY_MIN} MINUTE)
+                   AS is_late
+        FROM arrival
+    )
+    SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS window_start,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE is_late) AS n_late,
+           CAST(coalesce(max(date_diff('microseconds', ts, wm))
+                    FILTER (WHERE is_late), 0) AS BIGINT) AS max_lateness_us
+    FROM flagged
+    GROUP BY 1
+    """,
+)
+def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-drop accounting: which events WOULD a streaming job lose?
+
+    Before turning on a Structured Streaming job with
+    ``withWatermark("ts", "10 minutes")`` you want to know what that
+    delay costs: this query replays the stream in arrival order
+    (``event_id`` is the append sequence), tracks the running max event
+    time — exactly the quantity Spark's watermark derives from — and
+    flags every event older than (max seen so far − delay), i.e. the rows
+    the streaming engine would silently drop from windowed aggregates.
+    Output is the per-hour audit: event count, would-be-dropped count,
+    and the worst lateness margin, which is precisely the evidence needed
+    to size the delay (double it if n_late > 0 matters; shrink it if
+    state size hurts and n_late stays 0).
+
+    Scale shape: the running max is a global arrival-order scan — in
+    batch, one sort (at 100 TB: range-partitioned by event_id, so it is
+    a merge of pre-sorted parquet row groups, not a real sort); the
+    per-window rollup is an ordinary hash aggregate. The streaming twin
+    costs nothing extra at all: the engine maintains the same running
+    max as its watermark. Audit-in-batch, enforce-in-stream is the
+    deployment pattern.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    arrival = events.select(
+        "event_id", "ts", F.max("ts").over(w).alias("max_seen")
+    )
+    wm = F.col("max_seen") - F.expr(
+        f"INTERVAL {WATERMARK_DELAY_MIN} MINUTE"
+    )
+    flagged = arrival.select(
+        "event_id",
+        "ts",
+        wm.alias("wm"),
+        (F.col("max_seen").isNotNull() & (F.col("ts") < wm)).alias("is_late"),
+    )
+    lateness = F.expr("timestampdiff(MICROSECOND, ts, wm)")
+    return (
+        flagged.groupBy(
+            F.window("ts", "60 minutes").start.alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if("is_late").alias("n_late"),
+            F.coalesce(
+                F.max(F.when(F.col("is_late"), lateness)), F.lit(0)
+            )
+            .cast("long")
+            .alias("max_lateness_us"),
+        )
+    )
+
+
+#: Session gap for `join_interval_overlap` (minutes) and the modeled
+#: nightly maintenance window (02:00 + 90 min, every day of the fixture).
+OVERLAP_SESSION_GAP_MIN = 30
+MAINT_START = "2024-01-01 02:00:00"
+MAINT_DAYS = 30
+MAINT_LEN_MIN = 90
+
+
+@register(
+    "join_interval_overlap",
+    category="join",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w
+                         > INTERVAL {OVERLAP_SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, session_id,
+               min(ts) AS s_start, max(ts) AS s_end
+        FROM numbered GROUP BY user_id, session_id
+    ), maint AS (
+        SELECT w_start, w_start + INTERVAL {MAINT_LEN_MIN} MINUTE AS w_end
+        FROM (SELECT unnest(generate_series(
+                  TIMESTAMP '{MAINT_START}',
+                  TIMESTAMP '{MAINT_START}'
+                      + INTERVAL {MAINT_DAYS - 1} DAY,
+                  INTERVAL 1 DAY)) AS w_start)
+    )
+    SELECT m.w_start AS window_start,
+           count(s.user_id) AS n_sessions,
+           count(DISTINCT s.user_id) AS n_users,
+           CAST(coalesce(sum(date_diff('microseconds',
+                    greatest(s.s_start, m.w_start),
+                    least(s.s_end, m.w_end))), 0) AS BIGINT)
+               AS total_overlap_us
+    FROM maint m
+    LEFT JOIN sessions s
+           ON s.s_start < m.w_end AND m.w_start < s.s_end
+    GROUP BY m.w_start
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user sessions vs nightly maintenance windows.
+
+    The genuinely two-sided interval join (both relations carry
+    [start, end) — not the point-in-range shape of ``join_range_band``):
+    which user sessions were in flight during each nightly maintenance
+    window, and for how long? A naive overlap predicate is a cross join
+    at scale, so the Spark side grid-blocks it: each session emits one
+    row per calendar day it touches (sessions are gap-bounded, so the
+    fan-out is tiny), maintenance windows never cross midnight, and the
+    overlap predicate runs only inside matching day cells — turning
+    O(S x W) into an equi-join on day with per-cell residual filters.
+    The oracle runs the unblocked inequality join, proving the blocking
+    lossless. Windows with zero overlapping sessions survive via the
+    left join with zeroed metrics.
+
+    Scale shape: sessionization is one user_id exchange + running sum
+    (the same exchange the session aggregate reuses); the day-cell
+    explode adds ≤ (session span in days) rows of four scalars each;
+    the join key (day) is bounded, and the window side is calendar-sized
+    — broadcast. Skewed days (everyone online during an incident) split
+    cleanly under AQE because the residual filter runs post-match.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    f" lag(ts) OVER (PARTITION BY user_id"
+                    " ORDER BY ts, event_id), ts)"
+                )
+                > OVERLAP_SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = flagged.withColumn("session_id", F.sum("is_new").over(cum))
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    blocked = sessions.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.col("s_start").cast("date"), F.col("s_end").cast("date")
+            )
+        ),
+    )
+    maint = spark.sql(
+        f"""
+        SELECT w_start,
+               w_start + INTERVAL {MAINT_LEN_MIN} MINUTE AS w_end,
+               CAST(w_start AS DATE) AS day
+        FROM (SELECT explode(sequence(
+                  TIMESTAMP_NTZ '{MAINT_START}',
+                  TIMESTAMP_NTZ '{MAINT_START}'
+                      + INTERVAL {MAINT_DAYS - 1} DAY,
+                  INTERVAL 1 DAY)) AS w_start)
+        """
+    )
+    overlap_us = F.expr(
+        "timestampdiff(MICROSECOND,"
+        " greatest(s_start, w_start), least(s_end, w_end))"
+    )
+    joined = F.broadcast(maint).join(
+        blocked,
+        (maint.day == blocked.day)
+        & (F.col("s_start") < F.col("w_end"))
+        & (F.col("w_start") < F.col("s_end")),
+        "left",
+    )
+    return joined.groupBy(F.col("w_start").alias("window_start")).agg(
+        F.count("user_id").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.coalesce(F.sum(overlap_us), F.lit(0))
+        .cast("long")
+        .alias("total_overlap_us"),
+    )

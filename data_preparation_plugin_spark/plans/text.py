@@ -1213,3 +1213,114 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.when(F.col("num") > 0, 1).otherwise(0).alias("keep_label"),
     )
+
+
+#: Add-alpha smoothing for `text_bigram_logprob`, as (numerator,
+#: denominator) of a rational so both engines divide identically once.
+BIGRAM_ALPHA_NUM = 1
+BIGRAM_ALPHA_DEN = 2
+
+
+@register(
+    "text_bigram_logprob",
+    category="text",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, token,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY pos) AS pos
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS token,
+                   generate_subscripts(
+                       string_split_regex(trim(lower(text)), '\s+'), 1)
+                       AS pos
+            FROM documents)
+    ), bg AS (
+        SELECT a.doc_id, a.token AS w1, b.token AS w2
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT token AS w1, count(*) AS cnt1 FROM tok GROUP BY token
+    ), v AS (
+        SELECT count(DISTINCT token) AS vocab FROM tok
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((c2.cnt2 * {BIGRAM_ALPHA_DEN}
+                         + {BIGRAM_ALPHA_NUM})
+                        * 1.0
+                        / (c1.cnt1 * {BIGRAM_ALPHA_DEN}
+                           + {BIGRAM_ALPHA_NUM} * v.vocab))), 4)
+               AS avg_logprob
+    FROM bg
+    JOIN c1 ON bg.w1 = c1.w1
+    JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-α bigram language-model score per document.
+
+    The next step up from ``text_unigram_logprob``: corpus bigram and
+    unigram counts train a smoothed conditional model
+    P(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V), and each document is scored
+    by its mean bigram log-probability — the perplexity-filter signal
+    that separates fluent text from shuffled-token spam, which unigram
+    frequency alone cannot (same tokens, same unigram score). α = 1/2 is
+    applied as integer scaling (2·c+1 over 2·c+V·1… times the shared ½)
+    so both engines form the SAME rational before the one float divide.
+
+    Scale shape: bigrams come from one window ``lead`` over the
+    tokenized stream (per-doc partitions — no self-join; the oracle's
+    pos-join is DuckDB-side only); counts are two map-side-combinable
+    aggregates; the model join is bigram-keyed equi-join (AQE sizes it,
+    a real deployment broadcasts the top-K bigram table and backs off
+    to unigram for the tail); V rides a 1-row cross join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    tok = toks.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tok.select(
+        "doc_id",
+        F.col("token").alias("w1"),
+        F.lead("token").over(w).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = tok.groupBy(F.col("token").alias("w1")).agg(
+        F.count(F.lit(1)).alias("cnt1")
+    )
+    v = tok.agg(F.countDistinct("token").alias("vocab"))
+    scored = (
+        bg.join(c1, "w1")
+        .join(c2, ["w1", "w2"])
+        .crossJoin(v)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (
+                            F.col("cnt2") * BIGRAM_ALPHA_DEN
+                            + BIGRAM_ALPHA_NUM
+                        )
+                        * F.lit(1.0)
+                        / (
+                            F.col("cnt1") * BIGRAM_ALPHA_DEN
+                            + BIGRAM_ALPHA_NUM * F.col("vocab")
+                        )
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored
