@@ -937,9 +937,10 @@ MAINT_LEN_MIN = 90
     SELECT m.w_start AS window_start,
            count(s.user_id) AS n_sessions,
            count(DISTINCT s.user_id) AS n_users,
-           CAST(coalesce(sum(date_diff('microseconds',
-                    greatest(s.s_start, m.w_start),
-                    least(s.s_end, m.w_end))), 0) AS BIGINT)
+           CAST(coalesce(sum(CASE WHEN s.user_id IS NULL THEN NULL
+                    ELSE date_diff('microseconds',
+                             greatest(s.s_start, m.w_start),
+                             least(s.s_end, m.w_end)) END), 0) AS BIGINT)
                AS total_overlap_us
     FROM maint m
     LEFT JOIN sessions s
@@ -1017,21 +1018,39 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                   INTERVAL 1 DAY)) AS w_start)
         """
     )
+    # greatest/least IGNORE nulls in both engines, so an unmatched left
+    # row would otherwise be credited the full window length — guard on
+    # the join witness instead (caught by
+    # test_interval_overlap_bounded_by_window at sf0.001).
     overlap_us = F.expr(
         "timestampdiff(MICROSECOND,"
         " greatest(s_start, w_start), least(s_end, w_end))"
     )
-    joined = F.broadcast(maint).join(
-        blocked,
-        (maint.day == blocked.day)
-        & (F.col("s_start") < F.col("w_end"))
-        & (F.col("w_start") < F.col("s_end")),
-        "left",
+    # Inner broadcast join + aggregate, THEN left-join the calendar back:
+    # a broadcast hint on the preserved side of a left-outer join is
+    # unsupported (build-left), and greatest/least IGNORE nulls in both
+    # engines, so the direct left-join form credited unmatched windows
+    # the full window length (caught by
+    # test_interval_overlap_bounded_by_window at sf0.001).
+    matched = (
+        blocked.join(
+            F.broadcast(maint),
+            (maint.day == blocked.day)
+            & (F.col("s_start") < F.col("w_end"))
+            & (F.col("w_start") < F.col("s_end")),
+        )
+        .groupBy("w_start")
+        .agg(
+            F.count("user_id").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(overlap_us).cast("long").alias("total_overlap_us"),
+        )
     )
-    return joined.groupBy(F.col("w_start").alias("window_start")).agg(
-        F.count("user_id").alias("n_sessions"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.coalesce(F.sum(overlap_us), F.lit(0))
+    return maint.select("w_start").join(matched, "w_start", "left").select(
+        F.col("w_start").alias("window_start"),
+        F.coalesce("n_sessions", F.lit(0)).alias("n_sessions"),
+        F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        F.coalesce("total_overlap_us", F.lit(0))
         .cast("long")
         .alias("total_overlap_us"),
     )

@@ -628,10 +628,10 @@ SOURCE_TOKEN_BUDGET = 800
         FROM documents
     ), cum AS (
         SELECT doc_id, source, n_tokens,
-               sum(n_tokens) OVER (
+               CAST(sum(n_tokens) OVER (
                    PARTITION BY source ORDER BY hx, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum_tokens
+                   AS BIGINT) AS cum_tokens
         FROM sized
     )
     SELECT doc_id, source, n_tokens, cum_tokens

@@ -371,3 +371,127 @@ def test_cdc_apply_matches_sequential_replay(spark):
         for k, (seq, st, price) in state.items()
     }
     assert got == want
+
+
+def test_token_budget_invariants(spark):
+    """Every source's admitted docs fit the budget; admission is a
+    prefix of the hash order (no doc admitted after a rejected one)."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.sampling import (
+        SOURCE_TOKEN_BUDGET,
+    )
+
+    rows = QUERIES["sample_token_budget"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    per_source: dict[str, list] = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r)
+        assert r.cum_tokens <= SOURCE_TOKEN_BUDGET, r
+    for src, rs in per_source.items():
+        rs.sort(key=lambda r: r.cum_tokens)
+        run = 0
+        for r in rs:
+            run += r.n_tokens
+            # cum is exactly the running sum => admitted set is a prefix.
+            assert r.cum_tokens == run, (src, r)
+
+
+def test_balanced_labels_exact_balance(spark):
+    """Each label is kept at exactly the global minority count."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.registry import load_table
+
+    rows = QUERIES["sample_balanced_labels"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    counts = {
+        r["label"]: r["c"]
+        for r in emb.groupBy("label").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count(
+                "*"
+            ).alias("c")
+        ).collect()
+    }
+    m = min(counts.values())
+    kept: dict[int, int] = {}
+    for r in rows:
+        kept[r.label] = kept.get(r.label, 0) + 1
+        assert 1 <= r.rn <= m
+    assert set(kept) == set(counts)
+    assert all(v == m for v in kept.values()), kept
+
+
+def test_cms_estimate_one_sided(spark):
+    """Count-min never undercounts: estimate >= exact on every row."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    rows = QUERIES["agg_cms_heavy_hitters"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count, r
+        assert r.overcount == r.cms_estimate - r.exact_count, r
+
+
+def test_watermark_audit_accounting(spark):
+    """Late counts are bounded by event counts and lateness is positive
+    only when something was late."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    rows = QUERIES["events_watermark_audit"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_late <= r.n_events, r
+        if r.n_late == 0:
+            assert r.max_lateness_us == 0, r
+        else:
+            assert r.max_lateness_us > 0, r
+
+
+def test_interval_overlap_bounded_by_window(spark):
+    """Per-window overlap time cannot exceed sessions x window length."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.events import MAINT_LEN_MIN
+
+    rows = QUERIES["join_interval_overlap"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    win_us = MAINT_LEN_MIN * 60 * 1_000_000
+    for r in rows:
+        assert r.total_overlap_us <= r.n_sessions * win_us, r
+        assert r.n_users <= r.n_sessions, r
+        if r.n_sessions == 0:
+            assert r.total_overlap_us == 0, r
+
+
+def test_bigram_beats_unigram_on_separating_shuffled_text(spark):
+    """Sanity: the bigram model assigns every doc a finite score and
+    bigram counts are consistent (n_bigrams = n_tokens - 1 for docs
+    with >= 2 tokens)."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.registry import load_table
+    from data_preparation_plugin_spark.functions.text import tokens
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["text_bigram_logprob"].builder(spark, sf).collect()
+    }
+    sizes = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    assert rows
+    for doc_id, r in rows.items():
+        assert r.n_bigrams == sizes[doc_id] - 1, r
+        assert r.avg_logprob < 0, r
