@@ -51,7 +51,10 @@ from data_preparation_plugin_spark.plans import analytics  # noqa: E402,F401
 #: graph_triangle_cooccurrence, knn_pq_adc, layout_zorder_bucket,
 #: sample_length_batches, sample_weighted_reservoir,
 #: source_binaryfile_ingest, text_quality_classifier,
-#: transform_cdc_apply, udf_cogroup_views_before_purchase) — put ALL of
+#: transform_cdc_apply, udf_cogroup_views_before_purchase, plus the
+#: later r5 additions: profile_table_columns, agg_cms_heavy_hitters,
+#: sample_token_budget, sample_balanced_labels, events_watermark_audit,
+#: join_interval_overlap, text_bigram_logprob) — put ALL of
 #: them in the r6 slate first, then fill the remaining non-anchor slots
 #: with the rows whose last green is OLDEST — the remaining r1-only
 #: set (agg_distinct, agg_percentiles, agg_statistics,
