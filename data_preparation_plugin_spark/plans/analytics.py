@@ -1274,3 +1274,142 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return m.select(F.inline(F.array(*rows)))
+
+
+#: MAD outlier rule: |value - median| > MAD_K * (MAD_SIGMA * mad),
+#: MAD_SIGMA being the normal-consistency constant 1.4826.
+MAD_K = 3.0
+MAD_SIGMA = 1.4826
+
+
+@register(
+    "events_mad_outliers",
+    category="events",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           round(max(d.med), 6) AS median_value,
+           round(max(m.mad), 6) AS mad,
+           count(*) FILTER (WHERE d.adev > {MAD_K} * ({MAD_SIGMA} * m.mad))
+               AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event type.
+
+    The robust sibling of ``events_anomaly_zscore``: mean/stddev break
+    down when the contamination you're hunting inflates them (one whale
+    event drags σ up and hides the rest); median and MAD have a 50%
+    breakdown point, so the 3-MAD fence holds under heavy tails. Same
+    two-pass shape as the z-score — per-group robust moments, join back,
+    flag — with exact interpolated medians (``F.percentile``) so the
+    oracle checks values, and the scale swap-in is ``approx_percentile``
+    (t-digest, mergeable, fixed memory) exactly as in
+    ``agg_percentiles``.
+
+    Scale shape: two aggregates and one equi-join, all on
+    ``event_type`` — a bounded-cardinality key, so the median sorts
+    shard per group and the join back broadcasts the (types x 1 double)
+    tables. Nothing global, nothing quadratic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count_if(
+                F.col("adev") > MAD_K * (MAD_SIGMA * F.col("mad"))
+            ).alias("n_outliers"),
+        )
+    )
+
+
+#: EWMA decay and window depth for `events_ewma_smooth`: weights a^0..a^7
+#: over the current + 7 preceding events of the user.
+EWMA_DECAY = 0.5
+EWMA_DEPTH = 8
+
+
+@register(
+    "events_ewma_smooth",
+    category="events",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT event_id, user_id, ts, value,
+               {", ".join(
+                   f"lag(value, {i}) OVER w AS l{i}" for i in range(1, 8)
+               )}
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           (value
+            {" ".join(
+                f"+ coalesce(l{i}, 0) * {EWMA_DECAY ** i!r}"
+                for i in range(1, 8)
+            )})
+           / (1.0
+            {" ".join(
+                f"+ CASE WHEN l{i} IS NULL THEN 0 ELSE {EWMA_DECAY ** i!r} END"
+                for i in range(1, 8)
+            )}) AS ewma
+    FROM lagged
+    """,
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's value stream.
+
+    The time-series smoother behind rate dashboards and drift detectors,
+    in its bounded-depth form: weights a^0..a^7 over the current and
+    seven preceding events (a truncated EWMA carries >99% of the mass at
+    a=0.5, and unlike the recursive form it needs no sequential state).
+    Early events renormalize over the weights actually present, so the
+    smoother is well-defined from the first event. Both engines build
+    the identical expression tree over the identical lag values — the
+    output doubles are bit-equal, no rounding needed.
+
+    Scale shape: one ``user_id`` exchange; all seven lags share the same
+    window sort, and the arithmetic is whole-stage-codegen'd — this is
+    the cheapest possible per-key sequential operator, and the shape a
+    recursive EWMA compiles to once you truncate it.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", i).over(w).alias(f"l{i}") for i in range(1, EWMA_DEPTH)]
+    lagged = events.select("event_id", "user_id", "value", *lags)
+    num = F.col("value")
+    den = F.lit(1.0)
+    for i in range(1, EWMA_DEPTH):
+        wgt = EWMA_DECAY ** i
+        num = num + F.coalesce(F.col(f"l{i}"), F.lit(0.0)) * F.lit(wgt)
+        den = den + F.when(F.col(f"l{i}").isNull(), 0.0).otherwise(wgt)
+    return lagged.select(
+        "event_id", "user_id", (num / den).alias("ewma")
+    )

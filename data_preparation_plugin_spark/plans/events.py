@@ -854,20 +854,44 @@ def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     to size the delay (double it if n_late > 0 matters; shrink it if
     state size hurts and n_late stays 0).
 
-    Scale shape: the running max is a global arrival-order scan — in
-    batch, one sort (at 100 TB: range-partitioned by event_id, so it is
-    a merge of pre-sorted parquet row groups, not a real sort); the
-    per-window rollup is an ordinary hash aggregate. The streaming twin
-    costs nothing extra at all: the engine maintains the same running
-    max as its watermark. Audit-in-batch, enforce-in-stream is the
-    deployment pattern.
+    Scale shape: the running max is a PREFIX MAX, so it decomposes into
+    the classic two-pass parallel scan instead of one global-order sort
+    (a single Window.orderBy pane was the ×8 probe's only hot spot,
+    ×2.8): (1) bucket the arrival sequence by ``event_id div B`` and
+    take each bucket's max event time — a map-side-combinable aggregate;
+    (2) run the carry — the strictly-prior running max ACROSS buckets —
+    over that n/B-row table (recursively bucketable if ever needed);
+    (3) broadcast the carries back and finish each bucket independently
+    with a per-bucket window. The oracle keeps the naive single-scan
+    global window, so the hash check proves the decomposition exact.
+    The per-window rollup is an ordinary hash aggregate, and a streaming
+    twin costs nothing: the engine maintains this max as its watermark.
+    Audit-in-batch, enforce-in-stream is the deployment pattern.
     """
     events = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(
+    bucket = (F.col("event_id") / WATERMARK_SCAN_BUCKET).cast("long")
+    bucketed = events.select(
+        "event_id", "ts", bucket.alias("__bkt")
+    )
+    bmax = bucketed.groupBy("__bkt").agg(F.max("ts").alias("__bmax"))
+    carry_w = Window.orderBy("__bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    arrival = events.select(
-        "event_id", "ts", F.max("ts").over(w).alias("max_seen")
+    carries = bmax.select(
+        "__bkt", F.max("__bmax").over(carry_w).alias("__carry")
+    )
+    in_w = Window.partitionBy("__bkt").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # greatest() ignores nulls in Spark: first bucket (null carry) and
+    # first row of a bucket (null in-bucket prefix) degrade gracefully,
+    # and only the very first row overall stays null.
+    arrival = bucketed.join(F.broadcast(carries), "__bkt").select(
+        "event_id",
+        "ts",
+        F.greatest(
+            F.max("ts").over(in_w), F.col("__carry")
+        ).alias("max_seen"),
     )
     wm = F.col("max_seen") - F.expr(
         f"INTERVAL {WATERMARK_DELAY_MIN} MINUTE"

@@ -125,6 +125,12 @@ PROBES = [
     "agg_kmv_distinct",          # distinct pre-agg + per-group top-K
     "transform_cdc_apply",       # latest-wins log compaction window
     "layout_zorder_bucket",      # Morton key + bucket stats, one agg
+    "profile_table_columns",     # one-scan multi-distinct Expand profile
+    "agg_cms_heavy_hitters",     # bounded sketch agg + broadcast probe
+    "sample_token_budget",       # per-source window cumsum admission
+    "events_watermark_audit",    # global arrival-order running max
+    "join_interval_overlap",     # day-grid blocked interval join
+    "text_bigram_logprob",       # lead-window bigrams + model equi-join
 ]
 
 
