@@ -811,6 +811,13 @@ def events_stream_merge_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Watermark delay modeled by `events_watermark_audit`, in minutes.
 WATERMARK_DELAY_MIN = 10
 
+#: Bucket width (in event_id units) for the two-pass prefix-max scan in
+#: `events_watermark_audit`. Each bucket's window pane holds at most this
+#: many rows, so the per-bucket sort stays in executor memory; the carry
+#: table has n/B rows. 4096 keeps the carry table tiny at test scale
+#: while leaving every pane far below a task's memory budget at 100 TB.
+WATERMARK_SCAN_BUCKET = 4096
+
 
 @register(
     "events_watermark_audit",
@@ -932,7 +939,7 @@ MAINT_LEN_MIN = 90
     category="join",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                       OR ts - lag(ts) OVER w
                          > INTERVAL {OVERLAP_SESSION_GAP_MIN} MINUTE
@@ -942,7 +949,7 @@ MAINT_LEN_MIN = 90
     ), numbered AS (
         SELECT user_id, ts,
                sum(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts
+                                 ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) AS session_id
         FROM flagged
@@ -1000,6 +1007,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = events.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -1015,7 +1023,9 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_new"),
     )
-    cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tie-breaks (ts alone may repeat within a user), keeping
+    # session numbering deterministic and identical across both engines.
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     numbered = flagged.withColumn("session_id", F.sum("is_new").over(cum))

@@ -1,0 +1,124 @@
+"""Compute the round's 50-slot driver-check slate from CORRECTNESS history.
+
+The round driver oracle-checks only the first 50 names in
+``plans.QUERIES``, so which queries occupy those slots decides which rows
+can turn driver-green this round. This module derives the slate from
+data instead of a hand-kept comment (which drifted in round 5):
+
+1. **Anchors** — multi-round-green regression canaries, one per fragile
+   category, always re-checked.
+2. **Driver-dark queries** — every registered query with no green row in
+   any committed ``CORRECTNESS_r*.json`` (newly registered queries are
+   dark by construction, so they join the slate automatically).
+3. **Stalest fills** — remaining slots go to the queries whose most
+   recent green row is oldest.
+
+``python scripts/rotation.py`` prints the slate as a Python list literal
+to paste into ``plans/__init__.py``; ``tests/test_registry_order.py``
+recomputes it and asserts ``DRIVER_CHECK_PRIORITY`` matches, so the
+committed list can never drift from the committed history again.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER_SLOTS = 50
+
+#: Multi-round-green canaries, one per fragile category. Keep short: every
+#: anchor slot is a slot a dark query can't use.
+ANCHORS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q12_priority_by_linestatus",
+    "join_asof",
+    "events_stream_tumbling",
+    "geo_point_in_region",
+    "curation_corpus_status",
+    "sink_merge_upsert",
+]
+
+
+def green_history(root: str = REPO_ROOT) -> dict[str, int]:
+    """Map query name -> most recent round with a green driver row.
+
+    A row is green when the value hashes matched, or — for the weaker
+    rows-only check the driver applies to oracle-less queries — when the
+    row counts matched.
+    """
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        match = re.search(r"r(\d+)", os.path.basename(path))
+        if not match:
+            continue
+        rnd = int(match.group(1))
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, res in rows.items():
+            ok = res.get("hash_match") or (
+                res.get("hash_match") is None and res.get("rows_match")
+            )
+            if ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def compute_slate(
+    registered: list[str],
+    categories: dict[str, str] | None = None,
+    root: str = REPO_ROOT,
+    slots: int = DRIVER_SLOTS,
+) -> list[str]:
+    """The slate: anchors, all driver-dark queries, then stalest fills.
+
+    When ``categories`` (name -> category) is given, fills first cover
+    every category missing from the slate so far (stalest query of each
+    missing category), keeping ``test_first_slots_cover_every_category``
+    an invariant; remaining slots go to the globally stalest rows.
+    Orderings are fully sorted (dark: alphabetical; fills: by last-green
+    round then name) so the result is a pure function of
+    (registry, committed history).
+    """
+    latest = green_history(root)
+    slate = [n for n in ANCHORS if n in registered]
+    dark = sorted(n for n in registered if n not in latest and n not in slate)
+    slate += dark
+    fills = sorted(
+        (n for n in registered if n in latest and n not in slate),
+        key=lambda n: (latest[n], n),
+    )
+    if categories:
+        covered = {categories[n] for n in slate if n in categories}
+        for name in fills:
+            if len(slate) >= slots:
+                break
+            if categories.get(name) not in covered:
+                slate.append(name)
+                covered.add(categories[name])
+        fills = [n for n in fills if n not in slate]
+    slate += fills[: max(0, slots - len(slate))]
+    return slate[:slots]
+
+
+def main() -> None:
+    import sys
+
+    sys.path.insert(0, REPO_ROOT)
+    from data_preparation_plugin_spark import plans
+
+    slate = compute_slate(
+        list(plans.QUERIES),
+        {n: q.category for n, q in plans.QUERIES.items()},
+    )
+    print("DRIVER_CHECK_PRIORITY = [")
+    for name in slate:
+        print(f'    "{name}",')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,7 +9,15 @@ or reorder can't silently push a category back into the dark.
 
 from __future__ import annotations
 
+import os
+import sys
+
 from data_preparation_plugin_spark import plans
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+from scripts.rotation import compute_slate  # noqa: E402
 
 DRIVER_SLOTS = 50
 
@@ -22,6 +30,21 @@ def first_50():
 def test_priority_list_is_exactly_the_first_slots():
     assert len(plans.DRIVER_CHECK_PRIORITY) == DRIVER_SLOTS
     assert list(plans.QUERIES)[:DRIVER_SLOTS] == plans.DRIVER_CHECK_PRIORITY
+
+
+def test_priority_matches_rotation_script():
+    """The committed slate literal must equal the computed rotation.
+
+    Round 5's hand-kept rotation comment drifted (it omitted three dark
+    queries); this pins DRIVER_CHECK_PRIORITY to the pure function of
+    (registry, committed CORRECTNESS history) in scripts/rotation.py.
+    Regenerate with ``python scripts/rotation.py`` when it fails.
+    """
+    expected = compute_slate(
+        list(plans.QUERIES),
+        {n: q.category for n, q in plans.QUERIES.items()},
+    )
+    assert plans.DRIVER_CHECK_PRIORITY == expected
 
 
 def test_first_slots_cover_every_category():
