@@ -471,6 +471,55 @@ def test_interval_overlap_bounded_by_window(spark):
             assert r.total_overlap_us == 0, r
 
 
+def test_mad_outliers_accounting(spark):
+    """Outlier counts are bounded, MAD is non-negative, and the median
+    sits inside the group's value range."""
+    from pyspark.sql import functions as F
+
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["events_mad_outliers"].builder(spark, sf).collect()
+    assert rows
+    bounds = {
+        r.event_type: r
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r.n_outliers <= r.n, r
+        assert r.mad >= 0, r
+        b = bounds[r.event_type]
+        assert b.lo <= r.median_value <= b.hi, r
+
+
+def test_ewma_bounded_by_user_value_range(spark):
+    """An EWMA is a convex combination of the user's values, so every
+    smoothed point must sit inside that user's [min, max] value range."""
+    from pyspark.sql import functions as F
+
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["events_ewma_smooth"].builder(spark, sf).collect()
+    assert rows
+    bounds = {
+        r.user_id: r
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    eps = 1e-9
+    for r in rows:
+        b = bounds[r.user_id]
+        assert b.lo - eps <= r.ewma <= b.hi + eps, r
+
+
 def test_bigram_beats_unigram_on_separating_shuffled_text(spark):
     """Sanity: the bigram model assigns every doc a finite score and
     bigram counts are consistent (n_bigrams = n_tokens - 1 for docs
