@@ -71,6 +71,7 @@ DRIVER_CHECK_PRIORITY = [
     "sample_weighted_reservoir",
     "sink_dynamic_partition_overwrite",
     "source_binaryfile_ingest",
+    "text_bigram_backoff_score",
     "text_bigram_logprob",
     "text_quality_classifier",
     "transform_cdc_apply",
@@ -92,7 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "exists_late_shipment",
     "filter_compute",
     "join_anti",
-    "join_full_outer",
 ]
 
 def _reorder_for_driver() -> None:

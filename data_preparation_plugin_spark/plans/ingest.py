@@ -491,27 +491,36 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     step *before* ``plans/multimodal.py``'s Arrow-batched decoders. The
     fixture stages one UTF-8 payload file per 25th document so DuckDB's
     ``read_blob`` can verify the exact bytes Spark saw (length + md5 per
-    file). At scale the source lists and splits files across executors
-    like any FileScan; pair with ``pathGlobFilter``/partitioned dirs for
-    pruning, and keep per-file payloads under the block size (the source
-    never splits inside a file).
+    file). Staging is executor-side (``foreachPartition``): each task
+    writes its own partition's payload files directly, so no payload
+    byte ever funnels through the driver — on a cluster the target would
+    be shared storage (object-store mount), same code. At scale the
+    source lists and splits files across executors like any FileScan;
+    pair with ``pathGlobFilter``/partitioned dirs for pruning, and keep
+    per-file payloads under the block size (the source never splits
+    inside a file).
     """
     import glob
     import shutil
 
-    docs = (
+    shutil.rmtree(_BINARY_DIR, ignore_errors=True)
+    os.makedirs(_BINARY_DIR, exist_ok=True)
+    out_dir = _BINARY_DIR
+
+    def stage_partition(rows) -> None:
+        import os as _os
+
+        for row in rows:
+            path = _os.path.join(out_dir, f"doc-{row.doc_id:08d}.bin")
+            with open(path, "wb") as fh:
+                fh.write(row.text.encode("utf-8"))
+
+    (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % _BINARY_STRIDE == 0)
         .select("doc_id", "text")
-        .collect()
+        .foreachPartition(stage_partition)
     )
-    shutil.rmtree(_BINARY_DIR, ignore_errors=True)
-    os.makedirs(_BINARY_DIR, exist_ok=True)
-    for row in docs:
-        with open(
-            os.path.join(_BINARY_DIR, f"doc-{row.doc_id:08d}.bin"), "wb"
-        ) as fh:
-            fh.write(row.text.encode("utf-8"))
     assert glob.glob(f"{_BINARY_DIR}/*.bin")
     binary = spark.read.format("binaryFile").load(_BINARY_DIR)
     return binary.select(

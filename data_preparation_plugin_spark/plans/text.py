@@ -1278,9 +1278,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigrams come from one window ``lead`` over the
     tokenized stream (per-doc partitions — no self-join; the oracle's
     pos-join is DuckDB-side only); counts are two map-side-combinable
-    aggregates; the model join is bigram-keyed equi-join (AQE sizes it,
-    a real deployment broadcasts the top-K bigram table and backs off
-    to unigram for the tail); V rides a 1-row cross join.
+    aggregates; the model join is bigram-keyed equi-join (AQE sizes it).
+    The broadcast top-K + unigram-backoff deployment of the same model
+    is implemented as ``text_bigram_backoff_score``.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
@@ -1324,3 +1324,145 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+#: Model size and backoff weight for `text_bigram_backoff_score`: only the
+#: BACKOFF_TOPK most frequent bigrams ship to executors; everything else
+#: backs off to BACKOFF_NUM/BACKOFF_DEN (= 0.4, Brants et al.'s "stupid
+#: backoff" constant) times the unigram relative frequency. 256 of the
+#: fixture's 961 distinct bigrams keeps both paths well-exercised.
+BACKOFF_TOPK = 256
+BACKOFF_NUM = 2
+BACKOFF_DEN = 5
+
+
+@register(
+    "text_bigram_backoff_score",
+    category="text",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, token,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY pos) AS pos
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS token,
+                   generate_subscripts(
+                       string_split_regex(trim(lower(text)), '\s+'), 1)
+                       AS pos
+            FROM documents)
+    ), bg AS (
+        SELECT a.doc_id, a.token AS w1, b.token AS w2
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT token AS w, count(*) AS cnt1 FROM tok GROUP BY token
+    ), n AS (
+        SELECT count(*) AS n_tok FROM tok
+    ), topk AS (
+        SELECT w1, w2, cnt2 FROM (
+            SELECT w1, w2, cnt2,
+                   row_number() OVER (ORDER BY cnt2 DESC, w1, w2) AS rk
+            FROM c2)
+        WHERE rk <= {BACKOFF_TOPK}
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN t.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_backoff,
+           round(avg(CASE WHEN t.w1 IS NOT NULL
+                          THEN ln(t.cnt2 * 1.0 / h.cnt1)
+                          ELSE ln(u.cnt1 * {BACKOFF_NUM}.0
+                                  / ({BACKOFF_DEN}.0 * n.n_tok)) END), 4)
+               AS avg_score
+    FROM bg
+    JOIN c1 h ON bg.w1 = h.w
+    JOIN c1 u ON bg.w2 = u.w
+    LEFT JOIN topk t ON bg.w1 = t.w1 AND bg.w2 = t.w2
+    CROSS JOIN n
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram scoring with a broadcast top-K model table.
+
+    The serving-shaped deployment of ``text_bigram_logprob``: instead of
+    equi-joining the full bigram count table against the corpus, only
+    the ``BACKOFF_TOPK`` most frequent bigrams (rank tie-broken by
+    (count desc, w1, w2) so the cut is deterministic) ship to executors
+    as a broadcast model; any bigram outside the table backs off to
+    0.4 x the unigram relative frequency of its second word — exactly
+    Brants et al. 2007's "stupid backoff", whose point is that the
+    backoff path needs no per-bigram state at all. Per document the
+    query reports the bigram count, HOW MANY occurrences took the
+    backoff path (proving both paths execute), and the mean score.
+
+    Scale shape: the corpus-side stream is the same single window
+    ``lead`` per doc partition as the sibling; the model (top-K bigrams
+    with head counts baked in) and the unigram table are both broadcast,
+    so scoring is entirely map-side — the only shuffles are the
+    map-side-combinable count aggregates and the final per-doc rollup,
+    which reuses the doc_id partitioning the window already installed.
+    At 100 TB the top-K table is K rows by construction and the unigram
+    table is vocab-sized (~1e7 rows max after min-count pruning) — both
+    orders of magnitude under broadcast limits; no bigram-keyed shuffle
+    of the corpus ever happens, which is the entire point of backoff.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    tok = toks.select("doc_id", F.posexplode("__toks").alias("pos", "token"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tok.select(
+        "doc_id",
+        F.col("token").alias("w1"),
+        F.lead("token").over(w).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = tok.groupBy(F.col("token").alias("w")).agg(
+        F.count(F.lit(1)).alias("cnt1")
+    )
+    n = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    rk = Window.orderBy(F.desc("cnt2"), "w1", "w2")
+    topk = (
+        c2.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= BACKOFF_TOPK)
+        .select("w1", "w2", "cnt2")
+    )
+    head = c1.select(F.col("w").alias("w1"), F.col("cnt1").alias("h_cnt"))
+    uni = c1.select(F.col("w").alias("w2"), F.col("cnt1").alias("u_cnt"))
+    t = topk.select(
+        F.col("w1").alias("t_w1"),
+        F.col("w2").alias("t_w2"),
+        "cnt2",
+    )
+    score = F.when(
+        F.col("t_w1").isNotNull(),
+        F.log(F.col("cnt2") * F.lit(1.0) / F.col("h_cnt")),
+    ).otherwise(
+        F.log(
+            F.col("u_cnt")
+            * F.lit(float(BACKOFF_NUM))
+            / (F.lit(float(BACKOFF_DEN)) * F.col("n_tok"))
+        )
+    )
+    return (
+        bg.join(F.broadcast(head), "w1")
+        .join(F.broadcast(uni), "w2")
+        .join(
+            F.broadcast(t),
+            (F.col("w1") == F.col("t_w1")) & (F.col("w2") == F.col("t_w2")),
+            "left",
+        )
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("t_w1").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_backoff"),
+            F.round(F.avg(score), 4).alias("avg_score"),
+        )
+    )

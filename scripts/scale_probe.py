@@ -131,6 +131,7 @@ PROBES = [
     "events_watermark_audit",    # global arrival-order running max
     "join_interval_overlap",     # day-grid blocked interval join
     "text_bigram_logprob",       # lead-window bigrams + model equi-join
+    "text_bigram_backoff_score", # broadcast top-K model, map-side scoring
     "sample_balanced_labels",    # per-class fixed-k rank sample
     "events_mad_outliers",       # robust moments x2 + broadcast join back
     "events_ewma_smooth",        # bounded-depth lag window, one exchange

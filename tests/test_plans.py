@@ -320,3 +320,15 @@ def test_triangle_count_wedges_never_sort(spark):
     assert count(r"SortMergeJoin", plan) == 0
     assert count(r"BroadcastHashJoin", plan) >= 2
     assert count(r"Cartesian|BroadcastNestedLoop", plan) == 0
+
+
+def test_bigram_backoff_scoring_is_map_side(spark):
+    """The backoff deployment's claim: model + unigram + scalar joins are
+    ALL broadcast — the corpus stream is never shuffled on a bigram key;
+    sort-merge never appears."""
+    plan = plan_of(spark, "text_bigram_backoff_score")
+    assert count(r"SortMergeJoin", plan) == 0
+    # head counts, unigram backoff, top-K model, token-total scalar.
+    assert count(r"BroadcastHashJoin", plan) >= 3
+    assert count(r"BroadcastNestedLoopJoin", plan) <= 1  # the 1-row scalar
+    assert count(r"CartesianProduct", plan) == 0
