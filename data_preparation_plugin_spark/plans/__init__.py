@@ -56,16 +56,21 @@ DRIVER_CHECK_PRIORITY = [
     "agg_kmv_union",
     "curation_adaptive_threshold",
     "dedup_duplicate_spans",
+    "dedup_semdedup_prune",
     "events_ewma_smooth",
     "events_mad_outliers",
     "events_stream_merge_totals",
     "events_watermark_audit",
     "graph_triangle_cooccurrence",
     "join_interval_overlap",
+    "knn_ivf_pq",
     "knn_pq_adc",
     "layout_zorder_bucket",
+    "multimodal_video_temporal_pool",
+    "profile_join_skew",
     "profile_table_columns",
     "sample_balanced_labels",
+    "sample_interleave_sources",
     "sample_length_batches",
     "sample_token_budget",
     "sample_weighted_reservoir",
@@ -75,9 +80,9 @@ DRIVER_CHECK_PRIORITY = [
     "text_bigram_logprob",
     "text_quality_classifier",
     "transform_cdc_apply",
+    "transform_incremental_agg_merge",
     "udf_cogroup_views_before_purchase",
     "window_range_interval",
-    "multimodal_binary_meta",
     "set_ops",
     "sort_limit_topk",
     "agg_distinct",
@@ -88,11 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "cube_agg",
     "date_arithmetic",
     "date_functions",
-    "dedup_exact_distinct",
-    "dedup_keep_first",
-    "exists_late_shipment",
-    "filter_compute",
-    "join_anti",
 ]
 
 def _reorder_for_driver() -> None:

@@ -1413,3 +1413,195 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.select(
         "event_id", "user_id", (num / den).alias("ewma")
     )
+
+
+#: Base/delta split date for `transform_incremental_agg_merge`: rows
+#: shipped before this date form yesterday's materialized partials; rows
+#: on/after it are the incoming delta batch.
+INCR_CUTOFF = "1998-07-01"
+
+
+@register(
+    "transform_incremental_agg_merge",
+    category="transform",
+    oracle=f"""
+    WITH base AS (
+        SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS ship_month,
+               l_returnflag,
+               CAST(sum(l_quantity) AS BIGINT)           AS p_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT)                           AS p_cents,
+               count(*)                                  AS p_rows,
+               min(l_discount)                           AS p_min_disc,
+               max(l_discount)                           AS p_max_disc
+        FROM lineitem WHERE l_shipdate < DATE '{INCR_CUTOFF}'
+        GROUP BY 1, 2
+    ), delta AS (
+        SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS ship_month,
+               l_returnflag,
+               CAST(sum(l_quantity) AS BIGINT)           AS p_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT)                           AS p_cents,
+               count(*)                                  AS p_rows,
+               min(l_discount)                           AS p_min_disc,
+               max(l_discount)                           AS p_max_disc
+        FROM lineitem WHERE l_shipdate >= DATE '{INCR_CUTOFF}'
+        GROUP BY 1, 2
+    ), merged AS (
+        SELECT ship_month, l_returnflag,
+               CAST(sum(p_qty) AS BIGINT)   AS sum_qty,
+               CAST(sum(p_cents) AS BIGINT) AS sum_cents,
+               CAST(sum(p_rows) AS BIGINT)  AS n_rows,
+               min(p_min_disc)              AS min_disc,
+               max(p_max_disc)              AS max_disc
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        GROUP BY ship_month, l_returnflag
+    )
+    SELECT ship_month, l_returnflag, sum_qty, sum_cents,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           (sum_cents * 100) // n_rows AS avg_price_e4,
+           min_disc, max_disc
+    FROM merged
+    """,
+)
+def transform_incremental_agg_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge partial states, not rows.
+
+    The pattern behind every incremental materialized view and every
+    streaming-state checkpoint: yesterday's rollup is stored as PARTIAL
+    states (sum/count/min/max per key), today's delta batch aggregates
+    to the same shape, and the refreshed view is a merge of states —
+    sums add, counts add, mins take min, maxes take max, and averages
+    derive from (sum, count) at read time. The base relation is never
+    rescanned; the refresh cost is O(delta + keys). Measures use
+    integer-exact accumulators (unit quantities, price cents), so the
+    merged result is bit-identical to a from-scratch rollup in ANY
+    engine or merge order — which is exactly what the oracle (same
+    two-phase computation; pytest's property check recomputes it
+    single-pass) certifies.
+
+    Scale shape: two filtered scans each ending in a map-side-combinable
+    hash aggregate on (month, flag) — bounded keys — then a key-only
+    merge aggregate over partial rows (hundreds, not billions). At
+    100 TB the base partials live in a table partitioned by refresh
+    epoch and the daily job touches only the delta partition: this
+    query IS that job's plan, with the cutoff standing in for the
+    partition boundary.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def partials(rows: DataFrame) -> DataFrame:
+        return rows.groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias(
+                "ship_month"
+            ),
+            "l_returnflag",
+        ).agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("p_qty"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("p_cents"),
+            F.count(F.lit(1)).alias("p_rows"),
+            F.min("l_discount").alias("p_min_disc"),
+            F.max("l_discount").alias("p_max_disc"),
+        )
+
+    cutoff = F.lit(INCR_CUTOFF).cast("date")
+    base = partials(li.where(F.col("l_shipdate") < cutoff))
+    delta = partials(li.where(F.col("l_shipdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("ship_month", "l_returnflag")
+        .agg(
+            F.sum("p_qty").alias("sum_qty"),
+            F.sum("p_cents").alias("sum_cents"),
+            F.sum("p_rows").alias("n_rows"),
+            F.min("p_min_disc").alias("min_disc"),
+            F.max("p_max_disc").alias("max_disc"),
+        )
+    )
+    return merged.select(
+        "ship_month",
+        "l_returnflag",
+        "sum_qty",
+        "sum_cents",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        # Integer floor division: the derived average in 1e-4-dollar
+        # units, exact in any engine (a round() here hit a half-way FP
+        # tie that Spark and DuckDB break differently).
+        F.expr("(sum_cents * 100) div n_rows").alias("avg_price_e4"),
+        "min_disc",
+        "max_disc",
+    )
+
+
+#: How many heavy keys `profile_join_skew` reports.
+SKEW_TOP_N = 20
+
+
+@register(
+    "profile_join_skew",
+    category="profile",
+    oracle=f"""
+    WITH counts AS (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ), tot AS (
+        SELECT count(*) AS n_total, count(DISTINCT o_custkey) AS n_keys
+        FROM orders
+    )
+    SELECT o_custkey, n_orders,
+           (n_orders * 10000) // tot.n_total AS share_bp,
+           (n_orders * tot.n_keys * 100) // tot.n_total AS x_avg_pct,
+           rnk
+    FROM (SELECT *,
+                 row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS rnk
+          FROM counts) c
+    CROSS JOIN tot
+    WHERE rnk <= {SKEW_TOP_N}
+    """,
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the heavy hitters a planner must know about.
+
+    The diagnostic run before every big join: which values of the join
+    key carry disproportionate row counts? Reports the top
+    ``SKEW_TOP_N`` keys of ``orders.o_custkey`` with exact counts,
+    corpus share in basis points, and a times-average percentage
+    (n_orders / (total/n_keys)) — the number that tells you whether
+    AQE's skew-join split or an explicit salt (``join_salted_skew``)
+    is warranted. Integer floor arithmetic keeps every derived column
+    engine-exact.
+
+    Scale shape: one map-side-combinable count aggregate, then the
+    top-N via ``orderBy().limit()`` — Spark plans that as
+    TakeOrderedAndProject (per-partition heaps merged at the driver),
+    NEVER a global sort of the key-count table. The two totals ride a
+    broadcast 1-row cross join, and rank is a window over the N
+    surviving rows only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    tot = orders.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("o_custkey").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("n_orders"), "o_custkey").limit(SKEW_TOP_N)
+    rnk_w = Window.orderBy(F.desc("n_orders"), "o_custkey")
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(rnk_w))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.expr("(n_orders * 10000) div n_total").alias("share_bp"),
+            F.expr("(n_orders * n_keys * 100) div n_total").alias(
+                "x_avg_pct"
+            ),
+            "rnk",
+        )
+    )

@@ -544,3 +544,117 @@ def multimodal_patch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_ppm_batches, schema="doc_id long, payload binary"
     )
     return extract_patches(payloads)
+
+
+def _frame_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-frame feature extraction over synthesized frame pixels.
+
+    The *capture* is the deterministic fake (pixels are a pure function
+    of (doc_id, frame_idx) — same contract as ``_synth_ppm_batches``);
+    the *extraction* is real vectorized numpy over the decoded array,
+    exactly what a production per-frame featurizer does after a codec
+    decode. Integer sums/maxes so downstream pooling is order-exact.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        sums, maxes, npxs = [], [], []
+        for doc_id, fi in zip(pdf["doc_id"], pdf["frame_idx"]):
+            w = (int(doc_id) + int(fi)) % 8 + 4
+            h = int(doc_id) % 6 + 3
+            n = w * h * 3
+            k = np.arange(n, dtype=np.int64)
+            px = (int(doc_id) * 7 + int(fi) * 13 + k) % 256
+            sums.append(int(px.sum()))
+            maxes.append(int(px.max()))
+            npxs.append(n)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "frame_idx": pdf["frame_idx"],
+                "f_sum": pd.Series(sums, dtype="int64"),
+                "f_max": pd.Series(maxes, dtype="int32"),
+                "n_px": pd.Series(npxs, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_video_temporal_pool",
+    category="multimodal",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id,
+               octet_length(encode(text)) % 7 + 1 AS n_frames
+        FROM documents WHERE doc_id % 10 = 0
+    ), frames AS (
+        SELECT doc_id, unnest(range(0, n_frames)) AS fi FROM vids
+    ), px AS (
+        SELECT doc_id, fi,
+               (doc_id + fi) % 8 + 4 AS w,
+               doc_id % 6 + 3        AS h
+        FROM frames
+    ), feat AS (
+        SELECT doc_id, fi,
+               CAST(sum((doc_id * 7 + fi * 13 + k) % 256) AS BIGINT) AS f_sum,
+               CAST(max((doc_id * 7 + fi * 13 + k) % 256) AS INTEGER) AS f_max,
+               CAST(w * h * 3 AS BIGINT) AS n_px
+        FROM (SELECT doc_id, fi, w, h, unnest(range(0, w * h * 3)) AS k
+              FROM px)
+        GROUP BY doc_id, fi, w, h
+    )
+    SELECT doc_id,
+           count(*)                                    AS n_frames,
+           CAST((CAST(sum(f_sum) AS BIGINT) * 10000)
+                // CAST(sum(n_px) AS BIGINT) AS BIGINT) AS mean_pixel_e4,
+           max(f_max)                                  AS peak_pixel,
+           CAST(max((f_sum * 10000) // n_px)
+               - min((f_sum * 10000) // n_px) AS BIGINT) AS motion_range_e4
+    FROM feat
+    GROUP BY doc_id
+    """,
+)
+def multimodal_video_temporal_pool(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video shape end-to-end: frame sample -> per-frame features -> pooling.
+
+    The full video-column pipeline composed from its registered pieces:
+    ``multimodal_frame_sample``'s bounded explode produces one row per
+    (video, frame), an Arrow-batched ``mapInPandas`` featurizer runs
+    real numpy over each frame's pixel array (synthesized
+    deterministically — the codec stays behind the
+    ``operators/multimodal.py`` import gate), and temporal pooling
+    aggregates per video: global mean brightness, peak pixel, and a
+    motion proxy (range of per-frame means). All frame features are
+    integers, so pooling is exact in any order and the SQL oracle
+    re-derives every pixel.
+
+    Scale shape: explode fan-out is bounded (<= 7 frames here; real
+    samplers cap frames per video), the featurizer is partition-local
+    Arrow batches with ZERO shuffle before it, and the only exchange is
+    the final map-side-combinable groupBy on doc_id — which AQE
+    coalesces, since its input is (video x frame) feature rows, not
+    pixels. Pixel bytes never shuffle and never reach the driver.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    n_frames = F.octet_length(F.encode("text", "UTF-8")) % 7 + 1
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+    feat = frames.mapInPandas(
+        _frame_feature_batches,
+        schema="doc_id long, frame_idx long, f_sum long, f_max int, n_px long",
+    )
+    frame_mean = F.expr("(f_sum * 10000) div n_px")
+    return feat.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.expr("(sum(f_sum) * 10000) div sum(n_px)").alias("mean_pixel_e4"),
+        F.max("f_max").alias("peak_pixel"),
+        (F.max(frame_mean) - F.min(frame_mean)).alias("motion_range_e4"),
+    )

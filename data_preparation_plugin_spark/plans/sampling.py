@@ -729,3 +729,77 @@ def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(m)).where(
         F.col("rn") <= F.col("m")
     ).select("vec_id", "label", "rn")
+
+
+@register(
+    "sample_interleave_sources",
+    category="sampling",
+    oracle="""
+    WITH srcdim AS (
+        SELECT source,
+               row_number() OVER (ORDER BY source) - 1 AS src_idx
+        FROM (SELECT DISTINCT source FROM documents)
+    ), n AS (
+        SELECT count(*) AS n_sources FROM srcdim
+    ), ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                   AS src_pos
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.src_pos,
+           r.src_pos * n.n_sources + s.src_idx AS global_pos
+    FROM ranked r
+    JOIN srcdim s ON r.source = s.source
+    CROSS JOIN n
+    """,
+)
+def sample_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleaving of sources for training order.
+
+    The dataloader-order problem: an epoch should visit every source in
+    a fixed even rotation (src0, src1, ..., srcN, src0, ...) with each
+    source's documents in a stable shuffled order — reproducible across
+    reruns, resumable from any position, no RNG state. Each document
+    gets its within-source position from the md5-of-key order (the same
+    stateless shuffle as ``sample_split_stable``), and its GLOBAL
+    position is computed arithmetically: ``src_pos * n_sources +
+    src_idx``. Positions are unique by construction, so this assigns a
+    total training order WITHOUT ever sorting the corpus globally —
+    the property that matters at 100 TB, where a global row_number
+    would serialize on one partition.
+
+    Scale shape: one exchange on ``source`` for the per-source rank
+    window (hash order, so no data-dependent skew), a broadcast join
+    against the tiny source dimension, and a 1-row cross join for the
+    source count. Writers then range-partition on ``global_pos`` to
+    materialize shards in order — still no global sort, because the
+    order is already explicit in the column.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcdim = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "src_idx", F.row_number().over(Window.orderBy("source")) - 1
+        )
+    )
+    n = srcdim.agg(F.count(F.lit(1)).alias("n_sources"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn("src_pos", F.row_number().over(w) - 1)
+    return (
+        ranked.join(F.broadcast(srcdim), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "src_pos",
+            (F.col("src_pos") * F.col("n_sources") + F.col("src_idx")).alias(
+                "global_pos"
+            ),
+        )
+    )

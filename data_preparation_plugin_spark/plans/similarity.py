@@ -883,3 +883,416 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+_IVFPQ_FULLDIST = _PQ_SUBDIST  # same fold, parameterized by n below
+
+
+@register(
+    "knn_ivf_pq",
+    category="similarity",
+    oracle=f"""
+    WITH raw AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id,
+               list_transform(v,
+                   e -> CAST(floor(e / sqrt(list_reduce(
+                            list_prepend(0.0, list_transform(v, x -> x * x)),
+                            (a, b) -> a + b)) * {PQ_QSCALE}.0)
+                             AS BIGINT)) AS qv
+        FROM raw
+    ), coarse AS (
+        SELECT vec_id AS cell_id, qv AS cqv FROM q
+        WHERE vec_id < {IVF_N_CELLS}
+    ), assigned AS (
+        SELECT vec_id, qv, cell_id AS cell, cqv FROM (
+            SELECT q.vec_id, q.qv, coarse.cell_id, coarse.cqv,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_IVFPQ_FULLDIST.format(
+                           n=EMBEDDING_DIM + 1, a='q.qv', b='coarse.cqv')},
+                                cell_id) AS rn
+            FROM q CROSS JOIN coarse
+        ) WHERE rn = 1
+    ), resid AS (
+        SELECT vec_id, cell,
+               list_transform(range(1, {EMBEDDING_DIM + 1}),
+                              i -> qv[i] - cqv[i]) AS rv
+        FROM assigned
+    ), subs AS (
+        SELECT vec_id, cell, m,
+               rv[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+        FROM resid, unnest(range(0, {PQ_M})) AS t(m)
+    ), rcents AS (
+        SELECT m AS cm, vec_id AS cent_id, sv AS cv
+        FROM subs WHERE vec_id < {PQ_K}
+    ), enc AS (
+        SELECT vec_id, cell, m, cent_id AS code FROM (
+            SELECT s.vec_id, s.cell, s.m, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_PQ_SUBDIST.format(
+                           n=PQ_SUBDIM + 1, a='s.sv', b='c.cv')},
+                                c.cent_id) AS rn
+            FROM subs s JOIN rcents c ON s.m = c.cm)
+        WHERE rn = 1
+    ), probed AS (
+        SELECT vec_id AS query_id, qv, cell_id AS pcell, cqv FROM (
+            SELECT q.vec_id, q.qv, coarse.cell_id, coarse.cqv,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_IVFPQ_FULLDIST.format(
+                           n=EMBEDDING_DIM + 1, a='q.qv', b='coarse.cqv')},
+                                cell_id) AS rn
+            FROM q CROSS JOIN coarse
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ) WHERE rn <= {IVF_NPROBE}
+    ), qresid AS (
+        SELECT query_id, pcell,
+               list_transform(range(1, {EMBEDDING_DIM + 1}),
+                              i -> qv[i] - cqv[i]) AS qrv
+        FROM probed
+    ), dtab AS (
+        SELECT s.query_id, s.pcell, s.m, c.cent_id,
+               {_PQ_SUBDIST.format(n=PQ_SUBDIM + 1, a='s.qsv', b='c.cv')}
+                   AS qd2
+        FROM (SELECT query_id, pcell, m,
+                     qrv[m * {PQ_SUBDIM} + 1
+                         : m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS qsv
+              FROM qresid, unnest(range(0, {PQ_M})) AS t(m)) s
+        JOIN rcents c ON s.m = c.cm
+    ), scored AS (
+        SELECT d.query_id, e.vec_id, CAST(sum(d.qd2) AS BIGINT) AS adc
+        FROM enc e
+        JOIN dtab d ON e.cell = d.pcell AND e.m = d.m AND e.code = d.cent_id
+        WHERE e.vec_id <> d.query_id
+        GROUP BY d.query_id, e.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc AS adc_dist2, rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC): coarse cells + residual product quantization.
+
+    The billion-scale ANN index composed from its two halves already in
+    the registry: ``knn_ivf_cosine``'s inverted file restricts which
+    candidates a query touches (``IVF_NPROBE`` of ``IVF_N_CELLS``
+    cells), and ``knn_pq_adc``'s product quantizer compresses what is
+    stored per candidate — but over the RESIDUAL (vector minus its
+    cell centroid), the Jegou et al. IVFADC construction that makes the
+    codebook spend its entropy on within-cell variation. All arithmetic
+    is integer (quantized components, integer residuals, integer
+    distance tables), so ranking is exact, order-immune, and
+    engine-agnostic; both codebooks are the deterministic first-vectors
+    stand-in for trained k-means output (swap persisted centroids in
+    production — the plan is identical).
+
+    Scale shape: both codebooks broadcast (IVF: 8 full vectors; PQ:
+    M x K subvectors). Assignment and encoding are one pass over the
+    corpus emitting (vec_id, cell, M codes) — ~17 small ints per vector.
+    Query-time: per-query-per-probed-cell residual distance tables
+    broadcast (queries x nprobe x M x K rows, bounded by the query
+    batch), and scoring joins them to the coded corpus on
+    (cell, subspace, code) — the cell key means a candidate in an
+    unprobed cell is never read, which is the entire IVF bargain; the
+    rest is a map-side-combinable integer sum and a per-query top-k.
+    No float math ever touches a corpus vector at query time.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    normed = emb.select("vec_id", v.alias("v")).select(
+        "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
+    )
+    qv = F.transform(
+        F.col("v"),
+        lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
+    )
+    vecs = normed.select("vec_id", qv.alias("qv"))
+    coarse = vecs.where(F.col("vec_id") < IVF_N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("qv").alias("cqv")
+    )
+
+    def _full_d2(a: str, b: str) -> Column:
+        # Integer L2 over the full dimension via one fold — the
+        # assignment stream is only n x IVF_N_CELLS rows, so the HOF
+        # interpreter cost is marginal (unlike the n x M x K encode
+        # stream, which uses the unrolled codegen form below).
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = (
+        vecs.crossJoin(F.broadcast(coarse))
+        .select("vec_id", "qv", "cell_id", _full_d2("qv", "cqv").alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell_id")).alias("best"))
+        .select("vec_id", F.col("best.cell_id").alias("cell"))
+    )
+    resid = (
+        vecs.join(assigned, "vec_id")
+        .join(F.broadcast(coarse), F.col("cell") == F.col("cell_id"))
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("qv", "cqv", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    subs = resid.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("rv", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sv"),
+    )
+    rcents = subs.where(F.col("vec_id") < PQ_K).select(
+        F.col("m").alias("cm"),
+        F.col("vec_id").alias("cent_id"),
+        F.col("sv").alias("cv"),
+    )
+
+    def _sub_d2(a: str, b: str) -> Column:
+        expr: Column | None = None
+        for j in range(1, PQ_SUBDIM + 1):
+            diff = F.element_at(a, j) - F.element_at(b, j)
+            sq = diff * diff
+            expr = sq if expr is None else expr + sq
+        return expr
+
+    encoded = (
+        subs.join(F.broadcast(rcents), F.col("m") == F.col("cm"))
+        .select(
+            "vec_id", "cell", "m", "cent_id", _sub_d2("sv", "cv").alias("d2")
+        )
+        .groupBy("vec_id", "cell", "m")
+        .agg(F.min(F.struct("d2", "cent_id")).alias("best"))
+        .select("vec_id", "cell", "m", F.col("best.cent_id").alias("code"))
+    )
+    probe_win = Window.partitionBy("query_id").orderBy("d2", "cell_id")
+    probed = (
+        vecs.where(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
+        .crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id",
+            "qqv",
+            "cell_id",
+            "cqv",
+            _full_d2("qqv", "cqv").alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(probe_win))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select(
+            "query_id",
+            F.col("cell_id").alias("pcell"),
+            F.zip_with("qqv", "cqv", lambda x, y: x - y).alias("qrv"),
+        )
+    )
+    dtab = (
+        probed.select(
+            "query_id",
+            "pcell",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("qrv", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("qm", "qsv"),
+        )
+        .join(F.broadcast(rcents), F.col("qm") == F.col("cm"))
+        .select(
+            "query_id",
+            "pcell",
+            "qm",
+            "cent_id",
+            _sub_d2("qsv", "cv").alias("qd2"),
+        )
+    )
+    scored = (
+        encoded.join(
+            F.broadcast(dtab),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("cent_id")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2").alias("adc"))
+    )
+    topk_win = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(topk_win))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("adc").cast("long").alias("adc_dist2"),
+            "rn",
+        )
+    )
+
+
+#: SemDeDup parameters: cluster count for the coarse k-means stand-in and
+#: the near-duplicate threshold, expressed on the INTEGER dot product of
+#: quantized unit vectors (~= cosine x PQ_QSCALE^2). 3e9 ~= cosine 0.30,
+#: the p99 of the fixture's pairwise-cosine distribution, so the prune
+#: genuinely fires at every test scale while keeping >90% of the corpus.
+SEM_N_CLUSTERS = 8
+SEM_DUP_MINDOT = 3_000_000_000
+
+_INT_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, {n}), i -> {a}[i] * {b}[i])), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@register(
+    "dedup_semdedup_prune",
+    category="dedup",
+    oracle=f"""
+    WITH raw AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id,
+               list_transform(v,
+                   e -> CAST(floor(e / sqrt(list_reduce(
+                            list_prepend(0.0, list_transform(v, x -> x * x)),
+                            (a, b) -> a + b)) * {PQ_QSCALE}.0)
+                             AS BIGINT)) AS qv
+        FROM raw
+    ), cents AS (
+        SELECT vec_id AS cell_id, qv AS cqv FROM q
+        WHERE vec_id < {SEM_N_CLUSTERS}
+    ), assigned AS (
+        SELECT vec_id, qv, cell, cdot FROM (
+            SELECT q.vec_id, q.qv, cents.cell_id AS cell,
+                   {_INT_DOT.format(n=EMBEDDING_DIM + 1,
+                                    a='q.qv', b='cents.cqv')} AS cdot,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_INT_DOT.format(n=EMBEDDING_DIM + 1,
+                                                 a='q.qv', b='cents.cqv')}
+                                DESC, cell_id) AS rn
+            FROM q CROSS JOIN cents
+        ) WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT v.vec_id
+        FROM assigned v JOIN assigned u
+          ON v.cell = u.cell AND v.vec_id <> u.vec_id
+        WHERE {_INT_DOT.format(n=EMBEDDING_DIM + 1,
+                               a='v.qv', b='u.qv')} >= {SEM_DUP_MINDOT}
+          AND (u.cdot < v.cdot
+               OR (u.cdot = v.cdot AND u.vec_id < v.vec_id))
+    )
+    SELECT a.vec_id, a.cell, a.cdot AS centroid_dot,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+)
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-duplicate pruning inside embedding clusters.
+
+    Abbas et al. 2023's recipe for deduplicating web-scale corpora by
+    MEANING rather than surface form: cluster the embeddings (coarse
+    k-means — here the deterministic first-vectors codebook standing in
+    for trained centroids, as in ``knn_ivf_cosine``), and within each
+    cluster drop every member that has a near-duplicate (cosine above
+    threshold) that is FARTHER from the centroid — the paper keeps the
+    low-centroid-similarity representative of each duplicate group to
+    preserve diversity. All comparisons run on integer dot products of
+    quantized unit vectors (~cosine x 1e10), so keep/drop decisions are
+    exact and identical across engines; ties break by vec_id.
+
+    Scale shape: assignment is one broadcast-codebook pass. The pairwise
+    stage is the classic blocked quadratic — pairs are generated only
+    WITHIN a cell (an equi-join on the cell id), never across the
+    corpus, and cluster sizes are controlled by the k you train (the
+    paper uses k ~ sqrt(n), keeping per-cell pair counts near-constant
+    per partition). The drop check is an EXISTS — a semi-join that
+    short-circuits per candidate — and the final flag is a narrow
+    left-join of vec_id keys. Nothing global, nothing driver-side.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    normed = emb.select("vec_id", v.alias("v")).select(
+        "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
+    )
+    qv = F.transform(
+        F.col("v"),
+        lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
+    )
+    vecs = normed.select("vec_id", qv.alias("qv"))
+    cents = vecs.where(F.col("vec_id") < SEM_N_CLUSTERS).select(
+        F.col("vec_id").alias("cell_id"), F.col("qv").alias("cqv")
+    )
+
+    def _int_dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "qv",
+            "cell_id",
+            _int_dot(F.col("qv"), F.col("cqv")).alias("dot"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct((-F.col("dot")).alias("negdot"), "cell_id")).alias(
+                "best"
+            ),
+            F.any_value("qv").alias("qv"),
+        )
+        .select(
+            "vec_id",
+            "qv",
+            F.col("best.cell_id").alias("cell"),
+            (-F.col("best.negdot")).alias("cdot"),
+        )
+    )
+    u = assigned.select(
+        F.col("vec_id").alias("u_id"),
+        F.col("qv").alias("u_qv"),
+        F.col("cell").alias("u_cell"),
+        F.col("cdot").alias("u_cdot"),
+    )
+    dropped = (
+        assigned.join(u, F.col("cell") == F.col("u_cell"))
+        .where(F.col("vec_id") != F.col("u_id"))
+        .where(_int_dot(F.col("qv"), F.col("u_qv")) >= SEM_DUP_MINDOT)
+        .where(
+            (F.col("u_cdot") < F.col("cdot"))
+            | (
+                (F.col("u_cdot") == F.col("cdot"))
+                & (F.col("u_id") < F.col("vec_id"))
+            )
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("cdot").alias("centroid_dot"),
+        F.when(F.col("__dropped").isNull(), 1).otherwise(0).alias("is_kept"),
+    )

@@ -135,6 +135,12 @@ PROBES = [
     "sample_balanced_labels",    # per-class fixed-k rank sample
     "events_mad_outliers",       # robust moments x2 + broadcast join back
     "events_ewma_smooth",        # bounded-depth lag window, one exchange
+    "knn_ivf_pq",                # coarse cells + residual PQ, broadcast ADC
+    "dedup_semdedup_prune",      # within-cell pair semi-join prune
+    "transform_incremental_agg_merge",  # partial-state merge refresh
+    "sample_interleave_sources", # per-source rank, arithmetic total order
+    "profile_join_skew",         # count agg + TakeOrdered top-N
+    "multimodal_video_temporal_pool",   # frame explode + Arrow featurizer
 ]
 
 
