@@ -544,3 +544,147 @@ def test_bigram_beats_unigram_on_separating_shuffled_text(spark):
     for doc_id, r in rows.items():
         assert r.n_bigrams == sizes[doc_id] - 1, r
         assert r.avg_logprob < 0, r
+
+
+def test_ivf_pq_recall_against_bruteforce(spark):
+    """IVF-PQ neighbor lists must substantially overlap the exact
+    brute-force top-k (approximate by design: residual quantization +
+    unprobed cells both cost recall, so require > 0.5 overall)."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    approx = {}
+    for r in QUERIES["knn_ivf_pq"].builder(spark, sf).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    exact = {}
+    for r in QUERIES["knn_bruteforce_cosine"].builder(spark, sf).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(approx.get(q, set()) & n) for q, n in exact.items())
+    total = sum(len(n) for n in exact.values())
+    assert total > 0
+    assert hits / total > 0.5, f"recall {hits}/{total}"
+
+
+def test_semdedup_kept_set_is_independent(spark):
+    """No two KEPT vectors in the same cell may be near-duplicates: any
+    near-dup pair is totally ordered by (centroid_dot, vec_id), so the
+    beaten member must have been dropped."""
+    from pyspark.sql import functions as F
+
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.similarity import (
+        SEM_DUP_MINDOT,
+        PQ_QSCALE,
+    )
+    from data_preparation_plugin_spark.plans.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["dedup_semdedup_prune"].builder(spark, sf).collect()
+    assert {r.is_kept for r in rows} == {0, 1}  # both paths exercised
+    kept = {r.vec_id for r in rows if r.is_kept}
+    cell = {r.vec_id: r.cell for r in rows}
+    import math
+
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+
+    def qdot(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        qa = [math.floor(x / na * PQ_QSCALE) for x in a]
+        qb = [math.floor(x / nb * PQ_QSCALE) for x in b]
+        return sum(x * y for x, y in zip(qa, qb))
+
+    kept_list = sorted(kept)
+    for i, u in enumerate(kept_list):
+        for v in kept_list[i + 1 :]:
+            if cell[u] == cell[v]:
+                assert qdot(vecs[u], vecs[v]) < SEM_DUP_MINDOT, (u, v)
+
+
+def test_incremental_merge_equals_single_pass(spark):
+    """The merged partial states must equal a from-scratch single-pass
+    rollup computed in Spark itself."""
+    from pyspark.sql import functions as F
+
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    merged = {
+        (r.ship_month, r.l_returnflag): (r.sum_qty, r.sum_cents, r.n_rows)
+        for r in QUERIES["transform_incremental_agg_merge"]
+        .builder(spark, sf)
+        .collect()
+    }
+    direct = {
+        (r.m, r.f): (r.q, r.c, r.n)
+        for r in load_table(spark, sf, "lineitem")
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("m"),
+            F.col("l_returnflag").alias("f"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("q"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "c"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_interleave_positions_are_a_round_robin(spark):
+    """Global positions are dense 0..N-1 and, for equal-size sources,
+    consecutive positions cycle through all sources before repeating."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["sample_interleave_sources"].builder(spark, sf).collect()
+    by_pos = sorted(rows, key=lambda r: r.global_pos)
+    assert [r.global_pos for r in by_pos] == list(range(len(rows)))
+    n_sources = len({r.source for r in rows})
+    for i in range(0, len(by_pos) - n_sources, n_sources):
+        block = {r.source for r in by_pos[i : i + n_sources]}
+        assert len(block) == n_sources, f"block at {i} repeats a source"
+
+
+def test_join_skew_profile_invariants(spark):
+    """Ranks are 1..N, counts non-increasing, shares consistent."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.analytics import SKEW_TOP_N
+
+    rows = sorted(
+        QUERIES["profile_join_skew"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= SKEW_TOP_N
+    counts = [r.n_orders for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 0 <= r.share_bp <= 10000
+        assert r.x_avg_pct >= 0
+
+
+def test_video_pool_bounds(spark):
+    """Frame counts and pixel statistics stay inside their domains."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    rows = (
+        QUERIES["multimodal_video_temporal_pool"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_frames <= 7, r
+        assert 0 <= r.peak_pixel <= 255, r
+        assert 0 <= r.mean_pixel_e4 <= 255 * 10000, r
+        assert 0 <= r.motion_range_e4 <= 255 * 10000, r
