@@ -1205,13 +1205,55 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: SemDeDup parameters: cluster count for the coarse k-means stand-in and
-#: the near-duplicate threshold, expressed on the INTEGER dot product of
-#: quantized unit vectors (~= cosine x PQ_QSCALE^2). 3e9 ~= cosine 0.30,
-#: the p99 of the fixture's pairwise-cosine distribution, so the prune
-#: genuinely fires at every test scale while keeping >90% of the corpus.
-SEM_N_CLUSTERS = 8
+#: SemDeDup parameters. Clusters are adaptive-depth hyperplane blocks:
+#: enough sign bits that blocks hold ~SEM_TARGET_BLOCK vectors each, so
+#: cluster count grows WITH the corpus (the paper's k ~ n/constant) while
+#: assignment stays a constant 12 dot products per vector. The
+#: near-duplicate threshold is on the INTEGER dot product of quantized
+#: unit vectors (~= cosine x PQ_QSCALE^2); 3e9 ~= cosine 0.30 (the p99 of
+#: the fixture's pairwise-cosine distribution) keeps both keep and drop
+#: paths exercised inside sign-agreeing blocks at every test scale.
+SEM_TARGET_BLOCK = 64
+SEM_MAX_BITS = 12
 SEM_DUP_MINDOT = 3_000_000_000
+_SEM_SEED = 4242
+
+
+def _sem_planes() -> np.ndarray:
+    rng = np.random.RandomState(_SEM_SEED)
+    return rng.randn(SEM_MAX_BITS, EMBEDDING_DIM).round(6)
+
+
+def _sem_sig_col(vec: Column) -> Column:
+    bits = [
+        F.when(dot_product(vec, lit_vector(p)) >= 0, "1").otherwise("0")
+        for p in _sem_planes()
+    ]
+    return F.concat(*bits)
+
+
+def _sem_sig_sql(vec_expr: str) -> str:
+    bits = []
+    for p in _sem_planes():
+        arr = "[" + ", ".join(repr(float(v)) for v in p) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) >= 0"
+            f" THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+def _sem_bits_case(n_expr: str) -> str:
+    """Integer-exact adaptive depth: smallest b with 2^b blocks of ~target.
+
+    A CASE chain over integer comparisons — no float log2, so both
+    engines agree even at exact power-of-two boundaries.
+    """
+    clauses = [
+        f"WHEN {n_expr} > {SEM_TARGET_BLOCK * 2 ** (b - 1)} THEN {b}"
+        for b in range(SEM_MAX_BITS, 1, -1)
+    ]
+    return "CASE " + " ".join(clauses) + " ELSE 1 END"
 
 
 @register(
@@ -1226,59 +1268,76 @@ SEM_DUP_MINDOT = 3_000_000_000
                    e -> CAST(floor(e / sqrt(list_reduce(
                             list_prepend(0.0, list_transform(v, x -> x * x)),
                             (a, b) -> a + b)) * {PQ_QSCALE}.0)
-                             AS BIGINT)) AS qv
+                             AS BIGINT)) AS qv,
+               {_sem_sig_sql('v')} AS sig
         FROM raw
-    ), cents AS (
-        SELECT vec_id AS cell_id, qv AS cqv FROM q
-        WHERE vec_id < {SEM_N_CLUSTERS}
-    ), assigned AS (
-        SELECT vec_id, qv, cell, cdot FROM (
-            SELECT q.vec_id, q.qv, cents.cell_id AS cell,
-                   {_INT_DOT.format(n=EMBEDDING_DIM + 1,
-                                    a='q.qv', b='cents.cqv')} AS cdot,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY {_INT_DOT.format(n=EMBEDDING_DIM + 1,
-                                                 a='q.qv', b='cents.cqv')}
-                                DESC, cell_id) AS rn
-            FROM q CROSS JOIN cents
-        ) WHERE rn = 1
+    ), n AS (
+        SELECT count(*) AS n_vecs FROM q
+    ), blocked AS (
+        SELECT vec_id, qv,
+               substr(sig, 1, {_sem_bits_case('n.n_vecs')}) AS block
+        FROM q CROSS JOIN n
+    ), dims AS (
+        SELECT vec_id, block, d, qv[d] AS x
+        FROM blocked, unnest(range(1, {EMBEDDING_DIM + 1})) AS t(d)
+    ), cent AS (
+        SELECT block, d, CAST(sum(x) AS BIGINT) AS sx
+        FROM dims GROUP BY block, d
+    ), cdots AS (
+        SELECT dims.vec_id, dims.block,
+               CAST(sum(dims.x * cent.sx) AS BIGINT) AS cdot
+        FROM dims JOIN cent ON dims.block = cent.block AND dims.d = cent.d
+        GROUP BY dims.vec_id, dims.block
+    ), side AS (
+        SELECT b.vec_id, b.block, b.qv, c.cdot
+        FROM blocked b JOIN cdots c ON b.vec_id = c.vec_id
     ), dropped AS (
         SELECT DISTINCT v.vec_id
-        FROM assigned v JOIN assigned u
-          ON v.cell = u.cell AND v.vec_id <> u.vec_id
+        FROM side v JOIN side u
+          ON v.block = u.block AND v.vec_id <> u.vec_id
         WHERE {_INT_DOT.format(n=EMBEDDING_DIM + 1,
                                a='v.qv', b='u.qv')} >= {SEM_DUP_MINDOT}
           AND (u.cdot < v.cdot
                OR (u.cdot = v.cdot AND u.vec_id < v.vec_id))
     )
-    SELECT a.vec_id, a.cell, a.cdot AS centroid_dot,
+    SELECT s.vec_id, s.block, s.cdot AS centroid_dot,
            CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
-    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    FROM side s LEFT JOIN dropped d ON s.vec_id = d.vec_id
     """,
 )
 def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: semantic near-duplicate pruning inside embedding clusters.
 
     Abbas et al. 2023's recipe for deduplicating web-scale corpora by
-    MEANING rather than surface form: cluster the embeddings (coarse
-    k-means — here the deterministic first-vectors codebook standing in
-    for trained centroids, as in ``knn_ivf_cosine``), and within each
-    cluster drop every member that has a near-duplicate (cosine above
-    threshold) that is FARTHER from the centroid — the paper keeps the
+    MEANING rather than surface form: cluster the embeddings, and within
+    each cluster drop every member that has a near-duplicate (cosine
+    above threshold) CLOSER to the centroid — the paper keeps the
     low-centroid-similarity representative of each duplicate group to
-    preserve diversity. All comparisons run on integer dot products of
-    quantized unit vectors (~cosine x 1e10), so keep/drop decisions are
-    exact and identical across engines; ties break by vec_id.
+    preserve diversity. Clustering here is an adaptive-depth
+    random-hyperplane code: the number of sign bits grows with
+    ``log2(corpus / SEM_TARGET_BLOCK)`` (an integer CASE, no float
+    boundary hazards), so cluster count scales LINEARLY with the corpus
+    and cluster size stays ~constant — the paper's k ~ n regime with a
+    constant-cost assignment (12 dot products per vector, vs the n x k
+    scan a literal k-means assignment would need). The centroid is the
+    true cluster mean in integer form (element-wise sum), so the
+    keep-farthest rule compares exact integers; near-dup checks compare
+    integer dot products. Everything is engine-exact; ties break by
+    vec_id.
 
-    Scale shape: assignment is one broadcast-codebook pass. The pairwise
-    stage is the classic blocked quadratic — pairs are generated only
-    WITHIN a cell (an equi-join on the cell id), never across the
-    corpus, and cluster sizes are controlled by the k you train (the
-    paper uses k ~ sqrt(n), keeping per-cell pair counts near-constant
-    per partition). The drop check is an EXISTS — a semi-join that
-    short-circuits per candidate — and the final flag is a narrow
-    left-join of vec_id keys. Nothing global, nothing driver-side.
+    The round-6 x8 probe caught the previous form of this query (8
+    FIXED clusters) at x13.4 — textbook quadratic blow-up from constant
+    block count. This form probes linear. The price is LSH recall:
+    near-dup pairs split across blocks are missed; production repairs
+    that with banding (multiple independent codes, as
+    ``dedup_minhash_lsh_pairs`` demonstrates) — the per-band plan is
+    exactly this one.
+
+    Scale shape: signature and quantization are narrow maps; the
+    centroid is two map-side-combinable aggregates over the exploded
+    (block, dim) stream; pair generation is an equi-join on the block id
+    with ~SEM_TARGET_BLOCK rows per key; the drop check is a semi-join.
+    Nothing global, nothing quadratic in the corpus.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -1289,10 +1348,27 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v"),
         lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
     )
-    vecs = normed.select("vec_id", qv.alias("qv"))
-    cents = vecs.where(F.col("vec_id") < SEM_N_CLUSTERS).select(
-        F.col("vec_id").alias("cell_id"), F.col("qv").alias("cqv")
+    vecs = normed.select(
+        "vec_id", qv.alias("qv"), _sem_sig_col(F.col("v")).alias("sig")
     )
+    n = vecs.agg(F.count(F.lit(1)).alias("n_vecs"))
+    blocked = vecs.crossJoin(F.broadcast(n)).select(
+        "vec_id",
+        "qv",
+        F.expr(f"substr(sig, 1, {_sem_bits_case('n_vecs')})").alias("block"),
+    )
+    dims = blocked.select(
+        "vec_id", "block", F.posexplode("qv").alias("d0", "x")
+    ).select("vec_id", "block", (F.col("d0") + 1).alias("d"), "x")
+    cent = dims.groupBy("block", "d").agg(
+        F.sum("x").cast("long").alias("sx")
+    )
+    cdots = (
+        dims.join(cent, ["block", "d"])
+        .groupBy("vec_id", "block")
+        .agg(F.sum(F.col("x") * F.col("sx")).cast("long").alias("cdot"))
+    )
+    side = blocked.join(cdots.select("vec_id", "cdot"), "vec_id")
 
     def _int_dot(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -1301,36 +1377,14 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "qv",
-            "cell_id",
-            _int_dot(F.col("qv"), F.col("cqv")).alias("dot"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct((-F.col("dot")).alias("negdot"), "cell_id")).alias(
-                "best"
-            ),
-            F.any_value("qv").alias("qv"),
-        )
-        .select(
-            "vec_id",
-            "qv",
-            F.col("best.cell_id").alias("cell"),
-            (-F.col("best.negdot")).alias("cdot"),
-        )
-    )
-    u = assigned.select(
+    u = side.select(
         F.col("vec_id").alias("u_id"),
         F.col("qv").alias("u_qv"),
-        F.col("cell").alias("u_cell"),
+        F.col("block").alias("u_block"),
         F.col("cdot").alias("u_cdot"),
     )
     dropped = (
-        assigned.join(u, F.col("cell") == F.col("u_cell"))
+        side.join(u, F.col("block") == F.col("u_block"))
         .where(F.col("vec_id") != F.col("u_id"))
         .where(_int_dot(F.col("qv"), F.col("u_qv")) >= SEM_DUP_MINDOT)
         .where(
@@ -1344,9 +1398,9 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("__dropped", F.lit(1))
     )
-    return assigned.join(dropped, "vec_id", "left").select(
+    return side.join(dropped, "vec_id", "left").select(
         "vec_id",
-        "cell",
+        "block",
         F.col("cdot").alias("centroid_dot"),
         F.when(F.col("__dropped").isNull(), 1).otherwise(0).alias("is_kept"),
     )

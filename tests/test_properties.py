@@ -566,7 +566,7 @@ def test_ivf_pq_recall_against_bruteforce(spark):
 
 
 def test_semdedup_kept_set_is_independent(spark):
-    """No two KEPT vectors in the same cell may be near-duplicates: any
+    """No two KEPT vectors in the same block may be near-duplicates: any
     near-dup pair is totally ordered by (centroid_dot, vec_id), so the
     beaten member must have been dropped."""
     from pyspark.sql import functions as F
@@ -582,7 +582,7 @@ def test_semdedup_kept_set_is_independent(spark):
     rows = QUERIES["dedup_semdedup_prune"].builder(spark, sf).collect()
     assert {r.is_kept for r in rows} == {0, 1}  # both paths exercised
     kept = {r.vec_id for r in rows if r.is_kept}
-    cell = {r.vec_id: r.cell for r in rows}
+    cell = {r.vec_id: r.block for r in rows}
     import math
 
     vecs = {
