@@ -56,6 +56,7 @@ DRIVER_CHECK_PRIORITY = [
     "agg_kmv_union",
     "curation_adaptive_threshold",
     "dedup_duplicate_spans",
+    "dedup_ngram_containment",
     "dedup_semdedup_prune",
     "events_ewma_smooth",
     "events_mad_outliers",
@@ -82,6 +83,7 @@ DRIVER_CHECK_PRIORITY = [
     "transform_cdc_apply",
     "transform_incremental_agg_merge",
     "udf_cogroup_views_before_purchase",
+    "udtf_word_chunks",
     "window_range_interval",
     "set_ops",
     "sort_limit_topk",
@@ -91,8 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "agg_string_concat",
     "array_functions",
     "cube_agg",
-    "date_arithmetic",
-    "date_functions",
 ]
 
 def _reorder_for_driver() -> None:

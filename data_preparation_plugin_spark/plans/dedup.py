@@ -1455,3 +1455,126 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_token_ratio"),
     )
+
+
+#: Minimum containment (percent, integer) for `dedup_ngram_containment`.
+CONTAIN_MIN_PCT = 80
+
+
+@register(
+    "dedup_ngram_containment",
+    category="dedup",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), shingled AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM toks
+    ), kept AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM shingled
+        ) WHERE df <= {MAX_SHINGLE_DF}
+    ), sized AS (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY doc_id) AS n_shingles
+        FROM kept
+    ), overlap AS (
+        SELECT a.doc_id AS doc_a, a.n_shingles AS n_a,
+               b.doc_id AS doc_b, b.n_shingles AS n_b,
+               count(*) AS n_common
+        FROM sized a JOIN sized b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           (n_common * 100) // n_a AS contain_ab_pct,
+           (n_common * 100) // n_b AS contain_ba_pct
+    FROM overlap
+    WHERE (n_common * 100) // n_a >= {CONTAIN_MIN_PCT}
+       OR (n_common * 100) // n_b >= {CONTAIN_MIN_PCT}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment: the superset-duplicate detector.
+
+    Jaccard misses the commonest web-dup shape — a page QUOTED inside a
+    bigger page (boilerplate wrappers, aggregators, quote farms): the
+    union in the denominator dilutes the score. Containment
+    C(A|B) = |A∩B| / |A| scores the smaller side on its own terms, so
+    A-fully-inside-B scores 100% regardless of B's size. Reports both
+    directions per candidate pair (integer percent — floor division,
+    engine-exact) where either direction clears ``CONTAIN_MIN_PCT``.
+
+    Scale shape: identical data movement to ``dedup_ngram_jaccard`` —
+    stop-shingles (df > ``MAX_SHINGLE_DF``) pruned first so no posting
+    list can blow up, pairs expanded INSIDE each sorted posting list
+    (no self-join, one shingle exchange), per-doc sizes riding the
+    window count. The only difference is the final arithmetic, which is
+    why the two queries share every fragment.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = exploded_shingles(
+        docs, ["doc_id"], "text", SHINGLE_SIZE
+    ).distinct()
+    df_counts = shingled.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    kept = shingled.join(
+        df_counts.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle"
+    ).select("doc_id", "shingle")
+    sized = kept.withColumn(
+        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    postings = sized.groupBy("shingle").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "n_shingles"))
+        ).alias("ids")
+    )
+    pair_expand = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["n_shingles"].alias("na"),
+                    y["doc_id"].alias("doc_b"),
+                    y["n_shingles"].alias("nb"),
+                ),
+            ),
+        )
+    )
+    overlap = (
+        postings.filter(F.size("ids") > 1)
+        .select(F.explode(pair_expand).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.na").alias("na"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.nb").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ab = F.expr("(n_common * 100) div na")
+    ba = F.expr("(n_common * 100) div nb")
+    return (
+        overlap.filter(
+            (ab >= CONTAIN_MIN_PCT) | (ba >= CONTAIN_MIN_PCT)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            ab.alias("contain_ab_pct"),
+            ba.alias("contain_ba_pct"),
+        )
+    )

@@ -225,3 +225,67 @@ def udf_cogroup_views_before_purchase(
             schema="user_id bigint, event_id bigint, n_views_before bigint",
         )
     )
+
+
+@register(
+    "udtf_word_chunks",
+    category="udf",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS w,
+               generate_subscripts(
+                   string_split_regex(trim(text), '\s+'), 1) AS idx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((idx - 1) // 5 AS INTEGER)       AS chunk_idx,
+           string_agg(w, ' ' ORDER BY idx)       AS chunk,
+           CAST(count(*) AS INTEGER)             AS n_words
+    FROM words
+    GROUP BY doc_id, (idx - 1) // 5
+    """,
+)
+def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) in a LATERAL join: doc -> word-chunk rows.
+
+    The user-defined TABLE function surface: one input row fans out to
+    N output rows from arbitrary Python — the API for parsers,
+    tokenizers, and decoders whose fan-out logic doesn't fit a scalar
+    UDF. Here each document explodes into fixed 5-word chunks (every
+    document yields multiple rows, so the fan-out path is genuinely
+    exercised); the chunking rule is deliberately SQL-reproducible so
+    the DuckDB oracle verifies the UDTF *plumbing* — registration,
+    LATERAL correlation, per-row iteration, schema projection —
+    value-for-value.
+
+    Scale shape: a UDTF in a lateral join is partition-local — each
+    task streams its rows through the Python worker, no shuffle is
+    introduced, and fan-out is bounded by document length. For
+    codegen-expressible chunking prefer ``posexplode`` over array
+    slices (pure JVM, as ``text_chunk_sliding`` does); the UDTF is the
+    escape hatch for logic that genuinely needs Python, and this query
+    pins that the escape hatch works end-to-end.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_words int")
+    class WordChunks:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = text.split()
+            for i in range(0, len(words), 5):
+                piece = words[i : i + 5]
+                yield i // 5, " ".join(piece), len(piece)
+
+    spark.udtf.register("dpp_word_chunks", WordChunks)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("__udtf_chunk_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.chunk_idx, s.chunk, s.n_words
+        FROM __udtf_chunk_docs d,
+             LATERAL dpp_word_chunks(d.text) s
+        """
+    )

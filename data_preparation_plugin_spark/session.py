@@ -45,6 +45,12 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     # Target ~128MB input splits (default, stated explicitly for clarity).
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # local-mode heap: driver IS the executor here, and Spark's 1g default
+    # cannot back 32 concurrent tasks' aggregate hash maps (the x8 scale
+    # probe OOMed a 110M-row pair aggregate at 1g). 8g is conservative on
+    # this 128 GiB host; a cluster deployment sizes executors instead and
+    # this knob is inert. Env-overridable like the rest.
+    "spark.driver.memory": "8g",
 }
 
 
@@ -74,6 +80,9 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        conf["spark.driver.memory"] = mem
     if warehouse_dir is not None:
         conf["spark.sql.warehouse.dir"] = warehouse_dir
     if extra_conf:

@@ -141,6 +141,8 @@ PROBES = [
     "sample_interleave_sources", # per-source rank, arithmetic total order
     "profile_join_skew",         # count agg + TakeOrdered top-N
     "multimodal_video_temporal_pool",   # frame explode + Arrow featurizer
+    "dedup_ngram_containment",   # posting-list pair expand, stop-shingle cap
+    "udtf_word_chunks",          # lateral Python UDTF, partition-local
 ]
 
 
