@@ -77,6 +77,7 @@ DRIVER_CHECK_PRIORITY = [
     "sample_weighted_reservoir",
     "sink_dynamic_partition_overwrite",
     "source_binaryfile_ingest",
+    "source_csv_quarantine",
     "text_bigram_backoff_score",
     "text_bigram_logprob",
     "text_quality_classifier",
@@ -92,7 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "agg_statistics",
     "agg_string_concat",
     "array_functions",
-    "cube_agg",
 ]
 
 def _reorder_for_driver() -> None:

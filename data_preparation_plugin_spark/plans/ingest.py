@@ -596,3 +596,107 @@ def sink_dynamic_partition_overwrite(
         .cast("long")
         .alias("n_rewritten"),
     )
+
+
+_QUAR_DIR = os.path.join(_STAGE_ROOT, "nation_quarantine_csv")
+
+#: Every 7th staged CSV line gets an unparseable nation key (stride
+#: coprime to the 5 regions, so every region keeps both good and bad
+#: rows and neither output half can degenerate).
+_QUAR_STRIDE = 7
+
+
+@register(
+    "source_csv_quarantine",
+    category="source",
+    oracle=f"""
+    WITH raw AS (
+        SELECT line FROM read_csv('{_QUAR_DIR}/part*',
+                                  columns={{'line': 'VARCHAR'}},
+                                  header=false, delim='|', quote='')
+    ), good AS (
+        SELECT * FROM read_csv('{_QUAR_DIR}/part*', header=false,
+                               columns={{'n_nationkey': 'INT',
+                                         'n_name': 'VARCHAR',
+                                         'n_regionkey': 'INT'}},
+                               ignore_errors=true)
+    )
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           count(*)                    AS n_rows,
+           min(n_name)                 AS first_name
+    FROM good
+    WHERE n_nationkey IS NOT NULL  -- ignore_errors NULLs the failed cast
+    GROUP BY 1
+    UNION ALL
+    SELECT -1 AS n_regionkey,
+           count(*) AS n_rows,
+           min(line) AS first_name
+    FROM raw WHERE line LIKE 'x%'
+    """,
+)
+def source_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV load with malformed-record quarantine.
+
+    The ingestion reality the clean round trip skips: feeds contain rows
+    that don't parse, and the load must neither die (FAILFAST) nor
+    silently drop them (DROPMALFORMED) — it routes them to a quarantine
+    with the ORIGINAL line preserved for replay. Spark's PERMISSIVE mode
+    with ``columnNameOfCorruptRecord`` does exactly that; this query
+    stages a nation CSV with every 5th key corrupted ('x' prefix), loads
+    it once, and reports per-region counts of clean rows plus a
+    quarantine row (key -1) carrying the bad-line count and the
+    lexicographically first preserved raw line — proving the corrupt
+    records survive byte-intact. The oracle reads the same files twice
+    (typed with ignore_errors, and raw) and must agree on both halves.
+
+    Scale shape: one file scan; the corrupt-record column is populated
+    per-partition during parsing with no extra pass, and both the clean
+    aggregate and the quarantine count are map-side-combinable. At
+    100 TB the quarantine side writes to its own table
+    (``foreachPartition`` or a filtered second sink) instead of
+    aggregating — same plan prefix.
+    """
+    import shutil
+
+    shutil.rmtree(_QUAR_DIR, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.concat_ws(
+            ",",
+            F.when(
+                F.col("n_nationkey") % _QUAR_STRIDE == 0,
+                F.concat(F.lit("x"), F.col("n_nationkey").cast("string")),
+            ).otherwise(F.col("n_nationkey").cast("string")),
+            "n_name",
+            F.col("n_regionkey").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(_QUAR_DIR)
+    parsed = (
+        spark.read.schema(
+            "n_nationkey INT, n_name STRING, n_regionkey INT,"
+            " _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(_QUAR_DIR)
+        # Required, not an optimization: Spark disallows a query whose
+        # referenced columns are ONLY the corrupt-record column on an
+        # uncached scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+        # COLUMN) — caching materializes the parse once for both halves.
+        .cache()
+    )
+    good = (
+        parsed.where(F.col("_corrupt_record").isNull())
+        .groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("n_name").alias("first_name"),
+        )
+    )
+    quarantined = parsed.where(F.col("_corrupt_record").isNotNull()).agg(
+        F.lit(-1).cast("long").alias("n_regionkey"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("_corrupt_record").alias("first_name"),
+    )
+    return good.unionByName(quarantined)

@@ -143,6 +143,7 @@ PROBES = [
     "multimodal_video_temporal_pool",   # frame explode + Arrow featurizer
     "dedup_ngram_containment",   # posting-list pair expand, stop-shingle cap
     "udtf_word_chunks",          # lateral Python UDTF, partition-local
+    "source_csv_quarantine",     # PERMISSIVE parse + corrupt-record route
 ]
 
 
