@@ -53,6 +53,7 @@ DRIVER_CHECK_PRIORITY = [
     "sink_merge_upsert",
     "agg_cms_heavy_hitters",
     "agg_kmv_distinct",
+    "agg_kmv_intersection",
     "agg_kmv_union",
     "curation_adaptive_threshold",
     "dedup_duplicate_spans",
@@ -66,6 +67,7 @@ DRIVER_CHECK_PRIORITY = [
     "join_interval_overlap",
     "knn_ivf_pq",
     "knn_pq_adc",
+    "layout_bucketed_join",
     "layout_zorder_bucket",
     "multimodal_video_temporal_pool",
     "profile_join_skew",
@@ -91,8 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "agg_distinct",
     "agg_percentiles",
     "agg_statistics",
-    "agg_string_concat",
-    "array_functions",
 ]
 
 def _reorder_for_driver() -> None:

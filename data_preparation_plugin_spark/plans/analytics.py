@@ -1605,3 +1605,154 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+_KMV_FRAC_SQL = (
+    "list_sum(list_transform(range(1, 14), "
+    "i -> (strpos('0123456789abcdef', substr({hx}, CAST(i AS INT), 1)) - 1)"
+    " * power(16.0, -i)))"
+)
+
+
+@register(
+    "agg_kmv_intersection",
+    category="aggregate",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, user_id,
+               md5(CAST(user_id AS VARCHAR)) AS hx
+        FROM events
+    ), ranked AS (
+        SELECT event_type, user_id, hx,
+               row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn,
+               count(*)    OVER (PARTITION BY event_type)              AS nd
+        FROM h
+    ), sketch AS (
+        SELECT event_type, hx, {_KMV_FRAC_SQL.format(hx='hx')} AS frac,
+               nd
+        FROM ranked WHERE rn <= {KMV_K}
+    ), theta AS (
+        SELECT event_type,
+               CASE WHEN max(nd) < {KMV_K} THEN 1.0 ELSE max(frac) END
+                   AS th
+        FROM sketch GROUP BY event_type
+    ), common AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) FILTER (
+                   WHERE a.frac < least(ta.th, tb.th)) AS n_below
+        FROM sketch a
+        JOIN sketch b ON a.hx = b.hx AND a.event_type < b.event_type
+        JOIN theta ta ON ta.event_type = a.event_type
+        JOIN theta tb ON tb.event_type = b.event_type
+        GROUP BY 1, 2, least(ta.th, tb.th)
+    ), exact AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_exact
+        FROM h a JOIN h b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           round(coalesce(c.n_below, 0)
+                 / least(ta.th, tb.th), 4) AS kmv_estimate
+    FROM exact e
+    LEFT JOIN common c ON e.type_a = c.type_a AND e.type_b = c.type_b
+    JOIN theta ta ON ta.event_type = e.type_a
+    JOIN theta tb ON tb.event_type = e.type_b
+    """,
+)
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection: audience overlap WITHOUT a rescan.
+
+    The estimate HLL cannot give: |A ∩ B| for every pair of event-type
+    audiences, computed purely from each audience's bounded KMV sketch
+    (the K smallest md5 hashes, built once by the same pass as
+    ``agg_kmv_distinct``). Standard theta combination: clip both
+    sketches to θ = min(θ_A, θ_B), count common hashes below θ,
+    estimate = count/θ. Every hash and threshold derives from md5, so
+    both the sketch contents and the estimate are engine-exact; the
+    exact overlap rides along as the accuracy witness.
+
+    Scale shape: sketches are ≤ K rows per group — the pair join, theta
+    table, and estimate all operate on KB-sized data regardless of
+    corpus size; only the initial distinct pre-aggregation and the
+    exact-witness join (test-only, dropped in production) touch the
+    full data, each map-side combinable on bounded keys. This is why
+    sketch algebra wins at 100 TB: audience overlap across N segments
+    costs one linear pass + O(N²K) tiny-row work, not N² scans.
+    """
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        "user_id",
+        F.md5(F.col("user_id").cast("string")).alias("hx"),
+    ).distinct()
+    w = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "user_id",
+        "hx",
+        F.row_number().over(w.orderBy("hx")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("nd"),
+    )
+    frac = (
+        F.conv(F.substring("hx", 1, 13), 16, 10).cast("double")
+        / F.lit(float(2**52))
+    )
+    sketch = ranked.where(F.col("rn") <= KMV_K).select(
+        "event_type", "hx", frac.alias("frac"), "nd"
+    )
+    theta = sketch.groupBy("event_type").agg(
+        F.when(F.max("nd") < KMV_K, F.lit(1.0))
+        .otherwise(F.max("frac"))
+        .alias("th")
+    )
+    a = sketch.select(
+        F.col("event_type").alias("type_a"), "hx", F.col("frac").alias("fa")
+    )
+    b = sketch.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hx").alias("hxb"),
+    )
+    ta = theta.select(F.col("event_type").alias("type_a"), F.col("th").alias("tha"))
+    tb = theta.select(F.col("event_type").alias("type_b"), F.col("th").alias("thb"))
+    common = (
+        a.join(b, (F.col("hx") == F.col("hxb")) & (F.col("type_a") < F.col("type_b")))
+        .join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .groupBy("type_a", "type_b", F.least("tha", "thb").alias("th"))
+        .agg(
+            F.count_if(F.col("fa") < F.least("tha", "thb")).alias("n_below")
+        )
+    )
+    ha = h.select(F.col("event_type").alias("type_a"), "user_id")
+    hb = h.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("ub"))
+    exact = (
+        ha.join(
+            hb,
+            (F.col("user_id") == F.col("ub"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        exact.join(
+            common.select("type_a", "type_b", "th", "n_below"),
+            ["type_a", "type_b"],
+            "left",
+        )
+        .join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(
+                F.coalesce("n_below", F.lit(0))
+                / F.least("tha", "thb"),
+                4,
+            ).alias("kmv_estimate"),
+        )
+    )

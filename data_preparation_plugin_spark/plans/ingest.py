@@ -700,3 +700,62 @@ def source_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_corrupt_record").alias("first_name"),
     )
     return good.unionByName(quarantined)
+
+
+#: Bucket count for `layout_bucketed_join`'s co-located tables.
+_BUCKET_N = 8
+
+
+@register(
+    "layout_bucketed_join",
+    category="source",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)                      AS n_orders,
+           count(DISTINCT o.o_custkey)   AS n_customers,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 0
+    GROUP BY c.c_mktsegment
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: the fact-fact join with NO shuffle.
+
+    The physical-layout lever the registry's other joins leave to AQE:
+    both sides are written ``bucketBy(8, custkey)`` + sorted, so the
+    join key's partitioning is baked into the FILES and Spark plans a
+    SortMergeJoin with ZERO Exchange on either side —
+    ``tests/test_plans.py::test_bucketed_join_has_no_exchange`` pins
+    exactly that plan property. This is how a 100 TB warehouse makes
+    its hottest recurring join (facts × customers every morning) pay
+    the shuffle ONCE at write time and never again; the oracle joins
+    the original parquet, proving the bucketed copies faithful.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    from data_preparation_plugin_spark.layout import write_bucketed
+
+    write_bucketed(
+        orders, "orders_bkt", ["o_custkey"], n_buckets=_BUCKET_N,
+        sort_by=["o_custkey"],
+    )
+    write_bucketed(
+        customer, "customer_bkt", ["c_custkey"], n_buckets=_BUCKET_N,
+        sort_by=["c_custkey"],
+    )
+    o = spark.table("orders_bkt")
+    c = spark.table("customer_bkt").where(F.col("c_acctbal") > 0)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -144,6 +144,8 @@ PROBES = [
     "dedup_ngram_containment",   # posting-list pair expand, stop-shingle cap
     "udtf_word_chunks",          # lateral Python UDTF, partition-local
     "source_csv_quarantine",     # PERMISSIVE parse + corrupt-record route
+    "layout_bucketed_join",      # pre-bucketed join, no join-key exchange
+    "agg_kmv_intersection",      # bounded-sketch pair join, KB-sized
 ]
 
 

@@ -332,3 +332,14 @@ def test_bigram_backoff_scoring_is_map_side(spark):
     assert count(r"BroadcastHashJoin", plan) >= 3
     assert count(r"BroadcastNestedLoopJoin", plan) <= 1  # the 1-row scalar
     assert count(r"CartesianProduct", plan) == 0
+
+
+def test_bucketed_join_query_no_join_key_exchange(spark):
+    """The registered bucketed join must never shuffle on the join key:
+    bucketing baked the partitioning into the files. (The aggregate
+    after the join still exchanges on its own group key — only custkey
+    exchanges are banned. Broadcast demotion at tiny scale is fine; the
+    point is no hashpartitioning on either custkey column.)"""
+    plan = plan_of(spark, "layout_bucketed_join")
+    assert count(r"Exchange hashpartitioning\(o_custkey", plan) == 0
+    assert count(r"Exchange hashpartitioning\(c_custkey", plan) == 0
