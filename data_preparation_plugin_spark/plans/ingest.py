@@ -738,8 +738,19 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
+    import shutil
+
     from data_preparation_plugin_spark.layout import write_bucketed
 
+    # saveAsTable(overwrite) still fails on LOCATION_ALREADY_EXISTS when
+    # the directory survives from a previous session without its catalog
+    # entry (fresh metastore, stale warehouse) — drop both explicitly.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for table in ("orders_bkt", "customer_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
     write_bucketed(
         orders, "orders_bkt", ["o_custkey"], n_buckets=_BUCKET_N,
         sort_by=["o_custkey"],
