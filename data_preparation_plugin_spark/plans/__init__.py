@@ -70,6 +70,7 @@ DRIVER_CHECK_PRIORITY = [
     "layout_bucketed_join",
     "layout_zorder_bucket",
     "multimodal_video_temporal_pool",
+    "profile_feature_drift",
     "profile_join_skew",
     "profile_table_columns",
     "sample_balanced_labels",
@@ -82,6 +83,7 @@ DRIVER_CHECK_PRIORITY = [
     "source_csv_quarantine",
     "text_bigram_backoff_score",
     "text_bigram_logprob",
+    "text_perplexity_buckets",
     "text_quality_classifier",
     "transform_cdc_apply",
     "transform_incremental_agg_merge",
@@ -91,8 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "set_ops",
     "sort_limit_topk",
     "agg_distinct",
-    "agg_percentiles",
-    "agg_statistics",
 ]
 
 def _reorder_for_driver() -> None:

@@ -1756,3 +1756,95 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kmv_estimate"),
         )
     )
+
+
+#: PSI drift parameters: epoch split date, fixed bin width (price units)
+#: and bin count for `profile_feature_drift`.
+DRIFT_CUTOFF = "1998-07-01"
+DRIFT_BIN_W = 30_000
+DRIFT_BINS = 20
+
+
+@register(
+    "profile_feature_drift",
+    category="profile",
+    oracle=f"""
+    WITH binned AS (
+        SELECT least(CAST(floor(o_totalprice / {DRIFT_BIN_W}) AS BIGINT),
+                     {DRIFT_BINS - 1}) AS bin,
+               o_orderdate < DATE '{DRIFT_CUTOFF}' AS is_ref
+        FROM orders
+    ), spine AS (
+        SELECT unnest(range(0, {DRIFT_BINS})) AS bin
+    ), sides AS (
+        SELECT s.bin,
+               coalesce(sum(CASE WHEN is_ref THEN 1 ELSE 0 END), 0)
+                   AS n_ref,
+               coalesce(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END), 0)
+                   AS n_cur
+        FROM spine s LEFT JOIN binned b ON s.bin = b.bin
+        GROUP BY s.bin
+    ), tot AS (
+        SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM sides
+    )
+    SELECT bin,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(((n_cur + 1.0) / (t_cur + {DRIFT_BINS})
+                  - (n_ref + 1.0) / (t_ref + {DRIFT_BINS}))
+                 * ln(((n_cur + 1.0) / (t_cur + {DRIFT_BINS}))
+                      / ((n_ref + 1.0) / (t_ref + {DRIFT_BINS}))), 6)
+               AS psi_term
+    FROM sides CROSS JOIN tot
+    """,
+)
+def profile_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift profile between two data epochs.
+
+    The monitoring question every recurring training pipeline must
+    answer before retraining: did the feature distribution move?
+    Orders before/after the cutoff stand in for reference/current
+    epochs; ``o_totalprice`` is binned fixed-width and each bin
+    contributes the classic PSI term (p_cur − p_ref)·ln(p_cur/p_ref),
+    Laplace-smoothed (+1 per bin) so empty bins stay finite and both
+    engines divide the identical rationals. Σ psi_term > 0.2 is the
+    standard retrain/alarm threshold — left to the consumer, the
+    per-bin terms localize WHERE the distribution moved.
+
+    Scale shape: one scan, a map-side-combinable conditional count per
+    (bin, side), a static {DRIFT_BINS}-row spine left-join to keep
+    empty bins, and a 1-row broadcast of the totals. The window-free
+    form of a distribution compare — nothing sorts, nothing exceeds
+    bin-count rows after the first aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / DRIFT_BIN_W).cast("long"),
+        F.lit(DRIFT_BINS - 1),
+    )
+    is_ref = F.col("o_orderdate") < F.lit(DRIFT_CUTOFF).cast("date")
+    binned = orders.select(bin_col.alias("bin"), is_ref.alias("is_ref"))
+    spine = spark.range(DRIFT_BINS).select(F.col("id").alias("bin"))
+    sides = (
+        spine.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_ref"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_ref"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_cur"),
+        )
+    )
+    tot = sides.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + DRIFT_BINS)
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + DRIFT_BINS)
+    return sides.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )

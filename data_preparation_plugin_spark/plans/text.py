@@ -1466,3 +1466,80 @@ def text_bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(score), 4).alias("avg_score"),
         )
     )
+
+
+@register(
+    "text_perplexity_buckets",
+    category="text",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), total AS (
+        SELECT sum(cnt) AS n FROM counts
+    ), scored AS (
+        SELECT t.doc_id,
+               round(avg(ln(c.cnt)) - ln(max(total.n)), 4) AS avg_logprob
+        FROM tok t
+        JOIN counts c ON t.token = c.token
+        CROSS JOIN total
+        GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, d.lang, s.avg_logprob,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY s.avg_logprob DESC, s.doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing by LM score per language.
+
+    Wenzek et al.'s CCNet recipe: score every document with a language
+    model, then split EACH LANGUAGE into score terciles — 'head' (most
+    fluent third) feeds training, 'tail' is dropped, 'middle' is
+    judgement — so high-resource languages never set the bar for
+    low-resource ones (the same per-language fairness argument as
+    ``curation_adaptive_threshold``). The score is the registry's
+    unigram LM (``text_unigram_logprob``'s exact shape); bucketing is
+    ``ntile(3)`` over the ROUNDED score with doc_id tie-break, so the
+    cut is deterministic and engine-identical.
+
+    Scale shape: scoring is the unigram plan (two map-side-combinable
+    aggregates + one equi-join); the tercile is one window per language
+    partition. With skewed language sizes the ntile window inherits the
+    language key's skew — at 100 TB swap ntile for the percentile-gate
+    form (``curation_adaptive_threshold``): two broadcast cutpoints per
+    language, no per-language sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    tok = toks.select("doc_id", F.explode("__toks").alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n"))
+    scored = (
+        tok.join(counts, "token")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log("cnt")) - F.log(F.max("n")), 4).alias(
+                "avg_logprob"
+            )
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), "doc_id"
+    )
+    bucket = (
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "avg_logprob", bucket.alias("bucket"))
+    )

@@ -146,6 +146,8 @@ PROBES = [
     "source_csv_quarantine",     # PERMISSIVE parse + corrupt-record route
     "layout_bucketed_join",      # pre-bucketed join, no join-key exchange
     "agg_kmv_intersection",      # bounded-sketch pair join, KB-sized
+    "text_perplexity_buckets",   # unigram score + per-language ntile
+    "profile_feature_drift",     # conditional counts + 20-row spine
 ]
 
 
