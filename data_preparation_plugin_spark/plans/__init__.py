@@ -61,6 +61,7 @@ DRIVER_CHECK_PRIORITY = [
     "dedup_semdedup_prune",
     "events_ewma_smooth",
     "events_mad_outliers",
+    "events_stream_interval_join_left",
     "events_stream_merge_totals",
     "events_watermark_audit",
     "graph_triangle_cooccurrence",
@@ -92,7 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "window_range_interval",
     "set_ops",
     "sort_limit_topk",
-    "agg_distinct",
 ]
 
 def _reorder_for_driver() -> None:

@@ -1088,3 +1088,134 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_overlap_us"),
     )
+
+
+def _stage_events_sorted(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events time-sorted across files with mtimes in time order.
+
+    The file stream source orders micro-batches by modification time, so
+    staging range-partitioned-by-ts part files and stamping their mtimes
+    in part order makes a ``maxFilesPerTrigger=1`` replay process events
+    in event-time order. With an ordered replay a small watermark
+    advances monotonically and never declares a legitimate match late —
+    the property the left-outer interval join's determinism rests on.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    staged = os.path.join(
+        tempfile.gettempdir(), f"dpp-events-sortedreplay-{base}-{digest}"
+    )
+    if not os.path.exists(os.path.join(staged, "_STAGED_OK")):
+        import glob
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events")
+        (
+            events.repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        # part-0000i holds the i-th ts range; stamp mtimes accordingly.
+        base_t = 1_600_000_000
+        for i, path in enumerate(
+            sorted(glob.glob(os.path.join(staged, "part-*")))
+        ):
+            os.utime(path, (base_t + i, base_t + i))
+        with open(os.path.join(staged, "_STAGED_OK"), "w"):
+            pass
+    return staged
+
+
+#: Left-outer interval join knobs: attribution window and watermark delay.
+OUTER_JOIN_DELAY_MIN = 30
+OUTER_JOIN_WM_MIN = 10
+
+
+@register(
+    "events_stream_interval_join_left",
+    category="streaming",
+    oracle=f"""
+    WITH mx AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+            (SELECT max(ts) FROM events WHERE event_type = 'click')) AS m)
+    SELECT a.user_id,
+           a.event_id AS left_id,
+           b.event_id AS right_id,
+           CAST(date_diff('microsecond', a.ts, b.ts) AS BIGINT)
+               AS delay_micros
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase'
+     AND b.event_type = 'click'
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL {OUTER_JOIN_DELAY_MIN} MINUTE
+    UNION ALL
+    SELECT a.user_id, a.event_id, NULL, NULL
+    FROM events a CROSS JOIN mx
+    WHERE a.event_type = 'purchase'
+      AND NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = a.user_id AND b.event_type = 'click'
+            AND b.ts > a.ts
+            AND b.ts <= a.ts + INTERVAL {OUTER_JOIN_DELAY_MIN} MINUTE)
+      AND a.ts + INTERVAL {OUTER_JOIN_DELAY_MIN + OUTER_JOIN_WM_MIN} MINUTE
+          < mx.m
+    """,
+)
+def events_stream_interval_join_left(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (attribution + abandonment).
+
+    The semantics the inner join cannot give: every purchase appears —
+    joined to its follow-up clicks when they exist, or once with NULLs
+    after the watermark PROVES no click can still arrive. Null emission
+    is watermark-driven state expiry, so determinism requires a
+    deterministic watermark trajectory: the replay stages events
+    time-sorted with file mtimes in time order (``maxFilesPerTrigger=1``
+    → micro-batches in event-time order → the watermark advances
+    monotonically and no match is ever late). The oracle reproduces the
+    exact emission rule in closed form: matched pairs, plus unmatched
+    purchases whose expiry (ts + interval + watermark delay) the final
+    watermark passed — purchases in the last 40 minutes of the stream
+    stay buffered when the replay ends and are correctly absent from
+    BOTH sides.
+
+    Scale shape: per-side state is bounded by (watermark + interval) of
+    input regardless of stream length; emission latency for the null
+    branch is exactly the watermark delay. In production the unmatched
+    branch is the abandonment feed (purchases with no follow-up) that
+    otherwise needs a daily batch anti-join over the full history.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        events_stream,
+        interval_join_stream_outer,
+    )
+
+    staged = _stage_events_sorted(spark, sf_dir)
+    purchases = events_stream(spark, staged, max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = events_stream(spark, staged, max_files_per_trigger=1).filter(
+        F.col("event_type") == "click"
+    )
+    joined = interval_join_stream_outer(
+        purchases,
+        clicks,
+        max_delay_minutes=OUTER_JOIN_DELAY_MIN,
+        watermark=f"{OUTER_JOIN_WM_MIN} minutes",
+    )
+    return _replay(
+        spark,
+        "events_stream_interval_join_left",
+        joined,
+        output_mode="append",
+    )

@@ -7,6 +7,7 @@ from data_preparation_plugin_spark.streaming.events import (
     events_stream,
     idempotent_batch_writer,
     interval_join_stream,
+    interval_join_stream_outer,
     run_to_memory,
     sessionize_stream,
     sliding_aggregate,
@@ -23,6 +24,7 @@ __all__ = [
     "events_stream",
     "idempotent_batch_writer",
     "interval_join_stream",
+    "interval_join_stream_outer",
     "run_to_memory",
     "sessionize_stream",
     "sliding_aggregate",

@@ -463,3 +463,49 @@ def tws_user_profile(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
             timeMode="None",
         )
     )
+
+
+def interval_join_stream_outer(
+    left: DataFrame,
+    right: DataFrame,
+    max_delay_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matches plus abandonments.
+
+    The outer attribution shape — purchases WITH their follow-up click
+    when one exists, and emitted WITH NULLs once the watermark proves no
+    click can still arrive. Unlike the inner form, outer results cannot
+    emit on arrival: Spark buffers each left row until the watermark
+    passes ``left_ts + interval``, so the watermark delay directly sets
+    both the state bound and the null-emission latency. Rows whose
+    expiry the watermark never passes (the tail of a bounded replay)
+    are NOT emitted — a deterministic, documented property the
+    registered query's oracle reproduces in closed form.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id"),
+        F.col("ts").alias("left_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("right_ts"),
+    )
+    cond = (
+        (l.user_id == r.r_user_id)
+        & (r.right_ts > l.left_ts)
+        & (
+            r.right_ts
+            <= l.left_ts + F.expr(f"INTERVAL {max_delay_minutes} MINUTES")
+        )
+    )
+    return l.join(r, cond, "leftOuter").select(
+        "user_id",
+        "left_id",
+        "right_id",
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, left_ts, right_ts) AS BIGINT)"
+        ).alias("delay_micros"),
+    )
