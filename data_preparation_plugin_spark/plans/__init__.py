@@ -82,17 +82,17 @@ DRIVER_CHECK_PRIORITY = [
     "sink_dynamic_partition_overwrite",
     "source_binaryfile_ingest",
     "source_csv_quarantine",
+    "source_python_datasource",
     "text_bigram_backoff_score",
     "text_bigram_logprob",
     "text_perplexity_buckets",
     "text_quality_classifier",
     "transform_cdc_apply",
     "transform_incremental_agg_merge",
-    "udf_cogroup_views_before_purchase",
-    "udtf_word_chunks",
-    "window_range_interval",
     "set_ops",
     "sort_limit_topk",
+    "window_range_interval",
+    "udf_grouped_agg_span",
 ]
 
 def _reorder_for_driver() -> None:

@@ -1848,3 +1848,74 @@ def profile_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cur").cast("long").alias("n_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
+
+
+#: Keyed-pseudonym salt: in production a vaulted secret; pinned here so
+#: the oracle can recompute the masks.
+PSEUDO_SALT = "dpp-mask-v1"
+
+
+@register(
+    "transform_pseudonymize_consistent",
+    category="transform",
+    oracle=f"""
+    WITH mc AS (
+        SELECT md5('{PSEUDO_SALT}' || CAST(c_custkey AS VARCHAR)) AS pid,
+               c_mktsegment
+        FROM customer
+    ), mo AS (
+        SELECT md5('{PSEUDO_SALT}' || CAST(o_custkey AS VARCHAR)) AS pid,
+               o_totalprice
+        FROM orders
+    )
+    SELECT mc.c_mktsegment,
+           count(*)                      AS n_orders,
+           count(DISTINCT mc.pid)        AS n_customers,
+           round(sum(mo.o_totalprice), 2) AS total_price,
+           min(mc.pid)                   AS sample_pid
+    FROM mo JOIN mc ON mo.pid = mc.pid
+    GROUP BY mc.c_mktsegment
+    """,
+)
+def transform_pseudonymize_consistent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keyed pseudonymization that preserves cross-table joinability.
+
+    The data-governance transform between raw PII and the analytics
+    lake: identifiers are replaced by a KEYED hash (salt + id — a
+    vaulted secret in production, pinned here so the oracle recomputes
+    it) applied INDEPENDENTLY to each table, and the test is the thing
+    that matters: the masked tables still join — per-segment order
+    counts, distinct customers, and revenue over the pseudonym join
+    equal the cleartext join's numbers, while ``sample_pid`` pins the
+    mask values themselves. Same-input-same-pseudonym across tables and
+    runs (no mapping table to leak, no RNG state to ship) is exactly
+    what GDPR-grade pipelines need for longitudinal analysis without
+    re-identification keys in the lake.
+
+    Scale shape: masking is a narrow map on each side (md5 stays in
+    whole-stage codegen); the join keys on the 32-hex pseudonym —
+    same shuffle cardinality as the original key, just wider rows.
+    Nothing about the plan changes versus joining in the clear.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def mask(col: str) -> Column:
+        return F.md5(F.concat(F.lit(PSEUDO_SALT), F.col(col).cast("string")))
+
+    mc = customer.select(
+        mask("c_custkey").alias("pid"), "c_mktsegment"
+    )
+    mo = orders.select(mask("o_custkey").alias("pid"), "o_totalprice")
+    return (
+        mo.join(mc, "pid")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("pid").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.min("pid").alias("sample_pid"),
+        )
+    )

@@ -770,3 +770,84 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+#: Python data source dimensions: one partition per sensor.
+_PYDS_SENSORS = 8
+_PYDS_READINGS = 1000
+
+
+@register(
+    "source_python_datasource",
+    category="source",
+    oracle=f"""
+    WITH readings AS (
+        SELECT s.sensor, i.i,
+               (s.sensor * 31 + i.i * 7) % 1000 AS value
+        FROM (SELECT unnest(range(0, {_PYDS_SENSORS})) AS sensor) s
+        CROSS JOIN (SELECT unnest(range(0, {_PYDS_READINGS})) AS i) i
+    )
+    SELECT sensor,
+           count(*)                   AS n_readings,
+           CAST(sum(value) AS BIGINT) AS total,
+           CAST(min(value) AS BIGINT) AS lo,
+           CAST(max(value) AS BIGINT) AS hi
+    FROM readings GROUP BY sensor
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source (Spark 4 DataSource API), partitioned.
+
+    The extension point the reference fills with Embulk plugins: a
+    source Spark doesn't ship, written in Python, registered as a
+    first-class format. The reader declares one InputPartition PER
+    SENSOR, so Spark schedules the partitions in parallel across
+    executors exactly like a file scan's splits — per-partition reads
+    are the API's scale contract, and the deterministic synthetic
+    feed (a pure function of sensor and index, standing in for a real
+    device/API pull) lets the oracle recompute every value in SQL.
+
+    Scale shape: N partitions -> N parallel tasks, no driver funnel;
+    the aggregate after it is map-side-combinable on the partition key
+    (already co-partitioned, so AQE sees a near-free shuffle). A real
+    deployment points ``read()`` at its API/queue shard and keeps this
+    exact structure.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    n_readings = _PYDS_READINGS
+
+    class SensorSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dpp_sensor_feed"
+
+        def schema(self) -> str:
+            return "sensor int, idx int, value long"
+
+        def reader(self, schema):
+            class SensorReader(DataSourceReader):
+                def partitions(self):
+                    return [
+                        InputPartition(s) for s in range(_PYDS_SENSORS)
+                    ]
+
+                def read(self, partition):
+                    s = partition.value
+                    for i in range(n_readings):
+                        yield (s, i, (s * 31 + i * 7) % 1000)
+
+            return SensorReader()
+
+    spark.dataSource.register(SensorSource)
+    feed = spark.read.format("dpp_sensor_feed").load()
+    return feed.groupBy("sensor").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum("value").cast("long").alias("total"),
+        F.min("value").cast("long").alias("lo"),
+        F.max("value").cast("long").alias("hi"),
+    )

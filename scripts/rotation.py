@@ -84,24 +84,47 @@ def compute_slate(
     (registry, committed history).
     """
     latest = green_history(root)
-    slate = [n for n in ANCHORS if n in registered]
-    dark = sorted(n for n in registered if n not in latest and n not in slate)
-    slate += dark
+    anchors = [n for n in ANCHORS if n in registered]
+    dark = sorted(n for n in registered if n not in latest and n not in anchors)
+    core = anchors + dark
     fills = sorted(
-        (n for n in registered if n in latest and n not in slate),
+        (n for n in registered if n in latest and n not in core),
         key=lambda n: (latest[n], n),
     )
+    cat_fills: list[str] = []
     if categories:
-        covered = {categories[n] for n in slate if n in categories}
-        for name in fills:
-            if len(slate) >= slots:
+        # Category coverage is a hard invariant
+        # (test_first_slots_cover_every_category): when the dark set
+        # alone overflows the budget, coverage fills EVICT tail dark
+        # queries from the window — evicted darks stay registered, stay
+        # dark, and re-enter at the head of next round's slate.
+        all_cats = {categories[n] for n in registered if n in categories}
+        while True:
+            visible = core[: slots - len(cat_fills)] + cat_fills
+            uncovered = sorted(
+                all_cats - {categories[n] for n in visible if n in categories}
+            )
+            if not uncovered:
                 break
-            if categories.get(name) not in covered:
-                slate.append(name)
-                covered.add(categories[name])
-        fills = [n for n in fills if n not in slate]
-    slate += fills[: max(0, slots - len(slate))]
-    return slate[:slots]
+            for cat in uncovered:
+                pick = next(
+                    (
+                        n
+                        for n in fills
+                        if categories.get(n) == cat and n not in cat_fills
+                    ),
+                    None,
+                )
+                if pick is None:
+                    return (visible + [n for n in fills if n not in visible])[
+                        :slots
+                    ]
+                cat_fills.append(pick)
+    head = core[: slots - len(cat_fills)] + cat_fills
+    rest = [n for n in core if n not in head] + [
+        n for n in fills if n not in head
+    ]
+    return (head + rest)[:slots]
 
 
 def main() -> None:

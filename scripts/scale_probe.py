@@ -148,6 +148,8 @@ PROBES = [
     "agg_kmv_intersection",      # bounded-sketch pair join, KB-sized
     "text_perplexity_buckets",   # unigram score + per-language ntile
     "profile_feature_drift",     # conditional counts + 20-row spine
+    "source_python_datasource",  # partitioned custom Python source
+    "transform_pseudonymize_consistent",  # keyed-mask join consistency
 ]
 
 
