@@ -150,6 +150,7 @@ PROBES = [
     "profile_feature_drift",     # conditional counts + 20-row spine
     "source_python_datasource",  # partitioned custom Python source
     "transform_pseudonymize_consistent",  # keyed-mask join consistency
+    "events_stream_interval_join_left",   # outer stream join, wm expiry
 ]
 
 
