@@ -60,6 +60,7 @@ DRIVER_CHECK_PRIORITY = [
     "dedup_ngram_containment",
     "dedup_semdedup_prune",
     "events_ewma_smooth",
+    "events_gap_fill",
     "events_mad_outliers",
     "events_stream_interval_join_left",
     "events_stream_merge_totals",
@@ -88,11 +89,10 @@ DRIVER_CHECK_PRIORITY = [
     "text_perplexity_buckets",
     "text_quality_classifier",
     "transform_cdc_apply",
-    "transform_incremental_agg_merge",
     "set_ops",
     "sort_limit_topk",
-    "window_range_interval",
     "udf_grouped_agg_span",
+    "window_range_interval",
 ]
 
 def _reorder_for_driver() -> None:

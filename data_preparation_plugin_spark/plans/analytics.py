@@ -1919,3 +1919,147 @@ def transform_pseudonymize_consistent(
             F.min("pid").alias("sample_pid"),
         )
     )
+
+
+@register(
+    "transform_table_diff",
+    category="transform",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 400 <> 1
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 400 = 2
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 400 <> 3
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                     AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 1 ELSE 0 END AS status_changed,
+           CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                     AND o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 1 ELSE 0 END AS price_changed
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def transform_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: added / removed / changed rows with column masks.
+
+    The regression gate of every pipeline migration ("same output as
+    yesterday's job?") and the audit step of every backfill: two table
+    versions (here orders with a deterministic patch — one key stripe
+    deleted, one inserted, one price-bumped) are full-outer-joined on
+    the key, rows that differ are emitted with their change kind and a
+    per-column changed mask (null-safe ``IS DISTINCT FROM``, so
+    null→value and value→null count as changes). Identical rows are
+    filtered out — the diff's size is the CHANGE volume, not the table.
+
+    Scale shape: one co-partitioned full outer join on the key (AQE
+    picks SMJ; with both sides bucketed it is exchange-free — see
+    ``layout_bucketed_join``) and a residual comparison filter that
+    discards the unchanged majority BEFORE anything downstream.
+    Column-mask arithmetic is pure codegen.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    old = orders.where(key % 400 != 1)
+    new = orders.where(key % 400 != 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            key % 400 == 2, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    o = old.select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("os"),
+        F.col("o_totalprice").alias("op"),
+    )
+    n = new.select(
+        F.col("o_orderkey").alias("nk"),
+        F.col("o_orderstatus").alias("ns"),
+        F.col("o_totalprice").alias("np"),
+    )
+    j = o.join(n, F.col("ok") == F.col("nk"), "full_outer")
+    status_chg = ~F.col("os").eqNullSafe(F.col("ns"))
+    price_chg = ~F.col("op").eqNullSafe(F.col("np"))
+    both = F.col("ok").isNotNull() & F.col("nk").isNotNull()
+    return (
+        j.where(
+            F.col("ok").isNull()
+            | F.col("nk").isNull()
+            | status_chg
+            | price_chg
+        )
+        .select(
+            F.coalesce("ok", "nk").alias("o_orderkey"),
+            F.when(F.col("ok").isNull(), "added")
+            .when(F.col("nk").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change"),
+            F.when(both & status_chg, 1).otherwise(0).alias("status_changed"),
+            F.when(both & price_chg, 1).otherwise(0).alias("price_changed"),
+        )
+    )
+
+
+@register(
+    "transform_dense_surrogate_ids",
+    category="transform",
+    oracle="""
+    SELECT c_custkey,
+           row_number() OVER (
+               ORDER BY substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2),
+                        md5(CAST(c_custkey AS VARCHAR)),
+                        c_custkey) - 1 AS surrogate_id
+    FROM customer
+    """,
+)
+def transform_dense_surrogate_ids(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dense 0..N-1 surrogate keys WITHOUT a global sort.
+
+    The warehouse-loading primitive (the reference's
+    ``write_with_schema`` id column, reference dataset.py) done the way
+    it must be done at 100 TB: a naive ``row_number() OVER (ORDER BY
+    ...)`` funnels the table through ONE partition. Instead the stable
+    order (md5 of the key — any total order works) is decomposed by its
+    first byte into 256 buckets: per-bucket ranks share one hash
+    exchange, bucket COUNTS aggregate to a 256-row table whose running
+    sum gives each bucket's global offset, and the offsets broadcast
+    back — id = offset + in-bucket rank. The oracle runs the naive
+    global-sort form, so the hash check proves the decomposition
+    assigns the IDENTICAL dense sequence. Same prefix-sum trick as
+    ``events_watermark_audit``; recurse on the bucket table if 256
+    offsets ever needed distributing.
+    """
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    hx = F.md5(F.col("c_custkey").cast("string"))
+    bucketed = customer.select(
+        "c_custkey", hx.alias("hx"), F.substring(hx, 1, 2).alias("bkt")
+    )
+    in_w = Window.partitionBy("bkt").orderBy("hx", "c_custkey")
+    ranked = bucketed.withColumn("rn", F.row_number().over(in_w))
+    counts = ranked.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    off_w = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bkt", F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("off")
+    )
+    return ranked.join(F.broadcast(offsets), "bkt").select(
+        "c_custkey",
+        (F.col("off") + F.col("rn") - 1).cast("long").alias("surrogate_id"),
+    )

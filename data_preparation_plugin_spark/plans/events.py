@@ -1219,3 +1219,107 @@ def events_stream_interval_join_left(
         joined,
         output_mode="append",
     )
+
+
+#: Keep the gap-fill output bounded: every 97th user.
+GAPFILL_USER_MOD = 97
+
+
+@register(
+    "events_gap_fill",
+    category="events",
+    oracle=f"""
+    WITH ue AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE user_id % {GAPFILL_USER_MOD} = 0
+    ), spine AS (
+        SELECT user_id,
+               unnest(generate_series(date_trunc('hour', min(ts)),
+                                      date_trunc('hour', max(ts)),
+                                      INTERVAL 1 HOUR)) AS hour_ts
+        FROM ue GROUP BY user_id
+    ), hourly AS (
+        SELECT user_id, hour_ts, n_events, last_val FROM (
+            SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+                   count(*) OVER w AS n_events,
+                   value AS last_val,
+                   row_number() OVER (PARTITION BY user_id,
+                                      date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM ue
+            WINDOW w AS (PARTITION BY user_id, date_trunc('hour', ts))
+        ) WHERE rn = 1
+    )
+    SELECT s.user_id, s.hour_ts,
+           CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+           last_value(h.last_val IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour_ts) AS filled_value
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.hour_ts = h.hour_ts
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: per-user hourly grid with forward fill.
+
+    The prep step between an event firehose and anything that assumes
+    regular sampling (feature windows, anomaly models, charts): each
+    user's stream becomes a dense hourly grid from their first to last
+    event — empty hours exist with ``n_events = 0`` — and the value
+    column forward-fills from the most recent observation (last event
+    in the hour, ties broken by event_id; the fill is
+    ``last(ignorenulls)`` over the grid). The spine starts at each
+    user's first event, so the fill never reads before data exists and
+    the output carries no nulls.
+
+    Scale shape: one ``user_id`` exchange shared by the min/max spine
+    aggregate, the hourly rollup, and the fill window; the spine
+    explode is bounded by each user's active span in hours (a true
+    firehose caps it with an activity horizon). The hour join is
+    co-partitioned on the same key. No global operation anywhere.
+    """
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % GAPFILL_USER_MOD == 0
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    spine = (
+        events.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    hourly = (
+        events.select(
+            "user_id",
+            hour.alias("hour_ts"),
+            F.struct("ts", "event_id", "value").alias("o"),
+        )
+        .groupBy("user_id", "hour_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("o").getField("value").alias("last_val"),
+        )
+    )
+    fill_w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour_ts"], "left")
+        .select(
+            "user_id",
+            "hour_ts",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.last("last_val", ignorenulls=True)
+            .over(fill_w)
+            .alias("filled_value"),
+        )
+    )

@@ -151,6 +151,9 @@ PROBES = [
     "source_python_datasource",  # partitioned custom Python source
     "transform_pseudonymize_consistent",  # keyed-mask join consistency
     "events_stream_interval_join_left",   # outer stream join, wm expiry
+    "transform_table_diff",       # full outer + residual change filter
+    "transform_dense_surrogate_ids",  # bucket prefix-sum dense ids
+    "events_gap_fill",            # per-user spine + forward fill
 ]
 
 

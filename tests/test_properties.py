@@ -688,3 +688,76 @@ def test_video_pool_bounds(spark):
         assert 0 <= r.peak_pixel <= 255, r
         assert 0 <= r.mean_pixel_e4 <= 255 * 10000, r
         assert 0 <= r.motion_range_e4 <= 255 * 10000, r
+
+
+def test_table_diff_reports_only_changes(spark):
+    """Every emitted key belongs to exactly one change kind, masks fire
+    only on 'changed' rows, and the three injected stripes all appear."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    rows = QUERIES["transform_table_diff"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    kinds = {}
+    for r in rows:
+        assert r.o_orderkey not in kinds, "duplicate key in diff"
+        kinds[r.o_orderkey] = r.change
+        if r.change != "changed":
+            assert r.status_changed == 0 and r.price_changed == 0, r
+        else:
+            assert r.status_changed or r.price_changed, r
+    assert set(kinds.values()) == {"added", "removed", "changed"}
+
+
+def test_dense_surrogate_ids_are_a_permutation(spark):
+    """Ids are exactly 0..N-1 with every key appearing once, stable
+    across physical layout (repartitioned rebuild assigns same ids)."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["transform_dense_surrogate_ids"].builder(
+        spark, sf
+    ).collect()
+    ids = sorted(r.surrogate_id for r in rows)
+    assert ids == list(range(len(rows)))
+    again = {
+        r.c_custkey: r.surrogate_id
+        for r in QUERIES["transform_dense_surrogate_ids"]
+        .builder(spark, sf)
+        .collect()
+    }
+    assert {r.c_custkey: r.surrogate_id for r in rows} == again
+
+
+def test_gap_fill_grid_is_dense_and_filled(spark):
+    """Per user: hour grid has no holes, fills carry real observed
+    values, and n_events sums to the user's event count."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.events import GAPFILL_USER_MOD
+    from data_preparation_plugin_spark.plans.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["events_gap_fill"].builder(spark, sf).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    truth = {
+        r.user_id: r.n
+        for r in load_table(spark, sf, "events")
+        .where(F.col("user_id") % GAPFILL_USER_MOD == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per_user) == set(truth)
+    for uid, rs in per_user.items():
+        rs.sort(key=lambda r: r.hour_ts)
+        for a, b in zip(rs, rs[1:]):
+            assert b.hour_ts - a.hour_ts == timedelta(hours=1), uid
+        assert sum(r.n_events for r in rs) == truth[uid]
+        assert all(r.filled_value is not None for r in rs)
