@@ -53,45 +53,45 @@ DRIVER_CHECK_PRIORITY = [
     "sink_merge_upsert",
     "agg_cms_heavy_hitters",
     "agg_kmv_distinct",
-    "agg_kmv_intersection",
     "agg_kmv_union",
     "curation_adaptive_threshold",
     "dedup_duplicate_spans",
-    "dedup_ngram_containment",
-    "dedup_semdedup_prune",
     "events_ewma_smooth",
-    "events_gap_fill",
     "events_mad_outliers",
-    "events_stream_interval_join_left",
     "events_stream_merge_totals",
     "events_watermark_audit",
     "graph_triangle_cooccurrence",
     "join_interval_overlap",
-    "knn_ivf_pq",
     "knn_pq_adc",
-    "layout_bucketed_join",
     "layout_zorder_bucket",
-    "multimodal_video_temporal_pool",
-    "profile_feature_drift",
-    "profile_join_skew",
     "profile_table_columns",
     "sample_balanced_labels",
-    "sample_interleave_sources",
     "sample_length_batches",
     "sample_token_budget",
     "sample_weighted_reservoir",
     "sink_dynamic_partition_overwrite",
     "source_binaryfile_ingest",
+    "text_bigram_logprob",
+    "text_quality_classifier",
+    "transform_cdc_apply",
+    "udf_cogroup_views_before_purchase",
+    "agg_kmv_intersection",
+    "dedup_ngram_containment",
+    "dedup_semdedup_prune",
+    "events_gap_fill",
+    "events_stream_interval_join_left",
+    "knn_ivf_pq",
+    "layout_bucketed_join",
+    "multimodal_video_temporal_pool",
+    "profile_feature_drift",
+    "profile_join_skew",
+    "sample_interleave_sources",
     "source_csv_quarantine",
     "source_python_datasource",
     "text_bigram_backoff_score",
-    "text_bigram_logprob",
     "text_perplexity_buckets",
-    "text_quality_classifier",
-    "transform_cdc_apply",
     "set_ops",
     "sort_limit_topk",
-    "udf_grouped_agg_span",
     "window_range_interval",
 ]
 

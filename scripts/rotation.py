@@ -43,6 +43,40 @@ ANCHORS = [
 ]
 
 
+#: Queries that were already driver-dark when round 5 closed (the
+#: VERDICT's enumerated backlog). They outrank darks registered later:
+#: a row that has waited rounds for its first driver check beats one
+#: registered yesterday with fresh local parity.
+R5_DARK_BACKLOG = frozenset(
+    {
+        "agg_cms_heavy_hitters",
+        "agg_kmv_distinct",
+        "agg_kmv_union",
+        "curation_adaptive_threshold",
+        "dedup_duplicate_spans",
+        "events_ewma_smooth",
+        "events_mad_outliers",
+        "events_stream_merge_totals",
+        "events_watermark_audit",
+        "graph_triangle_cooccurrence",
+        "join_interval_overlap",
+        "knn_pq_adc",
+        "layout_zorder_bucket",
+        "profile_table_columns",
+        "sample_balanced_labels",
+        "sample_length_batches",
+        "sample_token_budget",
+        "sample_weighted_reservoir",
+        "sink_dynamic_partition_overwrite",
+        "source_binaryfile_ingest",
+        "text_bigram_logprob",
+        "text_quality_classifier",
+        "transform_cdc_apply",
+        "udf_cogroup_views_before_purchase",
+    }
+)
+
+
 def green_history(root: str = REPO_ROOT) -> dict[str, int]:
     """Map query name -> most recent round with a green driver row.
 
@@ -85,7 +119,10 @@ def compute_slate(
     """
     latest = green_history(root)
     anchors = [n for n in ANCHORS if n in registered]
-    dark = sorted(n for n in registered if n not in latest and n not in anchors)
+    dark = sorted(
+        (n for n in registered if n not in latest and n not in anchors),
+        key=lambda n: (n not in R5_DARK_BACKLOG, n),
+    )
     core = anchors + dark
     fills = sorted(
         (n for n in registered if n in latest and n not in core),
