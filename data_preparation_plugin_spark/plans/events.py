@@ -1281,12 +1281,25 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").where(
         F.col("user_id") % GAPFILL_USER_MOD == 0
     )
-    hour = F.date_trunc("hour", F.col("ts"))
+
+    def ntz_hour(col_name: str):
+        # Hour floor in pure NTZ arithmetic: Spark's date_trunc returns
+        # session-TZ TIMESTAMP even for NTZ input, shifting wall clocks
+        # under non-UTC sessions (caught by test_session_independence).
+        return F.expr(
+            "timestampadd(HOUR, timestampdiff(HOUR,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_name}),"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+
+    hour = ntz_hour("ts")
     spine = (
         events.groupBy("user_id")
-        .agg(
-            F.date_trunc("hour", F.min("ts")).alias("lo"),
-            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .select(
+            "user_id",
+            ntz_hour("mn").alias("lo"),
+            ntz_hour("mx").alias("hi"),
         )
         .select(
             "user_id",
