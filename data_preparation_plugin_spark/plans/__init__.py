@@ -82,14 +82,14 @@ DRIVER_CHECK_PRIORITY = [
     "events_stream_interval_join_left",
     "knn_ivf_pq",
     "layout_bucketed_join",
+    "multimodal_audio_vad_segments",
     "multimodal_video_temporal_pool",
     "profile_feature_drift",
     "profile_join_skew",
+    "sample_group_kfold",
     "sample_interleave_sources",
     "source_csv_quarantine",
     "source_python_datasource",
-    "text_bigram_backoff_score",
-    "text_perplexity_buckets",
     "set_ops",
     "sort_limit_topk",
     "window_range_interval",

@@ -658,3 +658,141 @@ def multimodal_video_temporal_pool(
         F.max("f_max").alias("peak_pixel"),
         (F.max(frame_mean) - F.min(frame_mean)).alias("motion_range_e4"),
     )
+
+
+#: VAD parameters: frame width in samples, activity threshold on the
+#: integer frame energy (~the fixture's median), and the doc stride.
+VAD_FRAME = 32
+VAD_THRESH = 22_500_000_000
+VAD_DOC_MOD = 25
+
+
+def _frame_energy_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-frame energy over synthesized PCM — the real DSP half.
+
+    Synthesizes the same deterministic 16-bit PCM stream as
+    ``_synth_wav_batches`` and computes framewise sum-of-squares with
+    vectorized numpy (exact integers), one row per frame. A production
+    VAD swaps the synth for a codec decode and keeps the framing.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_frame, out_energy = [], [], []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = d % 500 + 100
+            s = ((d * 31 + 17 * np.arange(n, dtype=np.int64)) % 65536) - 32768
+            n_frames = (n + VAD_FRAME - 1) // VAD_FRAME
+            for f in range(n_frames):
+                chunk = s[f * VAD_FRAME : (f + 1) * VAD_FRAME]
+                out_doc.append(d)
+                out_frame.append(f)
+                out_energy.append(int((chunk * chunk).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_frame, dtype="int64"),
+                "energy": pd.Series(out_energy, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    category="multimodal",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id FROM documents WHERE doc_id % {VAD_DOC_MOD} = 0
+    ), samples AS (
+        SELECT doc_id, k,
+               ((doc_id * 31 + 17 * k) % 65536) - 32768 AS v,
+               k // {VAD_FRAME} AS frame_idx
+        FROM docs,
+             LATERAL (SELECT unnest(range(0, doc_id % 500 + 100)) AS k)
+    ), frames AS (
+        SELECT doc_id, frame_idx,
+               CAST(sum(v * v) AS BIGINT) AS energy
+        FROM samples GROUP BY doc_id, frame_idx
+    ), flagged AS (
+        SELECT doc_id, frame_idx, energy,
+               energy > {VAD_THRESH} AS active,
+               CASE WHEN (energy > {VAD_THRESH}) AND NOT coalesce(
+                        lag(energy > {VAD_THRESH}) OVER w, FALSE)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM frames
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ), numbered AS (
+        SELECT doc_id, frame_idx, energy, active,
+               sum(is_new) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS seg_id
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(seg_id AS BIGINT)      AS seg_id,
+           min(frame_idx)              AS start_frame,
+           max(frame_idx)              AS end_frame,
+           count(*)                    AS n_frames,
+           max(energy)                 AS peak_energy
+    FROM numbered WHERE active
+    GROUP BY doc_id, seg_id
+    """,
+)
+def multimodal_audio_vad_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Voice-activity segmentation: energy gate + islands over frames.
+
+    The audio-preprocessing step between a decoded waveform and an ASR
+    or speech-dataset pipeline: frame the PCM stream, compute each
+    frame's energy (vectorized numpy in ``mapInPandas`` — exact integer
+    sums of squares), gate on a threshold, and merge consecutive active
+    frames into segments with the islands idiom (``lag`` transition →
+    running sum → per-segment aggregate) — the same construction as
+    ``transform_scd2`` and ``events_sessionize``, here applied to a
+    multimodal decode product. The oracle regenerates every sample and
+    frame in SQL, so the segmentation is value-checked end to end.
+
+    Scale shape: synth+framing is partition-local Arrow batches with no
+    shuffle and frame rows (1/{VAD_FRAME} of samples) are the ONLY
+    thing that leaves Python; islands ride one ``doc_id`` exchange
+    shared by the lag window, the running sum, and the segment
+    aggregate. Raw samples never shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % VAD_DOC_MOD == 0
+    )
+    frames = docs.select("doc_id").mapInPandas(
+        _frame_energy_batches,
+        schema="doc_id long, frame_idx long, energy long",
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    active = F.col("energy") > VAD_THRESH
+    flagged = frames.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        active.alias("active"),
+        F.when(
+            active & ~F.coalesce(F.lag(active).over(w), F.lit(False)), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    numbered = flagged.withColumn("seg_id", F.sum("is_new").over(cum))
+    return (
+        numbered.where("active")
+        .groupBy("doc_id", F.col("seg_id").cast("long").alias("seg_id"))
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("energy").alias("peak_energy"),
+        )
+    )

@@ -803,3 +803,42 @@ def sample_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Fold count for `sample_group_kfold`.
+KFOLD_K = 5
+
+
+@register(
+    "sample_group_kfold",
+    category="sampling",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(source), 1, 8))::BIGINT % {KFOLD_K}
+                AS BIGINT) AS fold
+    FROM documents
+    """,
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped k-fold assignment: the leakage-safe cross-validation split.
+
+    ``split_train_test`` hashes the DOCUMENT id — correct for i.i.d.
+    rows, wrong when near-duplicates cluster within a group (all pages
+    of one site, all utterances of one speaker): group members split
+    across folds leak evaluation data into training. Grouped k-fold
+    hashes the GROUP key instead, so every document of a source lands
+    in the same fold by construction — the property scikit-learn's
+    GroupKFold provides, here as a stateless hash so it holds across
+    runs, machines, and data arrivals without a fold-assignment table.
+
+    Scale shape: a narrow map (md5 of an existing column, modulo k) —
+    no shuffle, no state; fold membership survives incremental ingest
+    because it never depends on what else has arrived. Run near-dup
+    clustering first when the groups themselves share content.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("long")
+        % KFOLD_K
+    )
+    return docs.select("doc_id", "source", fold.alias("fold"))

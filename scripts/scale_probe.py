@@ -154,6 +154,8 @@ PROBES = [
     "transform_table_diff",       # full outer + residual change filter
     "transform_dense_surrogate_ids",  # bucket prefix-sum dense ids
     "events_gap_fill",            # per-user spine + forward fill
+    "sample_group_kfold",         # stateless group-hash fold map
+    "multimodal_audio_vad_segments",  # Arrow frame energies + islands
 ]
 
 
