@@ -79,7 +79,9 @@ DRIVER_CHECK_PRIORITY = [
     "dedup_ngram_containment",
     "dedup_semdedup_prune",
     "events_gap_fill",
+    "events_props_variant",
     "events_stream_interval_join_left",
+    "join_lateral_topk",
     "knn_ivf_pq",
     "layout_bucketed_join",
     "multimodal_audio_vad_segments",
@@ -88,8 +90,6 @@ DRIVER_CHECK_PRIORITY = [
     "profile_join_skew",
     "sample_group_kfold",
     "sample_interleave_sources",
-    "source_csv_quarantine",
-    "source_python_datasource",
     "set_ops",
     "sort_limit_topk",
     "window_range_interval",

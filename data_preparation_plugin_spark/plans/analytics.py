@@ -488,8 +488,10 @@ HIERARCHY_ROOT_BOUND = 16
 def transform_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy flattening by pointer doubling: root + depth per node.
 
-    The BOM-explosion / org-chart / category-tree primitive Spark has no
-    recursive CTE for. The naive loop walks one parent level per round
+    The BOM-explosion / org-chart / category-tree primitive, in its
+    O(log depth) form (Spark 4 also ships WITH RECURSIVE — see
+    ``transform_recursive_cte_hierarchy`` for the declarative
+    O(depth) twin). The naive loop walks one parent level per round
     (O(depth) joins); this implementation **doubles the pointer** each
     round — join every node's known ancestor onto that ancestor's known
     ancestor, accumulating depths — so a depth-2^r chain resolves in r
@@ -2062,4 +2064,66 @@ def transform_dense_surrogate_ids(
     return ranked.join(F.broadcast(offsets), "bkt").select(
         "c_custkey",
         (F.col("off") + F.col("rn") - 1).cast("long").alias("surrogate_id"),
+    )
+
+
+@register(
+    "transform_recursive_cte_hierarchy",
+    category="transform",
+    oracle=f"""
+    WITH RECURSIVE nodes AS (
+        SELECT DISTINCT o_orderkey AS node FROM orders
+    ), walk AS (
+        SELECT node, node AS anc, 0 AS depth FROM nodes
+        UNION ALL
+        SELECT walk.node, walk.anc // 2, walk.depth + 1
+        FROM walk WHERE walk.anc >= {HIERARCHY_ROOT_BOUND}
+    )
+    SELECT node,
+           anc               AS root,
+           CAST(depth AS BIGINT) AS depth
+    FROM walk
+    WHERE anc < {HIERARCHY_ROOT_BOUND}
+    """,
+)
+def transform_recursive_cte_hierarchy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same hierarchy resolve as a Spark 4 RECURSIVE CTE.
+
+    ``transform_hierarchy_flatten`` exists because Spark historically
+    had no recursive SQL — its pointer-doubling rewrite is the
+    O(log depth) scale answer. Spark 4 ships ``WITH RECURSIVE``
+    (SPARK-24497), so this twin runs the DECLARATIVE form — the same
+    walk the DuckDB oracle has always used, now executed by Spark
+    itself — and must produce the identical (root, depth) table as
+    both the oracle and the doubling rewrite.
+
+    Scale shape: Spark executes a recursive CTE as iterative
+    union-per-level — O(depth) joins, each a full pass over the
+    frontier. Fine for shallow hierarchies and exactly why the
+    pointer-doubling twin stays the recommendation for deep ones
+    (O(log depth) rounds); having both registered makes the trade an
+    A/B, not an article of faith.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select(F.col("o_orderkey").alias("node")).distinct(
+    ).createOrReplaceTempView("__rcte_nodes")
+    # The walk materializes nodes x depth rows; Spark guards runaway
+    # recursion at 1M rows (RECURSION_ROW_LIMIT_EXCEEDED — the x8 probe
+    # hit it). Size the guard to the expected frontier volume; the
+    # pointer-doubling twin needs no such knob.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk AS (
+            SELECT node, node AS anc, 0 AS depth FROM __rcte_nodes
+            UNION ALL
+            SELECT walk.node, walk.anc div 2 AS anc,
+                   walk.depth + 1 AS depth
+            FROM walk WHERE walk.anc >= {HIERARCHY_ROOT_BOUND}
+        )
+        SELECT node, anc AS root, CAST(depth AS BIGINT) AS depth
+        FROM walk WHERE anc < {HIERARCHY_ROOT_BOUND}
+        """
     )

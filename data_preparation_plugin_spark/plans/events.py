@@ -1336,3 +1336,48 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("filled_value"),
         )
     )
+
+
+@register(
+    "events_props_variant",
+    category="events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT)  AS prop_k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) OVER (
+               PARTITION BY CAST(json_extract(props, '$.k') AS BIGINT) % 10
+           ) AS bucket_size
+    FROM events
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type.
+
+    The third member of the JSON-handling family: ``events_props_map``
+    parses to a typed MapType (schema known up front) — VARIANT
+    (``parse_json`` once, ``variant_get`` per access) is the Spark 4
+    answer for schema-LATER data: the parse cost is paid once, the
+    binary encoding stores heterogeneous values without a unified
+    schema, and typed extraction happens at query time per path. Same
+    extraction (+ a bucketed window to prove the extracted value drives
+    downstream relational ops), so the three forms are directly
+    comparable; the oracle uses DuckDB's JSON extraction.
+
+    Scale shape: parse and extraction are narrow per-row expressions
+    (no Python); the window keys on the extracted bucket — 10 bounded
+    partitions. In a lake the VARIANT column is stored parsed
+    (shredded at write in Spark 4.1+), so repeated queries skip the
+    parse entirely — the point of the type.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    prop_k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    bucket = (prop_k % 10).alias("k_bucket")
+    w = Window.partitionBy(prop_k % 10)
+    return events.select(
+        "event_id",
+        prop_k.alias("prop_k"),
+        bucket,
+        F.count(F.lit(1)).over(w).alias("bucket_size"),
+    )

@@ -851,3 +851,82 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("long").alias("lo"),
         F.max("value").cast("long").alias("hi"),
     )
+
+
+_XML_DIR = os.path.join(_STAGE_ROOT, "nation_xml")
+
+
+@register(
+    "source_xml_roundtrip",
+    category="source",
+    oracle=f"""
+    WITH raw AS (
+        SELECT line FROM read_csv('{_XML_DIR}/part*',
+                                  columns={{'line': 'VARCHAR'}},
+                                  header=false, delim='|', quote='')
+    ), parsed AS (
+        SELECT CAST(regexp_extract(line, '<k>(-?\\d+)</k>', 1) AS INT)
+                   AS n_nationkey,
+               regexp_extract(line, '<n>([^<]*)</n>', 1) AS n_name,
+               CAST(regexp_extract(line, '<r>(-?\\d+)</r>', 1) AS INT)
+                   AS n_regionkey
+        FROM raw
+    )
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           count(*)                    AS n_nations,
+           min(n_name)                 AS first_name
+    FROM parsed GROUP BY 1
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via Spark 4's built-in ``from_xml`` — staged round trip.
+
+    The format the reference era handled with one-off scripts: records
+    staged as one XML element per line (written by Spark's distributed
+    text writer), parsed back with the native ``from_xml`` expression
+    against an explicit schema — no external spark-xml package, no
+    Python in the parse path. The oracle parses the SAME staged files
+    with regexes (DuckDB has no XML reader), so the round trip — Spark's
+    serialization AND its parser — is value-checked per field.
+
+    Scale shape: writing and parsing are both narrow per-row maps;
+    ``from_xml`` is a codegen expression like ``from_json``, so a
+    100 TB XML feed costs one scan plus the parse, exactly like the
+    JSON path. Names here are alphanumeric by fixture; payloads with
+    markup need entity escaping at write (Spark's ``to_xml`` does it).
+    """
+    import shutil
+
+    shutil.rmtree(_XML_DIR, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.concat(
+            F.lit("<rec><k>"),
+            F.col("n_nationkey").cast("string"),
+            F.lit("</k><n>"),
+            F.col("n_name"),
+            F.lit("</n><r>"),
+            F.col("n_regionkey").cast("string"),
+            F.lit("</r></rec>"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(_XML_DIR)
+    parsed = (
+        spark.read.text(_XML_DIR)
+        .select(
+            F.from_xml(
+                "value", "k INT, n STRING, r INT"
+            ).alias("x")
+        )
+        .select(
+            F.col("x.k").alias("n_nationkey"),
+            F.col("x.n").alias("n_name"),
+            F.col("x.r").alias("n_regionkey"),
+        )
+    )
+    return parsed.groupBy(
+        F.col("n_regionkey").cast("long").alias("n_regionkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )

@@ -2843,3 +2843,53 @@ def q20_dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_name", "s_acctbal")
     )
+
+
+@register(
+    "join_lateral_topk",
+    category="join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_extendedprice
+    FROM orders o,
+         LATERAL (SELECT l_linenumber, l_extendedprice
+                  FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey
+                  ORDER BY l_extendedprice DESC, l_linenumber
+                  LIMIT 1) l
+    WHERE o.o_orderkey % 50 = 0
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-1 detail row per outer row.
+
+    The SQL surface users reach for before they learn window functions
+    — "for each order, its most expensive line item" as a correlated
+    inline subquery — supported natively by Spark 4's LATERAL. Catalyst
+    decorrelates it into the same plan family as
+    ``window_topk_per_group`` (rank-and-filter over a join), so the
+    declarative form costs what the rewrite costs; this query pins that
+    the surface works and returns exactly the oracle's rows (DuckDB
+    runs the identical LATERAL).
+
+    Scale shape: after decorrelation, one equi-join on the order key
+    feeding a per-key top-1 (min/max-by or rank) — no per-row
+    re-execution of the subquery, which is the entire point of
+    decorrelation at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders.createOrReplaceTempView("__lat_orders")
+    lineitem.createOrReplaceTempView("__lat_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber,
+               l.l_extendedprice
+        FROM __lat_orders o,
+             LATERAL (SELECT l_linenumber, l_extendedprice
+                      FROM __lat_lineitem
+                      WHERE l_orderkey = o.o_orderkey
+                      ORDER BY l_extendedprice DESC, l_linenumber
+                      LIMIT 1) l
+        WHERE o.o_orderkey % 50 = 0
+        """
+    )

@@ -156,6 +156,10 @@ PROBES = [
     "events_gap_fill",            # per-user spine + forward fill
     "sample_group_kfold",         # stateless group-hash fold map
     "multimodal_audio_vad_segments",  # Arrow frame energies + islands
+    "transform_recursive_cte_hierarchy",  # iterative union per level
+    "join_lateral_topk",          # decorrelated lateral subquery
+    "events_props_variant",       # parse-once variant extraction
+    "source_xml_roundtrip",       # from_xml codegen parse
 ]
 
 
