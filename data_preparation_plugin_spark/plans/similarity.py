@@ -903,6 +903,7 @@ _INT_DOT = (
 @register(
     "knn_ivf_pq",
     category="similarity",
+    bench=True,
     oracle=f"""
     WITH raw AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
