@@ -81,6 +81,7 @@ DRIVER_CHECK_PRIORITY = [
     "events_gap_fill",
     "events_props_variant",
     "events_stream_interval_join_left",
+    "events_trailing_dau",
     "join_lateral_topk",
     "knn_ivf_pq",
     "layout_bucketed_join",
@@ -89,7 +90,6 @@ DRIVER_CHECK_PRIORITY = [
     "profile_feature_drift",
     "profile_join_skew",
     "sample_group_kfold",
-    "sample_interleave_sources",
     "set_ops",
     "sort_limit_topk",
     "window_range_interval",

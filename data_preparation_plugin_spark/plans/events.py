@@ -1381,3 +1381,70 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket,
         F.count(F.lit(1)).over(w).alias("bucket_size"),
     )
+
+
+#: Trailing window length (days) for `events_trailing_dau`.
+DAU_TRAIL_DAYS = 7
+
+
+@register(
+    "events_trailing_dau",
+    category="events",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), contrib AS (
+        SELECT user_id, d + CAST(i AS INTEGER) AS report_day
+        FROM ud, unnest(range(0, {DAU_TRAIL_DAYS})) AS t(i)
+    ), days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS report_day FROM events
+    )
+    SELECT c.report_day,
+           count(DISTINCT c.user_id) AS trailing_dau
+    FROM contrib c JOIN days dy ON c.report_day = dy.report_day
+    GROUP BY c.report_day
+    """,
+)
+def events_trailing_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day — the sliding-distinct rewrite.
+
+    The growth metric every product dashboard carries (WAU reported
+    daily), and a trap: distinct counts don't decompose over sliding
+    windows, so the naive form is a per-day semi-self-join (every
+    report day rescans a week of events — 7x the data motion, O(days)
+    scans). The rewrite: reduce to distinct (user, day) pairs ONCE,
+    then each pair contributes to the {DAU_TRAIL_DAYS} report days it
+    is visible in — a bounded explode — and one distinct-count per
+    report day finishes it. Report days are restricted to days with
+    events (the fixture's calendar), keeping the output closed-form.
+
+    Scale shape: the (user, day) distinct is a map-side-combinable
+    pre-aggregate that collapses the firehose to at most
+    users x active-days rows; the explode multiplies THAT reduced
+    relation by a constant {DAU_TRAIL_DAYS}, never raw events; the
+    final distinct-count shuffles (day, user) pairs with bounded day
+    cardinality. Swap the exact distinct for the KMV/HLL sketch rows
+    (``agg_kmv_distinct``) when approximate is acceptable and even the
+    pair relation is too big.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), DAU_TRAIL_DAYS - 1),
+            )
+        ).alias("report_day"),
+    )
+    days = events.select(
+        F.col("ts").cast("date").alias("report_day")
+    ).distinct()
+    return (
+        contrib.join(days, "report_day")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("trailing_dau"))
+    )

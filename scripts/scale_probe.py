@@ -160,6 +160,7 @@ PROBES = [
     "join_lateral_topk",          # decorrelated lateral subquery
     "events_props_variant",       # parse-once variant extraction
     "source_xml_roundtrip",       # from_xml codegen parse
+    "events_trailing_dau",        # pair pre-agg + bounded explode
 ]
 
 
