@@ -343,3 +343,52 @@ def test_bucketed_join_query_no_join_key_exchange(spark):
     plan = plan_of(spark, "layout_bucketed_join")
     assert count(r"Exchange hashpartitioning\(o_custkey", plan) == 0
     assert count(r"Exchange hashpartitioning\(c_custkey", plan) == 0
+
+
+def test_interleave_has_no_global_sort(spark):
+    """The interleave's whole claim: a TOTAL order with no global sort —
+    no range partitioning anywhere; the only exchanges are the source
+    hash key and the tiny dims."""
+    plan = plan_of(spark, "sample_interleave_sources")
+    assert count(r"Exchange rangepartitioning", plan) == 0
+
+
+def test_dense_ids_have_no_global_sort(spark):
+    """Dense 0..N-1 ids from bucket prefix-sums: no range partitioning,
+    offsets broadcast back."""
+    plan = plan_of(spark, "transform_dense_surrogate_ids")
+    assert count(r"Exchange rangepartitioning", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) >= 1
+
+
+def test_join_skew_profile_uses_takeordered(spark):
+    """Top-N heavy keys via per-partition heaps, never a global sort of
+    the key-count table."""
+    plan = plan_of(spark, "profile_join_skew")
+    assert "TakeOrderedAndProject" in plan
+    assert count(r"Exchange rangepartitioning", plan) == 0
+
+
+def test_trailing_dau_broadcasts_calendar(spark):
+    """The report-day dimension is calendar-sized: broadcast, never
+    sort-merge; the exploded pair relation is the only big stream."""
+    plan = plan_of(spark, "events_trailing_dau")
+    assert count(r"BroadcastHashJoin", plan) >= 1
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_variant_extraction_stays_jvm_side(spark):
+    """VARIANT parse + variant_get are codegen expressions — no Python
+    evaluation node may appear."""
+    plan = plan_of(spark, "events_props_variant")
+    assert count(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan) == 0
+
+
+def test_kmv_intersection_sketch_joins_are_small(spark):
+    """Sketch algebra's point: every SKETCH-side join (theta tables,
+    common-hash pairs) is broadcast. The single allowed sort-merge join
+    is the exact-overlap WITNESS — full-data by definition, documented
+    as test-only and dropped in production."""
+    plan = plan_of(spark, "agg_kmv_intersection")
+    assert count(r"SortMergeJoin", plan) <= 1
+    assert count(r"BroadcastHashJoin", plan) >= 3
