@@ -842,3 +842,106 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         % KFOLD_K
     )
     return docs.select("doc_id", "source", fold.alias("fold"))
+
+
+#: Negatives drawn per document by `sample_negative_candidates`.
+NEG_K = 4
+
+
+@register(
+    "sample_negative_candidates",
+    category="sampling",
+    oracle=f"""
+    WITH idx AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                   AS pos
+        FROM documents
+    ), n AS (
+        SELECT count(*) AS n_docs FROM idx
+    ), probes AS (
+        SELECT a.doc_id, a.source, j.j,
+               ('0x' || substr(md5(CAST(a.doc_id * {NEG_K} + j.j
+                                        AS VARCHAR)), 1, 8))::BIGINT
+                   % n.n_docs AS cand_pos
+        FROM idx a
+        CROSS JOIN (SELECT unnest(range(0, {NEG_K})) AS j) j
+        CROSS JOIN n
+    )
+    SELECT p.doc_id, CAST(p.j AS BIGINT) AS slot,
+           i.doc_id AS neg_doc_id,
+           CASE WHEN i.source <> p.source AND i.doc_id <> p.doc_id
+                THEN 1 ELSE 0 END AS usable
+    FROM probes p JOIN idx i ON p.cand_pos = i.pos
+    """,
+)
+def sample_negative_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling: K hash-probed candidates per doc.
+
+    The contrastive-training primitive (word2vec negatives, recsys
+    candidate samplers, hard-negative pretraining): each document draws
+    ``NEG_K`` pseudo-random candidates by hashing (doc, slot) into a
+    position on a stable index ring — the md5-ordered dense positions
+    of ``transform_dense_surrogate_ids``'s construction — with a
+    ``usable`` flag marking collisions (same source or self) that the
+    trainer resamples or drops. Stateless and reproducible: the same
+    doc draws the same negatives on any cluster, any run, any data
+    partitioning, with no RNG state to checkpoint.
+
+    Scale shape: the index is one ranked projection of the corpus; the
+    probe side is corpus x K rows of (key, int) pairs; resolution is a
+    single equi-join on the position — co-partitionable, and at serving
+    time the index ring is exactly what a broadcast or range-partitioned
+    lookup table implements. Uniformity comes from md5; no
+    rejection loop, so the plan is one join deep regardless of K.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    idx_w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    idx = docs.select(
+        "doc_id", "source", (F.row_number().over(idx_w) - 1).alias("pos")
+    )
+    n = idx.agg(F.count(F.lit(1)).alias("n_docs"))
+    probes = (
+        idx.select("doc_id", "source")
+        .crossJoin(F.broadcast(spark.range(NEG_K).select(F.col("id").alias("j"))))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            (F.col("doc_id") * NEG_K + F.col("j")).cast(
+                                "string"
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_docs")
+            ).alias("cand_pos"),
+        )
+    )
+    cand = idx.select(
+        F.col("pos").alias("cand_pos"),
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("source").alias("neg_source"),
+    )
+    return probes.join(cand, "cand_pos").select(
+        "doc_id",
+        F.col("j").cast("long").alias("slot"),
+        "neg_doc_id",
+        F.when(
+            (F.col("neg_source") != F.col("source"))
+            & (F.col("neg_doc_id") != F.col("doc_id")),
+            1,
+        )
+        .otherwise(0)
+        .alias("usable"),
+    )

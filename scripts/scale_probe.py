@@ -161,6 +161,7 @@ PROBES = [
     "events_props_variant",       # parse-once variant extraction
     "source_xml_roundtrip",       # from_xml codegen parse
     "events_trailing_dau",        # pair pre-agg + bounded explode
+    "sample_negative_candidates", # hash-ring probes, one equi-join
 ]
 
 
