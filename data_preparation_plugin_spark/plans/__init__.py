@@ -75,6 +75,7 @@ DRIVER_CHECK_PRIORITY = [
     "text_quality_classifier",
     "transform_cdc_apply",
     "udf_cogroup_views_before_purchase",
+    "agg_decimal_exact_revenue",
     "agg_kmv_intersection",
     "dedup_ngram_containment",
     "dedup_semdedup_prune",
@@ -85,11 +86,10 @@ DRIVER_CHECK_PRIORITY = [
     "join_lateral_topk",
     "knn_ivf_pq",
     "layout_bucketed_join",
+    "layout_compaction_roundtrip",
     "multimodal_audio_vad_segments",
     "multimodal_video_temporal_pool",
     "profile_feature_drift",
-    "profile_join_skew",
-    "sample_group_kfold",
     "set_ops",
     "sort_limit_topk",
     "window_range_interval",

@@ -2127,3 +2127,48 @@ def transform_recursive_cte_hierarchy(
         FROM walk WHERE anc < {HIERARCHY_ROOT_BOUND}
         """
     )
+
+
+@register(
+    "agg_decimal_exact_revenue",
+    category="aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+               AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2))
+                       - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR)
+               AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-typed money math: exact sums, no floating point anywhere.
+
+    TPC-H's canonical money columns are DECIMAL; the registry's other
+    revenue queries prove double+round parity, while this one runs the
+    typed path end to end — prices and discounts cast to DECIMAL(12,2),
+    the revenue product carried at the widened decimal scale, and the
+    sums emitted as exact digit strings (so the comparison is literal
+    string equality across engines, independent of each engine's
+    internal decimal width). Associativity-free by construction: decimal
+    addition is exact, so ANY aggregation order gives these digits —
+    the property double summation only approximates.
+
+    Scale shape: identical to any scan + hash aggregate on a bounded
+    key; decimal arithmetic is codegen (slower per-op than double —
+    128-bit — which is why the hot analytics path uses scaled integers
+    instead; this query is the correctness anchor for the money type).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(12,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(price).cast("string").alias("sum_price"),
+        F.sum(price * (one - disc)).cast("string").alias("revenue"),
+    )

@@ -930,3 +930,76 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+_COMPACT_SMALL = os.path.join(_STAGE_ROOT, "events_smallfiles")
+_COMPACT_OUT = os.path.join(_STAGE_ROOT, "events_compacted")
+
+#: Small-file staging and compaction targets.
+_COMPACT_N_SMALL = 32
+_COMPACT_N_TARGET = 4
+
+
+@register(
+    "layout_compaction_roundtrip",
+    category="source",
+    oracle=f"""
+    SELECT (SELECT count(*)
+            FROM glob('{_COMPACT_SMALL}/part*'))  AS n_files_before,
+           (SELECT count(*)
+            FROM glob('{_COMPACT_OUT}/part*'))    AS n_files_after,
+           count(*)                               AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM read_parquet('{_COMPACT_OUT}/part*')
+    """,
+)
+def layout_compaction_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Small-files compaction, value-checked through the physical layout.
+
+    The maintenance pass every streaming/append table needs: a stage
+    written as {_COMPACT_N_SMALL} small files (a micro-batch sink's
+    typical litter) is rewritten into {_COMPACT_N_TARGET} — fewer
+    tasks, fewer listings, bigger scans. The oracle reads the COMPACTED
+    files directly and counts BOTH directories' part files via glob, so
+    the check covers the physical outcome (file counts) and data
+    fidelity (row count + integer value checksum survive the rewrite)
+    — not just a session-view equivalence. The catalog-table variant
+    with crash-safe rename choreography is ``layout.compact_table``
+    (tests/test_layout.py); this registers the layout contract itself.
+
+    Scale shape: compaction is one shuffle-free coalesce when shrinking
+    file counts (Spark plans repartition(n) of parquet as an exchange;
+    a production pass uses maxRecordsPerFile or AQE-sized writes) —
+    cost is one read + one write of the partition being compacted,
+    which is why compaction jobs target recent partitions only.
+    """
+    import shutil
+
+    for d in (_COMPACT_SMALL, _COMPACT_OUT):
+        shutil.rmtree(d, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    events.repartition(_COMPACT_N_SMALL).write.mode("overwrite").parquet(
+        _COMPACT_SMALL
+    )
+    small = spark.read.parquet(_COMPACT_SMALL)
+    small.repartition(_COMPACT_N_TARGET).write.mode("overwrite").parquet(
+        _COMPACT_OUT
+    )
+    import glob as globmod
+
+    n_before = len(globmod.glob(os.path.join(_COMPACT_SMALL, "part*")))
+    n_after = len(globmod.glob(os.path.join(_COMPACT_OUT, "part*")))
+    compacted = spark.read.parquet(_COMPACT_OUT)
+    return compacted.agg(
+        F.lit(n_before).cast("long").alias("n_files_before"),
+        F.lit(n_after).cast("long").alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )

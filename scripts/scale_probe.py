@@ -162,6 +162,8 @@ PROBES = [
     "source_xml_roundtrip",       # from_xml codegen parse
     "events_trailing_dau",        # pair pre-agg + bounded explode
     "sample_negative_candidates", # hash-ring probes, one equi-join
+    "agg_decimal_exact_revenue",  # 128-bit decimal scan agg
+    "layout_compaction_roundtrip",  # N-file rewrite, read+write bound
 ]
 
 
