@@ -77,6 +77,7 @@ DRIVER_CHECK_PRIORITY = [
     "udf_cogroup_views_before_purchase",
     "agg_decimal_exact_revenue",
     "agg_kmv_intersection",
+    "curation_dataset_card",
     "dedup_ngram_containment",
     "dedup_semdedup_prune",
     "events_gap_fill",
@@ -89,7 +90,6 @@ DRIVER_CHECK_PRIORITY = [
     "layout_compaction_roundtrip",
     "multimodal_audio_vad_segments",
     "multimodal_video_temporal_pool",
-    "profile_feature_drift",
     "set_ops",
     "sort_limit_topk",
     "window_range_interval",

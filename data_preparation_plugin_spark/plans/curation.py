@@ -241,3 +241,87 @@ def curation_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pr, 4).alias("pct_rank"),
         F.when(pr <= ADAPTIVE_KEEP_FRAC, 1).otherwise(0).alias("keep"),
     )
+
+
+_CARD_ORACLE = (
+    _CURATION_ORACLE.replace(
+        "    SELECT e.doc_id,",
+        ",\n    status_q AS (\n    SELECT e.doc_id,",
+        1,
+    )
+    + r"""
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN s.status = 'kept' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN s.status = 'quality' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN s.status = 'language' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_language,
+           CAST(sum(CASE WHEN s.status = 'exact_dup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN s.status = 'near_dup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dup,
+           CAST(sum(CASE WHEN s.status = 'kept'
+                         THEN len(string_split_regex(trim(lower(d.text)),
+                                                     '\s+'))
+                         ELSE 0 END) AS BIGINT) AS kept_tokens,
+           (CAST(sum(CASE WHEN s.status = 'kept' THEN 1 ELSE 0 END)
+                 AS BIGINT) * 10000) // count(*) AS kept_bp
+    FROM status_q s JOIN documents d ON s.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+)
+
+
+@register("curation_dataset_card", category="curation", oracle=_CARD_ORACLE)
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datasheet a curated corpus ships with: per-source accounting.
+
+    The deliverable AFTER the funnel: for every source, how many
+    documents entered, how many survived, exactly where the drops went
+    (per-gate counts — the transparency "Datasheets for Datasets" asks
+    for), the surviving token volume (what the tokenizer will actually
+    see), and the keep rate in integer basis points. Reuses the
+    registered funnel verbatim (``curation_corpus_status``'s builder is
+    called, not reimplemented), so the card can never drift from the
+    filter it describes.
+
+    Scale shape: the funnel's own cost plus one doc_id join against the
+    (doc_id, source, token-count) projection and a bounded-key
+    aggregate. Token counting touches only KEPT documents' text —
+    dropped docs short-circuit to 0 without tokenizing.
+    """
+    status = curation_corpus_status(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens_col(F.col("text"))).alias("n_tok")
+    )
+    kept = F.col("status") == "kept"
+    return (
+        status.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.sum((F.col("status") == "quality").cast("int"))
+            .cast("long")
+            .alias("n_quality"),
+            F.sum((F.col("status") == "language").cast("int"))
+            .cast("long")
+            .alias("n_language"),
+            F.sum((F.col("status") == "exact_dup").cast("int"))
+            .cast("long")
+            .alias("n_exact_dup"),
+            F.sum((F.col("status") == "near_dup").cast("int"))
+            .cast("long")
+            .alias("n_near_dup"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.expr(
+                "(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) * 10000)"
+                " div count(*)"
+            ).alias("kept_bp"),
+        )
+    )

@@ -164,6 +164,7 @@ PROBES = [
     "sample_negative_candidates", # hash-ring probes, one equi-join
     "agg_decimal_exact_revenue",  # 128-bit decimal scan agg
     "layout_compaction_roundtrip",  # N-file rewrite, read+write bound
+    "curation_dataset_card",      # funnel + doc_id join + bounded agg
 ]
 
 
