@@ -84,12 +84,12 @@ DRIVER_CHECK_PRIORITY = [
     "events_props_variant",
     "events_stream_interval_join_left",
     "events_trailing_dau",
+    "join_asof_nearest",
     "join_lateral_topk",
     "knn_ivf_pq",
     "layout_bucketed_join",
     "layout_compaction_roundtrip",
     "multimodal_audio_vad_segments",
-    "multimodal_video_temporal_pool",
     "set_ops",
     "sort_limit_topk",
     "window_range_interval",

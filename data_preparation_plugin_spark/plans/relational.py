@@ -2893,3 +2893,116 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderkey % 50 = 0
         """
     )
+
+
+@register(
+    "join_asof_nearest",
+    category="join",
+    oracle="""
+    WITH views AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'view'
+    ), purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           p.ts,
+           p.value AS purchase_value,
+           v.ts    AS nearest_view_ts,
+           v.value AS nearest_view_value,
+           CASE WHEN v.ts IS NULL THEN NULL
+                WHEN v.ts <= p.ts THEN 'back' ELSE 'fwd' END AS direction
+    FROM purchases p
+    LEFT JOIN views v ON p.user_id = v.user_id
+    QUALIFY row_number() OVER (
+        PARTITION BY p.event_id
+        ORDER BY abs(date_diff('microsecond', v.ts, p.ts)),
+                 CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END,
+                 CASE WHEN v.ts <= p.ts THEN -v.event_id
+                      ELSE v.event_id END) = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, nearest in EITHER direction — the sensor-alignment rule.
+
+    Completes the as-of family (backward, forward, tolerance): each
+    purchase takes whichever view is closest in absolute time, before
+    OR after — how mis-clocked sensor feeds are aligned. The scalable
+    form stays the union-window pattern: ONE user/time sort carries the
+    best backward candidate (``last`` ignorenulls over the preceding
+    frame — latest ts, max event_id on ties) and the best forward
+    candidate (``first`` ignorenulls over the following frame —
+    earliest ts, min event_id), then an integer-microsecond comparison
+    picks the closer, ties to backward. The oracle ranks ALL candidate
+    views per purchase with the equivalent total order, proving the
+    two-candidate reduction exact. No range join, no fan-out; the same
+    single exchange as ``join_asof``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast(events.schema["ts"].dataType).alias("view_ts"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("view_event_id"),
+    )
+    ordered = Window.partitionBy("user_id").orderBy(
+        "ts", "side", "view_event_id"
+    )
+    back_w = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd_w = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    both = (
+        views.unionByName(purchases)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "purchase_value",
+            "side",
+            F.last("view_ts", ignorenulls=True).over(back_w).alias("b_ts"),
+            F.last("view_value", ignorenulls=True)
+            .over(back_w)
+            .alias("b_val"),
+            F.first("view_ts", ignorenulls=True).over(fwd_w).alias("f_ts"),
+            F.first("view_value", ignorenulls=True)
+            .over(fwd_w)
+            .alias("f_val"),
+        )
+        .filter(F.col("side") == 1)
+    )
+    b_delta = F.expr("timestampdiff(MICROSECOND, b_ts, ts)")
+    f_delta = F.expr("timestampdiff(MICROSECOND, ts, f_ts)")
+    take_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (b_delta <= f_delta)
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.when(take_back, F.col("b_ts"))
+        .otherwise(F.col("f_ts"))
+        .alias("nearest_view_ts"),
+        F.when(take_back, F.col("b_val"))
+        .otherwise(F.col("f_val"))
+        .alias("nearest_view_value"),
+        F.when(F.col("b_ts").isNull() & F.col("f_ts").isNull(), F.lit(None))
+        .when(take_back, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+    )

@@ -165,6 +165,7 @@ PROBES = [
     "agg_decimal_exact_revenue",  # 128-bit decimal scan agg
     "layout_compaction_roundtrip",  # N-file rewrite, read+write bound
     "curation_dataset_card",      # funnel + doc_id join + bounded agg
+    "join_asof_nearest",          # union-window, two carried candidates
 ]
 
 
