@@ -51,48 +51,48 @@ DRIVER_CHECK_PRIORITY = [
     "geo_point_in_region",
     "curation_corpus_status",
     "sink_merge_upsert",
-    "agg_cms_heavy_hitters",
-    "agg_kmv_distinct",
-    "agg_kmv_union",
-    "curation_adaptive_threshold",
-    "dedup_duplicate_spans",
-    "events_ewma_smooth",
-    "events_mad_outliers",
-    "events_stream_merge_totals",
-    "events_watermark_audit",
-    "graph_triangle_cooccurrence",
-    "join_interval_overlap",
-    "knn_pq_adc",
-    "layout_zorder_bucket",
-    "profile_table_columns",
-    "sample_balanced_labels",
-    "sample_length_batches",
-    "sample_token_budget",
-    "sample_weighted_reservoir",
-    "sink_dynamic_partition_overwrite",
-    "source_binaryfile_ingest",
-    "text_bigram_logprob",
-    "text_quality_classifier",
-    "transform_cdc_apply",
-    "udf_cogroup_views_before_purchase",
-    "agg_decimal_exact_revenue",
-    "agg_kmv_intersection",
-    "curation_dataset_card",
-    "dedup_ngram_containment",
-    "dedup_semdedup_prune",
-    "events_gap_fill",
-    "events_props_variant",
-    "events_stream_interval_join_left",
-    "events_trailing_dau",
-    "join_asof_nearest",
-    "join_lateral_topk",
-    "knn_ivf_pq",
-    "layout_bucketed_join",
-    "layout_compaction_roundtrip",
-    "multimodal_audio_vad_segments",
-    "set_ops",
+    "multimodal_video_temporal_pool",
+    "profile_feature_drift",
+    "profile_join_skew",
+    "sample_group_kfold",
+    "sample_interleave_sources",
+    "sample_negative_candidates",
+    "source_csv_quarantine",
+    "source_python_datasource",
+    "source_xml_roundtrip",
+    "text_bigram_backoff_score",
+    "text_perplexity_buckets",
+    "transform_dense_surrogate_ids",
+    "transform_incremental_agg_merge",
+    "transform_pseudonymize_consistent",
+    "transform_recursive_cte_hierarchy",
+    "transform_table_diff",
+    "udtf_word_chunks",
+    "dedup_exact_distinct",
+    "events_sessionize",
+    "set_ops_multiset",
+    "knn_bruteforce_cosine",
     "sort_limit_topk",
-    "window_range_interval",
+    "window_rank_dense",
+    "agg_distinct",
+    "agg_percentiles",
+    "agg_statistics",
+    "agg_string_concat",
+    "array_functions",
+    "cube_agg",
+    "date_arithmetic",
+    "date_functions",
+    "dedup_keep_first",
+    "exists_late_shipment",
+    "filter_compute",
+    "join_anti",
+    "join_full_outer",
+    "join_left",
+    "join_range_band",
+    "join_semi",
+    "null_handling",
+    "project_columns",
+    "q10_returned_items",
 ]
 
 def _reorder_for_driver() -> None:
