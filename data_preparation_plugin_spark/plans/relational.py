@@ -685,6 +685,49 @@ def exists_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q4_order_priority",
+    category="join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: order-priority checking over one quarter.
+
+    The spec correlates on l_commitdate < l_receiptdate; this schema
+    carries only l_shipdate, so "late" is l_shipdate > o_orderdate + 30d —
+    same plan shape (date-window scan + correlated-EXISTS decorrelated to a
+    left-semi join + tiny group-by). The quarter filter prunes the orders
+    scan before the shuffle; the semi join shuffles only (orderkey,
+    orderdate, priority), never lineitem payload. Completes the q1-q22 set.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            lineitem,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Window functions
 # --------------------------------------------------------------------------

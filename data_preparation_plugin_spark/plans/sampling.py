@@ -945,3 +945,161 @@ def sample_negative_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("usable"),
     )
+
+
+SHUFFLE_SHARDS = 8
+SHUFFLE_SALT = "shuffle"
+
+
+@register(
+    "sample_global_shuffle",
+    category="sampling",
+    oracle=f"""
+    SELECT doc_id,
+           shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard
+               ORDER BY md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)),
+                        doc_id
+           ) AS BIGINT) - 1 AS pos
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % {SHUFFLE_SHARDS} AS shard
+        FROM documents
+    )
+    """,
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into shards with in-shard positions.
+
+    The write-path staple of a pretraining pipeline: before packing or
+    tokenizing, the corpus is shuffled once so adjacent training examples
+    are decorrelated, and the shuffle must be REPRODUCIBLE — same doc,
+    same shard, same position on every run, cluster, and partitioning.
+    Shard = md5 bucket of the key; position = rank of a *differently
+    salted* md5 within the shard, so shard assignment and in-shard order
+    are independent hash streams (no correlation between which shard a
+    doc lands in and where it sits).
+
+    Scale shape: shard assignment is a narrow map; the only exchange is
+    the window partitioned by shard — at 100 TB you raise SHUFFLE_SHARDS
+    to O(output files) (tens of thousands), keeping each in-shard sort an
+    executor-local spillable sort of corpus/shards rows. No global order,
+    no driver involvement; this is exactly how a sharded
+    ``write.partitionBy("shard")`` lays out training files.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sharded = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % SHUFFLE_SHARDS
+        ).alias("shard"),
+    )
+    win = Window.partitionBy("shard").orderBy(
+        F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return sharded.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(win).cast("long") - 1).alias("pos"),
+    )
+
+
+CURRICULUM_PHASES = 4
+CURRICULUM_SHARDS = 4
+CURRICULUM_SALT = "curriculum"
+
+
+@register(
+    "sample_curriculum_order",
+    category="sampling",
+    oracle=f"""
+    WITH hist AS (
+        SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars
+    ), cum AS (
+        SELECT n_chars,
+               CAST(sum(c) OVER (ORDER BY n_chars
+                                 ROWS UNBOUNDED PRECEDING) - c AS BIGINT)
+                   AS below,
+               CAST((SELECT sum(c) FROM hist) AS BIGINT) AS total
+        FROM hist
+    ), phased AS (
+        SELECT n_chars,
+               least({CURRICULUM_PHASES - 1},
+                     ({CURRICULUM_PHASES} * below) // total) AS phase
+        FROM cum
+    )
+    SELECT d.doc_id,
+           p.phase,
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {CURRICULUM_SHARDS} AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY p.phase,
+                   ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % {CURRICULUM_SHARDS}
+               ORDER BY md5('{CURRICULUM_SALT}' || CAST(d.doc_id AS VARCHAR)),
+                        d.doc_id
+           ) AS BIGINT) - 1 AS pos
+    FROM documents d JOIN phased p USING (n_chars)
+    """,
+)
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: difficulty-quartile phases, shuffled within.
+
+    Length-based curriculum (short/easy docs first): phase = which
+    difficulty quartile the document's n_chars value falls in, computed
+    VALUE-level — a histogram over distinct n_chars, a prefix-sum over
+    that histogram, and ``phase = floor(PHASES * rows_below / total)``.
+    All docs sharing a value share a phase (no arbitrary intra-value
+    split), and within each (phase, shard) the order is a salted-md5
+    shuffle so training doesn't see the corpus sorted by length inside a
+    phase.
+
+    Scale shape: the only full-corpus exchanges are keyed on (phase,
+    shard) — bounded fan-in chosen by the operator, each partition an
+    executor-local sort. The quantile machinery touches only the value
+    histogram: cardinality(n_chars) rows, a single tiny window, then a
+    broadcast join back. No ntile over a global window, no driver
+    percentile collect; this is the same prefix-max decomposition the
+    watermark audit uses (plans/events.py) applied to quantile binning.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    cum_win = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = hist.agg(F.sum("c").alias("total"))
+    phased = (
+        hist.withColumn("below", F.sum("c").over(cum_win) - F.col("c"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_chars",
+            F.least(
+                F.lit(CURRICULUM_PHASES - 1),
+                F.floor(CURRICULUM_PHASES * F.col("below") / F.col("total")),
+            ).alias("phase"),
+        )
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % CURRICULUM_SHARDS
+    )
+    win = Window.partitionBy("phase", "shard").orderBy(
+        F.md5(F.concat(F.lit(CURRICULUM_SALT), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.join(F.broadcast(phased), "n_chars")
+        .select("doc_id", "phase", shard.alias("shard"))
+        .select(
+            "doc_id",
+            "phase",
+            "shard",
+            (F.row_number().over(win).cast("long") - 1).alias("pos"),
+        )
+    )
