@@ -2172,3 +2172,72 @@ def agg_decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price).cast("string").alias("sum_price"),
         F.sum(price * (one - disc)).cast("string").alias("revenue"),
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    category="events",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_id, user_id, event_type, ts,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_id END IGNORE NULLS) OVER w
+                   AS touch_event_id,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts END IGNORE NULLS) OVER w
+                   AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts,
+           touch_event_id, touch_type,
+           CAST(date_diff('microseconds', touch_ts, ts) AS BIGINT) AS gap_us
+    FROM ordered
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest prior touch.
+
+    The marketing-analytics primitive: for every conversion (purchase),
+    find the same user's most recent preceding touch event (view or
+    click) and report which it was and how long before the conversion it
+    happened. One conditional ``last(..., ignorenulls)`` over a
+    1-PRECEDING frame does it — no self-join, no per-conversion scan.
+
+    Scale shape: a single exchange on user_id and one sort carries the
+    whole query (the filter to purchases is applied after the window but
+    prunes before anything else happens downstream). Same cost envelope
+    as sessionization at 100 TB; gap is exact integer microseconds via
+    timestampdiff on NTZ values (no tz round trip, no float).
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    touch = F.col("event_type").isin("view", "click")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_touch = F.last(
+        F.when(touch, F.struct("ts", "event_id", "event_type")), ignorenulls=True
+    ).over(w)
+    return (
+        events.withColumn("__touch", last_touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("__touch.event_id").alias("touch_event_id"),
+            F.col("__touch.event_type").alias("touch_type"),
+            F.expr("timestampdiff(MICROSECOND, __touch.ts, ts)")
+            .cast("bigint")
+            .alias("gap_us"),
+        )
+    )

@@ -3049,3 +3049,62 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fwd"))
         .alias("direction"),
     )
+
+
+#: k-anonymity threshold: quasi-identifier groups smaller than this are
+#: suppressed (generalized to the top of their hierarchy) before release.
+K_ANONYMITY = 8
+
+
+@register(
+    "transform_k_anonymize",
+    category="transform",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c.c_custkey,
+           CAST(q.group_size AS BIGINT) AS anonymity_set,
+           CASE WHEN q.group_size >= {K_ANONYMITY}
+                THEN c.c_nationkey ELSE -1 END AS nation_out,
+           CASE WHEN q.group_size >= {K_ANONYMITY}
+                THEN c.c_mktsegment ELSE '*' END AS segment_out,
+           q.group_size < {K_ANONYMITY} AS suppressed
+    FROM customer c
+    JOIN qi q USING (c_nationkey, c_mktsegment)
+    """,
+)
+def transform_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression over a quasi-identifier pair.
+
+    The privacy gate a dataset release runs before publication: any
+    combination of quasi-identifiers (here nation x market segment)
+    shared by fewer than K_ANONYMITY individuals is generalized to the
+    hierarchy top (-1 / '*') so no released row is re-identifiable within
+    a group smaller than k. Complements ``transform_pseudonymize_consistent``
+    (which handles direct identifiers) — together they are the
+    de-identification pass of a curation pipeline.
+
+    Scale shape: the QI histogram's cardinality is the product of the QI
+    domains (bounded by construction — that is what makes a column a
+    quasi-identifier), so it aggregates map-side and broadcasts back; the
+    big table is never shuffled. At 100 TB this is one scan plus a
+    broadcast hash join.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    qi = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    keep = F.col("group_size") >= K_ANONYMITY
+    return (
+        customer.join(F.broadcast(qi), ["c_nationkey", "c_mktsegment"])
+        .select(
+            "c_custkey",
+            F.col("group_size").cast("bigint").alias("anonymity_set"),
+            F.when(keep, F.col("c_nationkey")).otherwise(F.lit(-1)).alias("nation_out"),
+            F.when(keep, F.col("c_mktsegment")).otherwise(F.lit("*")).alias("segment_out"),
+            (~keep).alias("suppressed"),
+        )
+    )
