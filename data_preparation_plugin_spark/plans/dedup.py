@@ -1578,3 +1578,80 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ba.alias("contain_ba_pct"),
         )
     )
+
+
+_LABELPROP_ORACLE = (
+    "WITH pairs AS ("
+    + _minhash_sql(
+        """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        """
+    )
+    + """),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    cnt AS (
+        SELECT src AS doc_id, dst AS nbr_label, count(*) AS votes
+        FROM edges
+        GROUP BY src, dst
+    ),
+    ranked AS (
+        SELECT doc_id, nbr_label, votes,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY votes DESC, nbr_label) AS rn
+        FROM cnt
+    )
+    SELECT doc_id,
+           nbr_label AS new_label,
+           CAST(votes AS BIGINT) AS votes
+    FROM ranked WHERE rn = 1
+    """
+)
+
+
+@register("graph_label_propagation_step", category="dedup", oracle=_LABELPROP_ORACLE)
+def graph_label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous label-propagation round over the near-dup graph.
+
+    Community detection's inner loop (Raghavan et al.'s LPA): every node
+    adopts the most common label among its neighbors, ties broken toward
+    the smallest label so the step is deterministic. From the uniform
+    start (label = own doc_id) one round means "adopt the modal neighbor
+    id" — a full run re-feeds ``new_label`` through the same shape until
+    labels stop changing, checkpointing each round exactly like
+    :func:`connected_components`. Complements the star-contraction CC
+    (which finds *components*) by splitting dense components into
+    *communities*.
+
+    Scale shape: vote counting is one shuffle keyed on (node, label) with
+    map-side combine; the modal pick is a bounded window per node (fan-in
+    = node degree, which LSH banding already caps). No iteration state
+    beyond the label column itself.
+    """
+    from pyspark.sql import Window
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    votes = edges.groupBy(
+        F.col("src").alias("doc_id"), F.col("dst").alias("nbr_label")
+    ).agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("votes").desc(), "nbr_label")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("nbr_label").alias("new_label"),
+                F.col("votes").cast("bigint").alias("votes"))
+    )

@@ -1405,3 +1405,61 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cdot").alias("centroid_dot"),
         F.when(F.col("__dropped").isNull(), 1).otherwise(0).alias("is_kept"),
     )
+
+
+#: Cosine threshold for range (radius) search: ~6% of a random 64-d corpus
+#: falls inside, so results are selective but never empty.
+RADIUS_TAU = 0.2
+
+
+@register(
+    "knn_radius_search",
+    category="similarity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}
+    )
+    SELECT query_id,
+           e.vec_id AS neighbor_id,
+           round(round(list_cosine_similarity(qv, e.v), 6), 4) AS cosine
+    FROM q CROSS JOIN e
+    WHERE e.vec_id <> query_id
+      AND round(list_cosine_similarity(qv, e.v), 6) >= {RADIUS_TAU}
+    """,
+)
+def knn_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search: ALL neighbors within a cosine radius, not a fixed k.
+
+    The retrieval primitive dedup thresholds and recall evaluation need
+    (top-k hides how many near neighbors exist; range search reports
+    them all). The probe set broadcasts, so the scan is one streamed
+    pass over the corpus with a per-row filter — cheaper than top-k
+    (no window at all), and the output is bounded by the radius, which
+    the caller picks for selectivity. The threshold compares the
+    6dp-rounded cosine so the boundary decision is identical in both
+    engines.
+
+    Scale shape: zero shuffles — broadcast nested loop, map-side filter.
+    At 100 TB the corpus side streams partition-parallel; with a large
+    query set the same semantics move onto the LSH buckets
+    (``knn_lsh_cosine``'s candidate join) with this exact scan as the
+    in-bucket verifier.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+        .filter(F.col("cosine6") >= RADIUS_TAU)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine6", 4).alias("cosine"),
+        )
+    )

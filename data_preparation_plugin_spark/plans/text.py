@@ -1543,3 +1543,68 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "avg_logprob", bucket.alias("bucket"))
     )
+
+
+#: Code-detection keyword lexicon (language-agnostic, deliberately small).
+CODE_KEYWORDS = ("def", "return", "import", "if", "else", "for", "while",
+                 "function", "var", "int")
+
+
+@register(
+    "text_code_prose_ratio",
+    category="text",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               text,
+               length(text) AS n_chars,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT)                                AS n_chars,
+           CAST(len(tokens) AS BIGINT)                            AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[{{}}();=<>\[\]#]'))
+                AS BIGINT)                                        AS symbol_count,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_count,
+           CAST(len(list_filter(tokens,
+                t -> t IN {CODE_KEYWORDS!r})) AS BIGINT)          AS keyword_count,
+           (len(regexp_extract_all(text, '[{{}}();=<>\[\]#]')) * 50 > n_chars
+            OR len(list_filter(tokens, t -> t IN {CODE_KEYWORDS!r})) * 10
+               > len(tokens))                                     AS is_code
+    FROM toks
+    """,
+)
+def text_code_prose_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection signals: symbol, digit, and keyword density.
+
+    Corpus routing for code-aware training mixes: documents whose
+    structural-symbol density exceeds 2% of characters or whose tokens
+    are >10% language keywords get flagged ``is_code`` so the pipeline
+    can route them to a code-specific cleaning path (different dedup
+    granularity, no PII scrub of identifiers, etc). The gate compares
+    cross-multiplied INTEGER counts (``symbols * 50 > chars``), never a
+    float ratio — zero FP anywhere, so the oracle hash needs no rounding.
+
+    Scale shape: narrow per-row map over the corpus, all JVM regexp and
+    higher-order array built-ins inside one codegen stage; nothing
+    shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    symbols = F.size(
+        F.regexp_extract_all("text", F.lit(r"[{}();=<>\[\]#]"), F.lit(0))
+    )
+    digits = F.size(F.regexp_extract_all("text", F.lit("[0-9]"), F.lit(0)))
+    keywords = F.size(F.filter(toks, lambda t: t.isin(*CODE_KEYWORDS)))
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        symbols.cast("long").alias("symbol_count"),
+        digits.cast("long").alias("digit_count"),
+        keywords.cast("long").alias("keyword_count"),
+        ((symbols * 50 > n_chars) | (keywords * 10 > n_tokens)).alias("is_code"),
+    )
