@@ -1463,3 +1463,143 @@ def knn_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine6", 4).alias("cosine"),
         )
     )
+
+
+#: MMR diverse re-rank: greedy steps (unrolled in the oracle), candidate
+#: pool per query, relevance/diversity mix.
+MMR_K = 3
+MMR_CAND = 10
+MMR_QUERIES = 5
+MMR_LAMBDA = 0.7
+
+
+@register(
+    "knn_mmr_diverse",
+    category="similarity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {MMR_QUERIES}
+    ), scored AS (
+        SELECT query_id, e.vec_id, e.v,
+               round(list_cosine_similarity(qv, e.v), 6) AS rel6,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(qv, e.v), 6) DESC,
+                            e.vec_id) AS rn
+        FROM q CROSS JOIN e
+        WHERE e.vec_id <> query_id
+    ), cand AS (
+        SELECT query_id, vec_id, v, rel6 FROM scored WHERE rn <= {MMR_CAND}
+    ), s1 AS (
+        SELECT query_id, vec_id, v, {MMR_LAMBDA} * rel6 AS score
+        FROM cand
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rel6 DESC, vec_id) = 1
+    ), m2 AS (
+        SELECT c.query_id, c.vec_id, c.v,
+               {MMR_LAMBDA} * c.rel6
+                 - {1 - MMR_LAMBDA} * round(list_cosine_similarity(c.v, s1.v), 6)
+                 AS score
+        FROM cand c JOIN s1 ON c.query_id = s1.query_id
+        WHERE c.vec_id <> s1.vec_id
+    ), s2 AS (
+        SELECT query_id, vec_id, v, score FROM m2
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) = 1
+    ), m3 AS (
+        SELECT c.query_id, c.vec_id,
+               {MMR_LAMBDA} * c.rel6
+                 - {1 - MMR_LAMBDA} * greatest(
+                       round(list_cosine_similarity(c.v, s1.v), 6),
+                       round(list_cosine_similarity(c.v, s2.v), 6))
+                 AS score
+        FROM cand c
+        JOIN s1 ON c.query_id = s1.query_id
+        JOIN s2 ON c.query_id = s2.query_id
+        WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id
+    ), s3 AS (
+        SELECT query_id, vec_id, score FROM m3
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) = 1
+    )
+    SELECT query_id, 1 AS mmr_rank, vec_id AS selected_id,
+           round(score, 4) AS mmr_score FROM s1
+    UNION ALL
+    SELECT query_id, 2, vec_id, round(score, 4) FROM s2
+    UNION ALL
+    SELECT query_id, 3, vec_id, round(score, 4) FROM s3
+    """,
+)
+def knn_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-k: greedy re-rank trading relevance for diversity.
+
+    Maximal Marginal Relevance (Carbonell & Goldstein 1998): after exact
+    retrieval of a candidate pool, greedily pick k results maximizing
+    ``lambda * rel(q, d) - (1 - lambda) * max_sim(d, already_picked)`` —
+    the retrieval-augmentation staple that stops a RAG context window
+    filling with near-duplicates of one passage. Genuinely sequential
+    per query, so it runs as a grouped-map Pandas UDF over the candidate
+    pool (pool size is the operator's constant, so each group is tiny);
+    the oracle unrolls the same greedy loop as k CTE steps. Both engines
+    score on 6dp-rounded cosines — the same ulp-absorption argument as
+    ``knn_bruteforce_cosine_arrow`` — and break ties toward the smaller
+    vec_id, so selection is deterministic and hash-stable.
+
+    Scale shape: candidate generation is the broadcast nested-loop scan
+    (or any ANN index upstream); the greedy stage touches only
+    queries x MMR_CAND rows grouped by query — embarrassingly parallel
+    across queries, O(k * pool) per group, no shuffle of the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("rel6").desc(), "vec_id")
+    cand = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("rel6", F.round(cosine_similarity("qv", "v"), 6))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= MMR_CAND)
+        .select("query_id", "vec_id", "v", "rel6")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rel6", "vec_id"], ascending=[False, True])
+        ids = pdf["vec_id"].to_numpy()
+        rel = pdf["rel6"].to_numpy()
+        mat = np.array(pdf["v"].tolist())  # (C, D)
+        norms = np.linalg.norm(mat, axis=1)
+        sim = np.round((mat @ mat.T) / np.outer(norms, norms), 6)  # (C, C)
+        picked: list[int] = []
+        out = []
+        for rank in range(1, MMR_K + 1):
+            best_i, best_score = -1, None
+            for i in range(len(ids)):
+                if i in picked:
+                    continue
+                div = max((sim[i, j] for j in picked), default=0.0)
+                score = MMR_LAMBDA * rel[i] - (1 - MMR_LAMBDA) * div
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and ids[i] < ids[best_i])
+                ):
+                    best_i, best_score = i, score
+            picked.append(best_i)
+            out.append((pdf["query_id"].iloc[0], rank, ids[best_i],
+                        np.round(best_score, 4)))
+        return pd.DataFrame(
+            out, columns=["query_id", "mmr_rank", "selected_id", "mmr_score"]
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id long, mmr_rank int, selected_id long, mmr_score double",
+    )
