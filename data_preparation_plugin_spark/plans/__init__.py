@@ -51,9 +51,16 @@ DRIVER_CHECK_PRIORITY = [
     "geo_point_in_region",
     "curation_corpus_status",
     "sink_merge_upsert",
+    "events_attribution_last_touch",
+    "graph_label_propagation_step",
+    "knn_mmr_diverse",
+    "knn_radius_search",
     "multimodal_video_temporal_pool",
     "profile_feature_drift",
     "profile_join_skew",
+    "q4_order_priority",
+    "sample_curriculum_order",
+    "sample_global_shuffle",
     "sample_group_kfold",
     "sample_interleave_sources",
     "sample_negative_candidates",
@@ -61,17 +68,16 @@ DRIVER_CHECK_PRIORITY = [
     "source_python_datasource",
     "source_xml_roundtrip",
     "text_bigram_backoff_score",
+    "text_code_prose_ratio",
     "text_perplexity_buckets",
     "transform_dense_surrogate_ids",
     "transform_incremental_agg_merge",
+    "transform_k_anonymize",
     "transform_pseudonymize_consistent",
     "transform_recursive_cte_hierarchy",
     "transform_table_diff",
     "udtf_word_chunks",
-    "dedup_exact_distinct",
-    "events_sessionize",
     "set_ops_multiset",
-    "knn_bruteforce_cosine",
     "sort_limit_topk",
     "window_rank_dense",
     "agg_distinct",
@@ -82,17 +88,11 @@ DRIVER_CHECK_PRIORITY = [
     "cube_agg",
     "date_arithmetic",
     "date_functions",
+    "dedup_exact_distinct",
     "dedup_keep_first",
     "exists_late_shipment",
     "filter_compute",
     "join_anti",
-    "join_full_outer",
-    "join_left",
-    "join_range_band",
-    "join_semi",
-    "null_handling",
-    "project_columns",
-    "q10_returned_items",
 ]
 
 def _reorder_for_driver() -> None:

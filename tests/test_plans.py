@@ -392,3 +392,45 @@ def test_kmv_intersection_sketch_joins_are_small(spark):
     plan = plan_of(spark, "agg_kmv_intersection")
     assert count(r"SortMergeJoin", plan) <= 1
     assert count(r"BroadcastHashJoin", plan) >= 3
+
+
+def test_k_anonymize_qi_histogram_broadcasts(spark):
+    """The QI histogram is domain-bounded: it must come back as a
+    broadcast hash join, never a shuffle of the released table."""
+    plan = plan_of(spark, "transform_k_anonymize")
+    assert count(r"BroadcastHashJoin", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_radius_search_has_no_shuffle(spark):
+    """Range search is a broadcast nested loop + map-side filter: zero
+    shuffle exchanges anywhere in the plan."""
+    plan = plan_of(spark, "knn_radius_search")
+    assert count(r"Exchange hashpartitioning|Exchange rangepartitioning", plan) == 0
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_global_shuffle_single_exchange_on_shard(spark):
+    """Deterministic shuffle must cost exactly one exchange — keyed on the
+    operator-chosen shard, never a global sort."""
+    plan = plan_of(spark, "sample_global_shuffle")
+    assert count(r"Exchange hashpartitioning\(shard", plan) == 1
+    assert count(r"Exchange rangepartitioning", plan) == 0
+
+
+def test_curriculum_quantiles_never_sort_the_corpus(spark):
+    """Phase binning rides the value histogram: the doc stream joins the
+    phase map by broadcast and is exchanged only on (phase, shard); no
+    global-order window over the corpus."""
+    plan = plan_of(spark, "sample_curriculum_order")
+    assert count(r"BroadcastHashJoin", plan) >= 1
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"Exchange rangepartitioning", plan) == 0
+
+
+def test_attribution_single_user_exchange(spark):
+    """Last-touch attribution is one window: exactly one hash exchange,
+    keyed on user_id."""
+    plan = plan_of(spark, "events_attribution_last_touch")
+    assert count(r"Exchange hashpartitioning\(user_id", plan) == 1
+    assert count(r"Exchange", plan) <= 2  # + AQE output coalesce at most

@@ -761,3 +761,217 @@ def test_gap_fill_grid_is_dense_and_filled(spark):
             assert b.hour_ts - a.hour_ts == timedelta(hours=1), uid
         assert sum(r.n_events for r in rs) == truth[uid]
         assert all(r.filled_value is not None for r in rs)
+
+
+def test_global_shuffle_is_a_sharded_permutation(spark):
+    """Every doc appears exactly once, per-shard positions are dense
+    0..n-1, and the assignment is stable across rebuilds."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["sample_global_shuffle"].builder(spark, sf).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    again = {(r.doc_id): (r.shard, r.pos)
+             for r in QUERIES["sample_global_shuffle"].builder(spark, sf).collect()}
+    assert {r.doc_id: (r.shard, r.pos) for r in rows} == again
+
+
+def test_curriculum_phases_are_monotone_in_difficulty(spark):
+    """Value-level quartile binning: every doc in a lower phase is no
+    longer (n_chars) than any doc in a higher phase, positions are dense
+    per (phase, shard), and all docs are covered."""
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["sample_curriculum_order"].builder(spark, sf).collect()
+    docs = {
+        r.doc_id: r.n_chars
+        for r in registry.load_table(spark, sf, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == set(docs)
+    bounds = {}
+    for r in rows:
+        lo, hi = bounds.get(r.phase, (1 << 60, -1))
+        v = docs[r.doc_id]
+        bounds[r.phase] = (min(lo, v), max(hi, v))
+    phases = sorted(bounds)
+    for a, b in zip(phases, phases[1:]):
+        assert bounds[a][1] <= bounds[b][0], (bounds, a, b)
+    per_bucket = {}
+    for r in rows:
+        per_bucket.setdefault((r.phase, r.shard), []).append(r.pos)
+    for key, poss in per_bucket.items():
+        assert sorted(poss) == list(range(len(poss))), key
+
+
+def test_attribution_matches_sequential_replay(spark):
+    """Replaying each user's event stream in order reproduces every
+    purchase's attributed touch (and its gap) exactly."""
+    from collections import defaultdict
+
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_id: (r.touch_event_id, r.touch_type, r.gap_us)
+        for r in QUERIES["events_attribution_last_touch"]
+        .builder(spark, sf)
+        .collect()
+    }
+    events = defaultdict(list)
+    for r in (
+        registry.load_table(spark, sf, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .collect()
+    ):
+        events[r.user_id].append(r)
+    expected = {}
+    for stream in events.values():
+        stream.sort(key=lambda r: (r.ts, r.event_id))
+        last = None
+        for r in stream:
+            if r.event_type == "purchase":
+                if last is None:
+                    expected[r.event_id] = (None, None, None)
+                else:
+                    gap = int(
+                        (r.ts - last.ts).total_seconds() * 1_000_000 + 0.5
+                    )
+                    expected[r.event_id] = (last.event_id, last.event_type, gap)
+            elif r.event_type in ("view", "click"):
+                last = r
+    assert got == expected
+
+
+def test_k_anonymize_releases_no_small_group(spark):
+    """After suppression, every released quasi-identifier combination is
+    shared by >= k rows, and anonymity_set reports true group sizes."""
+    from collections import Counter
+
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.relational import K_ANONYMITY
+
+    rows = QUERIES["transform_k_anonymize"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    released = Counter(
+        (r.nation_out, r.segment_out) for r in rows if not r.suppressed
+    )
+    for qi, n in released.items():
+        assert qi[0] != -1 and qi[1] != "*"
+        assert n >= K_ANONYMITY, (qi, n)
+        assert all(
+            r.anonymity_set == n
+            for r in rows
+            if (r.nation_out, r.segment_out) == qi
+        )
+    for r in rows:
+        if r.suppressed:
+            assert (r.nation_out, r.segment_out) == (-1, "*")
+            assert r.anonymity_set < K_ANONYMITY
+
+
+def test_label_propagation_adopts_a_real_neighbor(spark):
+    """Each node appears once, adopts an actual neighbor's id (never its
+    own — the LSH pair generator emits no self-loops), and the vote count
+    never exceeds its degree."""
+    from collections import Counter, defaultdict
+
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.dedup import (
+        dedup_minhash_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["graph_label_propagation_step"].builder(spark, sf).collect()
+    nbrs = defaultdict(Counter)
+    for p in dedup_minhash_lsh_pairs(spark, sf).collect():
+        nbrs[p.doc_a][p.doc_b] += 1
+        nbrs[p.doc_b][p.doc_a] += 1
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for r in rows:
+        assert r.new_label in nbrs[r.doc_id]
+        assert r.new_label != r.doc_id
+        best = max(nbrs[r.doc_id].values())
+        assert r.votes == best == nbrs[r.doc_id][r.new_label]
+
+
+def test_radius_search_agrees_with_numpy(spark):
+    """Brute-force numpy recompute at sf0.001: identical (query, neighbor)
+    sets at the 6dp-rounded threshold."""
+    import numpy as np
+
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+    from data_preparation_plugin_spark.plans.similarity import (
+        N_QUERY_VECS,
+        RADIUS_TAU,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["knn_radius_search"].builder(spark, sf).collect()
+    }
+    emb = (
+        registry.load_table(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb])
+    mat = np.array([r.embedding for r in emb], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+    expected = {
+        (int(ids[qi]), int(ids[j]))
+        for qi in range(len(ids))
+        if ids[qi] < N_QUERY_VECS
+        for j in range(len(ids))
+        if ids[j] != ids[qi] and cos[qi, j] >= RADIUS_TAU
+    }
+    assert got == expected
+
+
+def test_mmr_picks_are_distinct_and_scores_non_increasing(spark):
+    """Per query: rank 1 is the single most relevant candidate, picks are
+    distinct, and greedy scores never increase with rank."""
+    from collections import defaultdict
+
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    mmr = defaultdict(dict)
+    for r in QUERIES["knn_mmr_diverse"].builder(spark, sf).collect():
+        mmr[r.query_id][r.mmr_rank] = r
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in QUERIES["knn_bruteforce_cosine"].builder(spark, sf).collect()
+        if r.rn == 1
+    }
+    for qid, picks in mmr.items():
+        assert sorted(picks) == [1, 2, 3]
+        assert len({p.selected_id for p in picks.values()}) == 3
+        assert picks[1].selected_id == top1[qid]
+        assert picks[1].mmr_score >= picks[2].mmr_score >= picks[3].mmr_score
+
+
+def test_code_prose_gate_is_pure_integer_arithmetic(spark):
+    """Recompute the is_code gate from the emitted integer counts —
+    cross-multiplied comparisons, no float ratio anywhere."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    rows = QUERIES["text_code_prose_ratio"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for r in rows:
+        assert 0 <= r.symbol_count <= r.n_chars
+        assert 0 <= r.keyword_count <= r.n_tokens
+        assert r.is_code == (
+            r.symbol_count * 50 > r.n_chars or r.keyword_count * 10 > r.n_tokens
+        )
