@@ -51,6 +51,7 @@ DRIVER_CHECK_PRIORITY = [
     "geo_point_in_region",
     "curation_corpus_status",
     "sink_merge_upsert",
+    "dedup_incremental_new_docs",
     "events_attribution_last_touch",
     "graph_label_propagation_step",
     "knn_mmr_diverse",
@@ -92,7 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "dedup_keep_first",
     "exists_late_shipment",
     "filter_compute",
-    "join_anti",
 ]
 
 def _reorder_for_driver() -> None:

@@ -1655,3 +1655,56 @@ def graph_label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("nbr_label").alias("new_label"),
                 F.col("votes").cast("bigint").alias("votes"))
     )
+
+
+#: Incremental-ingest split: every Nth doc plays the "new snapshot", the
+#: rest the already-ingested index.
+INCREMENTAL_MOD = 5
+
+
+@register(
+    "dedup_incremental_new_docs",
+    category="dedup",
+    oracle=f"""
+    WITH idx AS (
+        SELECT DISTINCT md5(text) AS fp
+        FROM documents WHERE doc_id % {INCREMENTAL_MOD} <> 0
+    ), new AS (
+        SELECT doc_id, md5(text) AS fp, source
+        FROM documents WHERE doc_id % {INCREMENTAL_MOD} = 0
+    )
+    SELECT n.doc_id, n.source, n.fp,
+           i.fp IS NULL AS is_novel
+    FROM new n LEFT JOIN idx i ON n.fp = i.fp
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: new snapshot vs the existing corpus index.
+
+    The steady-state shape of a production ingest (CommonCrawl monthly
+    drops): the full corpus was deduplicated long ago; each new snapshot
+    only needs its documents checked against the *fingerprint index* of
+    everything already kept. Emits every new doc with an ``is_novel``
+    verdict (left join, not anti-join, so the pipeline can also count and
+    attribute the drops — the curation ledger needs both sides).
+
+    Scale shape: both sides project to (id, 16-byte digest) before the
+    join — payload text never shuffles. The index side is DISTINCT
+    digests (map-side partial), the join an equi-join on the digest; at
+    100 TB the index lives as a bucketed table on fp so each monthly
+    snapshot joins with zero index re-shuffle, and the novel rows append
+    back into the same bucketing.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    idx = (
+        docs.filter(F.col("doc_id") % INCREMENTAL_MOD != 0)
+        .select("fp")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    new = docs.filter(F.col("doc_id") % INCREMENTAL_MOD == 0)
+    return new.join(idx, "fp", "left").select(
+        "doc_id", "source", "fp", F.col("__hit").isNull().alias("is_novel")
+    )

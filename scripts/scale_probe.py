@@ -166,6 +166,16 @@ PROBES = [
     "layout_compaction_roundtrip",  # N-file rewrite, read+write bound
     "curation_dataset_card",      # funnel + doc_id join + bounded agg
     "join_asof_nearest",          # union-window, two carried candidates
+    "q4_order_priority",          # date-pruned scan + left-semi + tiny agg
+    "sample_global_shuffle",      # salted-md5 shard window, one exchange
+    "sample_curriculum_order",    # value-histogram quantiles + broadcast
+    "events_attribution_last_touch",  # conditional last over user window
+    "transform_k_anonymize",      # bounded QI histogram broadcast
+    "graph_label_propagation_step",   # vote shuffle + bounded modal window
+    "knn_radius_search",          # broadcast nested loop, zero shuffle
+    "knn_mmr_diverse",            # pool top-k + per-query greedy UDF
+    "text_code_prose_ratio",      # pure map, regexp + HOF counts
+    "dedup_incremental_new_docs", # digest-only snapshot-vs-index join
 ]
 
 

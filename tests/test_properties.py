@@ -975,3 +975,21 @@ def test_code_prose_gate_is_pure_integer_arithmetic(spark):
         assert r.is_code == (
             r.symbol_count * 50 > r.n_chars or r.keyword_count * 10 > r.n_tokens
         )
+
+
+def test_incremental_dedup_flags_exactly_the_unseen(spark):
+    """A new-snapshot doc is novel iff its text appears nowhere in the
+    index split — recomputed from the raw table."""
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+    from data_preparation_plugin_spark.plans.dedup import INCREMENTAL_MOD
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["dedup_incremental_new_docs"].builder(spark, sf).collect()
+    docs = registry.load_table(spark, sf, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    index_texts = {r.text for r in docs if r.doc_id % INCREMENTAL_MOD != 0}
+    new_docs = {r.doc_id: r.text for r in docs if r.doc_id % INCREMENTAL_MOD == 0}
+    assert {r.doc_id for r in rows} == set(new_docs)
+    for r in rows:
+        assert r.is_novel == (new_docs[r.doc_id] not in index_texts)
