@@ -67,6 +67,7 @@ DRIVER_CHECK_PRIORITY = [
     "sample_negative_candidates",
     "source_csv_quarantine",
     "source_python_datasource",
+    "source_python_datasource_stream",
     "source_xml_roundtrip",
     "text_bigram_backoff_score",
     "text_code_prose_ratio",
@@ -92,7 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "dedup_exact_distinct",
     "dedup_keep_first",
     "exists_late_shipment",
-    "filter_compute",
 ]
 
 def _reorder_for_driver() -> None:

@@ -1003,3 +1003,102 @@ def layout_compaction_roundtrip(
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+_PYDSS_SENSORS = 4
+_PYDSS_BATCHES = 3
+_PYDSS_PER_BATCH = 5
+
+
+@register(
+    "source_python_datasource_stream",
+    category="streaming",
+    oracle=f"""
+    WITH readings AS (
+        SELECT s.sensor, b.batch, i.i,
+               (s.sensor * 31 + b.batch * 13 + i.i * 7) % 1000 AS value
+        FROM (SELECT unnest(range(0, {_PYDSS_SENSORS})) AS sensor) s
+        CROSS JOIN (SELECT unnest(range(0, {_PYDSS_BATCHES})) AS batch) b
+        CROSS JOIN (SELECT unnest(range(0, {_PYDSS_PER_BATCH})) AS i) i
+    )
+    SELECT sensor,
+           count(*)                         AS n_rows,
+           CAST(count(DISTINCT batch) AS BIGINT) AS n_batches,
+           CAST(sum(value) AS BIGINT)       AS total,
+           CAST(min(value) AS BIGINT)       AS lo,
+           CAST(max(value) AS BIGINT)       AS hi
+    FROM readings GROUP BY sensor
+    """,
+)
+def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING data source (Spark 4), offset-tracked replay.
+
+    The streaming twin of ``source_python_datasource``: a
+    ``DataSourceStreamReader`` with real offset bookkeeping —
+    ``initialOffset`` / ``latestOffset`` / ``partitions(start, end)`` —
+    planning one InputPartition per (sensor, micro-batch offset), exactly
+    how a Kafka/Kinesis shard reader divides work. The deterministic feed
+    (a pure function of sensor, batch, index) replays under
+    ``availableNow`` into a memory sink; every emitted row carries its
+    batch offset, so the oracle recomputes the whole stream in SQL and
+    the n_batches column proves multi-offset delivery, not one lump.
+
+    Scale shape: partitions-per-offset-range is the API's parallelism
+    contract — N sensors x uncommitted offsets fan out as independent
+    tasks; the post-replay aggregate is a bounded-key groupBy. A real
+    deployment points ``read()`` at its shard iterator and keeps the
+    offset algebra unchanged.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    from data_preparation_plugin_spark.streaming.events import run_to_memory
+
+    n_batches, per_batch = _PYDSS_BATCHES, _PYDSS_PER_BATCH
+
+    class SensorStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dpp_sensor_stream"
+
+        def schema(self) -> str:
+            return "sensor int, batch int, idx int, value long"
+
+        def streamReader(self, schema):
+            class SensorStreamReader(DataSourceStreamReader):
+                def initialOffset(self):
+                    return {"batch": 0}
+
+                def latestOffset(self):
+                    return {"batch": n_batches}
+
+                def partitions(self, start, end):
+                    return [
+                        InputPartition((s, b))
+                        for s in range(_PYDSS_SENSORS)
+                        for b in range(start["batch"], end["batch"])
+                    ]
+
+                def read(self, partition):
+                    s, b = partition.value
+                    for i in range(per_batch):
+                        yield (s, b, i, (s * 31 + b * 13 + i * 7) % 1000)
+
+                def commit(self, end):
+                    pass
+
+            return SensorStreamReader()
+
+    spark.dataSource.register(SensorStreamSource)
+    feed = spark.readStream.format("dpp_sensor_stream").load()
+    rows = run_to_memory(feed, "pydss_rows", spark, output_mode="append")
+    return rows.groupBy("sensor").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("batch").cast("long").alias("n_batches"),
+        F.sum("value").cast("long").alias("total"),
+        F.min("value").cast("long").alias("lo"),
+        F.max("value").cast("long").alias("hi"),
+    )
