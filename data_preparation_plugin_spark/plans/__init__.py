@@ -51,8 +51,10 @@ DRIVER_CHECK_PRIORITY = [
     "geo_point_in_region",
     "curation_corpus_status",
     "sink_merge_upsert",
+    "curation_threshold_sweep",
     "dedup_incremental_new_docs",
     "events_attribution_last_touch",
+    "geo_nearest_centroid",
     "graph_label_propagation_step",
     "knn_mmr_diverse",
     "knn_radius_search",
@@ -75,6 +77,7 @@ DRIVER_CHECK_PRIORITY = [
     "transform_dense_surrogate_ids",
     "transform_incremental_agg_merge",
     "transform_k_anonymize",
+    "transform_l_diversity",
     "transform_pseudonymize_consistent",
     "transform_recursive_cte_hierarchy",
     "transform_table_diff",
@@ -90,9 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "cube_agg",
     "date_arithmetic",
     "date_functions",
-    "dedup_exact_distinct",
-    "dedup_keep_first",
-    "exists_late_shipment",
 ]
 
 def _reorder_for_driver() -> None:

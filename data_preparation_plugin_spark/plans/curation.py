@@ -325,3 +325,72 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_bp"),
         )
     )
+
+
+#: Stopword-ratio gate sweep grid, in per-mille (integer cross-multiply).
+SWEEP_THRESHOLDS = (0, 50, 100, 150, 200)
+
+
+@register(
+    "curation_threshold_sweep",
+    category="curation",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               t -> t IN ('the', 'a', 'of', 'and'))) AS stop
+        FROM documents
+    )
+    SELECT lang,
+           t.threshold,
+           CAST(sum(CASE WHEN stop * 1000 >= t.threshold * n_tokens
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(sum(CASE WHEN stop * 1000 >= t.threshold * n_tokens
+                         THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM scored
+    CROSS JOIN (SELECT unnest({list(SWEEP_THRESHOLDS)}) AS threshold) t
+    GROUP BY lang, t.threshold
+    """,
+)
+def curation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-calibration sweep: kept docs/tokens at each candidate threshold.
+
+    Before a curation gate ships, its threshold is chosen from exactly
+    this table — how many documents and training tokens survive at each
+    candidate cutoff, per language (the 'what does tightening the
+    stopword gate to 15% cost us in French' question). One scan computes
+    the integer signals; a broadcast grid of thresholds fans each doc
+    into |grid| verdicts; the aggregate is bounded-key (lang x grid).
+    The gate itself is the cross-multiplied integer comparison
+    ``stop * 1000 >= threshold * n_tokens`` — no float ratio, so the
+    sweep is exact in both engines.
+
+    Scale shape: |grid| is an operator constant, so the fan-out is a
+    bounded explode (same lever as ``events_trailing_dau``); no shuffle
+    carries text, and the final exchange has lang x |grid| keys. At
+    100 TB this is one scan regardless of how many thresholds are swept.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    scored = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+        ).alias("stop"),
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS], ["threshold"]
+    )
+    kept = F.col("stop") * 1000 >= F.col("threshold") * F.col("n_tokens")
+    return (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("lang", "threshold")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("docs_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )

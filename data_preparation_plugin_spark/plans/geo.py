@@ -196,3 +196,74 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         "y",
     )
+
+
+@register(
+    "geo_nearest_centroid",
+    category="geo",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey % 360) - 180
+                   + ((c_custkey * 7919) % 1000) / 1000.0  AS x,
+               ((c_custkey * 31) % 180) - 90
+                   + ((c_custkey * 104729) % 1000) / 1000.0 AS y
+        FROM customer
+    ), centers AS (
+        SELECT n_nationkey,
+               n_nationkey * 14.0 - 173.25 AS cx,
+               n_nationkey * 7.0 - 86.75   AS cy
+        FROM nation
+    ), scored AS (
+        SELECT p.c_custkey,
+               c.n_nationkey,
+               (p.x - c.cx) * (p.x - c.cx)
+             + (p.y - c.cy) * (p.y - c.cy) AS dist2,
+               row_number() OVER (
+                   PARTITION BY p.c_custkey
+                   ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                          + (p.y - c.cy) * (p.y - c.cy),
+                            c.n_nationkey) AS rn
+        FROM pts p CROSS JOIN centers c
+    )
+    SELECT c_custkey, n_nationkey AS nearest_nation, dist2
+    FROM scored WHERE rn = 1
+    """,
+)
+def geo_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment: reverse-geocode each point to a seat.
+
+    The spatial-kNN shape (assign every point to its closest city/region
+    seat): the seat list is dimension-sized, so it rides a broadcast
+    nested loop and the argmin is an aggregate ``min`` over a
+    (distance, key) struct — lexicographic struct ordering gives the
+    deterministic smallest-key tiebreak, and partial aggregation
+    collapses the |seats| candidates per point MAP-SIDE, so the one
+    exchange carries a single row per point. Distances are exact IEEE
+    doubles (integer-derived coordinates), no rounding needed.
+
+    Scale shape: broadcast + map-side argmin — the same plan at any
+    corpus size while the seat list stays dimension-sized; for
+    million-seat lists this upgrades to the grid-blocked join
+    (``functions/geo.py``) with per-cell argmin.
+    """
+    pts = _points(spark, sf_dir)
+    centers = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 14.0 - 173.25).alias("cx"),
+        (F.col("n_nationkey") * 7.0 - 86.75).alias("cy"),
+    )
+    dist2 = (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")) + (
+        F.col("y") - F.col("cy")
+    ) * (F.col("y") - F.col("cy"))
+    return (
+        pts.crossJoin(F.broadcast(centers))
+        .select("c_custkey", F.struct(dist2.alias("d"), F.col("n_nationkey").alias("k")).alias("cand"))
+        .groupBy("c_custkey")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            "c_custkey",
+            F.col("best.k").alias("nearest_nation"),
+            F.col("best.d").alias("dist2"),
+        )
+    )

@@ -3108,3 +3108,75 @@ def transform_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~keep).alias("suppressed"),
         )
     )
+
+
+#: l-diversity threshold: released QI groups must carry at least this many
+#: distinct sensitive values.
+L_DIVERSITY = 3
+#: Account-balance band width for the l-diversity quasi-identifier.
+L_DIV_BAND = 2000
+
+
+@register(
+    "transform_l_diversity",
+    category="transform",
+    oracle=f"""
+    WITH banded AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / {L_DIV_BAND}) AS INT) AS bal_band
+        FROM customer
+    ), qi AS (
+        SELECT c_nationkey, bal_band,
+               count(*) AS group_size,
+               count(DISTINCT c_mktsegment) AS l_distinct
+        FROM banded GROUP BY c_nationkey, bal_band
+    )
+    SELECT b.c_custkey,
+           CAST(q.group_size AS BIGINT) AS group_size,
+           CAST(q.l_distinct AS BIGINT) AS l_distinct,
+           CASE WHEN q.l_distinct >= {L_DIVERSITY}
+                THEN b.c_nationkey ELSE -1 END AS nation_out,
+           CASE WHEN q.l_distinct >= {L_DIVERSITY}
+                THEN b.bal_band ELSE -1 END AS band_out,
+           q.l_distinct < {L_DIVERSITY} AS suppressed
+    FROM banded b JOIN qi q USING (c_nationkey, bal_band)
+    """,
+)
+def transform_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity check: released QI groups need diverse sensitive values.
+
+    The attack k-anonymity misses: a group can be large yet homogeneous —
+    if all 20 people in a (nation, balance-band) cell share one market
+    segment, membership alone discloses the sensitive attribute. This
+    pass counts distinct sensitive values per QI group and suppresses
+    groups below the l threshold, completing the de-identification trio
+    (``transform_pseudonymize_consistent`` for direct identifiers,
+    ``transform_k_anonymize`` for group size, this for group diversity).
+
+    Scale shape: identical to k-anonymize — the QI histogram (bounded
+    domains by construction) aggregates with a distinct-count map-side
+    partial and broadcasts back; the released table never shuffles.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    banded = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / L_DIV_BAND).cast("int").alias("bal_band"),
+    )
+    qi = banded.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct("c_mktsegment").alias("l_distinct"),
+    )
+    keep = F.col("l_distinct") >= L_DIVERSITY
+    return (
+        banded.join(F.broadcast(qi), ["c_nationkey", "bal_band"])
+        .select(
+            "c_custkey",
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("l_distinct").cast("long").alias("l_distinct"),
+            F.when(keep, F.col("c_nationkey")).otherwise(-1).alias("nation_out"),
+            F.when(keep, F.col("bal_band")).otherwise(-1).alias("band_out"),
+            (~keep).alias("suppressed"),
+        )
+    )

@@ -176,6 +176,9 @@ PROBES = [
     "knn_mmr_diverse",            # pool top-k + per-query greedy UDF
     "text_code_prose_ratio",      # pure map, regexp + HOF counts
     "dedup_incremental_new_docs", # digest-only snapshot-vs-index join
+    "curation_threshold_sweep",   # bounded threshold explode + small agg
+    "transform_l_diversity",      # distinct-count QI histogram broadcast
+    "geo_nearest_centroid",       # broadcast seats, map-side argmin
 ]
 
 

@@ -434,3 +434,27 @@ def test_attribution_single_user_exchange(spark):
     plan = plan_of(spark, "events_attribution_last_touch")
     assert count(r"Exchange hashpartitioning\(user_id", plan) == 1
     assert count(r"Exchange", plan) <= 2  # + AQE output coalesce at most
+
+
+def test_l_diversity_histogram_broadcasts(spark):
+    """Same contract as k-anonymize: distinct-count QI histogram comes
+    back broadcast; the released table never sort-merge joins."""
+    plan = plan_of(spark, "transform_l_diversity")
+    assert count(r"BroadcastHashJoin", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_threshold_sweep_bounded_explode(spark):
+    """The sweep grid joins broadcast-nested-loop (scalar side); the only
+    hash exchange is the bounded (lang, threshold) aggregate."""
+    plan = plan_of(spark, "curation_threshold_sweep")
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"Exchange hashpartitioning\(lang", plan) == 1
+
+
+def test_nearest_centroid_argmin_is_map_side(spark):
+    """The seat list broadcasts and partial aggregation collapses the
+    candidate fan-out before the exchange — no window, no sort."""
+    plan = plan_of(spark, "geo_nearest_centroid")
+    assert count(r"SortMergeJoin|Window", plan) == 0
+    assert count(r"partial_min", plan) >= 1

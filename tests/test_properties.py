@@ -993,3 +993,100 @@ def test_incremental_dedup_flags_exactly_the_unseen(spark):
     assert {r.doc_id for r in rows} == set(new_docs)
     for r in rows:
         assert r.is_novel == (new_docs[r.doc_id] not in index_texts)
+
+
+def test_threshold_sweep_is_monotone_in_threshold(spark):
+    """Tightening the gate can only shrink what's kept; threshold 0 keeps
+    everything (counts match the raw language histogram)."""
+    from collections import Counter, defaultdict
+
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["curation_threshold_sweep"].builder(spark, sf).collect()
+    by_lang = defaultdict(dict)
+    for r in rows:
+        by_lang[r.lang][r.threshold] = (r.docs_kept, r.tokens_kept)
+    lang_counts = Counter(
+        r.lang
+        for r in registry.load_table(spark, sf, "documents")
+        .select("lang")
+        .collect()
+    )
+    for lang, series in by_lang.items():
+        ts = sorted(series)
+        assert series[0][0] == lang_counts[lang]
+        for a, b in zip(ts, ts[1:]):
+            assert series[a][0] >= series[b][0], (lang, a, b)
+            assert series[a][1] >= series[b][1], (lang, a, b)
+
+
+def test_l_diversity_released_groups_are_diverse(spark):
+    """Released groups carry >= l distinct sensitive values, recomputed
+    from the raw table; suppressed groups are fully generalized."""
+    from collections import defaultdict
+
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+    from data_preparation_plugin_spark.plans.relational import (
+        L_DIV_BAND,
+        L_DIVERSITY,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["transform_l_diversity"].builder(spark, sf).collect()
+    import math
+
+    segs = defaultdict(set)
+    cust = registry.load_table(spark, sf, "customer").collect()
+    for c in cust:
+        band = math.floor(c.c_acctbal / L_DIV_BAND)
+        segs[(c.c_nationkey, band)].add(c.c_mktsegment)
+    by_key = {c.c_custkey: c for c in cust}
+    for r in rows:
+        c = by_key[r.c_custkey]
+        true_l = len(segs[(c.c_nationkey, math.floor(c.c_acctbal / L_DIV_BAND))])
+        assert r.l_distinct == true_l
+        if r.suppressed:
+            assert true_l < L_DIVERSITY
+            assert (r.nation_out, r.band_out) == (-1, -1)
+        else:
+            assert true_l >= L_DIVERSITY
+            assert r.nation_out == c.c_nationkey
+
+
+def test_nearest_centroid_beats_every_other_seat(spark):
+    """For each point, no other nation center is strictly closer (and
+    ties resolve to the smaller key)."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["geo_nearest_centroid"].builder(spark, sf).collect()
+    centers = {n: (n * 14.0 - 173.25, n * 7.0 - 86.75) for n in range(25)}
+    for r in rows:
+        k = r.c_custkey
+        x = (k % 360) - 180 + ((k * 7919) % 1000) / 1000.0
+        y = ((k * 31) % 180) - 90 + ((k * 104729) % 1000) / 1000.0
+        best = min(
+            ((x - cx) ** 2 + (y - cy) ** 2, n) for n, (cx, cy) in centers.items()
+        )
+        assert (r.dist2, r.nearest_nation) == best
+
+
+def test_streaming_datasource_delivers_every_offset(spark):
+    """The Python streaming source must deliver all batches exactly once:
+    per-sensor row count is batches x per-batch and n_batches is the
+    full offset range."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.ingest import (
+        _PYDSS_BATCHES,
+        _PYDSS_PER_BATCH,
+        _PYDSS_SENSORS,
+    )
+
+    rows = QUERIES["source_python_datasource_stream"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == _PYDSS_SENSORS
+    for r in rows:
+        assert r.n_rows == _PYDSS_BATCHES * _PYDSS_PER_BATCH
+        assert r.n_batches == _PYDSS_BATCHES
