@@ -51,6 +51,7 @@ DRIVER_CHECK_PRIORITY = [
     "geo_point_in_region",
     "curation_corpus_status",
     "sink_merge_upsert",
+    "agg_bitmap_distinct",
     "curation_threshold_sweep",
     "dedup_incremental_new_docs",
     "events_attribution_last_touch",
@@ -92,7 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "array_functions",
     "cube_agg",
     "date_arithmetic",
-    "date_functions",
 ]
 
 def _reorder_for_driver() -> None:

@@ -2241,3 +2241,45 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("gap_us"),
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    category="aggregate",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CAST(ceil(user_id / 32768.0) AS BIGINT))
+                AS BIGINT) AS n_buckets
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct count via Spark's bitmap aggregates.
+
+    The third point on the distinct-count design space the registry
+    already maps: ``agg_distinct`` (exact, but distinct state = the key
+    set itself), ``agg_hll_sketch`` (mergeable but approximate), and now
+    bitmap aggregation — EXACT and mergeable. Keys bucket into 32768-bit
+    bitmaps (``bitmap_bucket_number`` / ``bitmap_bit_position``), each
+    bucket ORs map-side into 4 KB of state, and the count is a sum of
+    popcounts. This is the pattern warehouse rollup tables use for exact
+    distinct users per (dim, day) that still merge across days.
+
+    Scale shape: the first aggregate keys on (group, bucket) — dense
+    integer domains compress the exchange to |groups| x |id-range/32768|
+    4 KB rows regardless of row count; the second is bounded-key. No
+    row-level distinct state anywhere, unlike exact count(DISTINCT) whose
+    Expand doubles the shuffle. The popcount-per-bucket sum is exact, so
+    the oracle is plain COUNT(DISTINCT).
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_bucket = events.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
