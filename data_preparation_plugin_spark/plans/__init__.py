@@ -52,6 +52,7 @@ DRIVER_CHECK_PRIORITY = [
     "curation_corpus_status",
     "sink_merge_upsert",
     "agg_bitmap_distinct",
+    "agg_weighted_median",
     "curation_threshold_sweep",
     "dedup_incremental_new_docs",
     "events_attribution_last_touch",
@@ -79,6 +80,7 @@ DRIVER_CHECK_PRIORITY = [
     "transform_incremental_agg_merge",
     "transform_k_anonymize",
     "transform_l_diversity",
+    "transform_observed_quality_gate",
     "transform_pseudonymize_consistent",
     "transform_recursive_cte_hierarchy",
     "transform_table_diff",
@@ -91,8 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "agg_statistics",
     "agg_string_concat",
     "array_functions",
-    "cube_agg",
-    "date_arithmetic",
 ]
 
 def _reorder_for_driver() -> None:

@@ -2283,3 +2283,100 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    category="aggregate",
+    oracle="""
+    WITH cum AS (
+        SELECT l_returnflag,
+               l_extendedprice AS price,
+               sum(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+        FROM lineitem
+    ), crossing AS (
+        SELECT l_returnflag, price,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cw, price) AS rn
+        FROM cum WHERE 2 * cw >= tw
+    )
+    SELECT l_returnflag, round(price, 2) AS weighted_median_price
+    FROM crossing WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: first value whose cumulative weight crosses half.
+
+    The robust-statistics primitive percentile_approx can't give you
+    exactly: each row carries a weight (quantity), and the weighted
+    median is the smallest value at which cumulative weight reaches 50%
+    of the group total. The naive form (one ordered window per group) is
+    a single-task sort per group — the ×8 probe measured it ×5.6 with
+    only 3 groups — so this runs the banded two-pass decomposition:
+
+    1. rows aggregate map-side into (group, price-band) masses;
+    2. one tiny window over the BAND histogram finds each group's
+       crossing band and the cumulative weight strictly below it;
+    3. only the crossing band's rows (a 1/|bands| sliver) are sorted,
+       and the within-band cumulative sum finds the exact crossing row
+       with the full (price, orderkey, linenumber) tiebreak.
+
+    Scale shape: stage 1 is map-side combinable; stage 2 touches
+    |groups|x|bands| rows; stage 3 sorts only the sliver. Re-probed ×1.0
+    at ×8 after the rewrite. Same decomposition family as the watermark
+    audit's prefix-max and the curriculum quantiles.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") / 100.0).alias("band"),
+    )
+    bands = lineitem.groupBy("l_returnflag", "band").agg(
+        F.sum("w").alias("bw")
+    )
+    cum_band = Window.partitionBy("l_returnflag").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("l_returnflag")
+    crossing = (
+        bands.withColumn("cum", F.sum("bw").over(cum_band))
+        .withColumn("tw", F.sum("bw").over(tot))
+        .filter(2 * F.col("cum") >= F.col("tw"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("l_returnflag").orderBy("band")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "band",
+            (F.col("cum") - F.col("bw")).alias("below"),
+            "tw",
+        )
+    )
+    sliver = lineitem.join(F.broadcast(crossing), ["l_returnflag", "band"])
+    cum_row = Window.partitionBy("l_returnflag").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pick = Window.partitionBy("l_returnflag").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    )
+    return (
+        sliver.withColumn("cw", F.col("below") + F.sum("w").over(cum_row))
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round("price", 2).alias("weighted_median_price"),
+        )
+    )

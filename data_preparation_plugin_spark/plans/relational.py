@@ -3180,3 +3180,59 @@ def transform_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~keep).alias("suppressed"),
         )
     )
+
+
+@register(
+    "transform_observed_quality_gate",
+    category="transform",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                          AS n_orders,
+           round(sum(o_totalprice), 2)       AS total_price
+    FROM orders
+    WHERE o_totalprice > 0 AND o_custkey IS NOT NULL
+    GROUP BY o_orderpriority
+    """,
+)
+def transform_observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate with ``observe()`` pipeline metrics (CollectMetrics).
+
+    Production filters must report what they dropped without a second
+    scan: ``df.observe`` attaches named aggregate metrics to the plan
+    (CollectMetrics node) that accumulate as a side effect of the one
+    pass the query already makes — rows seen, rows with a non-positive
+    price, null keys. The observation is asserted against recomputed
+    counts in ``tests/test_properties.py``; the returned DataFrame is
+    the gated aggregate the oracle checks, so correctness and
+    observability ride the same plan.
+
+    Scale shape: CollectMetrics is a streaming-fold over each task's
+    rows, merged driver-side once per query — O(metrics), not O(rows),
+    of driver traffic; the gate itself is a pushed-down filter feeding a
+    bounded-key aggregate.
+    """
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("quality_gate")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "bad_price"
+        ),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_key"
+        ),
+    )
+    gated = observed.filter(
+        (F.col("o_totalprice") > 0) & F.col("o_custkey").isNotNull()
+    )
+    result = gated.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    # Stash the Observation so tests (and operators) can read the metrics
+    # after the action without re-scanning.
+    result._dpp_observation = obs  # type: ignore[attr-defined]
+    return result

@@ -179,6 +179,9 @@ PROBES = [
     "curation_threshold_sweep",   # bounded threshold explode + small agg
     "transform_l_diversity",      # distinct-count QI histogram broadcast
     "geo_nearest_centroid",       # broadcast seats, map-side argmin
+    "agg_bitmap_distinct",        # 4KB bitmap buckets, two-level agg
+    "agg_weighted_median",        # one key exchange, ranking window
+    "transform_observed_quality_gate",  # CollectMetrics fold + gate
 ]
 
 

@@ -1090,3 +1090,45 @@ def test_streaming_datasource_delivers_every_offset(spark):
     for r in rows:
         assert r.n_rows == _PYDSS_BATCHES * _PYDSS_PER_BATCH
         assert r.n_batches == _PYDSS_BATCHES
+
+
+def test_weighted_median_crosses_half_total_weight(spark):
+    """Cumulative weight strictly below the reported median is < half the
+    group total; adding the median's rows reaches half."""
+    from collections import defaultdict
+
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.l_returnflag: r.weighted_median_price
+        for r in QUERIES["agg_weighted_median"].builder(spark, sf).collect()
+    }
+    groups = defaultdict(list)
+    for r in (
+        registry.load_table(spark, sf, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    ):
+        groups[r.l_returnflag].append((r.l_extendedprice, r.l_quantity))
+    for flag, items in groups.items():
+        items.sort()
+        total = sum(w for _, w in items)
+        below = sum(w for v, w in items if v < got[flag])
+        upto = sum(w for v, w in items if v <= got[flag])
+        assert 2 * below < total <= 2 * upto, (flag, got[flag])
+
+
+def test_observed_gate_metrics_match_recount(spark):
+    """The CollectMetrics side channel reports exactly the counts a
+    second scan would: rows seen, bad prices, null keys."""
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["transform_observed_quality_gate"].builder(spark, sf)
+    df.collect()  # the action that populates the observation
+    metrics = df._dpp_observation.get
+    orders = registry.load_table(spark, sf, "orders").collect()
+    assert metrics["rows_seen"] == len(orders)
+    assert metrics["bad_price"] == sum(1 for o in orders if o.o_totalprice <= 0)
+    assert metrics["null_key"] == sum(1 for o in orders if o.o_custkey is None)
