@@ -58,6 +58,7 @@ DRIVER_CHECK_PRIORITY = [
     "events_attribution_last_touch",
     "geo_nearest_centroid",
     "graph_label_propagation_step",
+    "knn_kcenter_coreset",
     "knn_mmr_diverse",
     "knn_radius_search",
     "multimodal_video_temporal_pool",
@@ -92,7 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "agg_percentiles",
     "agg_statistics",
     "agg_string_concat",
-    "array_functions",
 ]
 
 def _reorder_for_driver() -> None:

@@ -1603,3 +1603,112 @@ def knn_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         greedy,
         schema="query_id long, mmr_rank int, selected_id long, mmr_score double",
     )
+
+
+#: k-center greedy coreset: selection rounds (unrolled in the oracle) and
+#: the deterministic seed (smallest vec_id).
+KCENTER_K = 3
+
+
+@register(
+    "knn_kcenter_coreset",
+    category="similarity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s1 AS (
+        SELECT vec_id, v FROM e
+        QUALIFY row_number() OVER (ORDER BY vec_id) = 1
+    ), d1 AS (
+        SELECT e.vec_id, e.v,
+               round(1.0 - list_cosine_similarity(e.v, s1.v), 6) AS dmin
+        FROM e CROSS JOIN s1 WHERE e.vec_id <> s1.vec_id
+    ), s2 AS (
+        SELECT vec_id, v, dmin FROM d1
+        QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1
+    ), d2 AS (
+        SELECT d1.vec_id, d1.v,
+               least(d1.dmin,
+                     round(1.0 - list_cosine_similarity(d1.v, s2.v), 6))
+                   AS dmin
+        FROM d1 CROSS JOIN s2
+        WHERE d1.vec_id <> s2.vec_id
+    ), s3 AS (
+        SELECT vec_id, dmin FROM d2
+        QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1
+    )
+    SELECT (SELECT vec_id FROM s1) AS center_id, 1 AS pick, 0.0 AS coverage_radius
+    UNION ALL
+    SELECT vec_id, 2, round(dmin, 4) FROM s2
+    UNION ALL
+    SELECT vec_id, 3, round(dmin, 4) FROM s3
+    """,
+)
+def knn_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset: pick the points farthest from all picks.
+
+    Diversity-driven data selection (Sener & Savarese's core-set active
+    learning; facility location in data pruning): start from a
+    deterministic seed, then repeatedly take the point with the LARGEST
+    distance to its nearest already-chosen center — the 2-approximation
+    of the k-center objective. Each pick's ``coverage_radius`` (its dmin
+    at selection time) is the certified covering bound after the
+    previous picks. Distances are 6dp-rounded cosine distances, same
+    ulp-absorption as the rest of the kNN family.
+
+    Spark runs the loop the only way it scales: k bounded rounds, each a
+    full map over the corpus with the (tiny) selected set broadcast,
+    carrying a running per-point dmin column — no pairwise matrix, no
+    shuffle except the 1-row argmax (an aggregate min over a negated
+    struct). The oracle unrolls the identical rounds as CTEs.
+
+    Scale shape: k scans with broadcast state, exactly like
+    ``knn_kmeans_step`` iterated; argmax is a map-side-combined 1-row
+    aggregate per round. O(k * corpus), embarrassingly parallel.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seed = emb.orderBy("vec_id").limit(1)
+    seed_row = seed.collect()[0]  # 1 row: the deterministic seed
+    picks = [(seed_row.vec_id, 1, 0.0)]
+    centers = [(seed_row.vec_id, seed_row.v)]
+    cur = emb.filter(F.col("vec_id") != seed_row.vec_id).withColumn(
+        "dmin",
+        F.round(1.0 - cosine_similarity("v", F.lit(centers[0][1])), 6),
+    )
+    for pick_no in range(2, KCENTER_K + 1):
+        # argmax dmin (tie: smallest id) as an aggregate min over a
+        # lexicographic struct of (-dmin, vec_id) — map-side combined.
+        best = (
+            cur.select(
+                F.min(
+                    F.struct(
+                        (-F.col("dmin")).alias("neg"),
+                        F.col("vec_id").alias("k"),
+                        F.col("v").alias("v"),
+                        F.col("dmin").alias("d"),
+                    )
+                ).alias("b")
+            )
+            .collect()[0]
+            .b
+        )
+        picks.append((best.k, pick_no, best.d))
+        if pick_no < KCENTER_K:
+            cur = cur.filter(F.col("vec_id") != best.k).withColumn(
+                "dmin",
+                F.least(
+                    F.col("dmin"),
+                    F.round(1.0 - cosine_similarity("v", F.lit(best.v)), 6),
+                ),
+            )
+    return spark.createDataFrame(
+        picks, "center_id long, pick int, cov double"
+    ).select(
+        "center_id",
+        "pick",
+        # Spark round (HALF_UP away from zero) matches DuckDB round;
+        # Python's round is banker's and would flip exact-halfway cases.
+        F.round("cov", 4).alias("coverage_radius"),
+    )

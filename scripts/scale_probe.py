@@ -182,6 +182,7 @@ PROBES = [
     "agg_bitmap_distinct",        # 4KB bitmap buckets, two-level agg
     "agg_weighted_median",        # one key exchange, ranking window
     "transform_observed_quality_gate",  # CollectMetrics fold + gate
+    "knn_kcenter_coreset",        # k broadcast scans + 1-row argmax
 ]
 
 

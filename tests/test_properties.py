@@ -1132,3 +1132,42 @@ def test_observed_gate_metrics_match_recount(spark):
     assert metrics["rows_seen"] == len(orders)
     assert metrics["bad_price"] == sum(1 for o in orders if o.o_totalprice <= 0)
     assert metrics["null_key"] == sum(1 for o in orders if o.o_custkey is None)
+
+
+def test_kcenter_picks_maximize_min_distance(spark):
+    """Numpy replay of the greedy farthest-point loop reproduces every
+    pick and its coverage radius."""
+    import numpy as np
+
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+    from data_preparation_plugin_spark.plans.similarity import KCENTER_K
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.pick, r.center_id, r.coverage_radius)
+        for r in QUERIES["knn_kcenter_coreset"].builder(spark, sf).collect()
+    )
+    emb = (
+        registry.load_table(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb])
+    order = np.argsort(ids)
+    ids, mat = ids[order], np.array(
+        [emb[i].embedding for i in order], dtype=np.float64
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / norms[:, None]
+    seed = 0  # smallest vec_id after the sort
+    alive = np.ones(len(ids), bool)
+    alive[seed] = False
+    dmin = np.round(1.0 - unit @ unit[seed], 6)
+    expected = [(1, int(ids[seed]), 0.0)]
+    for pick in range(2, KCENTER_K + 1):
+        masked = np.where(alive, dmin, -np.inf)
+        best = int(np.flatnonzero(masked == masked.max())[0])
+        expected.append((pick, int(ids[best]), float(np.round(dmin[best], 4))))
+        alive[best] = False
+        dmin = np.minimum(dmin, np.round(1.0 - unit @ unit[best], 6))
+    assert got == sorted(expected)
