@@ -1597,10 +1597,18 @@ _LABELPROP_ORACLE = (
         UNION ALL
         SELECT doc_b, doc_a FROM pairs
     ),
+    r1 AS (
+        -- round 1 from the uniform start (label = own id): every
+        -- neighbor casts one vote, so the modal pick degenerates to the
+        -- minimum neighbor id (ties -> smallest label).
+        SELECT src AS doc_id, min(dst) AS l1 FROM edges GROUP BY src
+    ),
     cnt AS (
-        SELECT src AS doc_id, dst AS nbr_label, count(*) AS votes
-        FROM edges
-        GROUP BY src, dst
+        -- round 2: neighbors now share round-1 labels, so votes are a
+        -- real multiplicity.
+        SELECT e.src AS doc_id, l.l1 AS nbr_label, count(*) AS votes
+        FROM edges e JOIN r1 l ON e.dst = l.doc_id
+        GROUP BY e.src, l.l1
     ),
     ranked AS (
         SELECT doc_id, nbr_label, votes,
@@ -1618,22 +1626,25 @@ _LABELPROP_ORACLE = (
 
 @register("graph_label_propagation_step", category="dedup", oracle=_LABELPROP_ORACLE)
 def graph_label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One synchronous label-propagation round over the near-dup graph.
+    """Two synchronous label-propagation rounds over the near-dup graph.
 
     Community detection's inner loop (Raghavan et al.'s LPA): every node
     adopts the most common label among its neighbors, ties broken toward
-    the smallest label so the step is deterministic. From the uniform
-    start (label = own doc_id) one round means "adopt the modal neighbor
-    id" — a full run re-feeds ``new_label`` through the same shape until
-    labels stop changing, checkpointing each round exactly like
-    :func:`connected_components`. Complements the star-contraction CC
-    (which finds *components*) by splitting dense components into
-    *communities*.
+    the smallest label. From the uniform start (label = own id) the FIRST
+    round is degenerate — the LSH pair generator emits distinct edges, so
+    every neighbor casts exactly one vote and the modal pick collapses to
+    min(neighbor id). The registered query therefore runs TWO rounds:
+    after round 1 neighbors share labels, so round 2's vote counts are a
+    real multiplicity and the modal-adoption machinery (the part a full
+    LPA iterates to fixpoint) is exercised and oracle-pinned with
+    non-trivial votes. Complements the star-contraction CC (which finds
+    *components*) by splitting dense components into *communities*.
 
-    Scale shape: vote counting is one shuffle keyed on (node, label) with
-    map-side combine; the modal pick is a bounded window per node (fan-in
-    = node degree, which LSH banding already caps). No iteration state
-    beyond the label column itself.
+    Scale shape per round: vote counting is one shuffle keyed on (node,
+    label) with map-side combine; the modal pick is a bounded window per
+    node (fan-in = node degree, which LSH banding already caps). Round
+    state is just the label column, checkpointed between rounds exactly
+    like :func:`connected_components`.
     """
     from pyspark.sql import Window
 
@@ -1645,9 +1656,16 @@ def graph_label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    votes = edges.groupBy(
-        F.col("src").alias("doc_id"), F.col("dst").alias("nbr_label")
-    ).agg(F.count(F.lit(1)).alias("votes"))
+    # Round 1 (uniform start): modal pick == min neighbor id.
+    l1 = edges.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("l1")
+    )
+    # Round 2: count genuine label multiplicities among neighbors.
+    votes = (
+        edges.join(l1, edges["dst"] == l1["node"])
+        .groupBy(F.col("src").alias("doc_id"), F.col("l1").alias("nbr_label"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
     w = Window.partitionBy("doc_id").orderBy(F.col("votes").desc(), "nbr_label")
     return (
         votes.withColumn("rn", F.row_number().over(w))

@@ -710,6 +710,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi join + tiny group-by). The quarter filter prunes the orders
     scan before the shuffle; the semi join shuffles only (orderkey,
     orderdate, priority), never lineitem payload. Completes the q1-q22 set.
+
+    Deliberate overlap: ``exists_late_shipment`` keeps the UNfiltered
+    correlated-EXISTS shape (no date window — a different pushdown
+    picture: nothing prunes the probe side), while this one is the
+    spec-faithful Q4 with the quarter window pruning the build side.
+    Both stay registered so the optimizer is pinned on both variants.
     """
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp_ntz"))

@@ -1579,7 +1579,7 @@ def knn_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim = np.round((mat @ mat.T) / np.outer(norms, norms), 6)  # (C, C)
         picked: list[int] = []
         out = []
-        for rank in range(1, MMR_K + 1):
+        for rank in range(1, min(MMR_K, len(ids)) + 1):
             best_i, best_score = -1, None
             for i in range(len(ids)):
                 if i in picked:
@@ -1594,14 +1594,21 @@ def knn_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
                     best_i, best_score = i, score
             picked.append(best_i)
             out.append((pdf["query_id"].iloc[0], rank, ids[best_i],
-                        np.round(best_score, 4)))
+                        best_score))
         return pd.DataFrame(
-            out, columns=["query_id", "mmr_rank", "selected_id", "mmr_score"]
+            out, columns=["query_id", "mmr_rank", "selected_id", "score_raw"]
         )
 
     return cand.groupBy("query_id").applyInPandas(
         greedy,
-        schema="query_id long, mmr_rank int, selected_id long, mmr_score double",
+        schema="query_id long, mmr_rank int, selected_id long, score_raw double",
+    ).select(
+        "query_id",
+        "mmr_rank",
+        "selected_id",
+        # Round JVM-side: Spark F.round is HALF_UP like DuckDB's round;
+        # np.round is banker's and would flip exact-halfway cases.
+        F.round("score_raw", 4).alias("mmr_score"),
     )
 
 

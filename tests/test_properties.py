@@ -841,9 +841,9 @@ def test_attribution_matches_sequential_replay(spark):
                 if last is None:
                     expected[r.event_id] = (None, None, None)
                 else:
-                    gap = int(
-                        (r.ts - last.ts).total_seconds() * 1_000_000 + 0.5
-                    )
+                    from datetime import timedelta
+
+                    gap = (r.ts - last.ts) // timedelta(microseconds=1)
                     expected[r.event_id] = (last.event_id, last.event_type, gap)
             elif r.event_type in ("view", "click"):
                 last = r
@@ -878,10 +878,10 @@ def test_k_anonymize_releases_no_small_group(spark):
             assert r.anonymity_set < K_ANONYMITY
 
 
-def test_label_propagation_adopts_a_real_neighbor(spark):
-    """Each node appears once, adopts an actual neighbor's id (never its
-    own — the LSH pair generator emits no self-loops), and the vote count
-    never exceeds its degree."""
+def test_label_propagation_two_rounds_match_replay(spark):
+    """Python replay of both LPA rounds reproduces every adoption and its
+    vote count — and round 2 must produce at least one multi-vote pick
+    (the degeneracy the two-round design exists to escape)."""
     from collections import Counter, defaultdict
 
     from data_preparation_plugin_spark.plans import QUERIES
@@ -891,16 +891,20 @@ def test_label_propagation_adopts_a_real_neighbor(spark):
 
     sf = "/root/testdata/sf0.001"
     rows = QUERIES["graph_label_propagation_step"].builder(spark, sf).collect()
-    nbrs = defaultdict(Counter)
+    nbrs = defaultdict(set)
     for p in dedup_minhash_lsh_pairs(spark, sf).collect():
-        nbrs[p.doc_a][p.doc_b] += 1
-        nbrs[p.doc_b][p.doc_a] += 1
+        nbrs[p.doc_a].add(p.doc_b)
+        nbrs[p.doc_b].add(p.doc_a)
+    l1 = {node: min(ns) for node, ns in nbrs.items()}
+    expected = {}
+    for node, ns in nbrs.items():
+        counts = Counter(l1[n] for n in ns)
+        best_votes = max(counts.values())
+        label = min(l for l, c in counts.items() if c == best_votes)
+        expected[node] = (label, best_votes)
+    assert {r.doc_id: (r.new_label, r.votes) for r in rows} == expected
     assert len({r.doc_id for r in rows}) == len(rows)
-    for r in rows:
-        assert r.new_label in nbrs[r.doc_id]
-        assert r.new_label != r.doc_id
-        best = max(nbrs[r.doc_id].values())
-        assert r.votes == best == nbrs[r.doc_id][r.new_label]
+    assert any(r.votes > 1 for r in rows), "round 2 should be non-degenerate"
 
 
 def test_radius_search_agrees_with_numpy(spark):
