@@ -55,6 +55,7 @@ DRIVER_CHECK_PRIORITY = [
     "agg_weighted_median",
     "curation_threshold_sweep",
     "dedup_incremental_new_docs",
+    "dedup_lsh_calibration",
     "events_attribution_last_touch",
     "geo_nearest_centroid",
     "graph_label_propagation_step",
@@ -75,6 +76,7 @@ DRIVER_CHECK_PRIORITY = [
     "source_python_datasource_stream",
     "source_xml_roundtrip",
     "text_bigram_backoff_score",
+    "text_bm25_topk",
     "text_code_prose_ratio",
     "text_perplexity_buckets",
     "transform_dense_surrogate_ids",
@@ -91,8 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "window_rank_dense",
     "agg_distinct",
     "agg_percentiles",
-    "agg_statistics",
-    "agg_string_concat",
 ]
 
 def _reorder_for_driver() -> None:

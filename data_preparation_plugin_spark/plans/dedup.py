@@ -1726,3 +1726,106 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new.join(idx, "fp", "left").select(
         "doc_id", "source", "fp", F.col("__hit").isNull().alias("is_novel")
     )
+
+
+_CALIBRATION_ORACLE = _minhash_sql(
+    """
+    , pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ), matches AS (
+        SELECT p.doc_a, p.doc_b,
+               (CAST(sa.h0 = sb.h0 AS INT) + CAST(sa.h1 = sb.h1 AS INT) + CAST(sa.h2 = sb.h2 AS INT) + CAST(sa.h3 = sb.h3 AS INT) + CAST(sa.h4 = sb.h4 AS INT) + CAST(sa.h5 = sb.h5 AS INT) + CAST(sa.h6 = sb.h6 AS INT) + CAST(sa.h7 = sb.h7 AS INT)) AS n_match
+        FROM pairs p
+        JOIN sigs sa ON p.doc_a = sa.doc_id
+        JOIN sigs sb ON p.doc_b = sb.doc_id
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id
+    ), common AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS n_common
+        FROM pairs p
+        JOIN shingled a ON a.doc_id = p.doc_a
+        JOIN shingled b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT m.doc_a, m.doc_b,
+           round(m.n_match / 8.0, 4) AS est_jaccard,
+           round(c.n_common * 1.0 / (sa.n + sb.n - c.n_common), 4)
+               AS exact_jaccard,
+           round(abs(m.n_match / 8.0
+                     - c.n_common * 1.0 / (sa.n + sb.n - c.n_common)), 4)
+               AS abs_err
+    FROM matches m
+    JOIN common c ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+    JOIN sizes sa ON m.doc_a = sa.doc_id
+    JOIN sizes sb ON m.doc_b = sb.doc_id
+    """
+)
+
+
+@register("dedup_lsh_calibration", category="dedup", oracle=_CALIBRATION_ORACLE)
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch QA: MinHash-estimated vs exact Jaccard on LSH candidates.
+
+    The measurement an LSH deployment owes its operators: for every
+    candidate pair the bands surfaced, the signature-level similarity
+    estimate (matching components / seeds) next to the EXACT shingle-set
+    Jaccard and the absolute error — the table that calibrates band/seed
+    choices against the corpus instead of against the textbook formula.
+    Exact overlap is computed candidate-restricted (pairs x both shingle
+    sets), never as an open posting-list expansion, so the verification
+    cost scales with the candidate count the bands already bounded.
+
+    Scale shape: the estimate is a pair-to-signature equi-join (8 hex
+    pieces per doc); the exact side shuffles only candidate docs'
+    shingles; all ratios are integer/integer so the oracle hash needs
+    only the shared 4dp rounding.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    sigs = _minhash_signatures(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(MINHASH_SEEDS)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(MINHASH_SEEDS)],
+    )
+    n_match = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int")
+        for s in range(MINHASH_SEEDS)
+    )
+    est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", n_match.alias("n_match")
+    )
+    shingled = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE).distinct()
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        pairs.join(
+            shingled.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            shingled.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
+    est_j = F.col("n_match") / float(MINHASH_SEEDS)
+    return (
+        est.join(common, ["doc_a", "doc_b"])
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est_j, 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+            F.round(F.abs(est_j - exact), 4).alias("abs_err"),
+        )
+    )

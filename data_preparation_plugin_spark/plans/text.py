@@ -1608,3 +1608,103 @@ def text_code_prose_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         keywords.cast("long").alias("keyword_count"),
         ((symbols * 50 > n_chars) | (keywords * 10 > n_tokens)).alias("is_code"),
     )
+
+
+#: BM25 scoring constants (Robertson k1/b defaults) and the probe query.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("table", "spark", "key")
+BM25_TOP = 10
+
+
+@register(
+    "text_bm25_topk",
+    category="text",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, len(tokens) AS dl FROM toks
+    ), stats AS (
+        SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+        WHERE term IN {BM25_TERMS!r}
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * (tf.tf * ({BM25_K1} + 1))
+                     / (tf.tf + {BM25_K1}
+                        * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)),
+                     4) AS bm25,
+               row_number() OVER (
+                   PARTITION BY tf.term
+                   ORDER BY round(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                                  * (tf.tf * ({BM25_K1} + 1))
+                                  / (tf.tf + {BM25_K1}
+                                     * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)),
+                                  4) DESC,
+                            tf.doc_id) AS rn
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN df ON tf.term = df.term
+        CROSS JOIN stats s
+    )
+    SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, bm25, rn
+    FROM scored WHERE rn <= {BM25_TOP}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 posting scoring with per-term top-k — the retrieval core.
+
+    TF-IDF's production successor (Robertson/Sparck Jones BM25 with the
+    standard k1=1.2, b=0.75): term-frequency saturation plus document-
+    length normalization, which is what every lexical search engine
+    actually ranks with. Query terms are an operator constant, so term
+    stats (df) and the corpus stats (N, avgdl) are all bounded-size and
+    broadcast; the posting scores ride the (doc, term) aggregate and the
+    per-term top-k is a bounded window. Scores round to 4dp before
+    ranking, absorbing ulp-level ln/reorder drift (the kNN argument).
+
+    Scale shape: one explode pre-filtered to the query terms (the scan
+    prunes everything else before the shuffle), one (doc, term) count
+    exchange, broadcast stats, one bounded per-term window. Corpus text
+    never shuffles; at 100 TB this is the posting-list build for |query|
+    terms, not an all-terms index.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+    dl = toks.select("doc_id", F.size("tokens").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = toks.select(
+        "doc_id", F.explode("tokens").alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bm25", F.round(idf * (F.col("tf") * (BM25_K1 + 1)) / denom, 4))
+    )
+    win = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= BM25_TOP)
+        .select("term", "doc_id", F.col("tf").cast("long").alias("tf"), "bm25", "rn")
+    )

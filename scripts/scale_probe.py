@@ -183,6 +183,8 @@ PROBES = [
     "agg_weighted_median",        # one key exchange, ranking window
     "transform_observed_quality_gate",  # CollectMetrics fold + gate
     "knn_kcenter_coreset",        # k broadcast scans + 1-row argmax
+    "text_bm25_topk",             # pre-filtered postings + bounded top-k
+    "dedup_lsh_calibration",      # candidate-restricted exact verify
 ]
 
 

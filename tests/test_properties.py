@@ -1175,3 +1175,56 @@ def test_kcenter_picks_maximize_min_distance(spark):
         alive[best] = False
         dmin = np.minimum(dmin, np.round(1.0 - unit @ unit[best], 6))
     assert got == sorted(expected)
+
+
+def test_bm25_monotonic_in_tf_for_equal_length(spark):
+    """Within one term, a doc with higher tf and shorter length never
+    ranks below one with lower tf and longer length (BM25 is monotone in
+    tf and anti-monotone in dl); scores are positive."""
+    from collections import defaultdict
+
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+    from data_preparation_plugin_spark.functions.text import tokens  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["text_bm25_topk"].builder(spark, sf).collect()
+    dl = {
+        r.doc_id: r.dl
+        for r in registry.load_table(spark, sf, "documents")
+        .selectExpr(
+            "doc_id", "size(split(trim(lower(text)), '\\\\s+')) AS dl"
+        )
+        .collect()
+    }
+    by_term = defaultdict(list)
+    for r in rows:
+        assert r.bm25 > 0
+        by_term[r.term].append(r)
+    for term, lst in by_term.items():
+        lst.sort(key=lambda r: r.rn)
+        for hi, lo in zip(lst, lst[1:]):
+            assert hi.bm25 >= lo.bm25
+            # dominance: strictly more tf AND no longer doc => ranks higher
+            if hi.tf < lo.tf and dl[hi.doc_id] >= dl[lo.doc_id]:
+                raise AssertionError((term, hi, lo))
+
+
+def test_lsh_calibration_err_is_consistent(spark):
+    """abs_err equals |est - exact| recomputed from the emitted columns,
+    estimates are multiples of 1/8 in [0, 1], and every LSH pair appears
+    exactly once."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.dedup import (
+        dedup_minhash_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["dedup_lsh_calibration"].builder(spark, sf).collect()
+    pairs = {
+        (p.doc_a, p.doc_b) for p in dedup_minhash_lsh_pairs(spark, sf).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} == pairs
+    for r in rows:
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert round(r.est_jaccard * 8, 6) == int(round(r.est_jaccard * 8))
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 2e-4
