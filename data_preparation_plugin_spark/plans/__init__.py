@@ -75,6 +75,7 @@ DRIVER_CHECK_PRIORITY = [
     "source_python_datasource",
     "source_python_datasource_stream",
     "source_xml_roundtrip",
+    "split_temporal_holdout",
     "text_bigram_backoff_score",
     "text_bm25_topk",
     "text_code_prose_ratio",
@@ -92,7 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "sort_limit_topk",
     "window_rank_dense",
     "agg_distinct",
-    "agg_percentiles",
 ]
 
 def _reorder_for_driver() -> None:

@@ -1103,3 +1103,64 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(win).cast("long") - 1).alias("pos"),
         )
     )
+
+
+#: Temporal holdout: leading fraction (per mille) of each user's history
+#: that trains; the tail is the evaluation window.
+TEMPORAL_TRAIN_PERMILLE = 800
+
+
+@register(
+    "split_temporal_holdout",
+    category="sampling",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_id, user_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN rn * 1000 <= n * {TEMPORAL_TRAIN_PERMILLE}
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM ranked
+    """,
+)
+def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout split: each user's earliest 80% trains, tail evals.
+
+    The anti-leakage split for anything temporal (recsys, churn, event
+    prediction): random/hash splits leak the future into training, so
+    the split must cut each user's history at a time point — here the
+    80th percentile position of their own event sequence, so every user
+    contributes both sides and no future event precedes a training one.
+    The gate is the cross-multiplied integer comparison
+    ``rank * 1000 <= n * 800`` — no float ratio.
+
+    Scale shape: one exchange on user_id carries the ranking window and
+    the per-user count (same frame), identical envelope to
+    sessionization. Contrast with ``split_train_test`` (stateless hash
+    split) — both are registered because pipelines need both, for
+    different leakage models.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(
+                F.col("rn") * 1000 <= F.col("n") * TEMPORAL_TRAIN_PERMILLE,
+                "train",
+            )
+            .otherwise("holdout")
+            .alias("split"),
+        )
+    )

@@ -185,6 +185,7 @@ PROBES = [
     "knn_kcenter_coreset",        # k broadcast scans + 1-row argmax
     "text_bm25_topk",             # pre-filtered postings + bounded top-k
     "dedup_lsh_calibration",      # candidate-restricted exact verify
+    "split_temporal_holdout",     # one user exchange, integer gate
 ]
 
 

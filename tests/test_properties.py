@@ -1228,3 +1228,27 @@ def test_lsh_calibration_err_is_consistent(spark):
         assert 0.0 <= r.exact_jaccard <= 1.0
         assert round(r.est_jaccard * 8, 6) == int(round(r.est_jaccard * 8))
         assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 2e-4
+
+
+def test_temporal_holdout_never_trains_on_the_future(spark):
+    """Per user: every train event precedes every holdout event, the
+    train share is the largest k with 1000k <= 800n, and all events are
+    covered exactly once."""
+    from collections import defaultdict
+
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["split_temporal_holdout"].builder(spark, sf).collect()
+    n_events = registry.load_table(spark, sf, "events").count()
+    assert len(rows) == len({r.event_id for r in rows}) == n_events
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    for user, evs in per_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        n = len(evs)
+        k = sum(1 for r in evs if r.split == "train")
+        assert k == n * 800 // 1000
+        assert all(r.split == "train" for r in evs[:k])
+        assert all(r.split == "holdout" for r in evs[k:])
