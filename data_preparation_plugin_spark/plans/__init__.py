@@ -72,6 +72,7 @@ DRIVER_CHECK_PRIORITY = [
     "sample_interleave_sources",
     "sample_negative_candidates",
     "source_csv_quarantine",
+    "source_fixed_width_ingest",
     "source_python_datasource",
     "source_python_datasource_stream",
     "source_xml_roundtrip",
@@ -92,7 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "set_ops_multiset",
     "sort_limit_topk",
     "window_rank_dense",
-    "agg_distinct",
 ]
 
 def _reorder_for_driver() -> None:

@@ -1102,3 +1102,80 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
         F.min("value").cast("long").alias("lo"),
         F.max("value").cast("long").alias("hi"),
     )
+
+
+_FW_DIR = os.path.join(_STAGE_ROOT, "supplier_fixedwidth")
+#: Fixed-width layout: (column, start 1-based, width) — COBOL-copybook style.
+FW_LAYOUT = (("s_suppkey", 1, 8), ("s_name", 9, 18), ("s_nationkey", 27, 4))
+
+
+@register(
+    "source_fixed_width_ingest",
+    category="source",
+    oracle=f"""
+    WITH raw AS (
+        SELECT line FROM read_csv('{_FW_DIR}/part*',
+                                  columns={{'line': 'VARCHAR'}},
+                                  header=false, delim='', quote='')
+    ), parsed AS (
+        SELECT CAST(trim(substr(line, 1, 8)) AS BIGINT)  AS s_suppkey,
+               trim(substr(line, 9, 18))                 AS s_name,
+               CAST(trim(substr(line, 27, 4)) AS INT)    AS s_nationkey
+        FROM raw
+    )
+    SELECT s_nationkey,
+           count(*)        AS n_suppliers,
+           min(s_suppkey)  AS first_key,
+           min(s_name)     AS first_name
+    FROM parsed GROUP BY s_nationkey
+    """,
+)
+def source_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (copybook-style) text ingestion — staged round trip.
+
+    The mainframe-era format the reference's Embulk plugins handle with a
+    parser config and Spark has no native reader for: columns live at
+    fixed byte offsets, right-padded with spaces. Writing pads with
+    ``rpad`` and reading slices with ``substring`` + ``trim`` — both
+    codegen expressions, so the parse path is as cheap as CSV without the
+    quoting machinery. The oracle slices the SAME staged files with
+    DuckDB ``substr``, value-checking the layout constants end to end
+    (an off-by-one in any offset breaks the hash).
+
+    Scale shape: distributed text write, then one scan with per-row
+    slicing — narrow maps both ways; the final aggregate is bounded-key.
+    A 100 TB EBCDIC-ish feed differs only by a decode step in the same
+    map.
+    """
+    import shutil
+
+    shutil.rmtree(_FW_DIR, ignore_errors=True)
+    supplier = load_table(spark, sf_dir, "supplier")
+    lines = supplier.select(
+        F.concat(
+            F.rpad(F.col("s_suppkey").cast("string"), 8, " "),
+            F.rpad(F.col("s_name"), 18, " "),
+            F.rpad(F.col("s_nationkey").cast("string"), 4, " "),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(_FW_DIR)
+    raw = spark.read.text(_FW_DIR)
+    parsed = raw.select(
+        *[
+            F.trim(F.substring("value", start, width)).alias(col)
+            for col, start, width in FW_LAYOUT
+        ]
+    )
+    return (
+        parsed.select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            F.col("s_name"),
+            F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.min("s_suppkey").alias("first_key"),
+            F.min("s_name").alias("first_name"),
+        )
+    )

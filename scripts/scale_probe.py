@@ -186,6 +186,7 @@ PROBES = [
     "text_bm25_topk",             # pre-filtered postings + bounded top-k
     "dedup_lsh_calibration",      # candidate-restricted exact verify
     "split_temporal_holdout",     # one user exchange, integer gate
+    "source_fixed_width_ingest",  # rpad write + substring slice scan
 ]
 
 
