@@ -62,6 +62,7 @@ DRIVER_CHECK_PRIORITY = [
     "knn_kcenter_coreset",
     "knn_mmr_diverse",
     "knn_radius_search",
+    "multimodal_decode_bmp",
     "multimodal_video_temporal_pool",
     "profile_feature_drift",
     "profile_join_skew",
@@ -88,11 +89,10 @@ DRIVER_CHECK_PRIORITY = [
     "transform_observed_quality_gate",
     "transform_pseudonymize_consistent",
     "transform_recursive_cte_hierarchy",
-    "transform_table_diff",
-    "udtf_word_chunks",
     "set_ops_multiset",
     "sort_limit_topk",
     "window_rank_dense",
+    "udf_grouped_agg_span",
 ]
 
 def _reorder_for_driver() -> None:

@@ -796,3 +796,87 @@ def multimodal_audio_vad_segments(
             F.max("energy").alias("peak_energy"),
         )
     )
+
+
+def _synth_bmp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic 24bpp BMP synthesis — real format, fake capture.
+
+    Logical top-down RGB byte k carries ``(doc_id*11 + k) % 256``; the
+    encoder then applies the format's real storage rules (bottom-up rows,
+    BGR channel order, rows zero-padded to 4 bytes) so the decoder has
+    something genuine to undo.
+    """
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = d % 13 + 3, d % 9 + 2
+            k = np.arange(w * h * 3, dtype=np.int64)
+            rgb = ((d * 11 + k) % 256).astype(np.uint8).reshape(h, w, 3)
+            bgr_bottom_up = rgb[::-1, :, ::-1]
+            stride = (w * 3 + 3) // 4 * 4
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, : w * 3] = bgr_bottom_up.reshape(h, w * 3)
+            body = rows.tobytes()
+            header = struct.pack(
+                "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+            ) + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+            )
+            payloads.append(header + body)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@register(
+    "multimodal_decode_bmp",
+    category="multimodal",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 13 + 3 AS w,
+               doc_id % 9 + 2  AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS k
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS payload_bytes,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           avg((doc_id * 11 + k) % 256)                    AS mean_pixel,
+           avg(CASE WHEN k % 3 = 0
+                    THEN (doc_id * 11 + k) % 256 END)      AS mean_red,
+           avg(CASE WHEN k < w * 3
+                    THEN (doc_id * 11 + k) % 256 END)      AS top_row_mean
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode: little-endian headers, row flip, BGR, stride pad.
+
+    The third fully-real decoder beside PPM and WAV — BMP adds the
+    mechanics codec formats actually have and PPM lacks: binary
+    little-endian header fields, BOTTOM-UP row storage, BGR channel
+    order, and 4-byte row padding. Each is individually pinned by the
+    oracle: a decoder that skips the vertical flip fails top_row_mean, a
+    BGR/RGB mix-up fails mean_red, a stride error shifts every pixel and
+    fails everything. Pixel sums are integers below 2^53, so the float64
+    means are exact in any summation order — no rounding at all.
+
+    Scale shape: two chained Arrow ``mapInPandas`` passes (synthesize,
+    decode), zero shuffles; identical envelope to the PPM path at any
+    corpus size.
+    """
+    from data_preparation_plugin_spark.operators.multimodal import decode_bmp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _synth_bmp_batches, schema="doc_id long, payload binary"
+    )
+    return decode_bmp(payloads)

@@ -187,6 +187,7 @@ PROBES = [
     "dedup_lsh_calibration",      # candidate-restricted exact verify
     "split_temporal_holdout",     # one user exchange, integer gate
     "source_fixed_width_ingest",  # rpad write + substring slice scan
+    "multimodal_decode_bmp",      # chained Arrow decode, zero shuffle
 ]
 
 

@@ -1252,3 +1252,27 @@ def test_temporal_holdout_never_trains_on_the_future(spark):
         assert k == n * 800 // 1000
         assert all(r.split == "train" for r in evs[:k])
         assert all(r.split == "holdout" for r in evs[k:])
+
+
+def test_bmp_decoder_undoes_flip_bgr_and_stride(spark):
+    """Corrupting any one of the three BMP storage rules in a reference
+    re-encode changes the pinned statistics — and the real decoder's
+    output matches a straight numpy reconstruction of the logical image."""
+    import numpy as np
+
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["multimodal_decode_bmp"].builder(spark, sf).collect()
+    for r in rows[:25]:
+        d = r.doc_id
+        w, h = d % 13 + 3, d % 9 + 2
+        k = np.arange(w * h * 3, dtype=np.int64)
+        rgb = ((d * 11 + k) % 256).reshape(h, w, 3)
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_pixel == rgb.mean()
+        assert r.mean_red == rgb[:, :, 0].mean()
+        assert r.top_row_mean == rgb[0].mean()
+        # the three stats are genuinely sensitive to the storage rules
+        assert rgb[0].mean() != rgb[-1].mean() or h == 1
+        assert rgb[:, :, 0].mean() != rgb[:, :, 2].mean()
