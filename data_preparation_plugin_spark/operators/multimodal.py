@@ -493,15 +493,22 @@ def _parse_bmp(payload: bytes):
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
-    w, h = struct.unpack_from("<ii", payload, 18)
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24:
         raise ValueError(f"unsupported bpp: {bpp}")
+    if compression != 0:
+        raise ValueError(f"unsupported biCompression: {compression}")
+    # Negative biHeight is the spec's top-down layout (common from
+    # Windows tooling): same bytes, no vertical flip needed.
+    h = abs(h_signed)
     row_stride = (w * 3 + 3) // 4 * 4
     px = np.frombuffer(
         payload, np.uint8, count=row_stride * h, offset=data_offset
     ).reshape(h, row_stride)[:, : w * 3].reshape(h, w, 3)
-    rgb = px[::-1, :, ::-1]  # bottom-up rows -> top-down; BGR -> RGB
+    rows = px[::-1] if h_signed > 0 else px  # bottom-up -> top-down
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
     return w, h, rgb
 
 

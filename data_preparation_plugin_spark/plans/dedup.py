@@ -1728,8 +1728,12 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CALIBRATION_SUM = " + ".join(
+    f"CAST(sa.h{s} = sb.h{s} AS INT)" for s in range(MINHASH_SEEDS)
+)
+
 _CALIBRATION_ORACLE = _minhash_sql(
-    """
+    f"""
     , pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a
@@ -1738,7 +1742,7 @@ _CALIBRATION_ORACLE = _minhash_sql(
          AND a.doc_id < b.doc_id
     ), matches AS (
         SELECT p.doc_a, p.doc_b,
-               (CAST(sa.h0 = sb.h0 AS INT) + CAST(sa.h1 = sb.h1 AS INT) + CAST(sa.h2 = sb.h2 AS INT) + CAST(sa.h3 = sb.h3 AS INT) + CAST(sa.h4 = sb.h4 AS INT) + CAST(sa.h5 = sb.h5 AS INT) + CAST(sa.h6 = sb.h6 AS INT) + CAST(sa.h7 = sb.h7 AS INT)) AS n_match
+               ({_CALIBRATION_SUM}) AS n_match
         FROM pairs p
         JOIN sigs sa ON p.doc_a = sa.doc_id
         JOIN sigs sb ON p.doc_b = sb.doc_id
@@ -1752,10 +1756,10 @@ _CALIBRATION_ORACLE = _minhash_sql(
         GROUP BY p.doc_a, p.doc_b
     )
     SELECT m.doc_a, m.doc_b,
-           round(m.n_match / 8.0, 4) AS est_jaccard,
+           round(m.n_match / {MINHASH_SEEDS}.0, 4) AS est_jaccard,
            round(c.n_common * 1.0 / (sa.n + sb.n - c.n_common), 4)
                AS exact_jaccard,
-           round(abs(m.n_match / 8.0
+           round(abs(m.n_match / {MINHASH_SEEDS}.0
                      - c.n_common * 1.0 / (sa.n + sb.n - c.n_common)), 4)
                AS abs_err
     FROM matches m

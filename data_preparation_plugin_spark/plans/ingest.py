@@ -1151,11 +1151,23 @@ def source_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(_FW_DIR, ignore_errors=True)
     supplier = load_table(spark, sf_dir, "supplier")
+    # rpad silently TRUNCATES overlong values — and the oracle reads the
+    # same staged files, so truncation would stay parity-green. assert_true
+    # makes layout overflow a loud job failure instead of silent data loss.
+    fits = (
+        (F.length(F.col("s_suppkey").cast("string")) <= 8)
+        & (F.length("s_name") <= 18)
+        & (F.length(F.col("s_nationkey").cast("string")) <= 4)
+    )
+    payload = F.concat(
+        F.rpad(F.col("s_suppkey").cast("string"), 8, " "),
+        F.rpad(F.col("s_name"), 18, " "),
+        F.rpad(F.col("s_nationkey").cast("string"), 4, " "),
+    )
     lines = supplier.select(
-        F.concat(
-            F.rpad(F.col("s_suppkey").cast("string"), 8, " "),
-            F.rpad(F.col("s_name"), 18, " "),
-            F.rpad(F.col("s_nationkey").cast("string"), 4, " "),
+        F.when(
+            F.assert_true(fits, "value exceeds fixed-width layout").isNull(),
+            payload,
         ).alias("value")
     )
     lines.write.mode("overwrite").text(_FW_DIR)

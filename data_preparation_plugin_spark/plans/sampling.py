@@ -1157,7 +1157,11 @@ def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             F.when(
-                F.col("rn") * 1000 <= F.col("n") * TEMPORAL_TRAIN_PERMILLE,
+                # long casts: an IntegerType row_number wraps at ~2.1M
+                # events/user once multiplied by 1000 — at the 100 TB
+                # target that flips deep-tail holdout rows into train.
+                F.col("rn").cast("long") * 1000
+                <= F.col("n").cast("long") * TEMPORAL_TRAIN_PERMILLE,
                 "train",
             )
             .otherwise("holdout")

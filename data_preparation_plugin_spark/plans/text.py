@@ -1685,10 +1685,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
     )
+    # dl rides THROUGH the explode so the posting side tokenizes once and
+    # needs no doc_id join back (review-caught: the join form re-ran the
+    # regex split on a third scan).
     terms = toks.select(
-        "doc_id", F.explode("tokens").alias("term")
+        "doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term")
     ).filter(F.col("term").isin(*BM25_TERMS))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = terms.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -1697,8 +1702,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df_), "term")
+        tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn("bm25", F.round(idf * (F.col("tf") * (BM25_K1 + 1)) / denom, 4))
     )

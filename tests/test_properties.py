@@ -1204,8 +1204,14 @@ def test_bm25_monotonic_in_tf_for_equal_length(spark):
         lst.sort(key=lambda r: r.rn)
         for hi, lo in zip(lst, lst[1:]):
             assert hi.bm25 >= lo.bm25
-            # dominance: strictly more tf AND no longer doc => ranks higher
-            if hi.tf < lo.tf and dl[hi.doc_id] >= dl[lo.doc_id]:
+            # dominance: strictly more tf AND no longer doc => ranks
+            # higher — except on 4dp-rounded score ties, where the
+            # committed round-before-rank convention breaks by doc_id.
+            if (
+                hi.bm25 != lo.bm25
+                and hi.tf < lo.tf
+                and dl[hi.doc_id] >= dl[lo.doc_id]
+            ):
                 raise AssertionError((term, hi, lo))
 
 
