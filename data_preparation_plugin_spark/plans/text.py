@@ -1694,7 +1694,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df as a whole-partition count window over the postings: a separate
+    # aggregate would re-derive tf's lineage and RESCAN the corpus; the
+    # window re-shuffles only the (tiny) query-term postings.
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     idf = F.log(
         1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -1702,8 +1707,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
     scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .withColumn("bm25", F.round(idf * (F.col("tf") * (BM25_K1 + 1)) / denom, 4))
     )
     win = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")

@@ -458,3 +458,12 @@ def test_nearest_centroid_argmin_is_map_side(spark):
     plan = plan_of(spark, "geo_nearest_centroid")
     assert count(r"SortMergeJoin|Window", plan) == 0
     assert count(r"partial_min", plan) >= 1
+
+
+def test_bm25_tokenizes_twice_not_thrice(spark):
+    """One scan for the corpus stats, ONE for the postings (dl carried
+    through the explode, df as a postings window) — the join/aggregate
+    form re-ran the regex tokenizer on a third full scan."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert count(r"FileScan parquet", plan) == 2
+    assert count(r"SortMergeJoin", plan) == 0
