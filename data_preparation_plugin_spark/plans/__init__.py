@@ -66,6 +66,7 @@ DRIVER_CHECK_PRIORITY = [
     "multimodal_video_temporal_pool",
     "profile_feature_drift",
     "profile_join_skew",
+    "profile_key_frequency_spectrum",
     "q4_order_priority",
     "sample_curriculum_order",
     "sample_global_shuffle",
@@ -81,14 +82,13 @@ DRIVER_CHECK_PRIORITY = [
     "text_bigram_backoff_score",
     "text_bm25_topk",
     "text_code_prose_ratio",
+    "text_langid_confusion",
     "text_perplexity_buckets",
     "transform_dense_surrogate_ids",
     "transform_incremental_agg_merge",
     "transform_k_anonymize",
     "transform_l_diversity",
     "transform_observed_quality_gate",
-    "transform_pseudonymize_consistent",
-    "transform_recursive_cte_hierarchy",
     "set_ops_multiset",
     "sort_limit_topk",
     "window_rank_dense",

@@ -2380,3 +2380,40 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("price", 2).alias("weighted_median_price"),
         )
     )
+
+
+@register(
+    "profile_key_frequency_spectrum",
+    category="profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey, count(*) AS freq FROM orders GROUP BY o_custkey
+    )
+    SELECT freq,
+           count(*) AS n_keys,
+           CAST(freq * count(*) AS BIGINT) AS n_rows
+    FROM per_key GROUP BY freq
+    """,
+)
+def profile_key_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies: the join-key spectrum planners reason on.
+
+    The third profiling lens beside the column profile (NDV/nulls) and
+    the top-N skew diagnostic: for a prospective join/group key, how many
+    keys occur exactly k times and how many rows those keys carry — the
+    histogram that decides between plain hash join, AQE skew splitting,
+    and explicit salting (one key at freq 10^6 needs salt; a flat
+    spectrum at freq <= 10 never will). Two stacked map-side-combinable
+    aggregates; the second's key domain is the distinct frequency values,
+    which is tiny by pigeonhole at any scale.
+
+    Scale shape: one exchange on the key for the per-key counts, one on
+    the (bounded) frequency values; nothing wider than (key, count)
+    ever moves.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("freq"))
+    return per_key.groupBy("freq").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        (F.col("freq") * F.count(F.lit(1))).cast("long").alias("n_rows"),
+    )

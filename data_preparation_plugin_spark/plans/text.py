@@ -1716,3 +1716,67 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BM25_TOP)
         .select("term", "doc_id", F.col("tf").cast("long").alias("tf"), "bm25", "rn")
     )
+
+
+@register(
+    "text_langid_confusion",
+    category="text",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(tokens, t -> t IN ('the','a','of','and')))   AS score_en,
+               len(list_filter(tokens, t -> t IN ('le','la','et','les')))   AS score_fr,
+               len(list_filter(tokens, t -> t IN ('el','los','y','las')))   AS score_es,
+               len(list_filter(tokens, t -> t IN ('der','die','und','das'))) AS score_de,
+               len(list_filter(tokens, t -> t IN ('de5','shi4','le5','he2'))) AS score_zh
+        FROM toks
+    ), pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN score_en >= score_fr AND score_en >= score_es
+                     AND score_en >= score_de AND score_en >= score_zh AND score_en > 0 THEN 'en'
+                    WHEN score_fr >= score_es AND score_fr >= score_de
+                     AND score_fr >= score_zh AND score_fr > 0 THEN 'fr'
+                    WHEN score_es >= score_de AND score_es >= score_zh AND score_es > 0 THEN 'es'
+                    WHEN score_de >= score_zh AND score_de > 0 THEN 'de'
+                    WHEN score_zh > 0 THEN 'zh'
+                    ELSE 'und' END AS predicted_lang
+        FROM scored
+    )
+    SELECT lang, predicted_lang,
+           count(*) AS n_docs,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY lang), 4) AS class_share
+    FROM pred GROUP BY lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component QA: the language-ID confusion matrix against gold labels.
+
+    The evaluation every classifier-backed gate owes its operators
+    before it filters a corpus (complementing ``dedup_lsh_calibration``
+    on the sketch side): cells of (gold lang x predicted lang) with each
+    cell's share of its gold class — the diagonal is per-class recall.
+    Composes the registered ``text_langid`` builder directly, so the
+    matrix can never drift from the classifier it describes.
+
+    Scale shape: the classifier is a narrow map; the matrix aggregate is
+    bounded-key (|langs|^2) with map-side combine, and the class-share
+    window runs over those few cells, not the corpus.
+    """
+    pred = text_langid(spark, sf_dir)
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 4).alias(
+            "class_share"
+        ),
+    )

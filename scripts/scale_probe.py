@@ -188,6 +188,8 @@ PROBES = [
     "split_temporal_holdout",     # one user exchange, integer gate
     "source_fixed_width_ingest",  # rpad write + substring slice scan
     "multimodal_decode_bmp",      # chained Arrow decode, zero shuffle
+    "text_langid_confusion",      # classifier map + bounded matrix agg
+    "profile_key_frequency_spectrum",  # two stacked bounded aggs
 ]
 
 

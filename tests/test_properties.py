@@ -1282,3 +1282,38 @@ def test_bmp_decoder_undoes_flip_bgr_and_stride(spark):
         # the three stats are genuinely sensitive to the storage rules
         assert rgb[0].mean() != rgb[-1].mean() or h == 1
         assert rgb[:, :, 0].mean() != rgb[:, :, 2].mean()
+
+
+def test_langid_confusion_shares_sum_to_one(spark):
+    """Every gold class's shares sum to 1 (4dp), diagonal cells exist for
+    the marker languages, and cell counts recount from text_langid."""
+    from collections import Counter, defaultdict
+
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["text_langid_confusion"].builder(spark, sf).collect()
+    raw = Counter(
+        (r.lang, r.predicted_lang)
+        for r in QUERIES["text_langid"].builder(spark, sf).collect()
+    )
+    assert {(r.lang, r.predicted_lang): r.n_docs for r in rows} == dict(raw)
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r.lang] += r.class_share
+    for lang, total in shares.items():
+        assert abs(total - 1.0) < 1e-3, (lang, total)
+
+
+def test_frequency_spectrum_accounts_for_every_row(spark):
+    """sum(freq * n_keys) equals the table's row count and sum(n_keys)
+    its key NDV — the spectrum partitions both exactly."""
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["profile_key_frequency_spectrum"].builder(spark, sf).collect()
+    orders = registry.load_table(spark, sf, "orders")
+    assert sum(r.n_rows for r in rows) == orders.count()
+    assert sum(r.n_keys for r in rows) == orders.select("o_custkey").distinct().count()
+    for r in rows:
+        assert r.n_rows == r.freq * r.n_keys
