@@ -85,14 +85,14 @@ DRIVER_CHECK_PRIORITY = [
     "text_langid_confusion",
     "text_perplexity_buckets",
     "transform_dense_surrogate_ids",
+    "transform_dp_noisy_counts",
     "transform_incremental_agg_merge",
     "transform_k_anonymize",
     "transform_l_diversity",
-    "transform_observed_quality_gate",
     "set_ops_multiset",
     "sort_limit_topk",
-    "window_rank_dense",
     "udf_grouped_agg_span",
+    "window_rank_dense",
 ]
 
 def _reorder_for_driver() -> None:

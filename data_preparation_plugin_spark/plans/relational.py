@@ -3242,3 +3242,75 @@ def transform_observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFra
     # after the action without re-scanning.
     result._dpp_observation = obs  # type: ignore[attr-defined]
     return result
+
+
+#: Differential-privacy release: epsilon and the seed for the DETERMINISTIC
+#: noise stream (hash-uniform -> inverse-CDF Laplace).
+DP_EPSILON = 1.0
+DP_SEED = "dp-release-1"
+
+
+@register(
+    "transform_dp_noisy_counts",
+    category="transform",
+    oracle=f"""
+    WITH exact AS (
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer GROUP BY c_mktsegment
+    ), noised AS (
+        SELECT c_mktsegment, n,
+               ('0x' || substr(md5('{DP_SEED}' || c_mktsegment), 1, 8))::BIGINT
+                   / 4294967296.0 - 0.5 AS u
+        FROM exact
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS exact_count,
+           round(u, 6) AS u,
+           CAST(round(n - (1.0 / {DP_EPSILON})
+                      * CASE WHEN round(u, 6) >= 0 THEN 1 ELSE -1 END
+                      * ln(1 - 2 * abs(round(u, 6)))) AS BIGINT)
+               AS noisy_count
+    FROM noised
+    """,
+)
+def transform_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: seeded Laplace via inverse CDF.
+
+    The release mechanism behind every public aggregate of a private
+    table: counts get Laplace(1/epsilon) noise (count sensitivity = 1).
+    The uniform draw is DETERMINISTIC — md5(seed || group) scaled to
+    (-0.5, 0.5), pushed through the Laplace inverse CDF
+    ``-(1/eps) * sign(u) * ln(1 - 2|u|)`` — so the release is
+    reproducible run-to-run (one noise draw per published statistic, the
+    correct DP accounting: re-running must NOT consume fresh budget) and
+    the oracle replays the exact noise stream. The uniform is rounded to
+    6dp before the CDF so both engines feed ln identical arguments.
+    Completes the privacy family: pseudonymize (direct identifiers),
+    k-anonymity / l-diversity (quasi-identifiers), DP (aggregates).
+
+    Scale shape: a bounded-key count with map-side combine, then pure
+    per-group expressions — the noise adds zero data movement.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    exact = customer.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    u_raw = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(DP_SEED), F.col("c_mktsegment"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+        - 0.5
+    )
+    u = F.round(u_raw, 6)
+    noise = (
+        (1.0 / DP_EPSILON)
+        * F.when(u >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(1 - 2 * F.abs(u))
+    )
+    return exact.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("exact_count"),
+        u.alias("u"),
+        F.round(F.col("n") - noise, 0).cast("long").alias("noisy_count"),
+    )

@@ -190,6 +190,7 @@ PROBES = [
     "multimodal_decode_bmp",      # chained Arrow decode, zero shuffle
     "text_langid_confusion",      # classifier map + bounded matrix agg
     "profile_key_frequency_spectrum",  # two stacked bounded aggs
+    "transform_dp_noisy_counts",  # bounded count + pure noise exprs
 ]
 
 

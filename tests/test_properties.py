@@ -1317,3 +1317,28 @@ def test_frequency_spectrum_accounts_for_every_row(spark):
     assert sum(r.n_keys for r in rows) == orders.select("o_custkey").distinct().count()
     for r in rows:
         assert r.n_rows == r.freq * r.n_keys
+
+
+def test_dp_noise_is_reproducible_and_correctly_scaled(spark):
+    """Same release twice -> identical noise (no fresh budget burned);
+    noise replays from the seeded inverse CDF; |noise| is Laplace-scale
+    plausible (ln bound from the 6dp-rounded uniform)."""
+    import hashlib
+    import math
+
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.relational import (
+        DP_EPSILON,
+        DP_SEED,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["transform_dp_noisy_counts"].builder(spark, sf).collect()
+    again = QUERIES["transform_dp_noisy_counts"].builder(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    for r in rows:
+        h = hashlib.md5((DP_SEED + r.c_mktsegment).encode()).hexdigest()
+        u = round(int(h[:8], 16) / 4294967296.0 - 0.5, 6)
+        assert r.u == u
+        noise = (1.0 / DP_EPSILON) * (1 if u >= 0 else -1) * math.log(1 - 2 * abs(u))
+        assert r.noisy_count == round(r.exact_count - noise)
