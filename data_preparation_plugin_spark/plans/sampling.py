@@ -1017,6 +1017,7 @@ CURRICULUM_SALT = "curriculum"
 @register(
     "sample_curriculum_order",
     category="sampling",
+    bench=True,
     oracle=f"""
     WITH hist AS (
         SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars

@@ -1620,6 +1620,7 @@ BM25_TOP = 10
 @register(
     "text_bm25_topk",
     category="text",
+    bench=True,
     oracle=rf"""
     WITH toks AS (
         SELECT doc_id,
