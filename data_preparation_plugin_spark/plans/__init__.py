@@ -57,8 +57,10 @@ DRIVER_CHECK_PRIORITY = [
     "dedup_incremental_new_docs",
     "dedup_lsh_calibration",
     "events_attribution_last_touch",
+    "events_funnel_deadline",
     "geo_nearest_centroid",
     "graph_label_propagation_step",
+    "join_point_in_time_scd2",
     "knn_kcenter_coreset",
     "knn_mmr_diverse",
     "knn_radius_search",
@@ -87,8 +89,6 @@ DRIVER_CHECK_PRIORITY = [
     "transform_dense_surrogate_ids",
     "transform_dp_noisy_counts",
     "transform_incremental_agg_merge",
-    "transform_k_anonymize",
-    "transform_l_diversity",
     "set_ops_multiset",
     "sort_limit_topk",
     "udf_grouped_agg_span",

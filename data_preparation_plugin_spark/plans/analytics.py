@@ -2417,3 +2417,208 @@ def profile_key_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_keys"),
         (F.col("freq") * F.count(F.lit(1))).cast("long").alias("n_rows"),
     )
+
+
+@register(
+    "join_point_in_time_scd2",
+    category="join",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER w AS prev_status
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN prev_status IS NULL
+                         OR prev_status <> o_orderstatus
+                    THEN 1 ELSE 0 END AS is_change
+        FROM ordered
+    ), runs AS (
+        SELECT *,
+               sum(is_change) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS version
+        FROM flagged
+    ), grouped AS (
+        SELECT o_custkey, version, o_orderstatus AS status,
+               min(o_orderdate) AS valid_from
+        FROM runs
+        GROUP BY o_custkey, version, o_orderstatus
+    ), dim AS (
+        SELECT o_custkey, status, valid_from,
+               lead(valid_from) OVER (PARTITION BY o_custkey
+                                      ORDER BY version) AS valid_to
+        FROM grouped
+    )
+    SELECT coalesce(d.status, 'UNKNOWN') AS status_at_ship,
+           l.l_linestatus,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN dim d
+      ON o.o_custkey = d.o_custkey
+     AND l.l_shipdate >= d.valid_from
+     AND (d.valid_to IS NULL OR l.l_shipdate < d.valid_to)
+    GROUP BY coalesce(d.status, 'UNKNOWN'), l.l_linestatus
+    """,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: facts meet the version valid AT ship.
+
+    THE data-warehouse temporal primitive: every fact row must see the
+    dimension attributes as they were when the fact happened, not as
+    they are now (joining today's dimension backfills the future into
+    history — the same leak ``split_temporal_holdout`` guards against,
+    on the dimension axis). Composes the registered ``transform_scd2``
+    validity intervals and joins each shipped line item to the customer
+    status version whose half-open [valid_from, valid_to) covers its
+    ship date. At most one version matches per fact; early-arriving facts
+    (shipped before the first version) surface under 'UNKNOWN', so the
+    aggregate reconciles EXACTLY to the fact count — pinned by the
+    property test.
+
+    Scale shape: the interval join is an equi-join on the dimension key
+    with the range predicate evaluated post-match — per-key version
+    chains are short (bounded by change frequency), so the range scan
+    within each key is cheap; everything rides one custkey exchange
+    shared with the SCD2 build itself.
+    """
+    scd2 = transform_scd2(spark, sf_dir).select(
+        "o_custkey", "status", "valid_from", "valid_to"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    facts = lineitem.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    # LEFT join: facts shipped before the customer's first version are
+    # early-arriving facts — a real warehouse emits them under an
+    # 'UNKNOWN' version rather than dropping them, and the property test
+    # reconciles the aggregate back to the exact fact count.
+    joined = facts.join(
+        scd2,
+        (facts["o_custkey"] == scd2["o_custkey"])
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("status"), F.lit("UNKNOWN")).alias("status_at_ship"),
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+#: Funnel deadline: a stage only counts if it happens within this many
+#: hours of the previous stage.
+FUNNEL_DEADLINE_HOURS = 72
+
+
+@register(
+    "events_funnel_deadline",
+    category="events",
+    oracle=f"""
+    WITH fv AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id
+    ), fc AS (
+        SELECT e.user_id, min(e.ts) AS first_click
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > fv.first_view
+          AND e.ts <= fv.first_view + INTERVAL {FUNNEL_DEADLINE_HOURS} HOUR
+        GROUP BY e.user_id
+    ), fp AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > fc.first_click
+          AND e.ts <= fc.first_click + INTERVAL {FUNNEL_DEADLINE_HOURS} HOUR
+        GROUP BY e.user_id
+    )
+    SELECT fv.user_id,
+           fv.first_view,
+           fc.first_click,
+           fp.first_purchase,
+           fc.first_click    IS NOT NULL AS converted_click,
+           fp.first_purchase IS NOT NULL AS converted_purchase
+    FROM fv
+    LEFT JOIN fc ON fv.user_id = fc.user_id
+    LEFT JOIN fp ON fv.user_id = fp.user_id
+    """,
+)
+def events_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-bounded funnel: each stage must land within 72h of the last.
+
+    The refinement product funnels actually ship with: an unbounded
+    funnel (``events_funnel_conversion``) credits a purchase months
+    after the click; attribution windows cap each stage at a deadline
+    from the previous stage's timestamp, which changes both conversion
+    counts and which event is "first". Same single-exchange stacked
+    conditional-window form as the unbounded funnel — the deadline is
+    one extra predicate inside each stage's ``when``, costing nothing.
+
+    Scale shape: identical to the unbounded funnel — one user_id
+    exchange, three whole-partition conditional minima, a per-user
+    collapse on the same partitioning.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    ddl = F.expr(f"INTERVAL {FUNNEL_DEADLINE_HOURS} HOURS")
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("first_view"))
+                    & (F.col("ts") <= F.col("first_view") + ddl),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_click"))
+                    & (F.col("ts") <= F.col("first_click") + ddl),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        staged.filter(F.col("first_view").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("first_view").alias("first_view"),
+            F.min("first_click").alias("first_click"),
+            F.min("first_purchase").alias("first_purchase"),
+        )
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            F.col("first_click").isNotNull().alias("converted_click"),
+            F.col("first_purchase").isNotNull().alias("converted_purchase"),
+        )
+    )

@@ -191,6 +191,8 @@ PROBES = [
     "text_langid_confusion",      # classifier map + bounded matrix agg
     "profile_key_frequency_spectrum",  # two stacked bounded aggs
     "transform_dp_noisy_counts",  # bounded count + pure noise exprs
+    "join_point_in_time_scd2",    # versioned-dim interval equi-join
+    "events_funnel_deadline",     # deadline-bounded stacked windows
 ]
 
 

@@ -1342,3 +1342,49 @@ def test_dp_noise_is_reproducible_and_correctly_scaled(spark):
         assert r.u == u
         noise = (1.0 / DP_EPSILON) * (1 if u >= 0 else -1) * math.log(1 - 2 * abs(u))
         assert r.noisy_count == round(r.exact_count - noise)
+
+
+def test_point_in_time_join_reconciles_to_fact_count(spark):
+    """Exactly one dimension version matches each fact: aggregate item
+    counts sum to the lineitem row count, and revenue to its total."""
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["join_point_in_time_scd2"].builder(spark, sf).collect()
+    lineitem = registry.load_table(spark, sf, "lineitem")
+    assert sum(r.n_items for r in rows) == lineitem.count()
+    total = sum(r.revenue for r in rows)
+    expected = lineitem.agg({"l_extendedprice": "sum"}).collect()[0][0]
+    assert abs(total - expected) < 0.05 * len(rows)
+
+
+def test_deadline_funnel_is_a_subset_of_the_unbounded_funnel(spark):
+    """Every deadline conversion is also an unbounded conversion, never
+    earlier than it, and within the deadline of its previous stage."""
+    from datetime import timedelta
+
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.analytics import (
+        FUNNEL_DEADLINE_HOURS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ddl = timedelta(hours=FUNNEL_DEADLINE_HOURS)
+    bounded = {
+        r.user_id: r
+        for r in QUERIES["events_funnel_deadline"].builder(spark, sf).collect()
+    }
+    unbounded = {
+        r.user_id: r
+        for r in QUERIES["events_funnel_conversion"].builder(spark, sf).collect()
+    }
+    assert set(bounded) == set(unbounded)
+    for uid, b in bounded.items():
+        u = unbounded[uid]
+        assert b.first_view == u.first_view
+        if b.converted_click:
+            assert b.first_click >= u.first_click
+            assert b.first_click <= b.first_view + ddl
+        if b.converted_purchase:
+            assert b.converted_click
+            assert b.first_purchase <= b.first_click + ddl
