@@ -58,6 +58,7 @@ DRIVER_CHECK_PRIORITY = [
     "dedup_lsh_calibration",
     "events_attribution_last_touch",
     "events_funnel_deadline",
+    "events_rfm_segmentation",
     "geo_nearest_centroid",
     "graph_label_propagation_step",
     "join_point_in_time_scd2",
@@ -65,6 +66,7 @@ DRIVER_CHECK_PRIORITY = [
     "knn_mmr_diverse",
     "knn_radius_search",
     "multimodal_decode_bmp",
+    "multimodal_pair_audit",
     "multimodal_video_temporal_pool",
     "profile_feature_drift",
     "profile_join_skew",
@@ -87,8 +89,6 @@ DRIVER_CHECK_PRIORITY = [
     "text_langid_confusion",
     "text_perplexity_buckets",
     "transform_dense_surrogate_ids",
-    "transform_dp_noisy_counts",
-    "transform_incremental_agg_merge",
     "set_ops_multiset",
     "sort_limit_topk",
     "udf_grouped_agg_span",

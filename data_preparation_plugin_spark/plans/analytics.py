@@ -2622,3 +2622,81 @@ def events_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_purchase").isNotNull().alias("converted_purchase"),
         )
     )
+
+
+#: RFM reference instant: "now" for recency, pinned so the segmentation is
+#: reproducible (never wall-clock).
+RFM_ASOF = "1998-08-01 00:00:00"
+
+
+@register(
+    "events_rfm_segmentation",
+    category="events",
+    oracle=f"""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate),
+                         TIMESTAMP '{RFM_ASOF}')        AS recency_days,
+               count(*)                                  AS frequency,
+               round(sum(o_totalprice), 2)               AS monetary
+        FROM orders GROUP BY o_custkey
+    ), med AS (
+        SELECT quantile_cont(recency_days, 0.5)  AS r_med,
+               quantile_cont(frequency, 0.5)     AS f_med,
+               quantile_cont(monetary, 0.5)      AS m_med
+        FROM rfm
+    )
+    SELECT o_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT)    AS frequency,
+           monetary,
+           (CASE WHEN recency_days <= r_med THEN 2 ELSE 1 END) * 100
+         + (CASE WHEN frequency    >  f_med THEN 2 ELSE 1 END) * 10
+         + (CASE WHEN monetary     >  m_med THEN 2 ELSE 1 END) AS rfm_code
+    FROM rfm CROSS JOIN med
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary split at exact medians.
+
+    The lifecycle-marketing primitive: each customer scored high/low on
+    how recently they bought, how often, and how much, yielding the
+    212-style segment codes campaigns target. Thresholds are EXACT
+    medians computed once over the per-customer aggregate (1500 rows
+    here, |customers| generally) and broadcast back — never a global
+    ntile, which would funnel every customer through one ranking task
+    (the probe-measured hotspot the weighted-median rewrite removed).
+    Recency anchors to a pinned as-of instant, not wall clock, so the
+    segmentation is reproducible and oracle-checkable.
+
+    Scale shape: one custkey exchange for the per-customer aggregate;
+    the median aggregate reduces to 3 numbers broadcast back; the code
+    assignment is a pure map. At extreme customer counts the exact
+    median swaps for the value-histogram crossing
+    (``agg_weighted_median``'s banded form) with no change downstream.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.expr(
+            f"timestampdiff(DAY, max(o_orderdate), TIMESTAMP '{RFM_ASOF}')"
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    med = rfm.agg(
+        F.percentile("recency_days", 0.5).alias("r_med"),
+        F.percentile("frequency", 0.5).alias("f_med"),
+        F.percentile("monetary", 0.5).alias("m_med"),
+    )
+    code = (
+        F.when(F.col("recency_days") <= F.col("r_med"), 2).otherwise(1) * 100
+        + F.when(F.col("frequency") > F.col("f_med"), 2).otherwise(1) * 10
+        + F.when(F.col("monetary") > F.col("m_med"), 2).otherwise(1)
+    )
+    return rfm.crossJoin(F.broadcast(med)).select(
+        "o_custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        code.alias("rfm_code"),
+    )

@@ -880,3 +880,58 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_bmp_batches, schema="doc_id long, payload binary"
     )
     return decode_bmp(payloads)
+
+
+@register(
+    "multimodal_pair_audit",
+    category="multimodal",
+    oracle="""
+    SELECT d.lang,
+           count(*)                                        AS n_docs,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)     AS n_paired,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL
+                          AND len(e.embedding) = 64
+                         THEN 1 ELSE 0 END) AS BIGINT)     AS n_valid_vec,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL
+                          AND d.n_chars >= 32
+                         THEN 1 ELSE 0 END) AS BIGINT)     AS n_trainable
+    FROM documents d
+    LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang
+    """,
+)
+def multimodal_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pairing audit: which text rows have a usable embedding.
+
+    The LAION-style completeness check a paired text/vector (or
+    text/image) dataset runs before training: per language, how many
+    documents exist, how many have a modality partner at all, how many
+    partners pass shape validation (the declared 64-d), and how many
+    pairs clear the text-length floor — the per-slice accounting that
+    catches a pipeline silently dropping one modality for one language.
+
+    Scale shape: a key equi-join (broadcast when one modality is small,
+    shuffle otherwise — AQE's call) feeding a bounded-key conditional
+    aggregate; the embedding payload contributes only its length, so
+    column pruning keeps vectors out of the shuffle when the join is
+    broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.size("embedding").alias("vec_len")
+    )
+    paired = docs.join(emb, docs["doc_id"] == emb["vec_id"], "left")
+    has = F.col("vec_id").isNotNull()
+    return paired.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(has, 1).otherwise(0)).cast("long").alias("n_paired"),
+        F.sum(F.when(has & (F.col("vec_len") == 64), 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid_vec"),
+        F.sum(F.when(has & (F.col("n_chars") >= 32), 1).otherwise(0))
+        .cast("long")
+        .alias("n_trainable"),
+    )

@@ -193,6 +193,8 @@ PROBES = [
     "transform_dp_noisy_counts",  # bounded count + pure noise exprs
     "join_point_in_time_scd2",    # versioned-dim interval equi-join
     "events_funnel_deadline",     # deadline-bounded stacked windows
+    "events_rfm_segmentation",    # custkey agg + 3-number broadcast
+    "multimodal_pair_audit",      # modality equi-join + bounded agg
 ]
 
 

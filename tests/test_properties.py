@@ -1388,3 +1388,50 @@ def test_deadline_funnel_is_a_subset_of_the_unbounded_funnel(spark):
         if b.converted_purchase:
             assert b.converted_click
             assert b.first_purchase <= b.first_click + ddl
+
+
+def test_rfm_codes_follow_the_medians(spark):
+    """Recompute the three medians from the emitted columns: every
+    customer's code digit agrees with its median comparison, and all
+    code digits are in {1, 2}."""
+    import statistics
+
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["events_rfm_segmentation"].builder(spark, sf).collect()
+    r_med = statistics.median(r.recency_days for r in rows)
+    f_med = statistics.median(r.frequency for r in rows)
+    m_med = statistics.median(r.monetary for r in rows)
+    for r in rows:
+        expect = (
+            (2 if r.recency_days <= r_med else 1) * 100
+            + (2 if r.frequency > f_med else 1) * 10
+            + (2 if r.monetary > m_med else 1)
+        )
+        assert r.rfm_code == expect
+
+
+def test_pair_audit_counts_nest_properly(spark):
+    """n_trainable <= n_paired <= n_docs per language, and the paired
+    total equals the true id intersection size."""
+    from data_preparation_plugin_spark.plans import QUERIES, registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["multimodal_pair_audit"].builder(spark, sf).collect()
+    docs = {
+        r.doc_id
+        for r in registry.load_table(spark, sf, "documents")
+        .select("doc_id")
+        .collect()
+    }
+    vecs = {
+        r.vec_id
+        for r in registry.load_table(spark, sf, "embeddings")
+        .select("vec_id")
+        .collect()
+    }
+    for r in rows:
+        assert r.n_trainable <= r.n_paired <= r.n_docs
+        assert r.n_valid_vec <= r.n_paired
+    assert sum(r.n_paired for r in rows) == len(docs & vecs)
