@@ -51,48 +51,48 @@ DRIVER_CHECK_PRIORITY = [
     "geo_point_in_region",
     "curation_corpus_status",
     "sink_merge_upsert",
-    "agg_bitmap_distinct",
-    "agg_weighted_median",
-    "curation_threshold_sweep",
-    "dedup_incremental_new_docs",
-    "dedup_lsh_calibration",
-    "events_attribution_last_touch",
-    "events_funnel_deadline",
-    "events_rfm_segmentation",
-    "geo_nearest_centroid",
-    "graph_label_propagation_step",
-    "join_point_in_time_scd2",
-    "knn_kcenter_coreset",
-    "knn_mmr_diverse",
-    "knn_radius_search",
-    "multimodal_decode_bmp",
-    "multimodal_pair_audit",
-    "multimodal_video_temporal_pool",
-    "profile_feature_drift",
-    "profile_join_skew",
-    "profile_key_frequency_spectrum",
-    "q4_order_priority",
-    "sample_curriculum_order",
-    "sample_global_shuffle",
-    "sample_group_kfold",
-    "sample_interleave_sources",
-    "sample_negative_candidates",
-    "source_csv_quarantine",
-    "source_fixed_width_ingest",
-    "source_python_datasource",
-    "source_python_datasource_stream",
-    "source_xml_roundtrip",
-    "split_temporal_holdout",
-    "text_bigram_backoff_score",
-    "text_bm25_topk",
-    "text_code_prose_ratio",
-    "text_langid_confusion",
-    "text_perplexity_buckets",
-    "transform_dense_surrogate_ids",
-    "set_ops_multiset",
+    "transform_dp_noisy_counts",
+    "transform_incremental_agg_merge",
+    "transform_k_anonymize",
+    "transform_l_diversity",
+    "transform_observed_quality_gate",
+    "transform_pseudonymize_consistent",
+    "transform_recursive_cte_hierarchy",
+    "transform_table_diff",
+    "udtf_word_chunks",
+    "dedup_exact_distinct",
+    "events_sessionize",
+    "multimodal_binary_meta",
+    "profile_table_columns",
+    "sample_sequence_packing",
+    "set_ops",
+    "knn_bruteforce_cosine",
     "sort_limit_topk",
-    "udf_grouped_agg_span",
-    "window_rank_dense",
+    "source_json_roundtrip",
+    "text_bpe_token_count",
+    "window_running",
+    "agg_distinct",
+    "agg_percentiles",
+    "agg_statistics",
+    "agg_string_concat",
+    "array_functions",
+    "cube_agg",
+    "date_arithmetic",
+    "date_functions",
+    "dedup_keep_first",
+    "exists_late_shipment",
+    "filter_compute",
+    "join_anti",
+    "join_full_outer",
+    "join_left",
+    "join_range_band",
+    "join_semi",
+    "null_handling",
+    "project_columns",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
 ]
 
 def _reorder_for_driver() -> None:
