@@ -2274,6 +2274,17 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is plain COUNT(DISTINCT).
     """
     events = load_table(spark, sf_dir, "events")
+    # The ceil(user_id/32768) oracle bucket formula matches
+    # bitmap_bucket_number only for ids >= 0 (v=0 lands in bucket 0 in
+    # both engines — the fixture contains it); a negative or NULL id
+    # would make bitmap_bit_position error or the bucket formulas
+    # silently diverge, so fail loudly if a future fixture breaks that.
+    events = events.filter(
+        F.assert_true(
+            F.col("user_id") >= 0,
+            F.lit("agg_bitmap_distinct requires non-negative user_id"),
+        ).isNull()
+    )
     per_bucket = events.groupBy(
         "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
     ).agg(

@@ -3260,17 +3260,21 @@ DP_SEED = "dp-release-1"
     ), noised AS (
         SELECT c_mktsegment, n,
                ('0x' || substr(md5('{DP_SEED}' || c_mktsegment), 1, 8))::BIGINT
-                   / 4294967296.0 - 0.5 AS u
+                   / 4294967296.0 - 0.5 AS u_raw
         FROM exact
+    ), clamped AS (
+        SELECT c_mktsegment, n,
+               least(0.499999, greatest(-0.499999, round(u_raw, 6))) AS u
+        FROM noised
     )
     SELECT c_mktsegment,
            CAST(n AS BIGINT) AS exact_count,
-           round(u, 6) AS u,
+           u,
            CAST(round(n - (1.0 / {DP_EPSILON})
-                      * CASE WHEN round(u, 6) >= 0 THEN 1 ELSE -1 END
-                      * ln(1 - 2 * abs(round(u, 6)))) AS BIGINT)
+                      * CASE WHEN u >= 0 THEN 1 ELSE -1 END
+                      * ln(1 - 2 * abs(u))) AS BIGINT)
                AS noisy_count
-    FROM noised
+    FROM clamped
     """,
 )
 def transform_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3284,7 +3288,10 @@ def transform_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible run-to-run (one noise draw per published statistic, the
     correct DP accounting: re-running must NOT consume fresh budget) and
     the oracle replays the exact noise stream. The uniform is rounded to
-    6dp before the CDF so both engines feed ln identical arguments.
+    6dp then clamped to [-0.499999, 0.499999] before the CDF so both
+    engines feed ln identical arguments AND the inverse CDF is total —
+    an unclamped |u| = 0.5 (md5 prefix 00000000 or a round-up at the
+    edge) would make ln(1-2|u|) = -inf and the cast engine-divergent.
     Completes the privacy family: pseudonymize (direct identifiers),
     k-anonymity / l-diversity (quasi-identifiers), DP (aggregates).
 
@@ -3302,7 +3309,12 @@ def transform_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(4294967296.0)
         - 0.5
     )
-    u = F.round(u_raw, 6)
+    # Clamp so the Laplace inverse CDF is total: ln(1-2|u|) diverges at
+    # |u| = 0.5, reachable when the md5 prefix is 00000000 (u = -0.5) or
+    # the 6dp rounding lands on the open-interval edge.
+    u = F.least(
+        F.lit(0.499999), F.greatest(F.lit(-0.499999), F.round(u_raw, 6))
+    )
     noise = (
         (1.0 / DP_EPSILON)
         * F.when(u >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))

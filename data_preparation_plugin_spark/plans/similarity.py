@@ -1576,7 +1576,10 @@ def knn_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel = pdf["rel6"].to_numpy()
         mat = np.array(pdf["v"].tolist())  # (C, D)
         norms = np.linalg.norm(mat, axis=1)
-        sim = np.round((mat @ mat.T) / np.outer(norms, norms), 6)  # (C, C)
+        raw = (mat @ mat.T) / np.outer(norms, norms)  # (C, C)
+        # Half-up (away from zero) like F.round/DuckDB round — np.round
+        # is banker's and would flip a pick on an exact 6dp halfway tie.
+        sim = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         picked: list[int] = []
         out = []
         for rank in range(1, min(MMR_K, len(ids)) + 1):
