@@ -51,6 +51,7 @@ DRIVER_CHECK_PRIORITY = [
     "geo_point_in_region",
     "curation_corpus_status",
     "sink_merge_upsert",
+    "dedup_containment_pruned",
     "transform_dp_noisy_counts",
     "transform_incremental_agg_merge",
     "transform_k_anonymize",
@@ -60,7 +61,6 @@ DRIVER_CHECK_PRIORITY = [
     "transform_recursive_cte_hierarchy",
     "transform_table_diff",
     "udtf_word_chunks",
-    "dedup_exact_distinct",
     "events_sessionize",
     "multimodal_binary_meta",
     "profile_table_columns",
@@ -79,6 +79,7 @@ DRIVER_CHECK_PRIORITY = [
     "cube_agg",
     "date_arithmetic",
     "date_functions",
+    "dedup_exact_distinct",
     "dedup_keep_first",
     "exists_late_shipment",
     "filter_compute",
@@ -92,7 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue_share",
-    "q15_top_supplier",
 ]
 
 def _reorder_for_driver() -> None:

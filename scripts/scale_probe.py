@@ -195,6 +195,7 @@ PROBES = [
     "events_funnel_deadline",     # deadline-bounded stacked windows
     "events_rfm_segmentation",    # custkey agg + 3-number broadcast
     "multimodal_pair_audit",      # modality equi-join + bounded agg
+    "dedup_containment_pruned",   # rarest-prefix candidates + exact verify
 ]
 
 
