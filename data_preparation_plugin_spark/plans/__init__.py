@@ -52,6 +52,7 @@ DRIVER_CHECK_PRIORITY = [
     "curation_corpus_status",
     "sink_merge_upsert",
     "dedup_containment_pruned",
+    "source_postgres_copy_roundtrip",
     "transform_dp_noisy_counts",
     "transform_incremental_agg_merge",
     "transform_k_anonymize",
@@ -68,7 +69,6 @@ DRIVER_CHECK_PRIORITY = [
     "set_ops",
     "knn_bruteforce_cosine",
     "sort_limit_topk",
-    "source_json_roundtrip",
     "text_bpe_token_count",
     "window_running",
     "agg_distinct",
