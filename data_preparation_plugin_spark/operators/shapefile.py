@@ -9,7 +9,12 @@ the engine's geometry representation (SURVEY.md §1.5: WKT/WKB strings, no
 PostGIS type system). ``mode("overwrite")`` reproduces ``-d``.
 
 Supported shape types: Null(0), Point(1), PolyLine(3), Polygon(5),
-MultiPoint(8) — the types shp2pgsql meets in regular 2D shapefiles.
+MultiPoint(8), plus every Z variant (11/13/15/18) and M variant
+(21/23/25/28) — the full set shp2pgsql accepts (reference
+``operators/shp2pgsql.py:13-27``). Z coordinates surface as ``POINT Z
+(x y z)``-style WKT; measure values as ``POINT M``/``POINT ZM``. A
+measure array whose values are all shapefile "no data" (< -1e38) is
+dropped, matching shp2pgsql's treatment of absent measures.
 
 Scale note: one shapefile parses driver-side (the reference's shp2pgsql is
 also a single process). A directory of many shapefiles would distribute by
@@ -28,8 +33,55 @@ from pyspark.sql import DataFrame, SparkSession
 from data_preparation_plugin_spark.operators.base import BaseOperator
 
 
-def _ring_wkt(points: list[tuple[float, float]]) -> str:
-    return "(" + ", ".join(f"{x:g} {y:g}" for x, y in points) + ")"
+#: Shapefile "no data" threshold: any measure below this is absent (spec).
+_NODATA = -1e38
+
+#: shape type -> (geometry kind, dimension suffix). Z types may carry an
+#: optional trailing M block (making them ZM); M types always carry M.
+_SHAPE_KINDS = {
+    1: ("point", ""), 3: ("line", ""), 5: ("poly", ""), 8: ("mpoint", ""),
+    11: ("point", "Z"), 13: ("line", "Z"), 15: ("poly", "Z"),
+    18: ("mpoint", "Z"),
+    21: ("point", "M"), 23: ("line", "M"), 25: ("poly", "M"),
+    28: ("mpoint", "M"),
+}
+
+
+def _coords_wkt(points: list[tuple[float, ...]]) -> str:
+    return (
+        "("
+        + ", ".join(" ".join(f"{c:g}" for c in p) for p in points)
+        + ")"
+    )
+
+
+def _tag(base: str, dim: str) -> str:
+    return f"{base} {dim} " if dim else f"{base} "
+
+
+def _zip_dims(
+    pairs: list[tuple[float, float]],
+    zs: list[float] | None,
+    ms: list[float] | None,
+) -> tuple[list[tuple[float, ...]], str]:
+    """Attach Z/M arrays to xy pairs -> (tuples, WKT dimension suffix).
+
+    An M array whose every value is shapefile no-data is dropped (the
+    writer had no measures), matching shp2pgsql.
+    """
+    if ms is not None and all(m < _NODATA for m in ms):
+        ms = None
+    if zs is not None and ms is not None:
+        return [(*p, z, m) for p, z, m in zip(pairs, zs, ms)], "ZM"
+    if zs is not None:
+        return [(*p, z) for p, z in zip(pairs, zs)], "Z"
+    if ms is not None:
+        return [(*p, m) for p, m in zip(pairs, ms)], "M"
+    return [tuple(p) for p in pairs], ""
+
+
+def _read_doubles(body: bytes, offset: int, n: int) -> list[float]:
+    return list(struct.unpack(f"<{n}d", body[offset : offset + 8 * n]))
 
 
 def _parse_shp(data: bytes) -> list[str | None]:
@@ -47,41 +99,71 @@ def _parse_shp(data: bytes) -> list[str | None]:
         shape_type = struct.unpack("<i", body[:4])[0]
         if shape_type == 0:
             geoms.append(None)
-        elif shape_type == 1:  # Point
+            continue
+        if shape_type not in _SHAPE_KINDS:
+            raise NotImplementedError(f"shapefile shape type {shape_type}")
+        kind, dim = _SHAPE_KINDS[shape_type]
+        if kind == "point":
             x, y = struct.unpack("<dd", body[4:20])
-            geoms.append(f"POINT ({x:g} {y:g})")
-        elif shape_type == 8:  # MultiPoint
+            zs = ms = None
+            if dim == "Z":
+                zs = [struct.unpack("<d", body[20:28])[0]]
+                if len(body) >= 36:  # optional trailing measure
+                    ms = [struct.unpack("<d", body[28:36])[0]]
+            elif dim == "M":
+                ms = [struct.unpack("<d", body[20:28])[0]]
+            pts, suffix = _zip_dims([(x, y)], zs, ms)
+            geoms.append(_tag("POINT", suffix) + _coords_wkt(pts))
+        elif kind == "mpoint":
             (n,) = struct.unpack("<i", body[36:40])
-            pts = struct.unpack(f"<{2 * n}d", body[40 : 40 + 16 * n])
-            pairs = list(zip(pts[::2], pts[1::2]))
-            geoms.append(
-                "MULTIPOINT (" + ", ".join(f"{x:g} {y:g}" for x, y in pairs) + ")"
-            )
-        elif shape_type in (3, 5):  # PolyLine / Polygon
+            flat = _read_doubles(body, 40, 2 * n)
+            pairs = list(zip(flat[::2], flat[1::2]))
+            cursor = 40 + 16 * n
+            zs = ms = None
+            if dim == "Z":
+                zs = _read_doubles(body, cursor + 16, n)  # skip z-range
+                cursor += 16 + 8 * n
+            if dim == "M" or (dim == "Z" and len(body) >= cursor + 16 + 8 * n):
+                ms = _read_doubles(body, cursor + 16, n)  # skip m-range
+            pts, suffix = _zip_dims(pairs, zs, ms)
+            geoms.append(_tag("MULTIPOINT", suffix) + _coords_wkt(pts))
+        else:  # line / poly
             n_parts, n_points = struct.unpack("<ii", body[36:44])
             parts = struct.unpack(f"<{n_parts}i", body[44 : 44 + 4 * n_parts])
-            pts_off = 44 + 4 * n_parts
-            flat = struct.unpack(
-                f"<{2 * n_points}d", body[pts_off : pts_off + 16 * n_points]
-            )
+            cursor = 44 + 4 * n_parts
+            flat = _read_doubles(body, cursor, 2 * n_points)
             pairs = list(zip(flat[::2], flat[1::2]))
+            cursor += 16 * n_points
+            zs = ms = None
+            if dim == "Z":
+                zs = _read_doubles(body, cursor + 16, n_points)
+                cursor += 16 + 8 * n_points
+            if dim == "M" or (
+                dim == "Z" and len(body) >= cursor + 16 + 8 * n_points
+            ):
+                ms = _read_doubles(body, cursor + 16, n_points)
+            pts, suffix = _zip_dims(pairs, zs, ms)
             bounds = list(parts) + [n_points]
-            rings = [pairs[bounds[i] : bounds[i + 1]] for i in range(n_parts)]
-            if shape_type == 3:
+            rings = [pts[bounds[i] : bounds[i + 1]] for i in range(n_parts)]
+            if kind == "line":
                 if len(rings) == 1:
-                    geoms.append("LINESTRING " + _ring_wkt(rings[0]))
+                    geoms.append(
+                        _tag("LINESTRING", suffix) + _coords_wkt(rings[0])
+                    )
                 else:
                     geoms.append(
-                        "MULTILINESTRING ("
-                        + ", ".join(_ring_wkt(r) for r in rings)
+                        _tag("MULTILINESTRING", suffix)
+                        + "("
+                        + ", ".join(_coords_wkt(r) for r in rings)
                         + ")"
                     )
             else:
                 geoms.append(
-                    "POLYGON (" + ", ".join(_ring_wkt(r) for r in rings) + ")"
+                    _tag("POLYGON", suffix)
+                    + "("
+                    + ", ".join(_coords_wkt(r) for r in rings)
+                    + ")"
                 )
-        else:
-            raise NotImplementedError(f"shapefile shape type {shape_type}")
     return geoms
 
 

@@ -155,6 +155,100 @@ def test_shapefile_polygon_roundtrip(tmp_path, spark):
     assert _parse_shp(shp.read_bytes()) == ["POLYGON ((0 0, 4 0, 4 4, 0 0))"]
 
 
+def _one_record_shp(shape_type: int, body: bytes) -> bytes:
+    content = struct.pack("<i", shape_type) + body
+    records = struct.pack(">ii", 1, len(content) // 2) + content
+    header = struct.pack(
+        ">iiiiiii", 9994, 0, 0, 0, 0, 0, (100 + len(records)) // 2
+    )
+    header += struct.pack("<ii", 1000, shape_type)
+    header += struct.pack("<8d", *([0.0] * 8))
+    return header + records
+
+
+def _d(*vals: float) -> bytes:
+    return struct.pack(f"<{len(vals)}d", *vals)
+
+
+_BBOX = _d(0, 0, 9, 9)
+
+
+def _zm_shape_cases():
+    """(shape_type, record body after the type int, expected WKT) for every
+    Z/M variant shp2pgsql accepts (reference operators/shp2pgsql.py:13-27)."""
+    two_pts = _d(0, 0, 1, 1)  # xy xy
+    line_hdr = _BBOX + struct.pack("<ii", 1, 2) + struct.pack("<i", 0)
+    two_part_hdr = _BBOX + struct.pack("<ii", 2, 4) + struct.pack("<ii", 0, 2)
+    four_pts = _d(0, 0, 1, 1, 5, 5, 6, 6)
+    ring = _d(0, 0, 4, 0, 4, 4, 0, 0)
+    ring_hdr = _BBOX + struct.pack("<ii", 1, 4) + struct.pack("<i", 0)
+    return [
+        # PointZ without / with / with-nodata measure
+        (11, _d(1, 2, 5), "POINT Z (1 2 5)"),
+        (11, _d(1, 2, 5, 9), "POINT ZM (1 2 5 9)"),
+        (11, _d(1, 2, 5, -1e40), "POINT Z (1 2 5)"),
+        (21, _d(1, 2, 9), "POINT M (1 2 9)"),
+        # MultiPointZ: bbox + n + xy*n + zrange + z*n [+ mrange + m*n]
+        (
+            18,
+            _BBOX + struct.pack("<i", 2) + two_pts + _d(1, 2) + _d(1, 2),
+            "MULTIPOINT Z (0 0 1, 1 1 2)",
+        ),
+        (
+            18,
+            _BBOX + struct.pack("<i", 2) + two_pts + _d(1, 2) + _d(1, 2)
+            + _d(7, 8) + _d(7, 8),
+            "MULTIPOINT ZM (0 0 1 7, 1 1 2 8)",
+        ),
+        (
+            28,
+            _BBOX + struct.pack("<i", 2) + two_pts + _d(7, 8) + _d(7, 8),
+            "MULTIPOINT M (0 0 7, 1 1 8)",
+        ),
+        # PolyLineZ single part -> LINESTRING Z
+        (
+            13,
+            line_hdr + two_pts + _d(1, 2) + _d(1, 2),
+            "LINESTRING Z (0 0 1, 1 1 2)",
+        ),
+        # PolyLineM two parts -> MULTILINESTRING M
+        (
+            23,
+            two_part_hdr + four_pts + _d(1, 4) + _d(1, 2, 3, 4),
+            "MULTILINESTRING M ((0 0 1, 1 1 2), (5 5 3, 6 6 4))",
+        ),
+        # PolygonZ / PolygonM single ring
+        (
+            15,
+            ring_hdr + ring + _d(1, 4) + _d(1, 2, 3, 4),
+            "POLYGON Z ((0 0 1, 4 0 2, 4 4 3, 0 0 4))",
+        ),
+        (
+            25,
+            ring_hdr + ring + _d(1, 4) + _d(1, 2, 3, 4),
+            "POLYGON M ((0 0 1, 4 0 2, 4 4 3, 0 0 4))",
+        ),
+        # 2D MultiPoint unchanged by the Z/M machinery
+        (
+            8,
+            _BBOX + struct.pack("<i", 2) + two_pts,
+            "MULTIPOINT (0 0, 1 1)",
+        ),
+    ]
+
+
+@pytest.mark.parametrize(
+    "shape_type,body,expected",
+    _zm_shape_cases(),
+    ids=lambda v: v if isinstance(v, str) else None,
+)
+def test_shapefile_zm_variants(shape_type, body, expected):
+    """Every Z/M shape type round-trips to dimensioned WKT."""
+    from data_preparation_plugin_spark.operators.shapefile import _parse_shp
+
+    assert _parse_shp(_one_record_shp(shape_type, body)) == [expected]
+
+
 # -- transforms -------------------------------------------------------------
 
 
