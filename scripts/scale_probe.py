@@ -199,6 +199,23 @@ PROBES = [
 ]
 
 
+def _lsh_pair_telemetry(spark, sf_dir: str) -> dict:
+    """Candidate-pair counts for the LSH calibration probe: asserts the
+    'pairs grow linearly with docs' banding assumption with a measured
+    pairs/doc ratio instead of prose."""
+    n_pairs = QUERIES["dedup_minhash_lsh_pairs"].builder(spark, sf_dir).count()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return {
+        "cand_pairs": n_pairs,
+        "docs": n_docs,
+        "pairs_per_doc": round(n_pairs / max(n_docs, 1), 4),
+    }
+
+
+#: query -> untimed extra measurements merged into that query's probe rows.
+TELEMETRY = {"dedup_lsh_calibration": _lsh_pair_telemetry}
+
+
 def main() -> None:
     max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     factors = [f for f in (1, 2, 4, 8) if f <= max_factor]
@@ -223,7 +240,10 @@ def main() -> None:
             run(builder(spark, dirs[f]))
             dt = round(time.perf_counter() - t0, 3)
             results[name][f] = dt
-            print(json.dumps({"query": name, "scale": f, "sec": dt}))
+            row = {"query": name, "scale": f, "sec": dt}
+            if name in TELEMETRY:
+                row.update(TELEMETRY[name](spark, dirs[f]))
+            print(json.dumps(row))
     summary = {
         name: round(times[factors[-1]] / max(times[factors[0]], 1e-9), 2)
         for name, times in results.items()
