@@ -246,7 +246,10 @@ def stateful_user_totals(
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
+            # .sum() skips NaN, so this IS coalesce(value, 0) summed —
+            # without the per-key fillna copy (this callback runs once
+            # per key per micro-batch, so per-call constants dominate).
+            total += float(pdf["value"].sum())
         state.update((n, total))
         yield pd.DataFrame(
             {
