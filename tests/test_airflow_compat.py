@@ -99,8 +99,50 @@ def test_adapter_wiring_with_stub(monkeypatch, spark):
     assert op.seen_spark is not None
 
 
+def _csv_load_operator(tmp_path):
+    """A real CsvLoadOperator over a staged CSV — the reference's primary
+    ingestion operator (Embulk CSV -> table), wrapped for the scheduler."""
+    from data_preparation_plugin_spark.operators.load import (
+        CsvLoadOperator,
+        LoadSpec,
+    )
+
+    src = tmp_path / "nations.csv"
+    src.write_text("n_nationkey,n_name\n0,ALGERIA\n1,ARGENTINA\n")
+    spec = LoadSpec(
+        path=str(src),
+        table="airflow_smoke_nation",
+        format="csv",
+        options={"header": "true"},
+        schema="n_nationkey INT, n_name STRING",
+        mode="overwrite",
+    )
+    return CsvLoadOperator(spec, task_id="csv_load_smoke")
+
+
+def _assert_csv_task_loads(task, spark):
+    result = task.python_callable()
+    assert result.count() == 2
+    assert spark.table("airflow_smoke_nation").count() == 2
+    spark.sql("DROP TABLE IF EXISTS airflow_smoke_nation")
+
+
+@pytest.mark.skipif(HAS_AIRFLOW, reason="real airflow covers this")
+def test_csv_load_through_adapter_stub(monkeypatch, spark, tmp_path):
+    """The wrapped callable executes a REAL ingestion operator end to end
+    (CSV -> catalog table) — the smoke the scheduler would run."""
+    _install_airflow_stub(monkeypatch)
+    from data_preparation_plugin_spark.operators.airflow_compat import (
+        as_airflow_task,
+    )
+
+    task = as_airflow_task(_csv_load_operator(tmp_path))
+    assert task.task_id == "csv_load_smoke"
+    _assert_csv_task_loads(task, spark)
+
+
 @pytest.mark.skipif(not HAS_AIRFLOW, reason="airflow not installed")
-def test_adapter_against_real_airflow(spark):
+def test_adapter_against_real_airflow(spark, tmp_path):
     from airflow.operators.python import PythonOperator
 
     from data_preparation_plugin_spark.operators.airflow_compat import (
@@ -112,3 +154,8 @@ def test_adapter_against_real_airflow(spark):
     assert isinstance(task, PythonOperator)
     assert task.task_id == "probe_task"
     assert task.python_callable() == 3
+    # And the reference's primary ingestion operator through the genuine
+    # PythonOperator: build, execute once, observe the loaded table.
+    csv_task = as_airflow_task(_csv_load_operator(tmp_path))
+    assert isinstance(csv_task, PythonOperator)
+    _assert_csv_task_loads(csv_task, spark)
