@@ -52,7 +52,11 @@ DRIVER_CHECK_PRIORITY = [
     "curation_corpus_status",
     "sink_merge_upsert",
     "dedup_containment_pruned",
+    "events_markov_transitions",
+    "events_sessionize_dynamic_gap",
+    "profile_expectation_suite",
     "source_postgres_copy_roundtrip",
+    "text_winnowing_fingerprint",
     "transform_dp_noisy_counts",
     "transform_incremental_agg_merge",
     "transform_k_anonymize",
@@ -62,14 +66,11 @@ DRIVER_CHECK_PRIORITY = [
     "transform_recursive_cte_hierarchy",
     "transform_table_diff",
     "udtf_word_chunks",
-    "events_sessionize",
     "multimodal_binary_meta",
-    "profile_table_columns",
     "sample_sequence_packing",
     "set_ops",
     "knn_bruteforce_cosine",
     "sort_limit_topk",
-    "text_bpe_token_count",
     "window_running",
     "agg_distinct",
     "agg_percentiles",
@@ -92,7 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "project_columns",
     "q10_returned_items",
     "q13_customer_distribution",
-    "q14_promo_revenue_share",
 ]
 
 def _reorder_for_driver() -> None:

@@ -2711,3 +2711,125 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
         code.alias("rfm_code"),
     )
+
+
+@register(
+    "profile_expectation_suite",
+    category="profile",
+    oracle="""
+    WITH o AS (
+        SELECT count(*) AS n,
+               count(*) - count(DISTINCT o_orderkey) AS pk_dup,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_ck,
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad_price
+        FROM orders
+    ), l AS (
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty
+        FROM lineitem
+    ), fk_o AS (
+        SELECT count(*) AS viol FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ), fk_l AS (
+        SELECT count(*) AS viol FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT * FROM (
+        SELECT 'orders.pk_unique' AS constraint_name,
+               CAST(n AS BIGINT) AS n_rows,
+               CAST(pk_dup AS BIGINT) AS n_violations FROM o
+        UNION ALL
+        SELECT 'orders.custkey_not_null', n, null_ck FROM o
+        UNION ALL
+        SELECT 'orders.totalprice_positive', n, bad_price FROM o
+        UNION ALL
+        SELECT 'orders.custkey_in_customer', o.n, fk_o.viol FROM o, fk_o
+        UNION ALL
+        SELECT 'lineitem.quantity_in_range', n, bad_qty FROM l
+        UNION ALL
+        SELECT 'lineitem.orderkey_in_orders', l.n, fk_l.viol FROM l, fk_l
+    )
+    """,
+)
+def profile_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the deequ/GE pattern).
+
+    The acceptance gate a production pipeline runs before publishing a
+    table: primary-key uniqueness, non-null columns, value-range
+    constraints, and referential integrity, reported as one long-format
+    row per constraint (name, rows checked, violations). Unlike ad-hoc
+    assert queries, every per-table constraint family computes in ONE
+    scan of its table — a single multi-metric aggregate unpivoted with
+    ``stack`` — and the two FK checks are anti-joins, the shape whose
+    violation count is exactly the orphan rows. Emitting counts (not a
+    boolean) keeps the gate actionable: the violation count is the
+    triage signal, and zero IS the pass condition downstream
+    orchestration keys on.
+
+    Scale shape: per-table constraint families are map-side-combinable
+    single aggregates (no per-constraint re-scan); the FK anti-joins
+    shuffle on their key — on the dimension side broadcast-eligible.
+    The scalar combination crossJoins are 1-row broadcasts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    o_agg = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_ck"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+    )
+    o_rows = o_agg.selectExpr(
+        "stack(3, 'orders.pk_unique', pk_dup,"
+        " 'orders.custkey_not_null', null_ck,"
+        " 'orders.totalprice_positive', bad_price)"
+        " AS (constraint_name, n_violations)",
+        "n AS n_rows",
+    )
+    l_agg = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                "long"
+            )
+        ).alias("bad_qty"),
+    )
+    l_rows = l_agg.selectExpr(
+        "stack(1, 'lineitem.quantity_in_range', bad_qty)"
+        " AS (constraint_name, n_violations)",
+        "n AS n_rows",
+    )
+    fk_o = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .withColumn("constraint_name", F.lit("orders.custkey_in_customer"))
+        .crossJoin(F.broadcast(o_agg.select(F.col("n").alias("n_rows"))))
+    )
+    fk_l = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .withColumn("constraint_name", F.lit("lineitem.orderkey_in_orders"))
+        .crossJoin(F.broadcast(l_agg.select(F.col("n").alias("n_rows"))))
+    )
+    cols = ["constraint_name", "n_rows", "n_violations"]
+    return (
+        o_rows.select(*cols)
+        .unionByName(l_rows.select(*cols))
+        .unionByName(fk_o.select(*cols))
+        .unionByName(fk_l.select(*cols))
+    )

@@ -1448,3 +1448,172 @@ def events_trailing_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").alias("trailing_dau"))
     )
+
+
+@register(
+    "events_markov_transitions",
+    category="events",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), cells AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n_transitions
+        FROM ordered WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+               AS n_from_total,
+           CAST((n_transitions * 10000)
+                // sum(n_transitions) OVER (PARTITION BY from_type)
+                AS BIGINT) AS prob_bp
+    FROM cells
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    The behavioral profile a product/sequence-model team asks of an
+    event log: for each event type, where do users go NEXT, with what
+    probability? Consecutive pairs come from ``lead`` over each user's
+    time-ordered stream (ties broken by event_id — the determinism rule
+    every ordered window here follows); the matrix is the bounded
+    |types|^2 aggregate, and probabilities are integer basis points
+    (``count * 10000 div row_total``), so parity never touches a float.
+    Feeds sequence-model curricula (transition-rare pairs are the
+    interesting ones) and anomaly screens (a user walking low-probability
+    edges).
+
+    Scale shape: one exchange on user_id for the lead window — the same
+    partitioning every per-user events operator reuses — then a
+    map-side-combinable count into |types|^2 cells; the row-normalizing
+    window runs over that bounded matrix, not the event stream.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    cells = pairs.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    row = Window.partitionBy("from_type")
+    return cells.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.sum("n_transitions").over(row).alias("n_from_total"),
+        F.expr(
+            "(n_transitions * 10000) div sum(n_transitions) "
+            "over (partition by from_type)"
+        ).alias("prob_bp"),
+    )
+
+
+#: Dynamic session gaps by event type (minutes): a purchase keeps the
+#: session alive longer than a passive view/click.
+DYN_GAP_MINUTES = {"purchase": 60, "click": 15}
+DYN_GAP_DEFAULT_MIN = 30
+
+
+@register(
+    "events_sessionize_dynamic_gap",
+    category="events",
+    oracle=f"""
+    WITH gapped AS (
+        SELECT user_id, ts, event_id, value,
+               ts + to_minutes(CASE event_type
+                                   WHEN 'purchase' THEN {DYN_GAP_MINUTES["purchase"]}
+                                   WHEN 'click' THEN {DYN_GAP_MINUTES["click"]}
+                                   ELSE {DYN_GAP_DEFAULT_MIN} END) AS ttl
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, event_id, value, ttl,
+               CASE WHEN max(ttl) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING) IS NULL
+                    OR ts >= max(ttl) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM gapped
+    ), numbered AS (
+        SELECT user_id, ts, event_id, value, ttl,
+               CAST(sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS BIGINT)
+                   AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)              AS session_start,
+           max(ttl)             AS session_end,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization via Spark's native ``session_window``.
+
+    Fixed inactivity gaps mis-segment mixed behavior: a purchase should
+    hold a session open longer than a drive-by click. Spark's
+    ``session_window(ts, gap_expression)`` accepts a PER-EVENT gap — each
+    event extends the session to ``ts + gap(event_type)`` and sessions
+    merge while those intervals overlap. The oracle models exactly that
+    merge rule as an islands computation: a session breaks when an
+    event's ts reaches the running max of all previous events'
+    time-to-live (NOT just the previous row's — a long-gap event deep in
+    the session can outlive several short-gap successors), then
+    aggregates per island. Start/end parity pins Spark's window bounds
+    semantics: start = min ts, end = max(ts + gap) over the merged set.
+
+    Scale shape: one exchange on user_id (session_window groups by the
+    session key within user partitions); the islands oracle is the
+    batch-SQL twin. The same expression runs streaming with a watermark
+    — session_window is one of the few stateful ops whose gap can vary
+    per row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    # session_window's dynamic gap wants CalendarIntervalType: string
+    # durations ("60 minutes") convert; ANSI INTERVAL literals do not.
+    gap = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.lit(f"{DYN_GAP_MINUTES['purchase']} minutes"),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.lit(f"{DYN_GAP_MINUTES['click']} minutes"),
+        )
+        .otherwise(F.lit(f"{DYN_GAP_DEFAULT_MIN} minutes"))
+    )
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -196,6 +196,10 @@ PROBES = [
     "events_rfm_segmentation",    # custkey agg + 3-number broadcast
     "multimodal_pair_audit",      # modality equi-join + bounded agg
     "dedup_containment_pruned",   # rarest-prefix candidates + exact verify
+    "text_winnowing_fingerprint", # per-doc gram window, one doc exchange
+    "events_markov_transitions",  # user lead window + bounded matrix agg
+    "events_sessionize_dynamic_gap",  # native session_window, varying gap
+    "profile_expectation_suite",  # multi-metric one-scan aggs + FK anti-joins
 ]
 
 
