@@ -53,7 +53,10 @@ DRIVER_CHECK_PRIORITY = [
     "sink_merge_upsert",
     "dedup_containment_pruned",
     "events_markov_transitions",
+    "events_seasonal_decompose",
     "events_sessionize_dynamic_gap",
+    "knn_ivf_recall_audit",
+    "multimodal_shot_boundaries",
     "profile_expectation_suite",
     "source_postgres_copy_roundtrip",
     "text_winnowing_fingerprint",
@@ -66,10 +69,8 @@ DRIVER_CHECK_PRIORITY = [
     "transform_recursive_cte_hierarchy",
     "transform_table_diff",
     "udtf_word_chunks",
-    "multimodal_binary_meta",
     "sample_sequence_packing",
     "set_ops",
-    "knn_bruteforce_cosine",
     "sort_limit_topk",
     "window_running",
     "agg_distinct",
@@ -92,7 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "null_handling",
     "project_columns",
     "q10_returned_items",
-    "q13_customer_distribution",
 ]
 
 def _reorder_for_driver() -> None:

@@ -1617,3 +1617,96 @@ def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
             "session_value",
         )
     )
+
+
+@register(
+    "events_seasonal_decompose",
+    category="events",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    ), ma AS (
+        SELECT day, n,
+               (day - DATE '1970-01-01') % 7 AS dow,
+               sum(n) OVER w7 AS win_sum,
+               count(*) OVER w7 AS win_n
+        FROM daily
+        WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), dows AS (
+        SELECT dow, CAST((sum(n) * 100) // count(*) AS BIGINT) AS dow_e2
+        FROM ma GROUP BY dow
+    ), overall AS (
+        SELECT CAST((sum(n) * 100) // count(*) AS BIGINT) AS overall_e2
+        FROM ma
+    )
+    SELECT m.day,
+           CAST(m.n AS BIGINT) AS n_events,
+           CAST(m.dow AS BIGINT) AS dow,
+           CAST((m.win_sum * 100) // 7 AS BIGINT) AS trend_e2,
+           CAST(d.dow_e2 - o.overall_e2 AS BIGINT) AS seasonal_dev_e2,
+           CAST(m.n * 100 - (m.win_sum * 100) // 7
+                - (d.dow_e2 - o.overall_e2) AS BIGINT) AS residual_e2
+    FROM ma m JOIN dows d ON m.dow = d.dow CROSS JOIN overall o
+    WHERE m.win_n = 7
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event series.
+
+    The classical trend/seasonality/residual split a metrics pipeline
+    runs before anomaly thresholds (a Monday dip is seasonality, not an
+    incident): trend = 7-day centered moving average (only days with a
+    full window), seasonal = day-of-week mean deviation from the global
+    mean, residual = observed - trend - seasonal. Everything is scaled-
+    integer arithmetic (x100 fixed point) with strictly positive
+    division operands — negative values appear only via subtraction —
+    because Spark's ``div`` truncates toward zero while DuckDB's ``//``
+    floors, so a negative numerator would silently diverge. Day-of-week
+    is ``days-since-epoch mod 7``, not a calendar function: the two
+    engines disagree on weekday numbering conventions, integer day
+    arithmetic they cannot.
+
+    Scale shape: the raw scan collapses to the daily spine in one
+    map-side-combinable aggregate; every window after that runs over
+    |days| rows (a bounded series — the documented single-task sort is
+    over the spine, never the event stream), and the dow/overall means
+    are bounded-key broadcasts back onto it.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "n",
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7)
+        .cast("long")
+        .alias("dow"),
+        F.sum("n").over(w7).alias("win_sum"),
+        F.count(F.lit(1)).over(w7).alias("win_n"),
+    )
+    dows = ma.groupBy("dow").agg(
+        F.expr("(sum(n) * 100) div count(1)").alias("dow_e2")
+    )
+    overall = ma.agg(
+        F.expr("(sum(n) * 100) div count(1)").alias("overall_e2")
+    )
+    return (
+        ma.filter(F.col("win_n") == 7)
+        .join(F.broadcast(dows), "dow")
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "day",
+            F.col("n").alias("n_events"),
+            "dow",
+            F.expr("(win_sum * 100) div 7").alias("trend_e2"),
+            (F.col("dow_e2") - F.col("overall_e2")).alias("seasonal_dev_e2"),
+            (
+                F.col("n") * 100
+                - F.expr("(win_sum * 100) div 7")
+                - (F.col("dow_e2") - F.col("overall_e2"))
+            ).alias("residual_e2"),
+        )
+    )

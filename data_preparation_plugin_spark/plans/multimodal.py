@@ -935,3 +935,114 @@ def multimodal_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_trainable"),
     )
+
+
+#: Shot boundary: a frame opens a new shot when its mean brightness moves
+#: more than this (e4 scale, 0..2,550,000) from the previous frame —
+#: ~10% of the dynamic range, the classic hard-cut detector setting.
+SHOT_THRESH_E4 = 250_000
+
+
+@register(
+    "multimodal_shot_boundaries",
+    category="multimodal",
+    oracle=f"""
+    WITH vids AS (
+        SELECT doc_id,
+               octet_length(encode(text)) % 7 + 1 AS n_frames
+        FROM documents WHERE doc_id % 10 = 0
+    ), frames AS (
+        SELECT doc_id, unnest(range(0, n_frames)) AS fi FROM vids
+    ), px AS (
+        SELECT doc_id, fi,
+               (doc_id + fi) % 8 + 4 AS w,
+               doc_id % 6 + 3        AS h
+        FROM frames
+    ), feat AS (
+        SELECT doc_id, fi,
+               CAST(sum((doc_id * 7 + fi * 13 + k) % 256) AS BIGINT) * 10000
+                   // CAST(w * h * 3 AS BIGINT) AS mean_e4
+        FROM (SELECT doc_id, fi, w, h, unnest(range(0, w * h * 3)) AS k
+              FROM px)
+        GROUP BY doc_id, fi, w, h
+    ), flagged AS (
+        SELECT doc_id, fi, mean_e4,
+               CASE WHEN lag(mean_e4) OVER (PARTITION BY doc_id ORDER BY fi)
+                         IS NULL
+                    OR abs(mean_e4 - lag(mean_e4)
+                           OVER (PARTITION BY doc_id ORDER BY fi))
+                       > {SHOT_THRESH_E4}
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM feat
+    ), shots AS (
+        SELECT doc_id, fi, mean_e4,
+               CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY fi
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS BIGINT)
+                   AS shot_seq
+        FROM flagged
+    )
+    SELECT doc_id, shot_seq,
+           CAST(min(fi) AS BIGINT)     AS start_frame,
+           CAST(max(fi) AS BIGINT)     AS end_frame,
+           CAST(count(*) AS BIGINT)    AS n_frames,
+           CAST(sum(mean_e4) // count(*) AS BIGINT) AS shot_mean_e4
+    FROM shots
+    GROUP BY doc_id, shot_seq
+    """,
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection: hard cuts from frame-brightness jumps.
+
+    The standard first pass of video curation — segmenting footage into
+    shots so sampling/captioning operates per shot, not per raw frame.
+    Reuses the SAME Arrow featurizer as the temporal-pool pipeline
+    (``_frame_feature_batches`` — real numpy over deterministic synthetic
+    pixels; the codec stays behind the import gate), then declares a cut
+    wherever consecutive frames' integer mean brightness differs by more
+    than ``SHOT_THRESH_E4`` and groups frames into shots with the
+    lag + cumulative-sum islands idiom. Every feature is integer
+    arithmetic, so the oracle re-derives the pixels and the cut
+    decisions exactly.
+
+    Scale shape: frame explode is bounded fan-out, the featurizer is
+    partition-local Arrow with zero upstream shuffle, and the only
+    exchange partitions (video, frame) feature rows by doc_id for the
+    ordered lag window — the same single-exchange shape as every
+    sessionize. Pixels never shuffle.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    n_frames = F.octet_length(F.encode("text", "UTF-8")) % 7 + 1
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+    feat = frames.mapInPandas(
+        _frame_feature_batches,
+        schema="doc_id long, frame_idx long, f_sum long, f_max int, n_px long",
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.expr("(f_sum * 10000) div n_px").alias("mean_e4"),
+    )
+    order = W.partitionBy("doc_id").orderBy("frame_idx")
+    frame = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("mean_e4").over(order)
+    is_cut = (
+        prev.isNull() | (F.abs(F.col("mean_e4") - prev) > SHOT_THRESH_E4)
+    ).cast("long")
+    return (
+        feat.withColumn("is_cut", is_cut)
+        .withColumn("shot_seq", F.sum("is_cut").over(frame))
+        .groupBy("doc_id", "shot_seq")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.expr("sum(mean_e4) div count(1)").alias("shot_mean_e4"),
+        )
+    )

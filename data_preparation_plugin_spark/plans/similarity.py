@@ -1722,3 +1722,80 @@ def knn_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Python's round is banker's and would flip exact-halfway cases.
         F.round("cov", 4).alias("coverage_radius"),
     )
+
+
+def _registered_oracle(name: str) -> str:
+    from data_preparation_plugin_spark.plans.registry import QUERIES
+
+    return QUERIES[name].oracle
+
+
+# The audit oracle is the two member oracles verbatim, joined as CTEs: any
+# edit to either member's SQL flows into the audit automatically.
+_RECALL_AUDIT_ORACLE = f"""
+    WITH exact_side AS (
+        SELECT query_id, neighbor_id FROM ({_registered_oracle("knn_bruteforce_cosine")})
+    ), approx_side AS (
+        SELECT query_id, neighbor_id FROM ({_registered_oracle("knn_ivf_cosine")})
+    ), hits AS (
+        SELECT e.query_id, count(*) AS n_hits
+        FROM exact_side e JOIN approx_side a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    ), totals AS (
+        SELECT query_id, count(*) AS n_exact
+        FROM exact_side GROUP BY query_id
+    )
+    SELECT t.query_id,
+           CAST(t.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((coalesce(h.n_hits, 0) * 10000) // t.n_exact AS BIGINT)
+               AS recall_bp
+    FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+"""
+
+
+@register(
+    "knn_ivf_recall_audit",
+    category="similarity",
+    oracle=_RECALL_AUDIT_ORACLE,
+)
+def knn_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against the exact baseline, per query.
+
+    The acceptance metric every ANN deployment is tuned by: of the true
+    top-k neighbors (exact brute force), how many did the
+    (n_cells, nprobe) IVF configuration return? Composes the two
+    REGISTERED builders directly — and the oracle splices the two
+    registered oracle texts as CTEs — so the audit can never drift from
+    the operators it audits. Recall is integer basis points
+    (``hits * 10000 div k``), never a float. This is the measurement
+    loop behind choosing nprobe: recall_bp here, candidate volume from
+    the cell histogram, and the product decides the CPU/recall trade.
+
+    Scale shape: both members are broadcast-probe plans (bounded query
+    set); the audit adds one left-semi join keyed on
+    (query_id, neighbor_id) — k rows per query on each side — and a
+    bounded-key aggregate. Cost is dominated by the members themselves.
+    """
+    exact = knn_bruteforce_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn_ivf_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_exact.join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(
+                "(coalesce(n_hits, 0) * 10000) div n_exact"
+            ).alias("recall_bp"),
+        )
+    )
+

@@ -200,6 +200,9 @@ PROBES = [
     "events_markov_transitions",  # user lead window + bounded matrix agg
     "events_sessionize_dynamic_gap",  # native session_window, varying gap
     "profile_expectation_suite",  # multi-metric one-scan aggs + FK anti-joins
+    "knn_ivf_recall_audit",       # two broadcast-probe members + semi join
+    "multimodal_shot_boundaries", # Arrow frame features + islands window
+    "events_seasonal_decompose",  # daily spine windows + bounded broadcasts
 ]
 
 
