@@ -51,16 +51,20 @@ DRIVER_CHECK_PRIORITY = [
     "geo_point_in_region",
     "curation_corpus_status",
     "sink_merge_upsert",
+    "dedup_bloom_fp_audit",
     "dedup_containment_pruned",
     "events_markov_transitions",
+    "events_path_trigrams",
     "events_seasonal_decompose",
     "events_sessionize_dynamic_gap",
     "knn_ivf_recall_audit",
     "multimodal_shot_boundaries",
     "profile_expectation_suite",
+    "sink_forget_user_cascade",
     "source_postgres_copy_roundtrip",
     "text_winnowing_fingerprint",
     "transform_dp_noisy_counts",
+    "transform_golden_record",
     "transform_incremental_agg_merge",
     "transform_k_anonymize",
     "transform_l_diversity",
@@ -89,10 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "join_full_outer",
     "join_left",
     "join_range_band",
-    "join_semi",
-    "null_handling",
-    "project_columns",
-    "q10_returned_items",
 ]
 
 def _reorder_for_driver() -> None:

@@ -2833,3 +2833,94 @@ def profile_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fk_o.select(*cols))
         .unionByName(fk_l.select(*cols))
     )
+
+
+@register(
+    "transform_golden_record",
+    category="transform",
+    oracle="""
+    WITH versions AS (
+        SELECT c_custkey AS entity_key, c_name AS name,
+               c_mktsegment AS segment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS balance_cents,
+               1 AS version
+        FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               substr(c_name, 1, 2) || substr(c_name, 4),
+               NULL,
+               CAST(round(c_acctbal * 100) AS BIGINT) + 1000,
+               2
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT entity_key,
+           CAST(count(*) AS BIGINT) AS n_records,
+           arg_max(name, length(name) * 10 + version) AS golden_name,
+           max(segment) AS golden_segment,
+           CAST(arg_max(balance_cents, version) AS BIGINT)
+               AS balance_cents_latest,
+           CAST(sum(CASE WHEN segment IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_complete_records
+    FROM versions
+    GROUP BY entity_key
+    """,
+)
+def transform_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: merge duplicate records by rule.
+
+    The step AFTER record linkage in every MDM/customer-360 pipeline:
+    each matched cluster collapses to one survivor per attribute under
+    declared rules — here the three canonical ones on a deterministic
+    duplicate fixture (every third customer gains a corrupted, less
+    complete, newer version — the ``dedup_fuzzy_entity_match``
+    corruption): **most-complete** (longest name, version as tie-break)
+    via ``max_by`` on an integer preference key, **any-non-null**
+    (segment — the newer record lost it) via null-skipping ``max``, and
+    **most-recent** (balance from the highest version) via ``max_by`` on
+    version. Money is integer cents so recency-vs-value mistakes cannot
+    hide in float noise. Preference keys are engine-exact integers;
+    Spark ``max_by`` and DuckDB ``arg_max`` agree given unique keys,
+    which the fixture guarantees (lengths differ by the corruption,
+    versions are distinct).
+
+    Scale shape: one union of narrow maps and ONE hash aggregate on the
+    entity key with every rule as a map-side-combinable ``max_by`` —
+    survivorship at 100 TB is exactly a groupBy, never a sort or a
+    per-cluster loop.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    v1 = customer.select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        cents.alias("balance_cents"),
+        F.lit(1).alias("version"),
+    )
+    v2 = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("entity_key"),
+        F.concat(
+            F.substring("c_name", 1, 2),
+            F.expr("substring(c_name, 4)"),
+        ).alias("name"),
+        F.lit(None).cast("string").alias("segment"),
+        (cents + 1000).alias("balance_cents"),
+        F.lit(2).alias("version"),
+    )
+    return (
+        v1.unionByName(v2)
+        .groupBy("entity_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.expr(
+                "max_by(name, length(name) * 10 + version)"
+            ).alias("golden_name"),
+            F.max("segment").alias("golden_segment"),
+            F.expr("max_by(balance_cents, version)").alias(
+                "balance_cents_latest"
+            ),
+            F.sum(F.col("segment").isNotNull().cast("long")).alias(
+                "n_complete_records"
+            ),
+        )
+    )

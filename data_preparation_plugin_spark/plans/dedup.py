@@ -1979,3 +1979,81 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est_j - exact), 4).alias("abs_err"),
         )
     )
+
+
+def _oracle_of(name: str) -> str:
+    from data_preparation_plugin_spark.plans.registry import QUERIES
+
+    return QUERIES[name].oracle
+
+
+# Composed verbatim from the two registered members (the knn_ivf_recall_audit
+# pattern): edits to either decontamination oracle flow into the audit.
+_BLOOM_FP_ORACLE = f"""
+    WITH bloom_side AS (
+        SELECT doc_id, n_flagged_ngrams
+        FROM ({_oracle_of("dedup_bloom_decontaminate")})
+    ), exact_side AS (
+        SELECT doc_id, n_contaminated_ngrams
+        FROM ({_oracle_of("dedup_decontaminate")})
+    ), joined AS (
+        SELECT b.doc_id, b.n_flagged_ngrams,
+               coalesce(e.n_contaminated_ngrams, 0) AS n_exact
+        FROM bloom_side b LEFT JOIN exact_side e ON b.doc_id = e.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs_flagged,
+           CAST(sum(CASE WHEN n_exact > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_contaminated,
+           CAST(sum(CASE WHEN n_exact = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fp_docs,
+           CAST((sum(CASE WHEN n_exact = 0 THEN 1 ELSE 0 END) * 10000)
+                // count(*) AS BIGINT) AS fp_rate_bp,
+           CAST(sum(n_flagged_ngrams - n_exact) AS BIGINT)
+               AS n_excess_ngrams
+    FROM joined
+"""
+
+
+@register(
+    "dedup_bloom_fp_audit",
+    category="dedup",
+    oracle=_BLOOM_FP_ORACLE,
+)
+def dedup_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured Bloom false-positive rate of the decontamination prescreen.
+
+    The number that justifies (or resizes) the Bloom geometry: of the
+    documents the 8 KiB bitset flags, how many does the exact broadcast
+    probe confirm, and how many n-grams were phantom hits? Composes the
+    two REGISTERED builders (and splices their registered oracle texts),
+    so the audit tracks the filter it measures. Exact-flagged docs are a
+    subset of bloom-flagged by construction — the filter has no false
+    negatives — so one left join from the bloom side covers both
+    directions, and the summary is the m/k sizing feedback loop
+    (fp_rate_bp >> target -> grow ``BLOOM_BITS``).
+
+    Scale shape: dominated by its two members (pure-map bitset probe and
+    broadcast join); the audit itself adds a doc_id equi-join over the
+    flagged subset and a single-row aggregate.
+    """
+    bloom = dedup_bloom_decontaminate(spark, sf_dir)
+    exact = dedup_decontaminate(spark, sf_dir).select(
+        "doc_id", F.col("n_contaminated_ngrams").alias("n_exact")
+    )
+    joined = bloom.join(exact, "doc_id", "left").select(
+        "n_flagged_ngrams", F.coalesce("n_exact", F.lit(0)).alias("n_exact")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs_flagged"),
+        F.sum((F.col("n_exact") > 0).cast("long")).alias(
+            "n_docs_contaminated"
+        ),
+        F.sum((F.col("n_exact") == 0).cast("long")).alias("n_fp_docs"),
+        F.expr(
+            "(sum(CASE WHEN n_exact = 0 THEN 1 ELSE 0 END) * 10000)"
+            " div count(1)"
+        ).alias("fp_rate_bp"),
+        F.sum(F.col("n_flagged_ngrams") - F.col("n_exact")).alias(
+            "n_excess_ngrams"
+        ),
+    )

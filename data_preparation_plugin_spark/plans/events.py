@@ -1710,3 +1710,98 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual_e2"),
         )
     )
+
+
+#: Top-k common session paths reported by the trigram miner.
+PATH_TOP_K = 20
+
+
+@register(
+    "events_path_trigrams",
+    category="events",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS session_seq
+        FROM flagged
+    ), tri AS (
+        SELECT event_type
+               || '>' || lead(event_type, 1) OVER w
+               || '>' || lead(event_type, 2) OVER w AS path
+        FROM sessions
+        WINDOW w AS (PARTITION BY user_id, session_seq
+                     ORDER BY ts, event_id)
+    ), counted AS (
+        SELECT path, count(*) AS n_occurrences FROM tri
+        WHERE path IS NOT NULL GROUP BY path
+    )
+    SELECT path, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT path, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, path) AS rank
+        FROM counted
+    ) WHERE rank <= {PATH_TOP_K}
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: most common 3-step event sequences per session.
+
+    The path-mining query behind "what do users actually do": sessionize
+    (the same 30-minute islands as ``events_sessionize``), then slide a
+    3-step window along each session with double ``lead`` — the SQL form
+    of sequence n-grams — and rank the global path counts. Trigrams
+    never cross a session boundary because the window partitions by
+    (user, session); the string concat with NULL leads nulls the
+    incomplete tails at session ends, so the WHERE clause drops them in
+    both engines identically. Top-k is a row_number with the
+    count-then-path tie-break (the window-ties rule every ranked output
+    here follows).
+
+    Scale shape: one exchange on user_id serves BOTH stacked windows
+    (sessionize cumsum and the trigram leads — same partitioning, Spark
+    plans one Exchange); path counting is map-side-combinable into a
+    bounded |types|^3 key space, and the final rank window runs over
+    that bounded set.
+    """
+    events = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(order)
+    is_new = (
+        prev_ts.isNull()
+        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES"))
+    ).cast("long")
+    sessions = events.withColumn(
+        "session_seq", F.sum(is_new).over(frame)
+    )
+    w = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    tri = sessions.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).alias("__third"),
+    ).filter(F.col("__third").isNotNull())
+    counted = tri.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    rank_w = Window.orderBy(F.col("n_occurrences").desc(), "path")
+    return (
+        counted.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= PATH_TOP_K)
+        .select("path", "n_occurrences", F.col("rank").cast("long"))
+    )

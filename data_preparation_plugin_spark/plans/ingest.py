@@ -1264,3 +1264,106 @@ def source_postgres_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum((F.col("s_acctbal") * 100).cast("long")).alias("total_cents"),
         F.min("s_name").alias("first_name"),
     )
+
+
+_FORGET_DIR = os.path.join(_STAGE_ROOT, "forget_cascade")
+#: Deletion-request stripe: every customer key divisible by this is purged.
+FORGET_MOD = 101
+
+
+@register(
+    "sink_forget_user_cascade",
+    category="transform",
+    oracle=f"""
+    WITH forgotten AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {FORGET_MOD} = 0
+    ), gone_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM forgotten)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer) AS rows_before,
+           (SELECT CAST(count(*) AS BIGINT) FROM forgotten) AS rows_purged,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM forgotten))
+               AS rows_after
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM gone_orders),
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM forgotten))
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM gone_orders)),
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM gone_orders))
+    """,
+)
+def sink_forget_user_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten: cascade a deletion list through the schema.
+
+    The operational end of the privacy family (pseudonymize / k-anon /
+    l-div / DP cover the analytics; THIS is the GDPR Article 17 delete):
+    a deletion-request list (a deterministic customer stripe) is purged
+    from ``customer``, cascades to ``orders`` via the FK, and to
+    ``lineitem`` via the deleted order keys — each table REWRITTEN to
+    staged parquet with an anti-join (the delete-as-rewrite pattern every
+    table format compacts under MERGE DELETE), and the report counts are
+    computed from the FILES WRITTEN, not the pre-delete plan, so parity
+    proves the purge physically happened. The deletion list and derived
+    order-key list ride broadcast anti-joins: the big tables never
+    shuffle.
+
+    Scale shape: three scans + three broadcast anti-join rewrites; at
+    100 TB the same plan partitions the rewrite by file and the FK
+    cascade list stays dimension-sized (it is the deletion REQUEST set,
+    bounded by users exercising the right, not by the corpus).
+    """
+    import shutil
+
+    shutil.rmtree(_FORGET_DIR, ignore_errors=True)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    forgotten = customer.filter(
+        F.col("c_custkey") % FORGET_MOD == 0
+    ).select("c_custkey")
+    gone_orders = orders.join(
+        F.broadcast(forgotten),
+        orders["o_custkey"] == forgotten["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+
+    kept = {
+        "customer": customer.join(
+            F.broadcast(forgotten), ["c_custkey"], "left_anti"
+        ),
+        "orders": orders.join(
+            F.broadcast(forgotten),
+            orders["o_custkey"] == forgotten["c_custkey"],
+            "left_anti",
+        ),
+        "lineitem": lineitem.join(
+            F.broadcast(gone_orders),
+            lineitem["l_orderkey"] == gone_orders["o_orderkey"],
+            "left_anti",
+        ),
+    }
+    before = {
+        "customer": customer.count(),
+        "orders": orders.count(),
+        "lineitem": lineitem.count(),
+    }
+    rows = []
+    for name, df in kept.items():
+        path = os.path.join(_FORGET_DIR, name)
+        df.write.mode("overwrite").parquet(path)
+        after = spark.read.parquet(path).count()
+        rows.append((name, before[name], before[name] - after, after))
+    return spark.createDataFrame(
+        rows, "table_name string, rows_before long, rows_purged long, rows_after long"
+    )

@@ -203,6 +203,10 @@ PROBES = [
     "knn_ivf_recall_audit",       # two broadcast-probe members + semi join
     "multimodal_shot_boundaries", # Arrow frame features + islands window
     "events_seasonal_decompose",  # daily spine windows + bounded broadcasts
+    "dedup_bloom_fp_audit",       # bitset + broadcast members, doc_id join
+    "transform_golden_record",    # union + single max_by hash aggregate
+    "events_path_trigrams",       # stacked user windows, bounded path agg
+    "sink_forget_user_cascade",   # broadcast anti-join rewrites x3
 ]
 
 
