@@ -53,13 +53,16 @@ DRIVER_CHECK_PRIORITY = [
     "sink_merge_upsert",
     "dedup_bloom_fp_audit",
     "dedup_containment_pruned",
+    "events_cohort_retention",
     "events_markov_transitions",
     "events_path_trigrams",
     "events_seasonal_decompose",
     "events_sessionize_dynamic_gap",
+    "events_stream_session_dynamic",
     "knn_ivf_recall_audit",
     "multimodal_shot_boundaries",
     "profile_expectation_suite",
+    "sample_importance_resample",
     "sink_forget_user_cascade",
     "source_postgres_copy_roundtrip",
     "text_winnowing_fingerprint",
@@ -73,7 +76,6 @@ DRIVER_CHECK_PRIORITY = [
     "transform_recursive_cte_hierarchy",
     "transform_table_diff",
     "udtf_word_chunks",
-    "sample_sequence_packing",
     "set_ops",
     "sort_limit_topk",
     "window_running",
@@ -91,8 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "filter_compute",
     "join_anti",
     "join_full_outer",
-    "join_left",
-    "join_range_band",
 ]
 
 def _reorder_for_driver() -> None:

@@ -1805,3 +1805,165 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PATH_TOP_K)
         .select("path", "n_occurrences", F.col("rank").cast("long"))
     )
+
+
+@register(
+    "events_cohort_retention",
+    category="events",
+    oracle="""
+    WITH weekly AS (
+        SELECT DISTINCT user_id,
+               (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week
+        FROM events
+    ), cohorts AS (
+        SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id
+    ), cells AS (
+        SELECT c.cohort_week,
+               w.week - c.cohort_week AS week_offset,
+               count(DISTINCT w.user_id) AS n_active
+        FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT cohort_week, n_active AS cohort_size
+        FROM cells WHERE week_offset = 0
+    )
+    SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+           CAST(c.week_offset AS BIGINT) AS week_offset,
+           CAST(c.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST((c.n_active * 10000) // s.cohort_size AS BIGINT)
+               AS retention_bp
+    FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the growth team's core table.
+
+    Users cohort by their FIRST active week; each (cohort, week-offset)
+    cell counts distinct users still active that many weeks later, with
+    retention in integer basis points of the cohort's week-0 size.
+    Weeks are ``days-since-epoch div 7`` — pure integer arithmetic, not
+    a calendar function, for the same engine-parity reason as
+    ``events_seasonal_decompose``'s day-of-week.
+
+    Scale shape: the raw stream collapses immediately to DISTINCT
+    (user, week) — the only corpus-sized shuffle, keyed on user_id so
+    the cohort min rides the same exchange; the matrix aggregate is
+    bounded (weeks x offsets) and the week-0 size join is a bounded
+    self-join of that matrix.
+    """
+    events = load_table(spark, sf_dir, "events")
+    weekly = events.select(
+        "user_id",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            / 7
+        )
+        .cast("long")
+        .alias("week"),
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        weekly.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.expr("(n_active * 10000) div cohort_size").alias("retention_bp"),
+    )
+
+
+@register(
+    "events_stream_session_dynamic",
+    category="streaming",
+    oracle=f"""
+    WITH gapped AS (
+        SELECT user_id, ts, event_id, value,
+               ts + to_minutes(CASE event_type
+                                   WHEN 'purchase' THEN {DYN_GAP_MINUTES["purchase"]}
+                                   WHEN 'click' THEN {DYN_GAP_MINUTES["click"]}
+                                   ELSE {DYN_GAP_DEFAULT_MIN} END) AS ttl
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, event_id, value, ttl,
+               CASE WHEN max(ttl) OVER w IS NULL
+                    OR ts >= max(ttl) OVER w
+                    THEN 1 ELSE 0 END AS is_new
+        FROM gapped
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), numbered AS (
+        SELECT user_id, ts, value, ttl,
+               CAST(sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS BIGINT)
+                   AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)              AS session_start,
+           max(ttl)             AS session_end,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dynamic-gap sessions: per-event gap in the state store.
+
+    The streaming twin of ``events_sessionize_dynamic_gap`` — the same
+    per-event-type gap column drives the native ``session_window``
+    operator, but incrementally: session state extends/merges in the
+    state store as micro-batches arrive and the watermark closes
+    finished sessions. Matching the SAME batch islands oracle (running-
+    max ttl boundaries) proves the incremental merge path computes
+    exactly what the batch form computes — the replay crosses
+    micro-batch boundaries, so sessions that straddle a batch edge merge
+    in state, not in one pass.
+
+    Scale shape: state keys on (user, session); the per-event gap adds
+    zero extra state — it only changes each event's interval before the
+    merge. Same one-exchange profile as the fixed-gap streaming session.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        events_stream,
+        sessionize_stream,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    gap = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.lit(f"{DYN_GAP_MINUTES['purchase']} minutes"),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.lit(f"{DYN_GAP_MINUTES['click']} minutes"),
+        )
+        .otherwise(F.lit(f"{DYN_GAP_DEFAULT_MIN} minutes"))
+    )
+    stream = sessionize_stream(
+        events_stream(spark, staged, max_files_per_trigger=2),
+        gap=gap,
+        watermark="30 days",
+    )
+    result = _replay(spark, "events_stream_session_dynamic", stream)
+    return result.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "session_value",
+    )

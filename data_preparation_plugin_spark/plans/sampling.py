@@ -1169,3 +1169,89 @@ def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+#: Weighted-reservoir parameters: sample size and the seed of the
+#: deterministic uniform stream.
+IMPORTANCE_N = 100
+IMPORTANCE_SEED = "importance-resample-1"
+
+
+@register(
+    "sample_importance_resample",
+    category="sampling",
+    oracle=f"""
+    WITH weighted AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+               (('0x' || substr(md5('{IMPORTANCE_SEED}' || doc_id), 1, 8))
+                   ::BIGINT + 1) / 4294967296.0 AS u
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id, w, -ln(u) / w AS key FROM weighted WHERE w > 0
+    ), ranked AS (
+        SELECT doc_id, w, key,
+               row_number() OVER (ORDER BY key, doc_id) AS rank
+        FROM keyed
+    )
+    SELECT CAST(rank AS BIGINT) AS rank,
+           doc_id,
+           CAST(w AS BIGINT) AS weight,
+           round(key, 6) AS key_e6
+    FROM ranked WHERE rank <= {IMPORTANCE_N}
+    """,
+)
+def sample_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES).
+
+    THE distributed algorithm for "sample N documents proportional to
+    weight, no replacement": each item draws an exponential key
+    ``-ln(u) / w`` from a DETERMINISTIC md5-seeded uniform (u in (0,1] —
+    the +1 offset keeps ln total) and the N smallest keys ARE the
+    weighted sample — equivalent to the textbook ``u^(1/w)`` max-form,
+    in the numerically stabler log domain. Weight here is token count
+    (longer docs proportionally likelier), the standard token-budget
+    proxy. One pass, no coordination: at 100 TB each partition keeps its
+    local top-N keys and the final take merges them — the same
+    TakeOrdered shape as any global top-k, which is why this beats
+    rejection sampling (multi-pass) and rank-splitting (full sort) at
+    scale. Reproducibility is the seed string: re-running selects the
+    same sample, the property a training-data pipeline must have for
+    lineage. The key ordering crosses engines bit-exactly because both
+    compute the identical double expression from identical integers;
+    doc_id breaks (astronomically unlikely) ties.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(IMPORTANCE_SEED), F.col("doc_id"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                + 1
+            )
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    ).filter(F.col("w") > 0)
+    keyed = weighted.select(
+        "doc_id", "w", (-F.log("u") / F.col("w")).alias("key")
+    )
+    rank_w = Window.orderBy("key", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= IMPORTANCE_N)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.col("w").cast("long").alias("weight"),
+            F.round("key", 6).alias("key_e6"),
+        )
+    )

@@ -14,7 +14,7 @@ younger is buffered in the state store), so operators never hardcode it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: Schema of the events table (FIXTURES.md §B), required up front by
@@ -118,13 +118,15 @@ def enrich_aggregate(
 
 def sessionize_stream(
     stream: DataFrame,
-    gap: str = "30 minutes",
+    gap: str | Column = "30 minutes",
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Session windows per user — streaming twin of ``events_sessionize``.
 
     Uses the native ``session_window`` operator (dynamic-gap state merging
-    in the state store) rather than the batch lag/cumsum idiom.
+    in the state store) rather than the batch lag/cumsum idiom. ``gap``
+    may be a Column of duration strings for PER-EVENT gaps (the
+    ``events_stream_session_dynamic`` surface).
     """
     return (
         stream.withWatermark("ts", watermark)

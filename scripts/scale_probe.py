@@ -207,6 +207,9 @@ PROBES = [
     "transform_golden_record",    # union + single max_by hash aggregate
     "events_path_trigrams",       # stacked user windows, bounded path agg
     "sink_forget_user_cascade",   # broadcast anti-join rewrites x3
+    "events_cohort_retention",    # distinct user-week + bounded matrix
+    "sample_importance_resample", # A-ES exponential keys, global top-N
+    "events_stream_session_dynamic",  # per-event-gap session state replay
 ]
 
 
