@@ -53,7 +53,6 @@ DRIVER_CHECK_PRIORITY = [
     "sink_merge_upsert",
     "dedup_bloom_fp_audit",
     "dedup_containment_pruned",
-    "events_cohort_retention",
     "events_markov_transitions",
     "events_path_trigrams",
     "events_seasonal_decompose",
@@ -61,11 +60,10 @@ DRIVER_CHECK_PRIORITY = [
     "events_stream_session_dynamic",
     "knn_ivf_recall_audit",
     "multimodal_shot_boundaries",
-    "profile_expectation_suite",
-    "sample_importance_resample",
+    "profile_benford_audit",
+    "sample_pack_efficiency",
     "sink_forget_user_cascade",
     "source_postgres_copy_roundtrip",
-    "text_winnowing_fingerprint",
     "transform_dp_noisy_counts",
     "transform_golden_record",
     "transform_incremental_agg_merge",
@@ -78,6 +76,7 @@ DRIVER_CHECK_PRIORITY = [
     "udtf_word_chunks",
     "set_ops",
     "sort_limit_topk",
+    "text_bpe_token_count",
     "window_running",
     "agg_distinct",
     "agg_percentiles",
@@ -93,6 +92,7 @@ DRIVER_CHECK_PRIORITY = [
     "filter_compute",
     "join_anti",
     "join_full_outer",
+    "join_left",
 ]
 
 def _reorder_for_driver() -> None:

@@ -385,8 +385,10 @@ def transform_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame
     must *check* instead of enforce. Each rule compiles to the cheapest
     distributed form: FK checks are anti-join counts (broadcast when the
     parent is dimension-sized, AQE decides), uniqueness is
-    ``count - count(distinct)`` (partial-agg friendly), range/null rules
-    are pure map-side conditional counts. Output is the audit row a
+    ``count - count(distinct)`` (partial-agg friendly), and all
+    range/null scan-rules over one table fold into a single
+    multi-metric aggregate unpivoted with ``stack`` — one scan of the
+    audited table however many rules it carries. Output is the audit row a
     pipeline gate consumes — rule name, violation count; all six rules
     here are clean on the fixture by construction, so any nonzero count
     is itself the regression signal.
@@ -2714,128 +2716,6 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "profile_expectation_suite",
-    category="profile",
-    oracle="""
-    WITH o AS (
-        SELECT count(*) AS n,
-               count(*) - count(DISTINCT o_orderkey) AS pk_dup,
-               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS null_ck,
-               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS bad_price
-        FROM orders
-    ), l AS (
-        SELECT count(*) AS n,
-               CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
-                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty
-        FROM lineitem
-    ), fk_o AS (
-        SELECT count(*) AS viol FROM orders
-        WHERE o_custkey IS NOT NULL
-          AND o_custkey NOT IN (SELECT c_custkey FROM customer)
-    ), fk_l AS (
-        SELECT count(*) AS viol FROM lineitem
-        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
-    )
-    SELECT * FROM (
-        SELECT 'orders.pk_unique' AS constraint_name,
-               CAST(n AS BIGINT) AS n_rows,
-               CAST(pk_dup AS BIGINT) AS n_violations FROM o
-        UNION ALL
-        SELECT 'orders.custkey_not_null', n, null_ck FROM o
-        UNION ALL
-        SELECT 'orders.totalprice_positive', n, bad_price FROM o
-        UNION ALL
-        SELECT 'orders.custkey_in_customer', o.n, fk_o.viol FROM o, fk_o
-        UNION ALL
-        SELECT 'lineitem.quantity_in_range', n, bad_qty FROM l
-        UNION ALL
-        SELECT 'lineitem.orderkey_in_orders', l.n, fk_l.viol FROM l, fk_l
-    )
-    """,
-)
-def profile_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality expectation suite (the deequ/GE pattern).
-
-    The acceptance gate a production pipeline runs before publishing a
-    table: primary-key uniqueness, non-null columns, value-range
-    constraints, and referential integrity, reported as one long-format
-    row per constraint (name, rows checked, violations). Unlike ad-hoc
-    assert queries, every per-table constraint family computes in ONE
-    scan of its table — a single multi-metric aggregate unpivoted with
-    ``stack`` — and the two FK checks are anti-joins, the shape whose
-    violation count is exactly the orphan rows. Emitting counts (not a
-    boolean) keeps the gate actionable: the violation count is the
-    triage signal, and zero IS the pass condition downstream
-    orchestration keys on.
-
-    Scale shape: per-table constraint families are map-side-combinable
-    single aggregates (no per-constraint re-scan); the FK anti-joins
-    shuffle on their key — on the dimension side broadcast-eligible.
-    The scalar combination crossJoins are 1-row broadcasts.
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    customer = load_table(spark, sf_dir, "customer")
-
-    o_agg = orders.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
-        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_ck"),
-        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
-    )
-    o_rows = o_agg.selectExpr(
-        "stack(3, 'orders.pk_unique', pk_dup,"
-        " 'orders.custkey_not_null', null_ck,"
-        " 'orders.totalprice_positive', bad_price)"
-        " AS (constraint_name, n_violations)",
-        "n AS n_rows",
-    )
-    l_agg = lineitem.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
-                "long"
-            )
-        ).alias("bad_qty"),
-    )
-    l_rows = l_agg.selectExpr(
-        "stack(1, 'lineitem.quantity_in_range', bad_qty)"
-        " AS (constraint_name, n_violations)",
-        "n AS n_rows",
-    )
-    fk_o = (
-        orders.filter(F.col("o_custkey").isNotNull())
-        .join(
-            F.broadcast(customer.select("c_custkey")),
-            F.col("o_custkey") == F.col("c_custkey"),
-            "left_anti",
-        )
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .withColumn("constraint_name", F.lit("orders.custkey_in_customer"))
-        .crossJoin(F.broadcast(o_agg.select(F.col("n").alias("n_rows"))))
-    )
-    fk_l = (
-        lineitem.join(
-            orders.select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-            "left_anti",
-        )
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .withColumn("constraint_name", F.lit("lineitem.orderkey_in_orders"))
-        .crossJoin(F.broadcast(l_agg.select(F.col("n").alias("n_rows"))))
-    )
-    cols = ["constraint_name", "n_rows", "n_violations"]
-    return (
-        o_rows.select(*cols)
-        .unionByName(l_rows.select(*cols))
-        .unionByName(fk_o.select(*cols))
-        .unionByName(fk_l.select(*cols))
-    )
-
-
-@register(
     "transform_golden_record",
     category="transform",
     oracle="""
@@ -2923,4 +2803,68 @@ def transform_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_complete_records"
             ),
         )
+    )
+
+
+@register(
+    "profile_benford_audit",
+    category="profile",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ), counted AS (
+        SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    )
+    SELECT CAST(digit AS INTEGER) AS digit,
+           CAST(n AS BIGINT) AS n_values,
+           CAST((n * 10000) // sum(n) OVER () AS BIGINT) AS observed_bp,
+           CAST(floor(log10(1 + 1.0 / digit) * 10000) AS BIGINT)
+               AS benford_bp,
+           CAST((n * 10000) // sum(n) OVER ()
+                - CAST(floor(log10(1 + 1.0 / digit) * 10000) AS BIGINT)
+                AS BIGINT) AS deviation_bp
+    FROM counted
+    """,
+)
+def profile_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over monetary values.
+
+    The classic forensic screen for fabricated or systematically
+    corrupted numeric columns: natural multi-magnitude amounts follow
+    ``P(d) = log10(1 + 1/d)``; synthetic, capped, or hand-entered data
+    does not. Reports the observed first-significant-digit distribution
+    of order totals against the Benford expectation, both in integer
+    basis points (the only float is ``log10`` of nine constant ratios —
+    identical doubles in both engines, floored to integers before any
+    comparison). Deviation_bp is the triage column: a uniform-ish
+    fixture shows large positive deviations on high digits, exactly what
+    this audit exists to surface.
+
+    Scale shape: a narrow map (integer -> first digit via string head)
+    into a 9-key aggregate; the normalizing window runs over 9 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    # floor() explicitly: DuckDB's double->BIGINT cast rounds half-even
+    # while Spark's truncates — a x999.6 value would land in different
+    # first digits.
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counted = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )
+    total = Window.partitionBy()
+    benford = F.floor(F.log10(1 + 1.0 / F.col("digit"))* 10000).cast("long")
+    observed = F.expr("(n_values * 10000) div sum(n_values) over ()")
+    return counted.select(
+        "digit",
+        "n_values",
+        observed.alias("observed_bp"),
+        benford.alias("benford_bp"),
+        (observed - benford).alias("deviation_bp"),
     )

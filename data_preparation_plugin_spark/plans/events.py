@@ -1808,82 +1808,6 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_cohort_retention",
-    category="events",
-    oracle="""
-    WITH weekly AS (
-        SELECT DISTINCT user_id,
-               (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week
-        FROM events
-    ), cohorts AS (
-        SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id
-    ), cells AS (
-        SELECT c.cohort_week,
-               w.week - c.cohort_week AS week_offset,
-               count(DISTINCT w.user_id) AS n_active
-        FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
-        GROUP BY 1, 2
-    ), sizes AS (
-        SELECT cohort_week, n_active AS cohort_size
-        FROM cells WHERE week_offset = 0
-    )
-    SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
-           CAST(c.week_offset AS BIGINT) AS week_offset,
-           CAST(c.n_active AS BIGINT) AS n_active,
-           CAST(s.cohort_size AS BIGINT) AS cohort_size,
-           CAST((c.n_active * 10000) // s.cohort_size AS BIGINT)
-               AS retention_bp
-    FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
-    """,
-)
-def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention matrix — the growth team's core table.
-
-    Users cohort by their FIRST active week; each (cohort, week-offset)
-    cell counts distinct users still active that many weeks later, with
-    retention in integer basis points of the cohort's week-0 size.
-    Weeks are ``days-since-epoch div 7`` — pure integer arithmetic, not
-    a calendar function, for the same engine-parity reason as
-    ``events_seasonal_decompose``'s day-of-week.
-
-    Scale shape: the raw stream collapses immediately to DISTINCT
-    (user, week) — the only corpus-sized shuffle, keyed on user_id so
-    the cohort min rides the same exchange; the matrix aggregate is
-    bounded (weeks x offsets) and the week-0 size join is a bounded
-    self-join of that matrix.
-    """
-    events = load_table(spark, sf_dir, "events")
-    weekly = events.select(
-        "user_id",
-        (
-            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
-            / 7
-        )
-        .cast("long")
-        .alias("week"),
-    ).distinct()
-    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    cells = (
-        weekly.join(cohorts, "user_id")
-        .groupBy(
-            "cohort_week",
-            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_active"))
-    )
-    sizes = cells.filter(F.col("week_offset") == 0).select(
-        "cohort_week", F.col("n_active").alias("cohort_size")
-    )
-    return cells.join(F.broadcast(sizes), "cohort_week").select(
-        "cohort_week",
-        "week_offset",
-        "n_active",
-        "cohort_size",
-        F.expr("(n_active * 10000) div cohort_size").alias("retention_bp"),
-    )
-
-
-@register(
     "events_stream_session_dynamic",
     category="streaming",
     oracle=f"""

@@ -1171,87 +1171,70 @@ def split_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Weighted-reservoir parameters: sample size and the seed of the
-#: deterministic uniform stream.
-IMPORTANCE_N = 100
-IMPORTANCE_SEED = "importance-resample-1"
+def _oracle_of(name: str) -> str:
+    from data_preparation_plugin_spark.plans.registry import QUERIES
+
+    return QUERIES[name].oracle
+
+
+_PACK_AUDIT_ORACLE = f"""
+    WITH packed AS (
+        SELECT * FROM ({_oracle_of("sample_sequence_packing")})
+    ), seqs AS (
+        SELECT pack_stream, seq_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+        FROM packed GROUP BY pack_stream, seq_id
+    )
+    SELECT CAST(pack_stream AS BIGINT) AS pack_stream,
+           CAST(count(*) AS BIGINT) AS n_sequences,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(least(seq_tokens, {SEQ_PACK_BUDGET})) * 10000
+                // (count(*) * {SEQ_PACK_BUDGET}) AS BIGINT)
+               AS utilization_bp,
+           CAST(sum(CASE WHEN seq_tokens > {SEQ_PACK_BUDGET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_seqs
+    FROM seqs GROUP BY pack_stream
+"""
 
 
 @register(
-    "sample_importance_resample",
+    "sample_pack_efficiency",
     category="sampling",
-    oracle=f"""
-    WITH weighted AS (
-        SELECT doc_id,
-               len(string_split_regex(trim(lower(text)), '\\s+')) AS w,
-               (('0x' || substr(md5('{IMPORTANCE_SEED}' || doc_id), 1, 8))
-                   ::BIGINT + 1) / 4294967296.0 AS u
-        FROM documents
-    ), keyed AS (
-        SELECT doc_id, w, -ln(u) / w AS key FROM weighted WHERE w > 0
-    ), ranked AS (
-        SELECT doc_id, w, key,
-               row_number() OVER (ORDER BY key, doc_id) AS rank
-        FROM keyed
-    )
-    SELECT CAST(rank AS BIGINT) AS rank,
-           doc_id,
-           CAST(w AS BIGINT) AS weight,
-           round(key, 6) AS key_e6
-    FROM ranked WHERE rank <= {IMPORTANCE_N}
-    """,
+    oracle=_PACK_AUDIT_ORACLE,
 )
-def sample_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES).
+def sample_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-utilization audit of the sequence packer — wasted-token report.
 
-    THE distributed algorithm for "sample N documents proportional to
-    weight, no replacement": each item draws an exponential key
-    ``-ln(u) / w`` from a DETERMINISTIC md5-seeded uniform (u in (0,1] —
-    the +1 offset keeps ln total) and the N smallest keys ARE the
-    weighted sample — equivalent to the textbook ``u^(1/w)`` max-form,
-    in the numerically stabler log domain. Weight here is token count
-    (longer docs proportionally likelier), the standard token-budget
-    proxy. One pass, no coordination: at 100 TB each partition keeps its
-    local top-N keys and the final take merges them — the same
-    TakeOrdered shape as any global top-k, which is why this beats
-    rejection sampling (multi-pass) and rank-splitting (full sort) at
-    scale. Reproducibility is the seed string: re-running selects the
-    same sample, the property a training-data pipeline must have for
-    lineage. The key ordering crosses engines bit-exactly because both
-    compute the identical double expression from identical integers;
-    doc_id breaks (astronomically unlikely) ties.
+    The number that decides whether packing parameters are costing real
+    money: per packing stream, how full are the produced sequences
+    (capped utilization in basis points of ``SEQ_PACK_BUDGET``) and how
+    many overflow the budget (the floor-assignment idiom lets a doc
+    straddle, trading exact fill for distributability — this audit
+    MEASURES what that trade costs). Composes the REGISTERED packer
+    (builder and oracle both), so the report tracks the operator it
+    audits. Low utilization -> raise budget or add streams; many
+    overflows -> cap document length upstream.
+
+    Scale shape: everything after the packer is a two-level bounded
+    aggregate (sequences, then streams); the packer's one stream-key
+    exchange dominates.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    weighted = docs.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
-        (
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(IMPORTANCE_SEED), F.col("doc_id"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                + 1
-            )
-            / F.lit(4294967296.0)
-        ).alias("u"),
-    ).filter(F.col("w") > 0)
-    keyed = weighted.select(
-        "doc_id", "w", (-F.log("u") / F.col("w")).alias("key")
+    packed = sample_sequence_packing(spark, sf_dir)
+    seqs = packed.groupBy("pack_stream", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
     )
-    rank_w = Window.orderBy("key", "doc_id")
-    return (
-        keyed.withColumn("rank", F.row_number().over(rank_w))
-        .filter(F.col("rank") <= IMPORTANCE_N)
-        .select(
-            F.col("rank").cast("long").alias("rank"),
-            "doc_id",
-            F.col("w").cast("long").alias("weight"),
-            F.round("key", 6).alias("key_e6"),
-        )
+    return seqs.groupBy("pack_stream").agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("seq_tokens").alias("total_tokens"),
+        F.expr(
+            f"sum(least(seq_tokens, {SEQ_PACK_BUDGET})) * 10000"
+            f" div (count(1) * {SEQ_PACK_BUDGET})"
+        ).alias("utilization_bp"),
+        F.sum(
+            (F.col("seq_tokens") > SEQ_PACK_BUDGET).cast("long")
+        ).alias("n_overflow_seqs"),
     )

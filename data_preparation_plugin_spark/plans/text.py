@@ -1781,134 +1781,3 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "class_share"
         ),
     )
-
-
-#: Winnowing parameters: k tokens per gram, w consecutive grams per window.
-#: Guarantee (Schleimer et al., SIGMOD'03): any shared run of w + k - 1
-#: tokens produces at least one shared fingerprint; expected density 2/(w+1).
-WINNOW_K = 4
-WINNOW_W = 4
-#: Positions pack into the hash key as (hash * base + base-1-pos) so ONE
-#: integer min implements "smallest hash, rightmost position" tie-breaking.
-WINNOW_POS_BASE = 1 << 26
-
-
-@register(
-    "text_winnowing_fingerprint",
-    category="text",
-    oracle=rf"""
-    WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
-        FROM documents
-    ), eligible AS (
-        SELECT doc_id, tokens FROM toks WHERE len(tokens) >= {WINNOW_K}
-    ), grams AS (
-        SELECT doc_id, g.pos AS pos, g.gram AS gram FROM (
-            SELECT doc_id,
-                   unnest(list_transform(
-                       range(1, len(tokens) - {WINNOW_K - 2}),
-                       i -> struct_pack(
-                           pos := i - 1,
-                           gram := array_to_string(
-                               tokens[i:i + {WINNOW_K - 1}], ' ')))) AS g
-            FROM eligible)
-    ), keyed AS (
-        SELECT doc_id, pos,
-               ('0x' || substr(md5(gram), 1, 8))::BIGINT
-                   * {WINNOW_POS_BASE}
-                   + ({WINNOW_POS_BASE} - 1 - pos) AS key
-        FROM grams
-    ), winmin AS (
-        SELECT doc_id, pos,
-               min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                              ROWS BETWEEN {WINNOW_W - 1} PRECEDING
-                                       AND CURRENT ROW) AS selkey
-        FROM keyed
-    ), fp AS (
-        SELECT DISTINCT doc_id, selkey FROM winmin WHERE pos >= {WINNOW_W - 1}
-    ), counts AS (
-        SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
-    )
-    SELECT c.doc_id,
-           CAST(c.n_grams AS BIGINT) AS n_grams,
-           CAST(count(f.selkey) AS BIGINT) AS n_fingerprints,
-           CAST(sum(f.selkey // {WINNOW_POS_BASE}) AS BIGINT) AS fp_hash_sum,
-           (count(f.selkey) * 10000) // c.n_grams AS density_bp
-    FROM counts c JOIN fp f ON c.doc_id = f.doc_id
-    GROUP BY c.doc_id, c.n_grams
-    """,
-)
-def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
-
-    The local fingerprinting algorithm behind MOSS-style plagiarism and
-    near-dup detection: hash every k-token gram, slide a window of w
-    consecutive gram hashes, and select each window's minimum (ties to
-    the RIGHTMOST minimal position). Selection is position-local, so two
-    documents sharing any token run of length >= w + k - 1 are
-    GUARANTEED to share a fingerprint — the property df-capped shingle
-    sampling lacks — at an expected density of only 2/(w+1) of the
-    grams. Emits the per-document fingerprint audit (gram count,
-    selected count, density in basis points, fingerprint hash checksum);
-    the selected (hash, pos) set is what an index/pair stage consumes.
-
-    Both engines implement "min hash, rightmost position" as a single
-    integer ``min`` over ``hash * base + (base - 1 - pos)`` — engine-
-    exact, no float anywhere. Documents shorter than k tokens produce no
-    grams and are excluded on both sides.
-
-    Scale shape: one shuffle partitions grams by doc_id for the ordered
-    window (docs are the natural parallel unit; no cross-doc state);
-    everything else is map-side — the gram explode never leaves its
-    input partition until that single exchange, and the final per-doc
-    aggregate rides the same partitioning.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("tokens")
-    ).filter(F.size("tokens") >= WINNOW_K)
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tokens") - WINNOW_K),
-                lambda i: F.concat_ws(
-                    " ", F.slice("tokens", i + 1, WINNOW_K)
-                ),
-            )
-        ).alias("pos", "gram"),
-    )
-    gram_hash = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
-    keyed = grams.select(
-        "doc_id",
-        "pos",
-        (
-            gram_hash * WINNOW_POS_BASE
-            + (F.lit(WINNOW_POS_BASE - 1) - F.col("pos"))
-        ).alias("key"),
-    )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
-    )
-    selected = (
-        keyed.withColumn("selkey", F.min("key").over(win))
-        .filter(F.col("pos") >= WINNOW_W - 1)
-        .select("doc_id", "selkey")
-        .distinct()
-    )
-    per_doc_fp = selected.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"),
-        F.sum(F.expr(f"selkey div {WINNOW_POS_BASE}")).alias("fp_hash_sum"),
-    )
-    per_doc_grams = grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    return per_doc_grams.join(per_doc_fp, "doc_id").select(
-        "doc_id",
-        "n_grams",
-        "n_fingerprints",
-        "fp_hash_sum",
-        F.expr("(n_fingerprints * 10000) div n_grams").alias("density_bp"),
-    )

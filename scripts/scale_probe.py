@@ -196,10 +196,8 @@ PROBES = [
     "events_rfm_segmentation",    # custkey agg + 3-number broadcast
     "multimodal_pair_audit",      # modality equi-join + bounded agg
     "dedup_containment_pruned",   # rarest-prefix candidates + exact verify
-    "text_winnowing_fingerprint", # per-doc gram window, one doc exchange
     "events_markov_transitions",  # user lead window + bounded matrix agg
     "events_sessionize_dynamic_gap",  # native session_window, varying gap
-    "profile_expectation_suite",  # multi-metric one-scan aggs + FK anti-joins
     "knn_ivf_recall_audit",       # two broadcast-probe members + semi join
     "multimodal_shot_boundaries", # Arrow frame features + islands window
     "events_seasonal_decompose",  # daily spine windows + bounded broadcasts
@@ -207,8 +205,6 @@ PROBES = [
     "transform_golden_record",    # union + single max_by hash aggregate
     "events_path_trigrams",       # stacked user windows, bounded path agg
     "sink_forget_user_cascade",   # broadcast anti-join rewrites x3
-    "events_cohort_retention",    # distinct user-week + bounded matrix
-    "sample_importance_resample", # A-ES exponential keys, global top-N
     "events_stream_session_dynamic",  # per-event-gap session state replay
 ]
 
