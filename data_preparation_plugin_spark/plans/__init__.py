@@ -53,17 +53,20 @@ DRIVER_CHECK_PRIORITY = [
     "sink_merge_upsert",
     "dedup_bloom_fp_audit",
     "dedup_containment_pruned",
+    "events_cumulative_reach",
     "events_markov_transitions",
     "events_path_trigrams",
     "events_seasonal_decompose",
     "events_sessionize_dynamic_gap",
     "events_stream_session_dynamic",
+    "graph_kcore_prune_step",
     "knn_ivf_recall_audit",
     "multimodal_shot_boundaries",
     "profile_benford_audit",
     "sample_pack_efficiency",
     "sink_forget_user_cascade",
     "source_postgres_copy_roundtrip",
+    "text_kneser_ney_bigram",
     "transform_dp_noisy_counts",
     "transform_golden_record",
     "transform_incremental_agg_merge",
@@ -76,7 +79,6 @@ DRIVER_CHECK_PRIORITY = [
     "udtf_word_chunks",
     "set_ops",
     "sort_limit_topk",
-    "text_bpe_token_count",
     "window_running",
     "agg_distinct",
     "agg_percentiles",
@@ -91,8 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "exists_late_shipment",
     "filter_compute",
     "join_anti",
-    "join_full_outer",
-    "join_left",
 ]
 
 def _reorder_for_driver() -> None:

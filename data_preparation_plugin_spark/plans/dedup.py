@@ -2057,3 +2057,106 @@ def dedup_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_excess_ngrams"
         ),
     )
+
+
+#: k-core threshold for the pruning-step query.
+KCORE_K = 2
+
+_KCORE_ORACLE = (
+    "WITH pairs AS ("
+    + _minhash_sql(
+        """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        """
+    )
+    + f"""),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    deg0 AS (
+        SELECT src AS doc_id, count(*) AS degree0 FROM edges GROUP BY src
+    ),
+    survivors AS (
+        SELECT doc_id FROM deg0 WHERE degree0 >= {KCORE_K}
+    ),
+    deg1 AS (
+        SELECT e.src AS doc_id, count(*) AS degree1
+        FROM edges e
+        JOIN survivors s1 ON e.src = s1.doc_id
+        JOIN survivors s2 ON e.dst = s2.doc_id
+        GROUP BY e.src
+    )
+    SELECT d.doc_id,
+           CAST(d.degree0 AS BIGINT) AS degree0,
+           CAST(CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS survived_round1,
+           CAST(coalesce(g.degree1, 0) AS BIGINT) AS degree1
+    FROM deg0 d
+    LEFT JOIN survivors s ON d.doc_id = s.doc_id
+    LEFT JOIN deg1 g ON d.doc_id = g.doc_id
+    """
+)
+
+
+@register("graph_kcore_prune_step", category="dedup", oracle=_KCORE_ORACLE)
+def graph_kcore_prune_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-core pruning round over the near-duplicate graph.
+
+    The degeneracy decomposition's inner loop: drop every node with
+    degree < k, then recompute degrees on the induced subgraph (a
+    node's degree can only FALL when its neighbors leave — that cascade
+    is why the full k-core runs this round to fixpoint, exactly like
+    the label-propagation and star-contraction loops checkpoint their
+    rounds). On the dedup graph the k-core isolates the densely
+    interlinked duplicate clusters from incidental pairwise matches —
+    a structural canonical-set signal complementing PageRank centrality
+    (``graph_pagerank_step``). Reports per node: starting degree,
+    round-1 survival, and the post-prune degree (0 for pruned nodes),
+    so the output shows exactly which nodes the NEXT round would drop.
+
+    Scale shape: degree = one count keyed on node; the induced-subgraph
+    recount is the edge list semi-joined against survivors on BOTH
+    endpoints (two hash joins on node ids) and re-counted — every step
+    a plain shuffle on node id, the same key each round, no iteration
+    state beyond the survivor set.
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg0 = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("degree0")
+    )
+    survivors = deg0.filter(F.col("degree0") >= KCORE_K).select("doc_id")
+    deg1 = (
+        edges.join(
+            survivors.withColumnRenamed("doc_id", "src"), "src", "left_semi"
+        )
+        .join(
+            survivors.withColumnRenamed("doc_id", "dst"), "dst", "left_semi"
+        )
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("degree1"))
+    )
+    return (
+        deg0.join(
+            survivors.withColumn("survived", F.lit(1)), "doc_id", "left"
+        )
+        .join(deg1, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("degree0").cast("long").alias("degree0"),
+            F.coalesce("survived", F.lit(0))
+            .cast("long")
+            .alias("survived_round1"),
+            F.coalesce("degree1", F.lit(0)).cast("long").alias("degree1"),
+        )
+    )

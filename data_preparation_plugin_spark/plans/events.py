@@ -1891,3 +1891,67 @@ def events_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "session_value",
     )
+
+
+@register(
+    "events_cumulative_reach",
+    category="events",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ), daily_active AS (
+        SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_active
+        FROM events GROUP BY 1
+    ), daily_new AS (
+        SELECT first_day AS day, count(*) AS n_new
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT a.day,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_reach
+    FROM daily_active a LEFT JOIN daily_new n ON a.day = n.day
+    """,
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active vs cumulative reach — the DAU/total-audience curve.
+
+    The growth chart every launch review shows: per day, distinct active
+    users, FIRST-EVER-seen users, and the running total of users ever
+    reached. Cumulative distinct over time is the trap shape — a naive
+    per-day ``COUNT(DISTINCT user WHERE ts <= day)`` rescans the stream
+    per day (quadratic) — and the first-seen decomposition is the
+    standard fix: one pass computes each user's first day, and the
+    cumulative reach is a cumsum of the first-seen histogram over the
+    bounded daily spine.
+
+    Scale shape: two corpus aggregates (first-seen keyed on user, daily
+    actives keyed on day — both map-side combinable), then joins and a
+    running sum over |days| rows. The documented single-task sort is
+    over the daily spine only.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(day).alias("first_day")
+    )
+    daily_active = events.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    spine = daily_active.join(daily_new, "day", "left").select(
+        "day",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return spine.withColumn(
+        "cumulative_reach", F.sum("n_new").over(cum)
+    )

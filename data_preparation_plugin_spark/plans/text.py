@@ -1781,3 +1781,120 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "class_share"
         ),
     )
+
+
+#: Kneser-Ney: discount d = 3/4 expressed as exact integer ratio, and the
+#: minimum bigram count for a row to be REPORTED (all statistics are
+#: computed over the unfiltered bigram table).
+KN_MIN_COUNT = 5
+
+
+@register(
+    "text_kneser_ney_bigram",
+    category="text",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), bigrams AS (
+        SELECT unnest(CASE WHEN len(tokens) >= 2
+                 THEN list_transform(range(1, len(tokens)),
+                      i -> tokens[i] || ' ' || tokens[i+1])
+                 ELSE [] END) AS bigram
+        FROM toks
+    ), types AS (
+        SELECT split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2,
+               count(*) AS c12
+        FROM bigrams GROUP BY 1, 2
+    ), lefts AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               count(*) AS nfollow
+        FROM types GROUP BY w1
+    ), rights AS (
+        SELECT w2, count(*) AS nprec FROM types GROUP BY w2
+    ), total AS (
+        SELECT count(*) AS ntypes FROM types
+    )
+    SELECT t.w1, t.w2,
+           CAST(t.c12 AS BIGINT) AS c12,
+           l.c1,
+           CAST(greatest(4 * t.c12 - 3, 0) * 1000000 // (4 * l.c1)
+                + (3 * l.nfollow * ((r.nprec * 1000000) // o.ntypes))
+                  // (4 * l.c1)
+                AS BIGINT) AS p_kn_e6
+    FROM types t
+    JOIN lefts l ON t.w1 = l.w1
+    JOIN rights r ON t.w2 = r.w2
+    CROSS JOIN total o
+    WHERE t.c12 >= 5
+    """,
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities — the real LM smoothing.
+
+    Completes the language-model family (raw unigram/bigram logprob,
+    stupid backoff) with the smoothing n-gram LMs actually ship:
+    absolute discounting (d = 0.75) with the CONTINUATION-count unigram
+    — ``P_cont(w2)`` counts how many distinct contexts w2 follows, not
+    how often it occurs, which is why KN stops overweighting
+    high-frequency-but-fixed-context words ("Francisco"). Every
+    probability is exact integer arithmetic in e6 fixed point: d = 3/4
+    makes the discounted term ``max(4*c12-3, 0) / (4*c1)`` a pure
+    integer ratio, and both engines truncate positive integer division
+    identically — no float enters the computation at any point, the
+    strongest parity class this registry has for a statistical model.
+    Statistics are computed over the FULL bigram table; only reporting
+    filters to c12 >= KN_MIN_COUNT.
+
+    Scale shape: one explode to bigram types (map-side combinable),
+    three bounded-key aggregates over the TYPE table (vocabulary-sized,
+    not corpus-sized), joined back on w1/w2 — broadcast-eligible — and
+    one scalar cross join for the type total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("tokens") >= 2,
+                F.transform(
+                    F.slice("tokens", 1, F.size("tokens") - 1),
+                    lambda _, i: F.struct(
+                        F.element_at("tokens", i + 1).alias("w1"),
+                        F.element_at("tokens", i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    types = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lefts = types.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).alias("nfollow"),
+    )
+    rights = types.groupBy("w2").agg(F.count(F.lit(1)).alias("nprec"))
+    total = types.agg(F.count(F.lit(1)).alias("ntypes"))
+    return (
+        types.filter(F.col("c12") >= KN_MIN_COUNT)
+        .join(F.broadcast(lefts), "w1")
+        .join(F.broadcast(rights), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            "c1",
+            (
+                F.expr(
+                    "greatest(4 * c12 - 3, 0) * 1000000 div (4 * c1)"
+                )
+                + F.expr(
+                    "(3 * nfollow * ((nprec * 1000000) div ntypes))"
+                    " div (4 * c1)"
+                )
+            )
+            .cast("long")
+            .alias("p_kn_e6"),
+        )
+    )

@@ -206,6 +206,9 @@ PROBES = [
     "events_path_trigrams",       # stacked user windows, bounded path agg
     "sink_forget_user_cascade",   # broadcast anti-join rewrites x3
     "events_stream_session_dynamic",  # per-event-gap session state replay
+    "text_kneser_ney_bigram",     # bigram-type aggs + broadcast joins
+    "events_cumulative_reach",    # first-seen decomposition + spine cumsum
+    "graph_kcore_prune_step",     # degree agg + survivor semi-joins
 ]
 
 
