@@ -1660,9 +1660,17 @@ def dedup_containment_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["doc_id"], "text", SHINGLE_SIZE
     ).distinct()
     df_counts = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    kept = shingled.join(
-        df_counts.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle"
-    ).select("doc_id", "shingle", "df")
+    # kept feeds three consumers (the ordered doc sets, the prefix
+    # probe, the full posting index); materialize it once so the shingle
+    # explode + df join run a single corpus scan, not three. On a
+    # cluster this is a persist() of digest-sized rows, never the text.
+    kept = (
+        shingled.join(
+            df_counts.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle"
+        )
+        .select("doc_id", "shingle", "df")
+        .localCheckpoint(eager=True)
+    )
     # One canonical global order: (df asc, shingle asc). array_sort on
     # the (df, shingle) struct gives exactly that lexicographic order.
     doc_sets = kept.groupBy("doc_id").agg(

@@ -1782,13 +1782,17 @@ def knn_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     approx = knn_ivf_cosine(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    # Both member outputs are bounded (queries x k rows) by construction,
+    # so the audit joins broadcast instead of sort-merging.
+    hits = exact.join(
+        F.broadcast(approx), ["query_id", "neighbor_id"], "left_semi"
+    )
     n_exact = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact")
     )
     n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
     return (
-        n_exact.join(n_hits, "query_id", "left")
+        n_exact.join(F.broadcast(n_hits), "query_id", "left")
         .select(
             "query_id",
             "n_exact",

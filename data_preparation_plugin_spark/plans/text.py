@@ -1868,7 +1868,14 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array())
         ).alias("p")
     ).select("p.w1", "p.w2")
-    types = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # The type table is vocabulary^2-bounded and feeds four consumers
+    # (lefts/rights/total/output); materialize it once so the corpus
+    # explode runs a single scan, not one per derived aggregate.
+    types = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     lefts = types.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).alias("nfollow"),
