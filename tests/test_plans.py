@@ -467,3 +467,86 @@ def test_bm25_tokenizes_twice_not_thrice(spark):
     plan = plan_of(spark, "text_bm25_topk")
     assert count(r"FileScan parquet", plan) == 2
     assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_containment_pruned_no_cartesian_single_index_scan(spark):
+    """Prefix filtering must stay candidate-driven: no cartesian/BNLJ
+    anywhere, and the checkpointed kept-shingle relation means the
+    corpus text is scanned ONCE (the explode is not re-derived per
+    consumer)."""
+    plan = plan_of(spark, "dedup_containment_pruned")
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
+    assert count(r"FileScan parquet", plan) == 0  # checkpoint absorbed it
+
+
+def test_markov_transitions_one_user_exchange(spark):
+    """lead window exchanges once on user_id; the matrix agg and its
+    normalizing window run over bounded |types|^2 keys."""
+    plan = plan_of(spark, "events_markov_transitions")
+    assert count(r"Exchange hashpartitioning", plan) == 3
+    assert count(r"SortMergeJoin|CartesianProduct", plan) == 0
+
+
+def test_path_trigrams_windows_share_one_exchange(spark):
+    """Sessionize cumsum and the trigram leads both partition by user_id
+    — Spark must plan ONE user exchange plus the bounded path agg."""
+    plan = plan_of(spark, "events_path_trigrams")
+    assert count(r"Exchange hashpartitioning", plan) == 2
+
+
+def test_shot_boundaries_single_exchange_no_pixel_shuffle(spark):
+    """Frame features flow map-side through Arrow; only the per-video
+    islands window exchanges — and it moves feature rows, not pixels."""
+    plan = plan_of(spark, "multimodal_shot_boundaries")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"MapInPandas|mapInPandas", plan) >= 1
+
+
+def test_dynamic_gap_session_one_exchange(spark):
+    """Native session_window with a per-event gap keeps the fixed-gap
+    plan shape: one exchange keyed for the session merge."""
+    plan = plan_of(spark, "events_sessionize_dynamic_gap")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_kneser_ney_broadcasts_model_joins(spark):
+    """Left/right statistics join back by broadcast (vocabulary-sized),
+    the type total rides a scalar broadcast, and the checkpointed type
+    table means zero re-derivation of the corpus explode."""
+    plan = plan_of(spark, "text_kneser_ney_bigram")
+    assert count(r"BroadcastHashJoin", plan) == 2
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"FileScan parquet", plan) == 0  # checkpoint absorbed it
+
+
+def test_recall_audit_joins_stay_broadcast(spark):
+    """The audit's own joins (members are queries x k rows) must never
+    sort-merge — a SMJ here means a bounded relation got shuffled."""
+    plan = plan_of(spark, "knn_ivf_recall_audit")
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_kcore_prune_reuses_checkpointed_edges(spark):
+    """Degree counts and the survivor-induced recount all read the ONE
+    checkpointed edge list; survivor filters join broadcast."""
+    plan = plan_of(spark, "graph_kcore_prune_step")
+    assert count(r"FileScan parquet", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) >= 3
+    assert count(r"CartesianProduct", plan) == 0
+
+
+def test_golden_record_is_one_aggregate(spark):
+    """Survivorship compiles to one hash aggregate on the entity key —
+    no window, no sort, no join."""
+    plan = plan_of(spark, "transform_golden_record")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Window|SortMergeJoin|BroadcastHashJoin", plan) == 0
+
+
+def test_cumulative_reach_sorts_only_the_spine(spark):
+    """The running total's single-partition exchange must sit above the
+    bounded daily spine (post-aggregate), never the event stream."""
+    plan = plan_of(spark, "events_cumulative_reach")
+    assert count(r"Exchange SinglePartition", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
