@@ -60,6 +60,7 @@ DRIVER_CHECK_PRIORITY = [
     "events_sessionize_dynamic_gap",
     "events_stream_session_dynamic",
     "graph_kcore_prune_step",
+    "join_bitemporal_asof",
     "knn_ivf_recall_audit",
     "multimodal_shot_boundaries",
     "profile_benford_audit",
@@ -67,6 +68,7 @@ DRIVER_CHECK_PRIORITY = [
     "sink_forget_user_cascade",
     "source_postgres_copy_roundtrip",
     "text_kneser_ney_bigram",
+    "text_ngram_novelty",
     "transform_dp_noisy_counts",
     "transform_golden_record",
     "transform_incremental_agg_merge",
@@ -91,8 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "dedup_exact_distinct",
     "dedup_keep_first",
     "exists_late_shipment",
-    "filter_compute",
-    "join_anti",
 ]
 
 def _reorder_for_driver() -> None:

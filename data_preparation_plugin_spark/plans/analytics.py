@@ -2868,3 +2868,185 @@ def profile_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         benford.alias("benford_bp"),
         (observed - benford).alias("deviation_bp"),
     )
+
+
+#: Bitemporal fixture constants: load lag between business validity and
+#: recording, the correction stripe, correction recording date, and the
+#: knowledge instant the query reconstructs.
+BITEMPORAL_LAG_DAYS = 2
+BITEMPORAL_CORR_MOD = 5
+BITEMPORAL_CORR_RECORDED = "1998-06-01"
+BITEMPORAL_KNOWLEDGE = "1998-03-01"
+
+_BITEMPORAL_DIM_SQL = f"""
+    ordered AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER w AS prev_status
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), runs AS (
+        SELECT *,
+               sum(CASE WHEN prev_status IS NULL
+                             OR prev_status <> o_orderstatus
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS version
+        FROM ordered
+    ), grouped AS (
+        SELECT o_custkey, version, o_orderstatus AS status,
+               min(o_orderdate) AS valid_from
+        FROM runs GROUP BY o_custkey, version, o_orderstatus
+    ), scd AS (
+        SELECT o_custkey, version, status, valid_from,
+               lead(valid_from) OVER (PARTITION BY o_custkey
+                                      ORDER BY version) AS valid_to
+        FROM grouped
+    ), recorded AS (
+        SELECT o_custkey, status, valid_from, valid_to,
+               valid_from + INTERVAL {BITEMPORAL_LAG_DAYS} DAY AS recorded_at,
+               0 AS is_correction
+        FROM scd
+        UNION ALL
+        SELECT o_custkey, 'X', valid_from, valid_to,
+               TIMESTAMP '{BITEMPORAL_CORR_RECORDED} 00:00:00', 1
+        FROM scd
+        WHERE o_custkey % {BITEMPORAL_CORR_MOD} = 0 AND version = 1
+    ), believed AS (
+        SELECT * FROM recorded
+        WHERE recorded_at <= TIMESTAMP '{BITEMPORAL_KNOWLEDGE} 00:00:00'
+    ), resolved AS (
+        SELECT o_custkey, status, valid_from, valid_to, is_correction
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY o_custkey, valid_from
+                       ORDER BY recorded_at DESC, status) AS vrn
+            FROM believed
+        ) WHERE vrn = 1
+    )
+"""
+
+
+@register(
+    "join_bitemporal_asof",
+    category="join",
+    oracle=f"""
+    WITH {_BITEMPORAL_DIM_SQL},
+    matched AS (
+        SELECT l.l_linestatus, l.l_extendedprice, b.status, b.is_correction
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        LEFT JOIN resolved b
+          ON o.o_custkey = b.o_custkey
+         AND l.l_shipdate >= b.valid_from
+         AND (b.valid_to IS NULL OR l.l_shipdate < b.valid_to)
+    )
+    SELECT coalesce(status, 'UNKNOWN') AS status_believed,
+           l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(coalesce(is_correction, 0)) AS BIGINT)
+               AS n_from_corrections,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM matched
+    GROUP BY coalesce(status, 'UNKNOWN'), l_linestatus
+    """,
+)
+def join_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of join: business validity AND knowledge time.
+
+    The second temporal axis ``join_point_in_time_scd2`` does not have:
+    every dimension version carries both its BUSINESS validity
+    ([valid_from, valid_to), when the status was true) and its RECORDED
+    time (when the warehouse learned it — here a load lag of
+    ``BITEMPORAL_LAG_DAYS``, plus a late correction stripe recorded
+    months after the fact). Reconstructing "what did we believe at
+    knowledge instant K about ship time T" filters versions to
+    ``recorded_at <= K`` FIRST (transaction-time), then resolves
+    business validity, latest-recorded-wins — the reproduce-the-report
+    query every regulated warehouse must answer (and the axis plain SCD2
+    silently conflates). Versions valid before K but recorded after it
+    are correctly invisible: their facts resolve to the prior belief or
+    UNKNOWN, and corrections recorded before K override originals via
+    latest-recorded-wins resolution applied on the DIMENSION side (per
+    key + validity window) BEFORE the fact join — per-key validity
+    windows are disjoint, so each fact meets at most one belief row and
+    the aggregate reconciles to the fact count without touching the
+    fact grain (the fixture has duplicate (orderkey, linenumber) rows,
+    so a fact-side winner window would silently drop real facts).
+
+    Scale shape: the dimension build rides the same one-custkey-exchange
+    SCD2 islands; the knowledge filter is a map-side predicate BEFORE
+    the join (the transaction-time axis costs nothing at query time);
+    the validity join is the same short-version-chain equi-join as the
+    PIT join, with belief resolution a bounded window over the
+    dimension, never the facts.
+    """
+    scd = transform_scd2(spark, sf_dir).select(
+        "o_custkey", "status", "valid_from", "valid_to", "version"
+    )
+    recorded = scd.select(
+        "o_custkey",
+        "status",
+        "valid_from",
+        "valid_to",
+        F.date_add("valid_from", BITEMPORAL_LAG_DAYS)
+        .cast("timestamp")
+        .alias("recorded_at"),
+        F.lit(0).alias("is_correction"),
+    ).unionByName(
+        scd.filter(
+            (F.col("o_custkey") % BITEMPORAL_CORR_MOD == 0)
+            & (F.col("version") == 1)
+        ).select(
+            "o_custkey",
+            F.lit("X").alias("status"),
+            "valid_from",
+            "valid_to",
+            F.lit(BITEMPORAL_CORR_RECORDED).cast("timestamp").alias(
+                "recorded_at"
+            ),
+            F.lit(1).alias("is_correction"),
+        )
+    )
+    believed = recorded.filter(
+        F.col("recorded_at") <= F.lit(BITEMPORAL_KNOWLEDGE).cast("timestamp")
+    )
+    # Resolve latest-recorded-wins per (key, validity window) BEFORE the
+    # fact join: validity windows per key are disjoint, so each fact then
+    # meets at most one belief row and the fact grain is untouched (the
+    # fixture has duplicate (orderkey, linenumber) rows, so a fact-side
+    # winner window would silently drop real facts).
+    vwin = Window.partitionBy("o_custkey", "valid_from").orderBy(
+        F.col("recorded_at").desc(), "status"
+    )
+    resolved = (
+        believed.withColumn("vrn", F.row_number().over(vwin))
+        .filter(F.col("vrn") == 1)
+        .select("o_custkey", "status", "valid_from", "valid_to",
+                "is_correction")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus", "l_extendedprice",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    facts = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    dim = resolved.withColumnRenamed("o_custkey", "dim_custkey")
+    matched = facts.join(
+        dim,
+        (F.col("o_custkey") == F.col("dim_custkey"))
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+        "left",
+    )
+    return matched.groupBy(
+        F.coalesce("status", F.lit("UNKNOWN")).alias("status_believed"),
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.coalesce("is_correction", F.lit(0)))
+        .cast("long")
+        .alias("n_from_corrections"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_preparation_plugin_spark.functions.text import exploded_shingles
 from data_preparation_plugin_spark.functions.text import tokens as tokens_col
 from data_preparation_plugin_spark.plans.registry import load_table, register
 
@@ -1903,5 +1904,77 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("p_kn_e6"),
+        )
+    )
+
+
+from data_preparation_plugin_spark.plans.dedup import (  # noqa: E402
+    _SHINGLES_SQL,
+    SHINGLE_SIZE,
+)
+
+
+@register(
+    "text_ngram_novelty",
+    category="text",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), shingled AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM toks
+    ), firsts AS (
+        SELECT shingle, min(doc_id) AS first_doc FROM shingled GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 10000) // count(*) AS BIGINT) AS novelty_bp
+    FROM shingled s JOIN firsts f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against everything before it.
+
+    The diminishing-returns curve of corpus growth: in ingestion order
+    (doc_id), what fraction of each document's shingles has never been
+    seen in ANY earlier document? Falling novelty is the measured signal
+    that more of the same crawl adds less training value — the
+    data-curation counterpart of a scaling-law saturation check, and the
+    per-doc twin of global vocabulary-growth (Heaps' law) tracking.
+    "First seen" is a single ``min(doc_id)`` per shingle, so the whole
+    curve costs two aggregates — never a per-document rescan of history
+    (the quadratic trap this decomposition exists to avoid, same move
+    as ``events_cumulative_reach``'s first-seen trick).
+
+    Scale shape: one shingle exchange for the global first-occurrence
+    aggregate, one equi-join back on the shingle (both sides
+    digest-sized), one per-doc count. Ratios are integer basis points.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = exploded_shingles(
+        docs, ["doc_id"], "text", SHINGLE_SIZE
+    ).distinct()
+    firsts = shingled.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        shingled.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(n_novel * 10000) div n_shingles").alias("novelty_bp"),
         )
     )

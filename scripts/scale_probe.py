@@ -209,6 +209,8 @@ PROBES = [
     "text_kneser_ney_bigram",     # bigram-type aggs + broadcast joins
     "events_cumulative_reach",    # first-seen decomposition + spine cumsum
     "graph_kcore_prune_step",     # degree agg + survivor semi-joins
+    "text_ngram_novelty",         # first-occurrence agg + shingle join back
+    "join_bitemporal_asof",       # knowledge-filtered SCD2 validity join
 ]
 
 
