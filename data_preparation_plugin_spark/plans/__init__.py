@@ -58,12 +58,14 @@ DRIVER_CHECK_PRIORITY = [
     "events_path_trigrams",
     "events_seasonal_decompose",
     "events_sessionize_dynamic_gap",
+    "events_stream_enrich_scd2",
     "events_stream_session_dynamic",
     "graph_kcore_prune_step",
     "join_bitemporal_asof",
     "knn_ivf_recall_audit",
     "multimodal_shot_boundaries",
     "profile_benford_audit",
+    "profile_functional_dependencies",
     "sample_pack_efficiency",
     "sink_forget_user_cascade",
     "source_postgres_copy_roundtrip",
@@ -91,8 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "date_arithmetic",
     "date_functions",
     "dedup_exact_distinct",
-    "dedup_keep_first",
-    "exists_late_shipment",
 ]
 
 def _reorder_for_driver() -> None:

@@ -3050,3 +3050,83 @@ def join_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_from_corrections"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+#: Candidate functional dependencies probed by the FD miner:
+#: (determinant, dependent) column pairs over orders/lineitem-joined data.
+FD_CANDIDATES = (
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+    ("o_orderkey", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+)
+
+
+def _fd_sql(lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{lhs}' AS determinant, '{rhs}' AS dependent,
+           CAST(count(DISTINCT {lhs}) AS BIGINT) AS n_lhs_values,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST(sum(max_n) AS BIGINT) AS n_conforming,
+           CAST((sum(max_n) * 10000)
+                // (SELECT count(*) FROM orders) AS BIGINT) AS fd_strength_bp
+    FROM (
+        SELECT {lhs}, max(n) AS max_n
+        FROM (SELECT {lhs}, {rhs}, count(*) AS n
+              FROM orders GROUP BY {lhs}, {rhs})
+        GROUP BY {lhs}
+    )
+    """
+
+
+@register(
+    "profile_functional_dependencies",
+    category="profile",
+    oracle=" UNION ALL ".join(_fd_sql(l, r) for l, r in FD_CANDIDATES),
+)
+def profile_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency mining — schema discovery.
+
+    The profiling pass that recovers UNDECLARED structure from a lake
+    table (the reference gets its FDs for free from Postgres
+    constraints; a lake must mine them): for each candidate
+    determinant -> dependent pair, the g3-style conformance measure —
+    the fraction of rows kept if every determinant value maps to its
+    MODAL dependent value. 10000 bp = exact FD (a key, or a derived
+    column); high-but-not-exact surfaces near-FDs, which are data-bug
+    detectors (the 30 rows violating "status determines priority" ARE
+    the anomaly report). All counts integer, strength in basis points.
+
+    Scale shape: per candidate, two stacked aggregates — (lhs, rhs)
+    pair counts with map-side combine, then max per lhs — both keyed
+    exchanges on bounded-cardinality columns; candidates union. A full
+    FD search is exponential in columns; candidate-driven probing is
+    how production profilers (and this operator) stay linear.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    outs = []
+    for lhs, rhs in FD_CANDIDATES:
+        pair_counts = orders.groupBy(lhs, rhs).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        per_lhs = pair_counts.groupBy(lhs).agg(F.max("n").alias("max_n"))
+        outs.append(
+            per_lhs.agg(
+                F.count(F.lit(1)).alias("n_lhs_values"),
+                F.sum("max_n").alias("conforming"),
+            ).select(
+                F.lit(lhs).alias("determinant"),
+                F.lit(rhs).alias("dependent"),
+                F.col("n_lhs_values").cast("long"),
+                F.lit(total).alias("n_rows"),
+                F.col("conforming").cast("long").alias("n_conforming"),
+                F.expr(f"(conforming * 10000) div {total}").alias(
+                    "fd_strength_bp"
+                ),
+            )
+        )
+    result = outs[0]
+    for df in outs[1:]:
+        result = result.unionByName(df)
+    return result

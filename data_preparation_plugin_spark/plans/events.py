@@ -1955,3 +1955,102 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.withColumn(
         "cumulative_reach", F.sum("n_new").over(cum)
     )
+
+
+@register(
+    "events_stream_enrich_scd2",
+    category="streaming",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS tier
+        FROM events WHERE event_type = 'purchase'
+    ), dim AS (
+        SELECT user_id, tier, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM purchases
+    ), enriched AS (
+        SELECT coalesce(d.tier, 0) AS tier, e.event_type, e.value
+        FROM events e
+        LEFT JOIN dim d
+          ON e.user_id = d.user_id
+         AND e.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    )
+    SELECT CAST(tier AS BIGINT) AS tier, event_type,
+           count(*) AS n_events,
+           round(sum(coalesce(value, 0)), 2) AS total_value
+    FROM enriched
+    GROUP BY tier, event_type
+    """,
+)
+def events_stream_enrich_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment: stream facts meet a VERSIONED dim.
+
+    The streaming form of the PIT join (``join_point_in_time_scd2``):
+    each arriving event joins the loyalty-tier version VALID AT its own
+    event time — user tiers version at every purchase (tier n from the
+    n-th purchase until the next) — via a stream-static join whose
+    condition is the SCD2 validity range, not a plain key. Stream-static
+    joins re-evaluate the static side per micro-batch, so this is the
+    zero-state streaming path for dimension lookups (only the replay's
+    downstream accounting holds state) — the pattern for enriching a
+    firehose against slowly-changing reference data without buffering
+    the dimension in the state store. Events before a user's first
+    purchase surface as tier 0, so the aggregate reconciles to the
+    event count exactly.
+
+    Scale shape: the dimension (per-user purchase versions) is
+    dimension-sized and broadcast per micro-batch; the stream side never
+    shuffles before the join. The oracle is the identical batch
+    PIT join + aggregate over the same staged events.
+    """
+    from data_preparation_plugin_spark.streaming import events_stream
+
+    staged = _stage_events(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    pwin = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.row_number().over(pwin).alias("tier"),
+        )
+    )
+    dim = purchases.select(
+        F.col("user_id").alias("d_user_id"),
+        "tier",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("valid_to"),
+    )
+    stream = events_stream(spark, staged, max_files_per_trigger=2)
+    enriched = (
+        stream.withWatermark("ts", "30 days")
+        .join(
+            F.broadcast(dim),
+            (F.col("user_id") == F.col("d_user_id"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+            "left",
+        )
+        .select(
+            F.coalesce("tier", F.lit(0)).cast("long").alias("tier"),
+            "event_type",
+            "value",
+        )
+    )
+    sink = _replay(
+        spark, "events_stream_enrich_scd2", enriched, output_mode="append"
+    )
+    return sink.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias(
+            "total_value"
+        ),
+    )

@@ -211,6 +211,8 @@ PROBES = [
     "graph_kcore_prune_step",     # degree agg + survivor semi-joins
     "text_ngram_novelty",         # first-occurrence agg + shingle join back
     "join_bitemporal_asof",       # knowledge-filtered SCD2 validity join
+    "profile_functional_dependencies",  # stacked bounded aggs per candidate
+    "events_stream_enrich_scd2",  # per-batch broadcast PIT dim join
 ]
 
 
