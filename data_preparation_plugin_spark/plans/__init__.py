@@ -51,8 +51,10 @@ DRIVER_CHECK_PRIORITY = [
     "geo_point_in_region",
     "curation_corpus_status",
     "sink_merge_upsert",
+    "agg_kmv_difference",
     "dedup_bloom_fp_audit",
     "dedup_containment_pruned",
+    "events_burst_windows",
     "events_cumulative_reach",
     "events_markov_transitions",
     "events_path_trigrams",
@@ -91,8 +93,6 @@ DRIVER_CHECK_PRIORITY = [
     "array_functions",
     "cube_agg",
     "date_arithmetic",
-    "date_functions",
-    "dedup_exact_distinct",
 ]
 
 def _reorder_for_driver() -> None:

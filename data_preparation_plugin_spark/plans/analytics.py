@@ -3130,3 +3130,163 @@ def profile_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFra
     for df in outs[1:]:
         result = result.unionByName(df)
     return result
+
+
+@register(
+    "agg_kmv_difference",
+    category="aggregate",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, user_id,
+               md5(CAST(user_id AS VARCHAR)) AS hx
+        FROM events
+    ), ranked AS (
+        SELECT event_type, user_id, hx,
+               row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn,
+               count(*)    OVER (PARTITION BY event_type)              AS nd
+        FROM h
+    ), sketch AS (
+        SELECT event_type, hx, {_KMV_FRAC_SQL.format(hx='hx')} AS frac,
+               nd
+        FROM ranked WHERE rn <= {KMV_K}
+    ), theta AS (
+        SELECT event_type,
+               CASE WHEN max(nd) < {KMV_K} THEN 1.0 ELSE max(frac) END
+                   AS th
+        FROM sketch GROUP BY event_type
+    ), pairs AS (
+        SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+               least(ta.th, tb.th) AS thmin
+        FROM theta ta JOIN theta tb ON ta.event_type <> tb.event_type
+    ), a_below AS (
+        SELECT p.type_a, p.type_b, count(*) AS n_a
+        FROM pairs p JOIN sketch s
+          ON s.event_type = p.type_a AND s.frac < p.thmin
+        GROUP BY 1, 2
+    ), common_below AS (
+        SELECT p.type_a, p.type_b, count(*) AS n_common
+        FROM pairs p
+        JOIN sketch a ON a.event_type = p.type_a AND a.frac < p.thmin
+        JOIN sketch b ON b.event_type = p.type_b AND b.hx = a.hx
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT p.type_a, p.type_b,
+               (SELECT count(*) FROM h x WHERE x.event_type = p.type_a
+                  AND x.user_id NOT IN (SELECT user_id FROM h y
+                                        WHERE y.event_type = p.type_b))
+                   AS n_exact_diff
+        FROM pairs p
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(e.n_exact_diff AS BIGINT) AS n_exact_diff,
+           round((coalesce(a.n_a, 0) - coalesce(c.n_common, 0)) / p.thmin, 4)
+               AS kmv_estimate
+    FROM pairs p
+    LEFT JOIN a_below a ON p.type_a = a.type_a AND p.type_b = a.type_b
+    LEFT JOIN common_below c ON p.type_a = c.type_a AND p.type_b = c.type_b
+    JOIN exact e ON p.type_a = e.type_a AND p.type_b = e.type_b
+    """,
+)
+def agg_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set DIFFERENCE: |A \\ B| from bounded sketches.
+
+    Completes the sketch set algebra (distinct / union / intersection
+    already registered): the asymmetric "in audience A but not B"
+    estimate — the churn/exclusive-reach number — from the same KMV
+    sketches, no rescan. Theta combination: clip both sketches to
+    θ = min(θ_A, θ_B), then |A\\B| ~ (|A hashes < θ| - |common < θ|)/θ.
+    Reported for every ORDERED type pair (difference is asymmetric, so
+    both directions appear). Every hash, threshold, and count derives
+    from md5 — engine-exact — and the exact difference rides along as
+    the accuracy witness.
+
+    Scale shape: identical to the intersection — sketches are ≤ K rows
+    per group, the pair lattice is |types|² tiny rows, and only the
+    initial distinct pass and the exact witness touch the corpus.
+    """
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        "user_id",
+        F.md5(F.col("user_id").cast("string")).alias("hx"),
+    ).distinct()
+    w = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "hx",
+        F.row_number().over(w.orderBy("hx")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("nd"),
+    )
+    frac = (
+        F.conv(F.substring("hx", 1, 13), 16, 10).cast("double")
+        / F.lit(float(2**52))
+    )
+    sketch = ranked.where(F.col("rn") <= KMV_K).select(
+        "event_type", "hx", frac.alias("frac")
+    )
+    theta = ranked.groupBy("event_type").agg(
+        F.when(F.max("nd") < KMV_K, F.lit(1.0))
+        .otherwise(F.max(F.when(F.col("rn") <= KMV_K, frac)))
+        .alias("th")
+    )
+    pairs = (
+        theta.select(F.col("event_type").alias("type_a"), F.col("th").alias("tha"))
+        .join(
+            theta.select(
+                F.col("event_type").alias("type_b"), F.col("th").alias("thb")
+            ),
+            F.col("type_a") != F.col("type_b"),
+        )
+        .select("type_a", "type_b", F.least("tha", "thb").alias("thmin"))
+    )
+    a_below = (
+        pairs.join(
+            sketch.withColumnRenamed("event_type", "type_a"), "type_a"
+        )
+        .filter(F.col("frac") < F.col("thmin"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    sk_a = sketch.select(
+        F.col("event_type").alias("type_a"), "hx", F.col("frac").alias("fa")
+    )
+    sk_b = sketch.select(F.col("event_type").alias("type_b"), "hx")
+    common_below = (
+        pairs.join(sk_a, "type_a")
+        .filter(F.col("fa") < F.col("thmin"))
+        .join(sk_b, ["type_b", "hx"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ha = h.select(F.col("event_type").alias("type_a"), "user_id")
+    hb = h.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ha.join(hb.withColumnRenamed("user_id", "ub"),
+                (F.col("user_id") == F.col("ub")), "inner")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common_exact"))
+    )
+    nd_a = h.groupBy(F.col("event_type").alias("type_a")).agg(
+        F.count(F.lit(1)).alias("nd_a")
+    )
+    return (
+        pairs.join(F.broadcast(a_below), ["type_a", "type_b"], "left")
+        .join(F.broadcast(common_below), ["type_a", "type_b"], "left")
+        .join(F.broadcast(exact), ["type_a", "type_b"], "left")
+        .join(F.broadcast(nd_a), "type_a")
+        .select(
+            "type_a",
+            "type_b",
+            (
+                F.col("nd_a") - F.coalesce("n_common_exact", F.lit(0))
+            ).cast("long").alias("n_exact_diff"),
+            F.round(
+                (
+                    F.coalesce("n_a", F.lit(0))
+                    - F.coalesce("n_common", F.lit(0))
+                )
+                / F.col("thmin"),
+                4,
+            ).alias("kmv_estimate"),
+        )
+    )

@@ -2054,3 +2054,94 @@ def events_stream_enrich_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+#: Burst threshold: an hour is bursting when its event count exceeds this
+#: percentage of the type's mean hourly rate.
+BURST_FACTOR_PCT = 150
+
+
+@register(
+    "events_burst_windows",
+    category="events",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, sum(c) AS total, count(*) AS n_hours
+        FROM hourly GROUP BY event_type
+    ), bursting AS (
+        SELECT h.event_type, h.hour, h.c
+        FROM hourly h JOIN stats s ON h.event_type = s.event_type
+        WHERE h.c * s.n_hours * 100 > {BURST_FACTOR_PCT} * s.total
+    ), flagged AS (
+        SELECT event_type, hour, c,
+               CASE WHEN lag(hour) OVER w IS NULL
+                    OR lag(hour) OVER w + INTERVAL 1 HOUR <> hour
+                    THEN 1 ELSE 0 END AS is_new
+        FROM bursting
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    ), islands AS (
+        SELECT event_type, hour, c,
+               sum(is_new) OVER (PARTITION BY event_type ORDER BY hour
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS burst_seq
+        FROM flagged
+    )
+    SELECT event_type,
+           min(hour) AS burst_start,
+           max(hour) AS burst_end,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(max(c) AS BIGINT) AS peak_events,
+           CAST(sum(c) AS BIGINT) AS total_events
+    FROM islands
+    GROUP BY event_type, burst_seq
+    """,
+)
+def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: merged windows of anomalously hot hours per type.
+
+    The incident-shaped output the per-point outlier gates (z-score,
+    MAD) cannot give: contiguous INTERVALS where a type's hourly volume
+    runs above ``BURST_FACTOR_PCT`` of its own mean rate, merged by the
+    islands idiom (consecutive = exactly one hour apart, tested with
+    interval arithmetic — no epoch-seconds conversion, whose float
+    semantics differ between engines). The burst predicate is pure
+    integer cross-multiplication (``c * n_hours * 100 > pct * total``)
+    — no division, no float, engine-exact. Each window reports span,
+    peak, and volume: the paging alert payload.
+
+    Scale shape: the corpus collapses to (type, hour) counts in one
+    map-side-combinable aggregate; the per-type stats are bounded-key;
+    islands run over bursting hours only (a filtered, bounded spine).
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_hours")
+    )
+    bursting = hourly.join(F.broadcast(stats), "event_type").filter(
+        F.col("c") * F.col("n_hours") * 100
+        > BURST_FACTOR_PCT * F.col("total")
+    )
+    order = Window.partitionBy("event_type").orderBy("hour")
+    frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("hour").over(order)
+    is_new = (
+        prev.isNull() | (prev + F.expr("INTERVAL 1 HOUR") != F.col("hour"))
+    ).cast("long")
+    return (
+        bursting.withColumn("burst_seq", F.sum(is_new).over(frame))
+        .groupBy("event_type", "burst_seq")
+        .agg(
+            F.min("hour").alias("burst_start"),
+            F.max("hour").alias("burst_end"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("c").alias("peak_events"),
+            F.sum("c").alias("total_events"),
+        )
+        .drop("burst_seq")
+    )

@@ -213,6 +213,8 @@ PROBES = [
     "join_bitemporal_asof",       # knowledge-filtered SCD2 validity join
     "profile_functional_dependencies",  # stacked bounded aggs per candidate
     "events_stream_enrich_scd2",  # per-batch broadcast PIT dim join
+    "agg_kmv_difference",         # KB-sized sketch pair lattice
+    "events_burst_windows",       # hourly collapse + filtered islands
 ]
 
 
