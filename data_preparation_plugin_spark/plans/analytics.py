@@ -2858,8 +2858,7 @@ def profile_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_values"))
     )
-    total = Window.partitionBy()
-    benford = F.floor(F.log10(1 + 1.0 / F.col("digit"))* 10000).cast("long")
+    benford = F.floor(F.log10(1 + 1.0 / F.col("digit")) * 10000).cast("long")
     observed = F.expr("(n_values * 10000) div sum(n_values) over ()")
     return counted.select(
         "digit",
@@ -2876,7 +2875,13 @@ def profile_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 BITEMPORAL_LAG_DAYS = 2
 BITEMPORAL_CORR_MOD = 5
 BITEMPORAL_CORR_RECORDED = "1998-06-01"
-BITEMPORAL_KNOWLEDGE = "1998-03-01"
+# The knowledge instant must sit AFTER the correction recording date so
+# the correction stripe survives the transaction-time filter and the
+# latest-recorded-wins resolution actually runs (ADVICE r8: with K before
+# the recording date, n_from_corrections was identically zero), while
+# staying INSIDE the order-date range so late-recorded versions are still
+# invisible and the UNKNOWN fallback path is exercised too.
+BITEMPORAL_KNOWLEDGE = "1998-07-01"
 
 _BITEMPORAL_DIM_SQL = f"""
     ordered AS (

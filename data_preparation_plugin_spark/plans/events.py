@@ -17,6 +17,21 @@ from pyspark.sql.window import Window
 from data_preparation_plugin_spark.plans.registry import load_table, register
 
 
+def ntz_hour(col_name: str):
+    """Hour floor in pure NTZ arithmetic.
+
+    Spark's ``date_trunc`` returns a session-TZ TIMESTAMP even for NTZ
+    input, shifting wall clocks under non-UTC sessions (caught by
+    ``test_session_independence``). Flooring via ``timestampdiff`` /
+    ``timestampadd`` against a fixed NTZ epoch stays timezone-free.
+    """
+    return F.expr(
+        "timestampadd(HOUR, timestampdiff(HOUR,"
+        f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_name}),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the JSON ``props`` column into a typed column.
 
@@ -1282,16 +1297,6 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") % GAPFILL_USER_MOD == 0
     )
 
-    def ntz_hour(col_name: str):
-        # Hour floor in pure NTZ arithmetic: Spark's date_trunc returns
-        # session-TZ TIMESTAMP even for NTZ input, shifting wall clocks
-        # under non-UTC sessions (caught by test_session_independence).
-        return F.expr(
-            "timestampadd(HOUR, timestampdiff(HOUR,"
-            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_name}),"
-            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-        )
-
     hour = ntz_hour("ts")
     spine = (
         events.groupBy("user_id")
@@ -2118,7 +2123,7 @@ def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
+        "event_type", ntz_hour("ts").alias("hour")
     ).agg(F.count(F.lit(1)).alias("c"))
     stats = hourly.groupBy("event_type").agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_hours")

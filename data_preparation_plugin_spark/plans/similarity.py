@@ -414,7 +414,12 @@ def knn_bruteforce_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "neighbor_id": np.repeat(
                         pdf["vec_id"].to_numpy()[:, None], q, axis=1
                     ).ravel(),
-                    "cosine6": np.round(cos, 6).ravel(),
+                    # Half-up (away from zero) like DuckDB round —
+                    # np.round is banker's and would flip an exact 6dp
+                    # halfway tie (sibling fix at :1580).
+                    "cosine6": (
+                        np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+                    ).ravel(),
                 }
             )
 

@@ -1793,7 +1793,7 @@ KN_MIN_COUNT = 5
 @register(
     "text_kneser_ney_bigram",
     category="text",
-    oracle=r"""
+    oracle=rf"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
         FROM documents
@@ -1828,7 +1828,7 @@ KN_MIN_COUNT = 5
     JOIN lefts l ON t.w1 = l.w1
     JOIN rights r ON t.w2 = r.w2
     CROSS JOIN total o
-    WHERE t.c12 >= 5
+    WHERE t.c12 >= {KN_MIN_COUNT}
     """,
 )
 def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,9 +15,14 @@ Scale notes: on a real cluster the only requirement is the ``psql``
 client binary on executor images; each concurrent COPY holds one
 Postgres backend, so ``num_partitions`` is also the database-side
 admission knob. CSV NULLs travel as unquoted ``\\N`` (the pg_dump
-convention) in both directions, which round-trips every NULL exactly but
-makes an unquoted literal string ``\\N`` indistinguishable from NULL —
-the same ambiguity every CSV COPY pipeline accepts.
+convention) in both directions. On the READ side the round trip is
+exact: PG quotes a data value equal to the NULL marker on output, and
+the pyarrow CSV parse keeps quoting information, so a genuine string
+``\\N`` survives. On the WRITE side pandas ``to_csv`` emits ``na_rep``
+unquoted and QUOTE_MINIMAL leaves a genuine ``\\N`` string unquoted
+too, so a literal ``\\N`` written through the transport lands as NULL —
+the standard lossy corner every CSV COPY pipeline accepts (write-side
+only; documented here deliberately).
 """
 
 from __future__ import annotations
@@ -119,6 +124,17 @@ def copy_dataframe_to_postgres(
         f"\\copy \"{table}\" ({columns}) FROM STDIN "
         f"(FORMAT csv, NULL '{CSV_NULL}')"
     )
+    # Integer columns must be re-widened to pandas NULLABLE ints before
+    # CSV formatting: Arrow->pandas turns an int column containing any
+    # NULL into float64, and ``to_csv`` would then emit ``7.0`` — which
+    # PostgreSQL COPY rejects for smallint/integer/bigint (ADVICE r8).
+    int_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(
+            f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        )
+    ]
 
     def write_partition(batches):
         import pandas as pd
@@ -134,6 +150,8 @@ def copy_dataframe_to_postgres(
         n = 0
         for pdf in batches:
             n += len(pdf)
+            for c in int_cols:
+                pdf[c] = pdf[c].astype("Int64")
             payload = pdf.to_csv(index=False, header=False, na_rep=CSV_NULL)
             proc.stdin.write(payload.encode("utf-8"))
         proc.stdin.close()
@@ -250,7 +268,8 @@ def read_postgres_copy(
     def read_partition(batches):
         import io
 
-        import pandas as pd
+        import pyarrow as pa
+        from pyarrow import csv as pacsv
 
         for pdf in batches:
             for pred in pdf["pred"]:
@@ -269,17 +288,27 @@ def read_postgres_copy(
                     raise RuntimeError(
                         f"COPY read failed: {proc.stderr.decode().strip()}"
                     )
-                text = proc.stdout.decode("utf-8")
-                if not text:
+                if not proc.stdout:
                     continue
-                out = pd.read_csv(
-                    io.StringIO(text),
-                    header=None,
-                    names=columns,
-                    dtype=str,
-                    na_values=[CSV_NULL],
-                    keep_default_na=False,
-                )
+                # pyarrow's CSV reader (not pandas') because it can keep
+                # quoting information: PG COPY quotes a data value equal
+                # to the NULL marker on output, and with
+                # ``quoted_strings_can_be_null=False`` a quoted "\\N"
+                # survives as the literal string while the unquoted
+                # marker becomes NULL — pd.read_csv applies na_values
+                # after unquoting and would collapse both (ADVICE r8).
+                out = pacsv.read_csv(
+                    io.BytesIO(proc.stdout),
+                    read_options=pacsv.ReadOptions(
+                        column_names=columns, autogenerate_column_names=False
+                    ),
+                    convert_options=pacsv.ConvertOptions(
+                        column_types={c: pa.string() for c in columns},
+                        null_values=[CSV_NULL],
+                        strings_can_be_null=True,
+                        quoted_strings_can_be_null=False,
+                    ),
+                ).to_pandas()
                 yield _coerce_to_schema(out, schema)
 
     return seeds.mapInPandas(read_partition, schema=schema)

@@ -550,3 +550,21 @@ def test_cumulative_reach_sorts_only_the_spine(spark):
     plan = plan_of(spark, "events_cumulative_reach")
     assert count(r"Exchange SinglePartition", plan) == 1
     assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_bitemporal_correction_stripe_is_live(spark):
+    """Some corrections must survive the transaction-time filter so the
+    latest-recorded-wins resolution actually runs (ADVICE r8: with the
+    knowledge instant before the correction recording date, the stripe
+    was dead code and n_from_corrections identically zero)."""
+    df = QUERIES["join_bitemporal_asof"].builder(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.sum("n_from_corrections").alias("corr"),
+        F.sum(F.when(df.status_believed == "UNKNOWN", df.n_items)).alias(
+            "unknown"
+        ),
+    ).collect()[0]
+    assert row["corr"] > 0, "correction stripe dead again"
+    assert row["unknown"] > 0, "late-recorded-invisible path not exercised"

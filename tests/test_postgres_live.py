@@ -114,6 +114,55 @@ def test_copy_roundtrip_tricky_values(spark, conninfo):
     assert got == want
 
 
+def test_copy_roundtrip_single_partition_nullable_ints(spark, conninfo):
+    """A SINGLE partition mixing NULL and non-NULL integers round-trips.
+
+    Regression for ADVICE r8: Arrow->pandas widens an int column with any
+    NULL to float64 within a partition, so ``to_csv`` emitted ``7.0``
+    which PG COPY rejects for smallint/integer/bigint. The 3-row tricky
+    test passed only because each row landed in its own partition; this
+    coalesces to one partition so the mixed column truly widens.
+    """
+    pgc.run_psql(conninfo, 'DROP TABLE IF EXISTS "dpp_nullable_int"')
+    pgc.run_psql(conninfo, pgc.pg_ddl(FULL_SCHEMA, "dpp_nullable_int"))
+    df = spark.createDataFrame(TRICKY_ROWS, FULL_SCHEMA).coalesce(1)
+    assert df.rdd.getNumPartitions() == 1
+    assert pgc.copy_dataframe_to_postgres(df, "dpp_nullable_int", conninfo) == 3
+    back = pgc.read_postgres_copy(
+        spark, "dpp_nullable_int", FULL_SCHEMA, conninfo
+    )
+    got = sorted(back.collect(), key=lambda r: r.id)
+    want = sorted(df.collect(), key=lambda r: r.id)
+    assert got == want
+
+
+def test_read_distinguishes_literal_backslash_n_from_null(spark, conninfo):
+    """A genuine string ``\\N`` stored in PG reads back as the string.
+
+    PG COPY quotes a data value equal to the NULL marker on output; the
+    pyarrow CSV parse keeps that quoting, so only the unquoted marker
+    becomes NULL (ADVICE r8 read-side fix).
+    """
+    pgc.run_psql(conninfo, 'DROP TABLE IF EXISTS "dpp_nullmark"')
+    pgc.run_psql(
+        conninfo, 'CREATE TABLE "dpp_nullmark" (id bigint, payload text)'
+    )
+    pgc.run_psql(
+        conninfo,
+        "INSERT INTO \"dpp_nullmark\" VALUES"
+        " (1, E'\\\\N'), (2, NULL), (3, 'plain')",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    back = pgc.read_postgres_copy(spark, "dpp_nullmark", schema, conninfo)
+    got = {r.id: r.payload for r in back.collect()}
+    assert got == {1: "\\N", 2: None, 3: "plain"}
+
+
 def test_partitioned_read_covers_all_rows(spark, conninfo):
     """Range-split COPY read returns every row exactly once, including ids
     outside the declared bounds (Spark JDBC split semantics)."""
