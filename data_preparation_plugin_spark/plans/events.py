@@ -180,6 +180,7 @@ def _replay(
     name: str,
     stream: DataFrame,
     output_mode: str = "complete",
+    extra_confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Run a bounded streaming plan to completion into a memory sink.
 
@@ -208,6 +209,13 @@ def _replay(
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(REPLAY_STATE_PARTITIONS)
     )
+    saved_extra: dict[str, str | None] = {}
+    for key, value in (extra_confs or {}).items():
+        try:
+            saved_extra[key] = spark.conf.get(key)
+        except Exception:
+            saved_extra[key] = None
+        spark.conf.set(key, value)
     try:
         result = run_to_memory(
             stream,
@@ -228,6 +236,11 @@ def _replay(
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved_tz)
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        for key, value in saved_extra.items():
+            if value is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, value)
 
 
 @register(
@@ -2026,12 +2039,28 @@ def events_stream_enrich_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(pwin).alias("tier"),
         )
     )
+    def ntz_to_instant(col):
+        # The dim's NTZ wall clocks must meet the stream's LTZ ts (the
+        # staged replay reinterprets the same micros as UTC instants).
+        # An implicit NTZ->LTZ coercion in the join condition would bake
+        # the CALLER's session timezone in at analysis time — _replay
+        # only forces UTC later, at run time — shifting every validity
+        # boundary under a non-UTC session (caught by
+        # test_session_independence). timestamp_micros() builds the
+        # instant from raw epoch micros, timezone-free.
+        return F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+            )
+        )
+
     dim = purchases.select(
         F.col("user_id").alias("d_user_id"),
         "tier",
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ntz_to_instant("ts").alias("valid_from"),
+        ntz_to_instant(
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
         ).alias("valid_to"),
     )
     stream = events_stream(spark, staged, max_files_per_trigger=2)
@@ -2058,6 +2087,83 @@ def events_stream_enrich_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias(
             "total_value"
         ),
+    )
+
+
+#: RocksDB state store: required by ``transformWithStateInPandas`` (the
+#: v2 state protocol creates one column family per state variable, which
+#: the default HDFS-backed provider rejects). Scoped to the one replay.
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@register(
+    "events_stream_tws_profile",
+    category="streaming",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)           AS n_events,
+           max(coalesce(value, 0.0))          AS max_value,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_stream_tws_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` (SPARK-46815), replayed live.
+
+    The arbitrary-stateful-processing v2 runtime proof the repo's pinned
+    skip could not give: a ``StatefulProcessor`` carrying a ``ValueState``
+    (event count + running max) and a ``MapState`` (per-type counts) per
+    user, replayed over the staged multi-batch stream on the RocksDB
+    state store (the v2 protocol stores each state variable in its own
+    column family, which the default HDFS provider rejects). The state
+    server speaks protobuf; ``protobuf_compat.ensure_protobuf`` locates
+    or stages a pure-Python runtime for the driver, the task workers,
+    and the separate TWS driver-worker process. Update-mode snapshots
+    are cumulative per user, so the final profile is the per-user max of
+    each monotone column — checked exactly against the batch group-by.
+
+    Scale: state is keyed by user — O(1) + O(type vocabulary) per key,
+    partition-parallel, RocksDB-backed with changelog checkpointing on a
+    real cluster; Arrow transport batches rows per key.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        events_stream,
+        tws_user_profile,
+    )
+    from data_preparation_plugin_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf(spark):
+        raise ImportError(
+            "transformWithStateInPandas needs a protobuf runtime and "
+            "neither the stock package nor a stageable donor was found "
+            "(see streaming/protobuf_compat.py; pip install .[tws])"
+        )
+    staged = _stage_events(spark, sf_dir)
+    stream = tws_user_profile(
+        events_stream(spark, staged, max_files_per_trigger=2),
+        watermark="30 days",
+    )
+    sink = _replay(
+        spark,
+        "events_stream_tws_profile",
+        stream,
+        output_mode="update",
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER
+        },
+    )
+    # Snapshots are cumulative and monotone per user (count, running
+    # max, type-set size), so the final profile is a plain max of each.
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+        F.max("n_types").alias("n_types"),
     )
 
 

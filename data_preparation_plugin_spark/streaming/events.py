@@ -402,11 +402,14 @@ def tws_user_profile(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
     per key, partition-parallel, RocksDB-backed on a real cluster; the
     Arrow transport batches rows per key exactly like the v1 operator.
 
-    Dependency gate: the v2 API's state-server protocol needs the
-    ``protobuf`` package, absent from this container — so this operator
-    is exercised by a skip-unless-protobuf test
-    (tests/test_streaming.py::test_tws_user_profile_matches_batch), not
-    by a registry query; it runs wherever protobuf is installed.
+    Dependency gate: the v2 API's state-server protocol needs a
+    ``protobuf`` runtime; ``streaming/protobuf_compat.ensure_protobuf``
+    locates the stock package or stages a pure-Python donor runtime for
+    the driver, the task workers, and the TWS driver-worker process.
+    Exercised by the registry query ``events_stream_tws_profile`` (on
+    the RocksDB state store — the v2 protocol needs one column family
+    per state variable) and by
+    tests/test_streaming.py::test_tws_user_profile_matches_batch.
     """
     import pandas as pd
 

@@ -256,27 +256,44 @@ def test_batch_writer_replay_is_idempotent(spark):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
-HAS_PROTOBUF = (
-    importlib.util.find_spec("google") is not None
-    and importlib.util.find_spec("google.protobuf") is not None
-)
+def _tws_ready(spark) -> bool:
+    """True when a protobuf runtime is importable or stageable — the
+    self-healing gate from streaming/protobuf_compat.py."""
+    from data_preparation_plugin_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    return ensure_protobuf(spark)
 
 
-@pytest.mark.skipif(
-    not HAS_PROTOBUF,
-    reason="transformWithStateInPandas drives its state server over "
-    "protobuf, which this container does not ship",
-)
 def test_tws_user_profile_matches_batch(spark, events_dir):
     """Spark 4 transformWithStateInPandas (ValueState + MapState) converges
     to the batch group-by across a multi-batch replay."""
+    if not _tws_ready(spark):
+        pytest.skip(
+            "no protobuf runtime importable or stageable on this host"
+        )
     from data_preparation_plugin_spark.streaming import tws_user_profile
 
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     stream = tws_user_profile(
         events_stream(spark, events_dir, max_files_per_trigger=2),
         watermark="30 days",
     )
-    got = run_to_memory(stream, "t_tws", spark, output_mode="update")
+    try:
+        got = run_to_memory(stream, "t_tws", spark, output_mode="update")
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", saved
+            )
     final = {}
     for r in got.collect():
         prev = final.get(r.user_id)
@@ -301,8 +318,8 @@ def test_tws_user_profile_matches_batch(spark, events_dir):
 def test_tws_gate_reports_cleanly_without_protobuf(spark, events_dir):
     """Without protobuf the v2 operator must fail with the protocol
     ImportError surfaced by Spark, not silently wrong results."""
-    if HAS_PROTOBUF:
-        pytest.skip("protobuf installed: gating moot")
+    if _tws_ready(spark):
+        pytest.skip("protobuf runtime available (stock or staged): gating moot")
     from data_preparation_plugin_spark.streaming import tws_user_profile
 
     stream = tws_user_profile(
