@@ -9,9 +9,9 @@ the engine's geometry representation (SURVEY.md §1.5: WKT/WKB strings, no
 PostGIS type system). ``mode("overwrite")`` reproduces ``-d``.
 
 Supported shape types: Null(0), Point(1), PolyLine(3), Polygon(5),
-MultiPoint(8), plus every Z variant (11/13/15/18) and M variant
-(21/23/25/28) — the full set shp2pgsql accepts (reference
-``operators/shp2pgsql.py:13-27``). Z coordinates surface as ``POINT Z
+MultiPoint(8), every Z variant (11/13/15/18), every M variant
+(21/23/25/28), and MultiPatch(31, flattened to MULTIPOLYGON Z) — the
+full set shp2pgsql accepts (reference ``operators/shp2pgsql.py:13-27``). Z coordinates surface as ``POINT Z
 (x y z)``-style WKT; measure values as ``POINT M``/``POINT ZM``. A
 measure array whose values are all shapefile "no data" (< -1e38) is
 dropped, matching shp2pgsql's treatment of absent measures.
@@ -84,6 +84,69 @@ def _read_doubles(body: bytes, offset: int, n: int) -> list[float]:
     return list(struct.unpack(f"<{n}d", body[offset : offset + 8 * n]))
 
 
+#: MultiPatch part types (ESRI spec): triangle surfaces become one polygon
+#: per triangle; ring types group into polygons (outer/first ring opens a
+#: polygon, inner/ring parts attach as holes of the open polygon).
+_PATCH_TRIANGLE_STRIP = 0
+_PATCH_TRIANGLE_FAN = 1
+_PATCH_OUTER_RING = 2
+_PATCH_INNER_RING = 3
+_PATCH_FIRST_RING = 4
+_PATCH_RING = 5
+
+
+def _parse_multipatch(body: bytes) -> str:
+    """MultiPatch (type 31) -> ``MULTIPOLYGON Z`` WKT.
+
+    The reference's ``shp2pgsql`` accepts every shape type including
+    MultiPatch (reference ``operators/shp2pgsql.py:13-27``); GIS tooling
+    conventionally flattens the surface description to its constituent
+    polygons: each triangle of a strip/fan is one triangle polygon, and
+    ring parts regroup as (outer + following inner) polygons. Rings
+    arrive closed per the spec; triangles are closed here explicitly.
+    """
+    n_parts, n_points = struct.unpack("<ii", body[36:44])
+    cursor = 44
+    parts = struct.unpack(f"<{n_parts}i", body[cursor : cursor + 4 * n_parts])
+    cursor += 4 * n_parts
+    part_types = struct.unpack(
+        f"<{n_parts}i", body[cursor : cursor + 4 * n_parts]
+    )
+    cursor += 4 * n_parts
+    flat = _read_doubles(body, cursor, 2 * n_points)
+    pairs = list(zip(flat[::2], flat[1::2]))
+    cursor += 16 * n_points
+    zs = _read_doubles(body, cursor + 16, n_points)  # skip z-range
+    pts = [(*p, z) for p, z in zip(pairs, zs)]
+    bounds = list(parts) + [n_points]
+    polygons: list[list[list[tuple[float, ...]]]] = []
+    for i in range(n_parts):
+        part = pts[bounds[i] : bounds[i + 1]]
+        ptype = part_types[i]
+        if ptype in (_PATCH_TRIANGLE_STRIP, _PATCH_TRIANGLE_FAN):
+            for t in range(len(part) - 2):
+                a = part[0] if ptype == _PATCH_TRIANGLE_FAN else part[t]
+                tri = [a, part[t + 1], part[t + 2], a]
+                polygons.append([tri])
+        elif ptype in (_PATCH_OUTER_RING, _PATCH_FIRST_RING):
+            polygons.append([part])
+        elif ptype in (_PATCH_INNER_RING, _PATCH_RING):
+            if polygons:
+                polygons[-1].append(part)
+            else:  # dangling ring: stands alone, like shp2pgsql
+                polygons.append([part])
+        else:
+            raise NotImplementedError(f"MultiPatch part type {ptype}")
+    return (
+        "MULTIPOLYGON Z ("
+        + ", ".join(
+            "(" + ", ".join(_coords_wkt(ring) for ring in rings) + ")"
+            for rings in polygons
+        )
+        + ")"
+    )
+
+
 def _parse_shp(data: bytes) -> list[str | None]:
     """Parse a .shp file body into WKT strings (None for null shapes)."""
     geoms: list[str | None] = []
@@ -99,6 +162,9 @@ def _parse_shp(data: bytes) -> list[str | None]:
         shape_type = struct.unpack("<i", body[:4])[0]
         if shape_type == 0:
             geoms.append(None)
+            continue
+        if shape_type == 31:
+            geoms.append(_parse_multipatch(body))
             continue
         if shape_type not in _SHAPE_KINDS:
             raise NotImplementedError(f"shapefile shape type {shape_type}")

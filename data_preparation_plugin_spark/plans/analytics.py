@@ -3295,3 +3295,75 @@ def agg_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kmv_estimate"),
         )
     )
+
+
+def _entropy_profile_sql(column: str, table: str) -> str:
+    """One column's entropy-profile SELECT (unrolled per column, the
+    oracle-authoring pattern for bounded multi-column profiles)."""
+    return f"""
+    SELECT '{column}' AS column_name,
+           CAST(count(*) AS BIGINT)             AS n_distinct,
+           CAST(max(c) * 10000 // sum(c) AS BIGINT) AS top_share_bp,
+           round(-sum((c * 1.0 / t) * ln(c * 1.0 / t)), 4) AS entropy_nats
+    FROM (
+        SELECT c, sum(c) OVER () AS t
+        FROM (SELECT count(*) AS c FROM {table} GROUP BY {column})
+    )"""
+
+
+@register(
+    "profile_column_entropy",
+    category="profile",
+    oracle=" UNION ALL ".join(
+        [
+            _entropy_profile_sql("o_orderstatus", "orders"),
+            _entropy_profile_sql("o_orderpriority", "orders"),
+            _entropy_profile_sql("c_mktsegment", "customer"),
+        ]
+    ),
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy + concentration — the skew profile.
+
+    What ``profile_table_columns`` (counts/nulls/ranges) cannot say:
+    whether a categorical column's mass is spread (high entropy — good
+    partition or stratification key) or concentrated (low entropy, one
+    dominant value — a skew hazard for joins and a useless feature).
+    Reports distinct count, the top value's share in exact basis points
+    (integer arithmetic, hash-exact), and entropy in nats (4dp, the
+    ``text_token_entropy`` parity discipline for transcendental sums).
+
+    Scale shape: each column collapses to its bounded value histogram in
+    one map-side-combinable aggregate; the entropy reduction runs over
+    that dimension-sized histogram (the whole-frame window touches tens
+    of rows, never the table). Columns profile independently — a wide
+    table fans out embarrassingly parallel.
+    """
+
+    def profile(table: DataFrame, column: str) -> DataFrame:
+        counts = table.groupBy(column).agg(F.count(F.lit(1)).alias("c"))
+        p = F.col("c") * 1.0 / F.col("t")
+        return (
+            counts.withColumn("t", F.sum("c").over(Window.partitionBy()))
+            .agg(
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.expr("CAST(max(c) * 10000 div sum(c) AS BIGINT)").alias(
+                    "top_share_bp"
+                ),
+                F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+            )
+            .select(
+                F.lit(column).alias("column_name"),
+                "n_distinct",
+                "top_share_bp",
+                "entropy_nats",
+            )
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        profile(orders, "o_orderstatus")
+        .unionByName(profile(orders, "o_orderpriority"))
+        .unionByName(profile(customer, "c_mktsegment"))
+    )

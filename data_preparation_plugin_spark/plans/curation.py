@@ -394,3 +394,87 @@ def curation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_kept"),
         )
     )
+
+
+@register(
+    "curation_source_overlap",
+    category="curation",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), fp AS (
+        SELECT DISTINCT source,
+               unnest(CASE WHEN len(tokens) >= 3
+                    THEN list_transform(range(1, len(tokens) - 1),
+                         i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+                    ELSE [array_to_string(tokens, ' ')] END) AS f
+        FROM toks
+    ), sizes AS (
+        SELECT source, count(*) AS n FROM fp GROUP BY source
+    ), shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(s.n_shared * 10000
+                // (sa.n + sb.n - s.n_shared) AS BIGINT) AS jaccard_bp
+    FROM shared s
+    JOIN sizes sa ON s.source_a = sa.source
+    JOIN sizes sb ON s.source_b = sb.source
+    """,
+)
+def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: which sources share content.
+
+    The question the per-source card and the train/eval decontaminator
+    both skip: for every PAIR of sources, how many distinct 3-word
+    shingles appear in both, and the Jaccard overlap of their shingle
+    sets in basis points. This is the report that decides which crawl
+    snapshots are near-mirrors (merge them before paying fuzzy dedup
+    across the pair) and which are mostly disjoint (skip the cross-pair
+    comparison entirely) — the source-level pruning that makes
+    corpus-wide dedup tractable at 100 TB.
+
+    Scale shape: texts collapse to DISTINCT (source, shingle) pairs
+    before any join — the self-join is equi-keyed on the shingle (never
+    cartesian; at web scale the shingle would first hash to 8 bytes and
+    hot stop-shingles would be DF-capped exactly as
+    ``dedup_ngram_jaccard`` does), and the pair matrix is bounded by
+    the source vocabulary squared. Per-source set sizes ride a
+    broadcast join back onto the matrix.
+    """
+    from data_preparation_plugin_spark.functions.text import (
+        exploded_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = exploded_shingles(docs, ["source"], "text", 3).select(
+        "source", F.col("shingle").alias("f")
+    ).distinct()
+    sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), "f")
+    shared = (
+        a.join(b, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr(
+                "CAST(n_shared * 10000 div (na + nb - n_shared) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+    )

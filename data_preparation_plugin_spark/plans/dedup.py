@@ -1583,6 +1583,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_containment_pruned",
     category="dedup",
+    bench=True,
     oracle=rf"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens

@@ -700,6 +700,51 @@ def events_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "events_stream_stateful_bucketed",
+    category="streaming",
+    oracle="""
+    SELECT user_id,
+           count(*)                          AS n_events,
+           round(sum(coalesce(value, 0)), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_stream_stateful_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucketed-key form of the stateful escape hatch — the scale default.
+
+    Identical semantics and oracle to ``events_stream_stateful_totals``,
+    but the state key is ``user_id % 64`` with an in-callback per-user
+    demux, so ``applyInPandasWithState``'s ~0.7 ms-per-invocation Arrow
+    protocol (the entire ×5.3 of the per-user probe, per the round-8
+    component isolation) is paid at most 64 times per micro-batch
+    instead of once per active user. The per-user variant stays
+    registered as the didactic 1:1 form; this one is the shape a 100 TB
+    deployment should copy when the built-in streaming agg (cheapest of
+    all, also registered) can't express the per-key logic.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        events_stream,
+        stateful_user_totals_bucketed,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    stream = stateful_user_totals_bucketed(
+        events_stream(spark, staged, max_files_per_trigger=2),
+        watermark="30 days",
+    )
+    sink = _replay(
+        spark, "events_stream_stateful_bucketed", stream, output_mode="update"
+    )
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+@register(
     "events_stream_enrich",
     category="streaming",
     oracle="""
@@ -2160,6 +2205,65 @@ def events_stream_tws_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Snapshots are cumulative and monotone per user (count, running
     # max, type-set size), so the final profile is a plain max of each.
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+        F.max("n_types").alias("n_types"),
+    )
+
+
+@register(
+    "events_stream_tws_bucketed",
+    category="streaming",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)           AS n_events,
+           max(coalesce(value, 0.0))          AS max_value,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_stream_tws_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-key ``transformWithStateInPandas`` — the v2 scale default.
+
+    Identical semantics and oracle to ``events_stream_tws_profile``, but
+    the grouping key is ``user_id % 64`` with per-user accumulators in
+    MapState (point lookups, no whole-bucket rewrite; the distinct-type
+    count is carried in the per-user value, never by iterating state).
+    The x8 probe measured the per-user v2 form ~linear in distinct keys
+    (x8.1 — the state-server protocol round trip per key-group); the
+    bucket key caps protocol invocations at 64 per micro-batch exactly
+    like ``events_stream_stateful_bucketed`` does for the v1 API.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        events_stream,
+        tws_user_profile_bucketed,
+    )
+    from data_preparation_plugin_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf(spark):
+        raise ImportError(
+            "transformWithStateInPandas needs a protobuf runtime and "
+            "neither the stock package nor a stageable donor was found "
+            "(see streaming/protobuf_compat.py; pip install .[tws])"
+        )
+    staged = _stage_events(spark, sf_dir)
+    stream = tws_user_profile_bucketed(
+        events_stream(spark, staged, max_files_per_trigger=2),
+        watermark="30 days",
+    )
+    sink = _replay(
+        spark,
+        "events_stream_tws_bucketed",
+        stream,
+        output_mode="update",
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER
+        },
+    )
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max("max_value").alias("max_value"),

@@ -267,3 +267,114 @@ def geo_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.d").alias("dist2"),
         )
     )
+
+
+#: Radius-join radius in degrees (squared for the exact predicate).
+RADIUS_DEG = 3.0
+
+
+def _supplier_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic lon/lat per supplier (exact double arithmetic),
+    decorrelated from the customer point derivation."""
+    s = F.col("s_suppkey")
+    return load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((s * 17) % 360) - 180 + ((s * 4447) % 1000) / 1000.0).alias("sx"),
+        (((s * 13) % 180) - 90 + ((s * 7873) % 1000) / 1000.0).alias("sy"),
+    )
+
+
+@register(
+    "geo_radius_pairs",
+    category="geo",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey % 360) - 180
+                   + ((c_custkey * 7919) % 1000) / 1000.0  AS x,
+               ((c_custkey * 31) % 180) - 90
+                   + ((c_custkey * 104729) % 1000) / 1000.0 AS y
+        FROM customer
+    ), sups AS (
+        SELECT s_suppkey,
+               ((s_suppkey * 17) % 360) - 180
+                   + ((s_suppkey * 4447) % 1000) / 1000.0 AS sx,
+               ((s_suppkey * 13) % 180) - 90
+                   + ((s_suppkey * 7873) % 1000) / 1000.0 AS sy
+        FROM supplier
+    ), pairs AS (
+        SELECT p.c_custkey, s.s_suppkey,
+               (p.x - s.sx) * (p.x - s.sx)
+             + (p.y - s.sy) * (p.y - s.sy) AS dist_sq
+        FROM pts p CROSS JOIN sups s
+        WHERE (p.x - s.sx) * (p.x - s.sx)
+            + (p.y - s.sy) * (p.y - s.sy)
+           <= {RADIUS_DEG} * {RADIUS_DEG}
+    ), ranked AS (
+        SELECT *,
+               CAST(count(*) OVER (PARTITION BY c_custkey) AS BIGINT)
+                   AS n_within,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY dist_sq, s_suppkey) AS rn
+        FROM pairs
+    )
+    SELECT c_custkey, n_within,
+           s_suppkey AS nearest_suppkey,
+           dist_sq   AS nearest_dist_sq
+    FROM ranked WHERE rn = 1
+    """,
+)
+def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join between two POINT SETS via grid blocking — never
+    cartesian.
+
+    The spatial shape the existing geo queries don't cover: both sides
+    are point sets (customers x suppliers) and the predicate is a
+    distance radius, the store-locator / supply-assignment join. Each
+    supplier explodes to the grid cells covering its ±R box (bounded
+    fan-out: ceil(2R/cell)² cells); each customer carries its single
+    cell key; the equi-join on the cell key prunes to co-located pairs
+    before the EXACT squared-distance predicate (pure multiply/add —
+    bit-identical in the oracle, which proves the blocking lossless by
+    hashing the full pair-derived result). Haversine would be the
+    metric at planetary scale (``functions.geo.haversine_km``); the
+    planar predicate keeps the oracle hashable and the plan identical.
+
+    Scale shape: supplier side is dimension-sized here and broadcasts;
+    at two planetary point sets both sides shuffle on the bounded
+    integer cell key (``broadcast_regions=False``) and the join stays a
+    hash join — cost proportional to co-located candidates, never
+    |A|x|B|. The per-customer argmin is a map-side struct-min.
+    """
+    pts = _points(spark, sf_dir)
+    sups = _supplier_points(spark, sf_dir).select(
+        "s_suppkey", "sx", "sy",
+        (F.col("sx") - RADIUS_DEG).alias("min_x"),
+        (F.col("sy") - RADIUS_DEG).alias("min_y"),
+        (F.col("sx") + RADIUS_DEG).alias("max_x"),
+        (F.col("sy") + RADIUS_DEG).alias("max_y"),
+    )
+    dist_sq = planar_distance_sq(
+        F.col("x"), F.col("y"), F.col("sx"), F.col("sy")
+    )
+    pairs = grid_blocked_join(
+        pts, sups, predicate=dist_sq <= RADIUS_DEG * RADIUS_DEG
+    ).select("c_custkey", "s_suppkey", dist_sq.alias("dist_sq"))
+    return (
+        pairs.groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.min(
+                F.struct(
+                    F.col("dist_sq").alias("d"),
+                    F.col("s_suppkey").alias("k"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "c_custkey",
+            "n_within",
+            F.col("best.k").alias("nearest_suppkey"),
+            F.col("best.d").alias("nearest_dist_sq"),
+        )
+    )

@@ -289,3 +289,98 @@ def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL dpp_word_chunks(d.text) s
         """
     )
+
+
+@register(
+    "udf_apply_in_arrow_regression",
+    category="udf",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag,
+               CAST(year(l_shipdate) AS BIGINT)         AS ship_year,
+               CAST(l_quantity AS HUGEINT)              AS xq,
+               CAST(round(l_extendedprice * 100) AS HUGEINT) AS yc
+        FROM lineitem
+    ), sums AS (
+        SELECT l_returnflag, ship_year,
+               CAST(count(*) AS HUGEINT) AS n,
+               sum(xq)       AS sx,
+               sum(yc)       AS sy,
+               sum(xq * xq)  AS sxx,
+               sum(xq * yc)  AS sxy
+        FROM pts GROUP BY l_returnflag, ship_year
+    )
+    SELECT l_returnflag, ship_year,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_cents_e6
+    FROM sums
+    """,
+)
+def udf_apply_in_arrow_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group OLS slope via ``applyInArrow`` — the Arrow-native
+    grouped-map API (Spark 4), completing the UDF surface next to the
+    pandas grouped-map/agg, cogroup, ``mapInArrow`` and UDTF queries.
+
+    The callback receives each group as a ``pyarrow.Table`` (zero pandas
+    conversion) and computes the least-squares slope of extended price
+    (cents) over quantity from the four classic sums. All sums are
+    EXACT: quantities are integral and cent prices round exactly (2dp doubles), accumulated by Arrow
+    as int64 and widened to Python ints for the final cross products
+    (which overflow int64), mirrored by HUGEINT arithmetic in the
+    oracle; the slope is fixed-point e6 via floor division, so the
+    driver hash is integer-exact — no float summation-order hazard.
+
+    Scale shape: grouped-map shuffles once on the (flag, ship-year)
+    key — ~21 groups, so the Arrow stage parallelizes across tasks
+    instead of serializing three giant groups — and each group reduces
+    inside the callback to a single output row. Grouped-map parallelism
+    IS the group count: for low-cardinality keys prefer built-in
+    aggregates (these sums are all expressible as such — the preferred
+    path); this pins the Arrow grouped-map escape hatch end-to-end.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def slope(table: pa.Table) -> pa.Table:
+        xq = pc.cast(table.column("xq"), pa.int64())
+        yc = pc.cast(table.column("yc"), pa.int64())
+        n = table.num_rows
+        sx = pc.sum(xq).as_py()
+        sy = pc.sum(yc).as_py()
+        sxx = pc.sum(pc.multiply_checked(xq, xq)).as_py()
+        # x*y fits int64 per element (<= 50 * 1e8); the cross products
+        # of the SUMS do not — finish in Python ints (arbitrary
+        # precision), exactly like the oracle's HUGEINT.
+        sxy = pc.sum(pc.multiply_checked(xq, yc)).as_py()
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        # DuckDB's // truncates toward zero; Python's floors. Truncate
+        # explicitly so negative slopes agree.
+        slope_e6 = (abs(num) * 1_000_000 // den) * (1 if num >= 0 else -1)
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "ship_year": pa.array(
+                    [table.column("ship_year")[0].as_py()], pa.int64()
+                ),
+                "n_rows": pa.array([n], pa.int64()),
+                "slope_cents_e6": pa.array([slope_e6], pa.int64()),
+            }
+        )
+
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.col("l_quantity").cast("long").alias("xq"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("yc"),
+    )
+    return pts.groupBy("l_returnflag", "ship_year").applyInArrow(
+        slope,
+        schema=(
+            "l_returnflag string, ship_year long, "
+            "n_rows long, slope_cents_e6 long"
+        ),
+    )

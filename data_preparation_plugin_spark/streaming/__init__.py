@@ -12,7 +12,9 @@ from data_preparation_plugin_spark.streaming.events import (
     sessionize_stream,
     sliding_aggregate,
     stateful_user_totals,
+    stateful_user_totals_bucketed,
     tws_user_profile,
+    tws_user_profile_bucketed,
     stream_to_table,
     tumbling_aggregate,
 )
@@ -29,7 +31,9 @@ __all__ = [
     "sessionize_stream",
     "sliding_aggregate",
     "stateful_user_totals",
+    "stateful_user_totals_bucketed",
     "tws_user_profile",
+    "tws_user_profile_bucketed",
     "stream_to_table",
     "tumbling_aggregate",
 ]

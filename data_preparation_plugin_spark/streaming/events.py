@@ -274,6 +274,187 @@ def stateful_user_totals(
     )
 
 
+def tws_user_profile_bucketed(
+    stream: DataFrame,
+    buckets: int = 64,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Bucketed-key form of :func:`tws_user_profile` — the v2 scale path.
+
+    Same per-user profile (event count, running max, distinct type
+    count), but the ``transformWithStateInPandas`` grouping key is
+    ``user_id % buckets`` and the per-user accumulators live inside a
+    single ``MapState`` keyed by user — so the v2 state-server protocol
+    (one round trip per key-group per micro-batch, measured ~linear in
+    distinct keys on the x8 probe) is paid at most ``buckets`` times per
+    micro-batch. MapState is exactly the right primitive for the demux:
+    point lookups and updates per user, no whole-bucket rewrite. Type
+    sets ride a second MapState keyed by (user, type) — both maps are
+    partition-local state-store column families on RocksDB.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class BucketProfiles(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # n_types is carried IN the per-user value and incremented on
+            # first sight of a (user, type) key — never by iterating the
+            # type map, which would be O(bucket state) per micro-batch.
+            self._users = handle.getMapState(
+                "user_totals", "user_id BIGINT", "n BIGINT, mx DOUBLE, nt BIGINT"
+            )
+            self._types = handle.getMapState(
+                "user_types", "k STRING", "one TINYINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            touched: set[int] = set()
+            for pdf in rows:
+                grouped = pdf.groupby("user_id")
+                sizes = grouped.size()
+                maxes = grouped["value"].max()  # NaN-skipping, like v1
+                new_types: dict[int, int] = {}
+                for uid, t in (
+                    pdf[["user_id", "event_type"]]
+                    .drop_duplicates()
+                    .itertuples(index=False)
+                ):
+                    uid = int(uid)
+                    mk = f"{uid}|{t}"
+                    if not self._types.containsKey((mk,)):
+                        self._types.updateValue((mk,), (1,))
+                        new_types[uid] = new_types.get(uid, 0) + 1
+                for uid, cnt in sizes.items():
+                    uid = int(uid)
+                    prev = (
+                        self._users.getValue((uid,))
+                        if self._users.containsKey((uid,))
+                        else (0, None, 0)
+                    )
+                    n = prev[0] + int(cnt)
+                    mx = prev[1]
+                    nt = prev[2] + new_types.get(uid, 0)
+                    m = maxes[uid]
+                    if pd.notna(m) and (mx is None or float(m) > mx):
+                        mx = float(m)
+                    self._users.updateValue((uid,), (n, mx, nt))
+                    touched.add(uid)
+            out = sorted(touched)
+            profiles = [self._users.getValue((u,)) for u in out]
+            yield pd.DataFrame(
+                {
+                    "user_id": out,
+                    "n_events": [p[0] for p in profiles],
+                    "max_value": [p[1] for p in profiles],
+                    "n_types": [p[2] for p in profiles],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .withColumn("state_bucket", F.pmod(F.col("user_id"), F.lit(buckets)))
+        .groupBy("state_bucket")
+        .transformWithStateInPandas(
+            statefulProcessor=BucketProfiles(),
+            outputStructType=(
+                "user_id BIGINT, n_events BIGINT, "
+                "max_value DOUBLE, n_types BIGINT"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def stateful_user_totals_bucketed(
+    stream: DataFrame,
+    buckets: int = 64,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user running totals with a BUCKETED state key — the batched
+    form of :func:`stateful_user_totals`.
+
+    The round-8 isolation measured ``applyInPandasWithState``'s cost as
+    ~0.7 ms per key-group Arrow invocation — with per-user keys that is
+    one protocol round trip per (user, micro-batch), and the machinery,
+    not the arithmetic, dominated the ×5.3 scale probe. Here the state
+    key is ``user_id % buckets``, so each micro-batch drives at most
+    ``buckets`` protocol invocations regardless of user cardinality; the
+    callback demuxes per user with a vectorized pandas group-by and
+    keeps the whole bucket's accumulators in one state row (parallel
+    arrays — constant width per USER, ``buckets``-way partition-
+    parallel). Snapshots are emitted only for users touched in the
+    micro-batch, exactly like the per-user form, so the two variants
+    are output-equivalent.
+
+    Bucket count is the shuffle-parallelism / protocol-amortization
+    trade: at 100 TB pick ``buckets`` ≈ a few × total cores so every
+    state partition stays busy while invocations stay batch-sized.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        users, ns, totals = (
+            state.get if state.exists else ([], [], [])
+        )
+        acc = {
+            int(u): (int(n), float(t))
+            for u, n, t in zip(users, ns, totals)
+        }
+        touched: set[int] = set()
+        for pdf in pdf_iter:
+            grouped = pdf.groupby("user_id")["value"]
+            sizes = grouped.size()
+            # .sum() skips NaN, so this IS coalesce(value, 0) summed.
+            sums = grouped.sum()
+            for uid, cnt in sizes.items():
+                n0, t0 = acc.get(int(uid), (0, 0.0))
+                acc[int(uid)] = (
+                    n0 + int(cnt),
+                    t0 + float(sums[uid]),
+                )
+                touched.add(int(uid))
+        state.update(
+            (
+                list(acc.keys()),
+                [n for n, _t in acc.values()],
+                [t for _n, t in acc.values()],
+            )
+        )
+        out = sorted(touched)
+        yield pd.DataFrame(
+            {
+                "user_id": out,
+                "n_events": [acc[u][0] for u in out],
+                "total_value": [round(acc[u][1], 2) for u in out],
+            }
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .withColumn("state_bucket", F.pmod(F.col("user_id"), F.lit(buckets)))
+        .groupBy("state_bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+            stateStructType=(
+                "users ARRAY<LONG>, ns ARRAY<LONG>, totals ARRAY<DOUBLE>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     keys: list[str] | None = None,

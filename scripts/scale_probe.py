@@ -215,6 +215,13 @@ PROBES = [
     "events_stream_enrich_scd2",  # per-batch broadcast PIT dim join
     "agg_kmv_difference",         # KB-sized sketch pair lattice
     "events_burst_windows",       # hourly collapse + filtered islands
+    "events_stream_stateful_bucketed",  # bucketed-key state, demuxed Arrow
+    "events_stream_tws_profile",  # transformWithStateInPandas on RocksDB
+    "geo_radius_pairs",           # grid-blocked point-set radius join
+    "udf_apply_in_arrow_regression",  # Arrow grouped-map, one flag shuffle
+    "profile_column_entropy",     # bounded histograms + tiny windows
+    "curation_source_overlap",    # distinct shingles + digest self-join
+    "events_stream_tws_bucketed",  # bucketed-key v2 state, MapState demux
 ]
 
 

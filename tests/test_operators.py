@@ -249,6 +249,36 @@ def test_shapefile_zm_variants(shape_type, body, expected):
     assert _parse_shp(_one_record_shp(shape_type, body)) == [expected]
 
 
+def test_shapefile_multipatch_flattens_to_multipolygon():
+    """MultiPatch (type 31): a triangle strip plus an outer+inner ring
+    pair flatten to the constituent polygons of a MULTIPOLYGON Z — the
+    last shape type shp2pgsql accepts (reference shp2pgsql.py:13-27)."""
+    from data_preparation_plugin_spark.operators.shapefile import _parse_shp
+
+    # Part 0: triangle strip of 4 points (-> 2 triangles).
+    strip = [(0, 0, 1), (0, 2, 1), (2, 0, 1), (2, 2, 1)]
+    # Part 1: closed outer square; part 2: closed inner square (hole).
+    outer = [(10, 10, 0), (10, 20, 0), (20, 20, 0), (20, 10, 0), (10, 10, 0)]
+    inner = [(12, 12, 0), (12, 14, 0), (14, 14, 0), (14, 12, 0), (12, 12, 0)]
+    pts = strip + outer + inner
+    body = _BBOX
+    body += struct.pack("<ii", 3, len(pts))          # NumParts, NumPoints
+    body += struct.pack("<3i", 0, 4, 9)              # part start indices
+    body += struct.pack("<3i", 0, 2, 3)              # strip, outer, inner
+    for x, y, _z in pts:
+        body += _d(x, y)
+    body += _d(0, 1)                                  # z-range
+    body += _d(*[p[2] for p in pts])                  # z values
+    [wkt] = _parse_shp(_one_record_shp(31, body))
+    assert wkt == (
+        "MULTIPOLYGON Z ("
+        "((0 0 1, 0 2 1, 2 0 1, 0 0 1)), "
+        "((0 2 1, 2 0 1, 2 2 1, 0 2 1)), "
+        "((10 10 0, 10 20 0, 20 20 0, 20 10 0, 10 10 0), "
+        "(12 12 0, 12 14 0, 14 14 0, 14 12 0, 12 12 0)))"
+    )
+
+
 # -- transforms -------------------------------------------------------------
 
 

@@ -568,3 +568,40 @@ def test_bitemporal_correction_stripe_is_live(spark):
     ).collect()[0]
     assert row["corr"] > 0, "correction stripe dead again"
     assert row["unknown"] > 0, "late-recorded-invisible path not exercised"
+
+
+def test_geo_radius_pairs_blocked_never_cartesian(spark):
+    """The point-set radius join must ride the grid-cell equi-join
+    (broadcast here; dimension-sized supplier side), never a cartesian
+    or nested-loop product."""
+    plan = plan_of(spark, "geo_radius_pairs")
+    assert count(r"BroadcastHashJoin", plan) == 1
+    assert count(r"CartesianProduct|BroadcastNestedLoop", plan) == 0
+    assert count(r"Exchange hashpartitioning", plan) == 1  # final argmin agg
+
+
+def test_apply_in_arrow_single_shuffle(spark):
+    """The Arrow grouped-map shuffles once on the flag key and runs one
+    Arrow stage — no pandas conversion, no extra exchange."""
+    plan = plan_of(spark, "udf_apply_in_arrow_regression")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"FlatMapGroupsIn", plan) == 1
+    assert count(r"SortMergeJoin|BroadcastHashJoin", plan) == 0
+
+
+def test_column_entropy_windows_only_histograms(spark):
+    """Each profiled column collapses to its bounded histogram before the
+    whole-frame entropy window: 3 histogram exchanges, 3 tiny
+    single-partition windows, no join anywhere."""
+    plan = plan_of(spark, "profile_column_entropy")
+    assert count(r"Exchange hashpartitioning", plan) == 3
+    assert count(r"Exchange SinglePartition", plan) == 3
+    assert count(r"Join", plan) == 0
+
+
+def test_source_overlap_digest_joins_never_cartesian(spark):
+    """The source-pair matrix joins move shingles/digests only: equi-joins
+    throughout (sizes broadcast), never a cartesian product."""
+    plan = plan_of(spark, "curation_source_overlap")
+    assert count(r"CartesianProduct|BroadcastNestedLoop", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) >= 2
