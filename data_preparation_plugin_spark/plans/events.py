@@ -2360,3 +2360,126 @@ def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("burst_seq")
     )
+
+
+#: A/B readout: conversion window after first exposure, and the variant
+#: split modulus (user_id parity — deterministic, reproducible).
+AB_CONVERSION_DAYS = 1
+
+
+@register(
+    "events_ab_test_lift",
+    category="events",
+    oracle=f"""
+    WITH exposure AS (
+        SELECT user_id,
+               user_id % 2 AS variant,
+               min(ts)     AS first_seen
+        FROM events
+        GROUP BY user_id
+    ), converted AS (
+        SELECT e.user_id, e.variant,
+               max(CASE WHEN v.event_type = 'purchase'
+                         AND v.ts < e.first_seen
+                                    + INTERVAL {AB_CONVERSION_DAYS} DAY
+                        THEN 1 ELSE 0 END) AS conv
+        FROM exposure e
+        JOIN events v ON v.user_id = e.user_id
+        GROUP BY e.user_id, e.variant
+    ), arms AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT)  AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_conv
+        FROM converted GROUP BY variant
+    ), pivoted AS (
+        SELECT
+            max(CASE WHEN variant = 0 THEN n_users END) AS na,
+            max(CASE WHEN variant = 0 THEN n_conv END)  AS ca,
+            max(CASE WHEN variant = 1 THEN n_users END) AS nb,
+            max(CASE WHEN variant = 1 THEN n_conv END)  AS cb
+        FROM arms
+    )
+    SELECT na AS n_users_a, ca AS n_conv_a,
+           nb AS n_users_b, cb AS n_conv_b,
+           CAST(ca * 10000 // na AS BIGINT) AS conv_a_bp,
+           CAST(cb * 10000 // nb AS BIGINT) AS conv_b_bp,
+           CAST(cb * 10000 // nb - ca * 10000 // na AS BIGINT) AS lift_bp,
+           round((cb * 1.0 / nb - ca * 1.0 / na)
+                 / nullif(sqrt(((ca + cb) * 1.0 / (na + nb))
+                               * (1 - (ca + cb) * 1.0 / (na + nb))
+                               * (1.0 / na + 1.0 / nb)), 0), 4) AS z_stat
+    FROM pivoted
+    """,
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: two-proportion conversion lift with z-statistic.
+
+    The analysis every event pipeline ultimately feeds: users split into
+    deterministic variants (id parity — in production, a salted hash),
+    exposure is each user's first event, conversion is a purchase within
+    ``AB_CONVERSION_DAYS`` of exposure (degenerate 100%-conversion arms
+    would zero the pooled variance, hence the nullif guard), and the readout is one row —
+    per-arm counts, exact basis-point conversion rates, their lift, and
+    the pooled two-proportion z-statistic (every arithmetic step in the
+    same order as the oracle; IEEE sqrt is correctly rounded, so the
+    float path is engine-exact before the defensive 4dp round).
+
+    Scale shape: one user-keyed aggregate for exposure, one co-keyed
+    pass for conversion (the exposure join is user-equi-keyed, and both
+    sides share the one user_id exchange), then a 2-row arm aggregate
+    collapsed map-side; the single-row pivot is driver-free. No window,
+    no skew surface — the firehose reduces at the first exchange.
+    """
+    events = load_table(spark, sf_dir, "events")
+    exposure = events.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("variant"),
+        F.min("ts").alias("first_seen"),
+    )
+    converted = (
+        events.select("user_id", "event_type", "ts")
+        .join(exposure, "user_id")
+        .groupBy("user_id", "variant")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (
+                        F.col("ts")
+                        < F.col("first_seen")
+                        + F.expr(f"INTERVAL {AB_CONVERSION_DAYS} DAY")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    arms = converted.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+    )
+    pivoted = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("cb"),
+    )
+    na, ca, nb, cb = F.col("na"), F.col("ca"), F.col("nb"), F.col("cb")
+    p_pool = (ca + cb) * 1.0 / (na + nb)
+    z = F.try_divide(
+        (cb * 1.0 / nb) - (ca * 1.0 / na),
+        F.nullif(
+            F.sqrt(p_pool * (1 - p_pool) * (1.0 / na + 1.0 / nb)), F.lit(0.0)
+        ),
+    )
+    return pivoted.select(
+        na.alias("n_users_a"),
+        ca.alias("n_conv_a"),
+        nb.alias("n_users_b"),
+        cb.alias("n_conv_b"),
+        F.expr("CAST(ca * 10000 div na AS BIGINT)").alias("conv_a_bp"),
+        F.expr("CAST(cb * 10000 div nb AS BIGINT)").alias("conv_b_bp"),
+        F.expr(
+            "CAST(cb * 10000 div nb - ca * 10000 div na AS BIGINT)"
+        ).alias("lift_bp"),
+        F.round(z, 4).alias("z_stat"),
+    )

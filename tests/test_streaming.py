@@ -230,6 +230,46 @@ def test_stream_to_table_checkpointed_appends(spark, events_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_checkpoint_restart_processes_only_the_delta(spark, tmp_path):
+    """Exactly-once across a stop/restart WITH new data: the restarted
+    query resumes from the checkpoint, ingests only files that arrived
+    while it was down, and the union holds every event exactly once —
+    the recovery contract a production deployment leans on."""
+    from data_preparation_plugin_spark.streaming import stream_to_table
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    full = load_table(spark, SF_DIR, "events")
+    half1 = full.where("user_id % 2 = 0")
+    half2 = full.where("user_id % 2 = 1")
+    half1.coalesce(2).write.mode("append").parquet(str(src_dir))
+
+    ckpt = str(tmp_path / "ckpt")
+    table = "t_stream_recovery"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        stream_to_table(
+            events_stream(spark, str(src_dir), max_files_per_trigger=1),
+            table, spark, ckpt,
+        )
+        n1 = spark.table(table).count()
+        assert n1 == half1.count()
+        # "Downtime": more files land, then an identical query restarts
+        # from the same checkpoint.
+        half2.coalesce(2).write.mode("append").parquet(str(src_dir))
+        stream_to_table(
+            events_stream(spark, str(src_dir), max_files_per_trigger=1),
+            table, spark, ckpt,
+        )
+        total = full.count()
+        assert spark.table(table).count() == total  # no loss, no replay
+        assert (
+            spark.table(table).select("event_id").distinct().count() == total
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_batch_writer_replay_is_idempotent(spark):
     """Re-delivering a micro-batch (same batch_id) must not duplicate rows —
     foreachBatch is at-least-once, so the sink carries the idempotence."""
