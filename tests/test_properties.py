@@ -1435,3 +1435,85 @@ def test_pair_audit_counts_nest_properly(spark):
         assert r.n_trainable <= r.n_paired <= r.n_docs
         assert r.n_valid_vec <= r.n_paired
     assert sum(r.n_paired for r in rows) == len(docs & vecs)
+
+
+# -- MultiPatch shapefile parsing ------------------------------------------
+
+_coord = st.integers(min_value=-1000, max_value=1000)
+_point3 = st.tuples(_coord, _coord, _coord)
+
+
+@st.composite
+def _multipatch_parts(draw):
+    """Random mix of MultiPatch parts: triangle surfaces and ring groups."""
+    parts = []
+    for _ in range(draw(st.integers(1, 4))):
+        kind = draw(st.sampled_from(["strip", "fan", "ring_group"]))
+        if kind in ("strip", "fan"):
+            pts = draw(st.lists(_point3, min_size=3, max_size=7))
+            parts.append((0 if kind == "strip" else 1, pts))
+        else:
+            ring = draw(st.lists(_point3, min_size=3, max_size=6))
+            closed = ring + [ring[0]]
+            parts.append((2, closed))  # outer ring
+            if draw(st.booleans()):
+                hole = draw(st.lists(_point3, min_size=3, max_size=5))
+                parts.append((3, hole + [hole[0]]))  # inner ring
+    return parts
+
+
+def _pack_multipatch(parts):
+    import struct as _s
+
+    pts = [p for _t, ps in parts for p in ps]
+    body = _s.pack("<i", 31)  # record body includes the shape-type int
+    body += _s.pack("<4d", 0, 0, 0, 0)
+    body += _s.pack("<ii", len(parts), len(pts))
+    start = 0
+    for _t, ps in parts:
+        body += _s.pack("<i", start)
+        start += len(ps)
+    for t, _ps in parts:
+        body += _s.pack("<i", t)
+    for x, y, _z in pts:
+        body += _s.pack("<2d", x, y)
+    body += _s.pack("<2d", 0, 0)
+    for _x, _y, z in pts:
+        body += _s.pack("<d", z)
+    return body
+
+
+@given(_multipatch_parts())
+def test_multipatch_parse_invariants(parts):
+    """Structural contract on random MultiPatch records: polygon count =
+    triangles per surface part + one per outer/first ring; every ring in
+    the WKT is closed; every vertex is 3-dimensional."""
+    import re
+
+    from data_preparation_plugin_spark.operators.shapefile import (
+        _parse_multipatch,
+    )
+
+    wkt = _parse_multipatch(_pack_multipatch(parts))
+    assert wkt.startswith("MULTIPOLYGON Z (")
+    expected_polys = sum(
+        len(ps) - 2 if t in (0, 1) else (1 if t in (2, 4) else 0)
+        for t, ps in parts
+    )
+    # Split the top level by paren depth: each depth-1 span is one polygon.
+    inner = wkt[len("MULTIPOLYGON Z ("):-1]
+    polys, depth, start = [], 0, None
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                polys.append(inner[start : i + 1])
+    assert len(polys) == expected_polys
+    for ring in re.findall(r"\(([^()]+)\)", wkt):
+        verts = [v.strip() for v in ring.split(",")]
+        assert verts[0] == verts[-1]  # closed
+        assert all(len(v.split()) == 3 for v in verts)  # 3-D
