@@ -3367,3 +3367,92 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile(orders, "o_orderpriority"))
         .unionByName(profile(customer, "c_mktsegment"))
     )
+
+
+@register(
+    "transform_scd6_hybrid",
+    category="transform",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER w AS prev_status
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN prev_status IS NULL
+                         OR prev_status <> o_orderstatus
+                    THEN 1 ELSE 0 END AS is_change
+        FROM ordered
+    ), runs AS (
+        SELECT *,
+               CAST(sum(is_change) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS version
+        FROM flagged
+    ), grouped AS (
+        SELECT o_custkey, version, o_orderstatus AS status,
+               min(o_orderdate) AS valid_from
+        FROM runs
+        GROUP BY o_custkey, version, o_orderstatus
+    )
+    SELECT o_custkey, version, status AS status_as_was, valid_from,
+           lead(valid_from) OVER v AS valid_to,
+           lead(valid_from) OVER v IS NULL AS is_current,
+           last_value(status) OVER (
+               PARTITION BY o_custkey ORDER BY version
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS status_as_is
+    FROM grouped
+    WINDOW v AS (PARTITION BY o_custkey ORDER BY version)
+    """,
+)
+def transform_scd6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 6 (hybrid 1+2+3): history rows carrying the current value.
+
+    The warehouse pattern that answers "as was" and "as is" from the
+    SAME row: every type-2 validity interval (version, status-at-time,
+    [valid_from, valid_to)) is augmented with the key's CURRENT status
+    and an ``is_current`` flag, so point-in-time queries use
+    ``status_as_was`` while today's-view rollups use ``status_as_is``
+    with no join back to a current table. The type-2 core comes from
+    composing the run-length islands in the same one-exchange shape as
+    ``transform_scd2`` (same window spec throughout, so Catalyst plans
+    ONE custkey exchange feeding all four window functions).
+
+    Scale shape: identical to the SCD2 build — one key exchange, short
+    per-key chains; the current-value window adds no exchange because
+    it shares the partitioning.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    change = (
+        F.lag("o_orderstatus").over(w).isNull()
+        | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus"))
+    ).cast("long")
+    runs = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        F.sum(change)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("version"),
+    )
+    grouped = runs.groupBy("o_custkey", "version", "o_orderstatus").agg(
+        F.min("o_orderdate").alias("valid_from")
+    )
+    v = Window.partitionBy("o_custkey").orderBy("version")
+    vall = v.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return grouped.select(
+        "o_custkey",
+        "version",
+        F.col("o_orderstatus").alias("status_as_was"),
+        "valid_from",
+        F.lead("valid_from").over(v).alias("valid_to"),
+        F.lead("valid_from").over(v).isNull().alias("is_current"),
+        F.last("o_orderstatus").over(vall).alias("status_as_is"),
+    )

@@ -1367,3 +1367,79 @@ def sink_forget_user_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, rows_before long, rows_purged long, rows_after long"
     )
+
+
+_LOG_DIR = os.path.join(_STAGE_ROOT, "events_weblog")
+
+#: Combined-log-format regex shared by the Spark parse and (translated to
+#: DuckDB's dialect) the oracle: ip - user [ts] "METHOD path" status bytes
+_LOG_RE = r'^(\S+) - (\S+) \[([^\]]+)\] "(\S+) (\S+)" (\d+) (\d+)$'
+
+
+@register(
+    "source_logline_parse",
+    category="source",
+    oracle=f"""
+    WITH raw AS (
+        SELECT line FROM read_csv('{_LOG_DIR}/part*',
+                                  columns={{'line': 'VARCHAR'}},
+                                  header=false, delim='', quote='')
+    ), parsed AS (
+        SELECT regexp_extract(line, '{_LOG_RE}', 4)              AS method,
+               CAST(regexp_extract(line, '{_LOG_RE}', 6) AS BIGINT) AS status,
+               CAST(regexp_extract(line, '{_LOG_RE}', 7) AS BIGINT) AS n_bytes
+        FROM raw
+        WHERE regexp_matches(line, '{_LOG_RE}')
+    )
+    SELECT method, status,
+           CAST(count(*) AS BIGINT)  AS n_requests,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+    FROM parsed
+    GROUP BY method, status
+    """,
+)
+def source_logline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-server access-log ingestion: regex parse of raw text lines.
+
+    The log-file front door every ETL stack needs and the reference
+    delegates to Embulk parser configs (reference ``operators/load.py``
+    via SURVEY §2.A): free-text lines -> typed columns through ONE
+    regexp per field, all inside codegen (``regexp_extract_all`` would
+    collapse it to one regex eval; per-field extraps keep the oracle
+    dialect-portable). Lines that do not match the format are dropped by
+    the same predicate in both engines — the standard tolerate-garbage
+    log-parse contract (the quarantine variant for auditable drops is
+    ``source_csv_quarantine``). Log lines are synthesized from the
+    events fixture (method from the type, status/bytes from value), so
+    the staged file is deterministic and the oracle re-parses the SAME
+    staged bytes.
+
+    Scale shape: distributed text write, then a narrow map parse — no
+    shuffle until the bounded (method, status) aggregate; gzip-rotated
+    real logs split by file across tasks exactly like this stage dir.
+    """
+    import shutil
+
+    shutil.rmtree(_LOG_DIR, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("10.0."), (F.col("user_id") % 256).cast("string"),
+        F.lit(".1 - u"), F.col("user_id").cast("string"),
+        F.lit(" [2024-06-01:00:00:00 +0000] \""),
+        F.upper(F.col("event_type")), F.lit(" /item/"),
+        F.col("event_id").cast("string"), F.lit("\" "),
+        (F.when(F.col("value").isNull(), 404).otherwise(200)).cast("string"),
+        F.lit(" "),
+        F.coalesce(F.floor("value"), F.lit(0)).cast("bigint").cast("string"),
+    )
+    events.select(line.alias("value")).write.mode("overwrite").text(_LOG_DIR)
+    raw = spark.read.text(_LOG_DIR)
+    parsed = raw.select(
+        F.regexp_extract("value", _LOG_RE, 4).alias("method"),
+        F.regexp_extract("value", _LOG_RE, 6).cast("long").alias("status"),
+        F.regexp_extract("value", _LOG_RE, 7).cast("long").alias("n_bytes"),
+    ).filter(F.col("value").rlike(_LOG_RE))
+    return parsed.groupBy("method", "status").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )

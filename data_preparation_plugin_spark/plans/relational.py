@@ -3326,3 +3326,63 @@ def transform_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.alias("u"),
         F.round(F.col("n") - noise, 0).cast("long").alias("noisy_count"),
     )
+
+
+@register(
+    "setop_intersect_all",
+    category="setop",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey, count(*) AS cf FROM orders
+        WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ), u AS (
+        SELECT o_custkey, count(*) AS cu FROM orders
+        WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT f.o_custkey,
+           CAST(least(f.cf, u.cu) AS BIGINT) AS n,
+           CAST(least(f.cf, u.cu) AS BIGINT) AS n_expected
+    FROM f JOIN u ON f.o_custkey = u.o_custkey
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL with its closed-form reconciliation.
+
+    Completes the bag algebra next to ``set_ops_multiset``'s EXCEPT ALL:
+    ``intersectAll`` keeps each row min(multiplicity-left,
+    multiplicity-right) times. The output carries BOTH the operator's
+    observed multiplicity and the closed-form ``least(count_f,
+    count_u)`` recomputed from plain aggregates, so the driver hash
+    checks the bag identity itself, not just row counts — if Spark's
+    count-tagged intersect dropped or duplicated an occurrence the two
+    columns would diverge.
+
+    Scale shape: Spark plans intersectAll as a count-tagged aggregation
+    + generate — one shuffle per side on the key, no join of the raw
+    multisets; the reconciliation aggregates are the same single
+    exchanges.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    fulfilled = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_custkey"
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    observed = (
+        fulfilled.intersectAll(urgent)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = (
+        fulfilled.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .join(
+            urgent.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cu")),
+            "o_custkey",
+        )
+        .select("o_custkey", F.least("cf", "cu").alias("n_expected"))
+    )
+    return observed.join(expected, "o_custkey").select(
+        "o_custkey", "n", "n_expected"
+    )

@@ -222,6 +222,10 @@ PROBES = [
     "profile_column_entropy",     # bounded histograms + tiny windows
     "curation_source_overlap",    # distinct shingles + digest self-join
     "events_stream_tws_bucketed",  # bucketed-key v2 state, MapState demux
+    "events_ab_test_lift",        # user-keyed exposure/conversion + arm agg
+    "source_logline_parse",       # text stage + regex map + bounded agg
+    "setop_intersect_all",        # count-tagged intersect + reconcile joins
+    "transform_scd6_hybrid",      # islands + shared-partition windows
 ]
 
 

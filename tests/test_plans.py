@@ -605,3 +605,28 @@ def test_source_overlap_digest_joins_never_cartesian(spark):
     plan = plan_of(spark, "curation_source_overlap")
     assert count(r"CartesianProduct|BroadcastNestedLoop", plan) == 0
     assert count(r"BroadcastHashJoin", plan) >= 2
+
+
+def test_logline_parse_single_exchange_no_join(spark):
+    """Log parsing is a narrow map: regex extracts feed one bounded
+    (method, status) aggregation exchange, no join anywhere."""
+    plan = plan_of(spark, "source_logline_parse")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_intersect_all_never_cartesian(spark):
+    """intersectAll plans count-tagged aggregation, and the
+    reconciliation joins stay broadcast/equi — no cartesian."""
+    plan = plan_of(spark, "setop_intersect_all")
+    assert count(r"CartesianProduct|BroadcastNestedLoop", plan) == 0
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_scd6_single_key_exchange(spark):
+    """All four window functions (run flag, version cumsum, lead,
+    current-value) share the one custkey partitioning: exactly one
+    exchange in the whole plan."""
+    plan = plan_of(spark, "transform_scd6_hybrid")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
