@@ -3386,3 +3386,88 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return observed.join(expected, "o_custkey").select(
         "o_custkey", "n", "n_expected"
     )
+
+
+#: Range-split planning: number of target partitions for the split-point
+#: table (9 interior cuts -> 10 ranges).
+RANGE_SPLIT_PARTS = 10
+
+
+@register(
+    "sort_range_split_points",
+    category="sort",
+    oracle="""
+    WITH cuts(bucket, cut) AS (
+        VALUES
+            (1, (SELECT round(quantile_cont(o_totalprice, 0.1), 4) FROM orders)),
+            (2, (SELECT round(quantile_cont(o_totalprice, 0.2), 4) FROM orders)),
+            (3, (SELECT round(quantile_cont(o_totalprice, 0.3), 4) FROM orders)),
+            (4, (SELECT round(quantile_cont(o_totalprice, 0.4), 4) FROM orders)),
+            (5, (SELECT round(quantile_cont(o_totalprice, 0.5), 4) FROM orders)),
+            (6, (SELECT round(quantile_cont(o_totalprice, 0.6), 4) FROM orders)),
+            (7, (SELECT round(quantile_cont(o_totalprice, 0.7), 4) FROM orders)),
+            (8, (SELECT round(quantile_cont(o_totalprice, 0.8), 4) FROM orders)),
+            (9, (SELECT round(quantile_cont(o_totalprice, 0.9), 4) FROM orders))
+    ), lagged AS (
+        SELECT bucket, cut,
+               lag(cut) OVER (ORDER BY bucket) AS prev_cut
+        FROM cuts
+    )
+    SELECT l.bucket,
+           l.cut,
+           CAST(count(o.o_totalprice) FILTER (
+               WHERE (l.prev_cut IS NULL OR o.o_totalprice > l.prev_cut)
+                 AND o.o_totalprice <= l.cut) AS BIGINT) AS n_rows_in_range
+    FROM lagged l, orders o
+    GROUP BY l.bucket, l.cut
+    """,
+)
+def sort_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sort planning primitive: exact range split points + balance.
+
+    What a total ordering of 100 TB actually requires is not the sort —
+    it is choosing RANGE BOUNDARIES that balance partitions (Spark's
+    RangePartitioner does this by sampling; its boundaries are
+    execution-dependent, so this operator computes the DETERMINISTIC
+    exact-quantile equivalent that an oracle can check). Output: the 9
+    interior decile cuts of ``o_totalprice`` plus the measured row count
+    landing in each (prev_cut, cut] range — the balance audit that
+    proves the cuts partition evenly. Rounded cuts are compared at 4dp
+    (inputs carry 2 decimals; interpolation adds at most one more — the
+    ``agg_percentiles`` rationale).
+
+    Scale shape: one exact-percentile aggregate (at 100 TB: swap for
+    ``approx_percentile``, whose t-digest partials merge map-side) and
+    one scan assigning each row to its range by broadcast cut table —
+    no global sort is ever materialized; this IS the plan a repartition-
+    by-range executes, surfaced as data.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    fracs = [i / RANGE_SPLIT_PARTS for i in range(1, RANGE_SPLIT_PARTS)]
+    # ONE array-percentile aggregate (a single sort buffer) instead of 9
+    # scalar percentile aggregates each buffering the column.
+    cuts = (
+        orders.agg(
+            F.percentile(
+                "o_totalprice", F.array(*[F.lit(f) for f in fracs])
+            ).alias("cs")
+        )
+        .select(F.posexplode("cs").alias("pos", "raw_cut"))
+        .select(
+            (F.col("pos") + 1).alias("bucket"),
+            F.round("raw_cut", 4).alias("cut"),
+        )
+    )
+    w = Window.orderBy("bucket")
+    lagged = cuts.select(
+        "bucket", "cut", F.lag("cut").over(w).alias("prev_cut")
+    )
+    joined = F.broadcast(lagged).crossJoin(orders)
+    in_range = (
+        F.col("prev_cut").isNull() | (F.col("o_totalprice") > F.col("prev_cut"))
+    ) & (F.col("o_totalprice") <= F.col("cut"))
+    return joined.groupBy("bucket", "cut").agg(
+        F.sum(F.when(in_range, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_in_range")
+    )

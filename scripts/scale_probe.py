@@ -226,6 +226,7 @@ PROBES = [
     "source_logline_parse",       # text stage + regex map + bounded agg
     "setop_intersect_all",        # count-tagged intersect + reconcile joins
     "transform_scd6_hybrid",      # islands + shared-partition windows
+    "sort_range_split_points",    # exact decile cuts + broadcast range count
 ]
 
 

@@ -630,3 +630,59 @@ def test_scd6_single_key_exchange(spark):
     plan = plan_of(spark, "transform_scd6_hybrid")
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"Join", plan) == 0
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The documented skew story is two-layer: explicit salting
+    (join_salted_skew) plus AQE's runtime skew-join split. This pins the
+    AQE layer actually firing: with thresholds scaled to fixture size, a
+    hot-key sort-merge join must show skew=true in the final adaptive
+    plan and an AQEShuffleRead skewed reader on the hot side."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        left = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(0, 2_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        )
+        joined = left.join(right, "k").select(F.max("payload"))
+        [row] = joined.collect()
+        assert row[0] is not None
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan, (
+            "AQE did not split the skewed partition:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_range_split_points_tiny_broadcast_only(spark):
+    """The cut table is 9 rows: it broadcasts through a nested-loop with
+    the corpus (9 comparisons per row in codegen), never a sort-merge or
+    a materialized global sort of the data."""
+    plan = plan_of(spark, "sort_range_split_points")
+    assert count(r"BroadcastNestedLoopJoin", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
+    # the only Sort is the 9-row window ordering behind SinglePartition
+    assert count(r"Exchange SinglePartition", plan) == 1
