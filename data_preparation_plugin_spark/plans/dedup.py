@@ -2169,3 +2169,109 @@ def graph_kcore_prune_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("degree1", F.lit(0)).cast("long").alias("degree1"),
         )
     )
+
+
+#: Incremental-index split: new batch = doc_id % INCR_MOD == 0.
+INCR_MINHASH_MOD = 3
+
+_INCR_PIECE_SUM = " + ".join(
+    f"(CASE WHEN sn.h{s} = si.h{s} THEN 1 ELSE 0 END)"
+    for s in range(MINHASH_SEEDS)
+)
+
+
+@register(
+    "dedup_minhash_incremental",
+    category="dedup",
+    oracle=_minhash_sql(
+        f"""
+    , matched AS (
+        SELECT DISTINCT nb.doc_id AS new_doc_id, ib.doc_id AS index_doc_id
+        FROM bands nb
+        JOIN bands ib ON nb.band_idx = ib.band_idx
+                     AND nb.band_val = ib.band_val
+        WHERE nb.doc_id % {INCR_MINHASH_MOD} = 0
+          AND ib.doc_id % {INCR_MINHASH_MOD} <> 0
+    )
+    SELECT m.new_doc_id, m.index_doc_id,
+           CAST(({_INCR_PIECE_SUM}) * 1250 AS BIGINT) AS est_jaccard_bp
+    FROM matched m
+    JOIN sigs sn ON m.new_doc_id = sn.doc_id
+    JOIN sigs si ON m.index_doc_id = si.doc_id
+    """
+    ),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup: a new batch probes the EXISTING LSH index.
+
+    The monthly-crawl steady state for near-dup dedup — the fuzzy twin
+    of ``dedup_incremental_new_docs`` (which is exact-digest only): the
+    standing index keeps (band_idx, band_val) -> doc postings plus the
+    8-piece signatures; a new batch computes ONLY its own signatures,
+    probes the band buckets, and scores each candidate by the
+    signature-estimated Jaccard (matching pieces x 1250 bp) — the
+    corpus is never re-paired against itself. Here the split is carved
+    deterministically from the fixture (``doc_id % 3 == 0`` is "new");
+    in production the index side is a materialized table and only the
+    probe side is computed per batch.
+
+    Scale shape: the bands join is bucketed on the band key (never
+    |new| x |index|), the new side is batch-sized, and the signature
+    re-join moves 8 fixed-width hash pieces per doc. Unlike the full
+    ``dedup_minhash_lsh_pairs`` run, cost is proportional to the NEW
+    batch plus its collision set — the property that keeps fuzzy dedup
+    affordable as the archive grows toward 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_signatures(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias(
+                    "band_val"
+                ),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    is_new = F.col("doc_id") % INCR_MINHASH_MOD == 0
+    new_bands = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_doc_id"), "band_idx", "band_val"
+    )
+    index_bands = bands.filter(~is_new).select(
+        F.col("doc_id").alias("index_doc_id"), "band_idx", "band_val"
+    )
+    matched = (
+        new_bands.join(index_bands, ["band_idx", "band_val"])
+        .select("new_doc_id", "index_doc_id")
+        .distinct()
+    )
+    sn = sigs.select(
+        F.col("doc_id").alias("new_doc_id"),
+        *[F.col(f"h{s}").alias(f"n{s}") for s in range(MINHASH_SEEDS)],
+    )
+    si = sigs.select(
+        F.col("doc_id").alias("index_doc_id"),
+        *[F.col(f"h{s}").alias(f"i{s}") for s in range(MINHASH_SEEDS)],
+    )
+    pieces = sum(
+        F.when(F.col(f"n{s}") == F.col(f"i{s}"), 1).otherwise(0)
+        for s in range(MINHASH_SEEDS)
+    )
+    return (
+        matched.join(sn, "new_doc_id")
+        .join(si, "index_doc_id")
+        .select(
+            "new_doc_id",
+            "index_doc_id",
+            (pieces * 1250).cast("bigint").alias("est_jaccard_bp"),
+        )
+    )

@@ -227,6 +227,7 @@ PROBES = [
     "setop_intersect_all",        # count-tagged intersect + reconcile joins
     "transform_scd6_hybrid",      # islands + shared-partition windows
     "sort_range_split_points",    # exact decile cuts + broadcast range count
+    "dedup_minhash_incremental",  # new-batch probe of standing LSH index
 ]
 
 

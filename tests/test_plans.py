@@ -686,3 +686,11 @@ def test_range_split_points_tiny_broadcast_only(spark):
     assert count(r"SortMergeJoin", plan) == 0
     # the only Sort is the 9-row window ordering behind SinglePartition
     assert count(r"Exchange SinglePartition", plan) == 1
+
+
+def test_minhash_incremental_band_join_never_pairs_index(spark):
+    """The new batch meets the index only through the band-bucket
+    equi-join; no cartesian, and the signature pipeline feeds both band
+    sides without a self-join re-pairing the archive."""
+    plan = plan_of(spark, "dedup_minhash_incremental")
+    assert count(r"CartesianProduct|BroadcastNestedLoop", plan) == 0
