@@ -3456,3 +3456,221 @@ def transform_scd6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(v).isNull().alias("is_current"),
         F.last("o_orderstatus").over(vall).alias("status_as_is"),
     )
+
+
+#: Market-basket mining: minimum pair support for a rule to be reported.
+BASKET_MIN_SUPPORT = 50
+
+
+@register(
+    "agg_market_basket_lift",
+    category="aggregate",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS HUGEINT) AS n
+        FROM baskets
+    ), item_support AS (
+        SELECT p_brand, CAST(count(*) AS HUGEINT) AS s
+        FROM baskets GROUP BY p_brand
+    ), pair_support AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS HUGEINT) AS s_ab
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT ps.brand_a, ps.brand_b,
+           CAST(ps.s_ab AS BIGINT) AS support_ab,
+           CAST(ps.s_ab * 10000 // sa.s AS BIGINT) AS confidence_a_to_b_bp,
+           CAST(ps.s_ab * o.n * 1000000 // (sa.s * sb.s) AS BIGINT)
+               AS lift_e6
+    FROM pair_support ps
+    JOIN item_support sa ON ps.brand_a = sa.p_brand
+    JOIN item_support sb ON ps.brand_b = sb.p_brand
+    CROSS JOIN n_orders o
+    WHERE ps.s_ab >= {BASKET_MIN_SUPPORT}
+    """,
+)
+def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining: support / confidence / lift per item pair.
+
+    The market-basket analysis the whole co-purchase family reduces to:
+    each order's DISTINCT brand set is a basket; pairs are expanded
+    INSIDE each basket from a sorted collect_set (one shuffle on the
+    order key — never a baskets x baskets self-join, the
+    ``dedup_minhash_lsh_pairs`` idiom); supports and the
+    ``lift = P(ab) / (P(a)P(b))`` ratio come out in exact integer fixed
+    point (e6 via HUGEINT-mirrored floor division), with a minimum pair
+    support cutting the long random tail exactly like a production rule
+    miner. Lift > 1e6 means the brands co-occur more than independence
+    predicts — the cross-sell/recommendation signal.
+
+    Scale shape: baskets collapse to (order, brand) distinct pairs at
+    the first aggregate; the pair explode is bounded by basket size
+    squared (brand vocabulary caps it); item supports are a bounded
+    aggregate broadcast back onto the bounded pair table. At 100 TB the
+    same plan holds with item vocabularies in the millions — pair
+    support then gets a count-min prefilter before exact counting.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        # Four consumers (order count, item support, basket sets, and
+        # their lineage): materialize once instead of re-running the
+        # scan+join per consumer (the containment-dedup pattern).
+        .localCheckpoint(eager=True)
+    )
+    n_orders = baskets.select(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item_support = baskets.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    sets = baskets.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("brands")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda x, i: F.transform(
+                F.slice(F.col("brands"), i + 2, F.size("brands")),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
+    pair_support = (
+        sets.select(F.explode(pairs).alias("p"))
+        .groupBy("p.brand_a", "p.brand_b")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= BASKET_MIN_SUPPORT)
+    )
+    sa = item_support.select(
+        F.col("p_brand").alias("brand_a"), F.col("s").alias("sa")
+    )
+    sb = item_support.select(
+        F.col("p_brand").alias("brand_b"), F.col("s").alias("sb")
+    )
+    return (
+        pair_support.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("s_ab").cast("bigint").alias("support_ab"),
+            F.expr("CAST(s_ab * 10000 div sa AS BIGINT)").alias(
+                "confidence_a_to_b_bp"
+            ),
+            F.expr(
+                "CAST(CAST(s_ab AS DECIMAL(38,0)) * n * 1000000"
+                " div (CAST(sa AS DECIMAL(38,0)) * sb) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+    )
+
+
+#: Target encoding: fold count (customer-hashed) and smoothing strength.
+TENC_FOLDS = 5
+TENC_SMOOTH = 20
+
+
+@register(
+    "transform_target_encoding_oof",
+    category="transform",
+    oracle=f"""
+    WITH rows_f AS (
+        SELECT o_orderpriority AS category,
+               CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                    % {TENC_FOLDS} AS BIGINT) AS fold,
+               CAST(round(o_totalprice * 100) AS HUGEINT) AS cents
+        FROM orders
+    ), per_cf AS (
+        SELECT category, fold,
+               CAST(count(*) AS HUGEINT) AS n,
+               sum(cents) AS s
+        FROM rows_f GROUP BY category, fold
+    ), with_other AS (
+        SELECT category, fold, n, s,
+               sum(n) OVER (PARTITION BY category) - n AS n_other,
+               sum(s) OVER (PARTITION BY category) - s AS s_other,
+               sum(n) OVER () AS n_tot,
+               sum(s) OVER () AS s_tot
+        FROM per_cf
+    )
+    SELECT category, fold,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST((s_other * n_tot + {TENC_SMOOTH} * s_tot) * 100
+                // ((n_other + {TENC_SMOOTH}) * n_tot)
+                AS BIGINT) AS encoded_cents_e2
+    FROM with_other
+    """,
+)
+def transform_target_encoding_oof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Out-of-fold target encoding: the leakage-aware categorical encoder.
+
+    The ML-prep step plain one-hot cannot replace for high-cardinality
+    categoricals: replace each category with the target mean — but a
+    row must NEVER see its own target, so the encoding for (category,
+    fold) uses only the OTHER folds' rows (folds hashed from the
+    customer key, so a customer's orders share a fold — the grouped
+    anti-leakage cut of ``sample_group_kfold``), smoothed toward the
+    global mean with strength ``TENC_SMOOTH`` so rare categories shrink
+    to the prior. enc = (sum_other + m·G/N) / (n_other + m), computed
+    entirely in integer fixed point by multiplying through by N
+    (DECIMAL(38)/HUGEINT mirror) — hash-exact, no float mean anywhere.
+
+    Scale shape: one (category, fold) aggregate over the fact table —
+    map-side combinable; the leave-fold-out subtraction and the global
+    prior are windows over the BOUNDED (category x fold) grid, then the
+    encoder table broadcasts back onto facts at apply time (not
+    materialized here; the table IS the deliverable).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+               16, 10).cast("long")
+        % TENC_FOLDS
+    )
+    rows_f = orders.select(
+        F.col("o_orderpriority").alias("category"),
+        fold.alias("fold"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    per_cf = rows_f.groupBy("category", "fold").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").alias("s"),
+    )
+    wc = Window.partitionBy("category")
+    wall = Window.partitionBy()
+    with_other = per_cf.select(
+        "category",
+        "fold",
+        "n",
+        "s",
+        (F.sum("n").over(wc) - F.col("n")).alias("n_other"),
+        (F.sum("s").over(wc) - F.col("s")).alias("s_other"),
+        F.sum("n").over(wall).alias("n_tot"),
+        F.sum("s").over(wall).alias("s_tot"),
+    )
+    return with_other.select(
+        "category",
+        "fold",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            f"CAST((s_other * n_tot + {TENC_SMOOTH} * s_tot) * 100"
+            f" div ((n_other + {TENC_SMOOTH}) * n_tot) AS BIGINT)"
+        ).alias("encoded_cents_e2"),
+    )

@@ -228,6 +228,8 @@ PROBES = [
     "transform_scd6_hybrid",      # islands + shared-partition windows
     "sort_range_split_points",    # exact decile cuts + broadcast range count
     "dedup_minhash_incremental",  # new-batch probe of standing LSH index
+    "agg_market_basket_lift",     # checkpointed baskets + in-basket pairs
+    "transform_target_encoding_oof",  # one fact agg + bounded-grid windows
 ]
 
 

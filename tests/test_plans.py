@@ -694,3 +694,23 @@ def test_minhash_incremental_band_join_never_pairs_index(spark):
     sides without a self-join re-pairing the archive."""
     plan = plan_of(spark, "dedup_minhash_incremental")
     assert count(r"CartesianProduct|BroadcastNestedLoop", plan) == 0
+
+
+def test_market_basket_materializes_baskets_once(spark):
+    """Baskets feed four consumers: the plan must read the checkpointed
+    RDD, not re-run the scan+join lineage per consumer; pair expansion
+    is in-basket (no baskets self-join), supports broadcast back."""
+    plan = plan_of(spark, "agg_market_basket_lift")
+    assert count(r"Scan ExistingRDD", plan) >= 3
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"FileScan", plan) == 0
+
+
+def test_target_encoding_windows_on_bounded_grid(spark):
+    """The fact table is touched by ONE (category, fold) aggregate; the
+    leave-fold-out windows run on the bounded 25-row grid behind a
+    single-partition exchange."""
+    plan = plan_of(spark, "transform_target_encoding_oof")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Exchange SinglePartition", plan) == 1
+    assert count(r"Join", plan) == 0
