@@ -3674,3 +3674,68 @@ def transform_target_encoding_oof(
             f" div ((n_other + {TENC_SMOOTH}) * n_tot) AS BIGINT)"
         ).alias("encoded_cents_e2"),
     )
+
+
+@register(
+    "transform_impute_missing",
+    category="transform",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS imputed_median
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT)                       AS n_rows,
+           CAST(count(*) - count(e.value) AS BIGINT)      AS n_null,
+           m.imputed_median,
+           round(sum(coalesce(e.value, m.imputed_median)), 2)
+               AS total_value_after
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.imputed_median
+    """,
+)
+def transform_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation with its audit — the missing-value step.
+
+    The ML-prep transform the winsorize/quantile family doesn't cover:
+    NULL ``value``s are filled with their event type's median (computed
+    over non-null rows only — imputing from a mean the NULLs themselves
+    shifted is the classic bug), and the deliverable is the audit table
+    a pipeline reviews before trusting the fill: null counts, the
+    imputed value (4dp, the exact-percentile parity discipline), and
+    the post-imputation total (a rounded SUM, never a rounded mean —
+    both engines agree on sums at 2dp where interleaved-mean rounding
+    diverges).
+
+    Scale shape: medians are a bounded-key aggregate over the non-null
+    stripe; the fill is a broadcast join back (the median table is
+    type-vocabulary sized) feeding one map-side-combinable aggregate —
+    two scans total, no window, no skew surface.
+    """
+    events = load_table(spark, sf_dir, "events")
+    med = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(F.percentile("value", F.lit(0.5)), 4).alias(
+            "imputed_median"
+        ))
+    )
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "imputed_median")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
+            F.round(
+                F.sum(F.coalesce("value", F.col("imputed_median"))), 2
+            ).alias("total_value_after"),
+        )
+        .select(
+            "event_type", "n_rows", "n_null", "imputed_median",
+            "total_value_after",
+        )
+    )

@@ -2275,3 +2275,175 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pieces * 1250).cast("bigint").alias("est_jaccard_bp"),
         )
     )
+
+
+#: SimHash hamming-ball pairing: signature width, band count (pigeonhole:
+#: hamming <= HAMMING_MAX guarantees >= one identical band when
+#: HAMMING_MAX < bands), and the report threshold.
+_SIMHAMM_BITS = 48
+_SIMHAMM_BANDS = 4
+SIMHASH_HAMMING_MAX = 3
+#: Hot-band cap: band buckets larger than this are skipped for candidate
+#: generation (the stop-shingle analogue for signature space — dense
+#: regions of correlated signatures would expand quadratically).
+SIMHASH_BAND_CAP = 100
+
+_SIMHAMM_BAND_BITS = _SIMHAMM_BITS // _SIMHAMM_BANDS
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    category="dedup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(token), 1, 12))::BIGINT AS h
+        FROM tok
+    ), bits AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+                   f" AS bit{b}"
+                   for b in range(_SIMHAMM_BITS)
+               )}
+        FROM hashed
+        GROUP BY doc_id
+    ), sigs AS (
+        SELECT doc_id,
+               CAST({" + ".join(
+                   f"(CASE WHEN bit{b} > 0 THEN {1 << b} ELSE 0 END)"
+                   for b in range(_SIMHAMM_BITS)
+               )} AS BIGINT) AS s
+        FROM bits
+    )
+    , bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx,"
+            f" (s >> {b * _SIMHAMM_BAND_BITS}) & {(1 << _SIMHAMM_BAND_BITS) - 1}"
+            f" AS band_val FROM sigs"
+            for b in range(_SIMHAMM_BANDS)
+        )}
+    ), cold AS (
+        SELECT band_idx, band_val FROM bands
+        GROUP BY band_idx, band_val
+        HAVING count(*) BETWEEN 2 AND {SIMHASH_BAND_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN cold c ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+        JOIN bands b ON b.band_idx = c.band_idx AND b.band_val = c.band_val
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(bit_count(xor(sa.s, sb.s)) AS BIGINT) AS hamming
+    FROM cand p
+    JOIN sigs sa ON p.doc_a = sa.doc_id
+    JOIN sigs sb ON p.doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.s, sb.s)) <= {SIMHASH_HAMMING_MAX}
+    """,
+)
+def dedup_simhash_hamming_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SimHash near-dup PAIRS via pigeonhole banding — the retrieval half.
+
+    ``dedup_simhash`` computes signatures; this completes the family
+    with the hamming-ball join: a 48-bit SimHash split into 4 bands of
+    12 bits — any pair within hamming ``SIMHASH_HAMMING_MAX`` (< band
+    count) must agree on at least one whole band (pigeonhole), so
+    candidates come from band-bucket equality and only candidates pay
+    the exact ``bit_count(xor)`` verify. Band buckets larger than
+    ``SIMHASH_BAND_CAP`` are skipped — low-entropy corpora (this
+    fixture's ~30-word vocabulary is one) produce DENSE signature
+    regions whose buckets would expand quadratically, the signature-
+    space analogue of stop-shingles; the oracle reproduces the cap
+    exactly (the Bloom-FP-audit discipline: verify the operator's OWN
+    semantics, including its documented recall trade). Band width is the selectivity lever: an 8-bit first cut
+    collapsed at the x4 probe (256 bucket values -> quadratic random
+    collisions); 12-bit bands (4096 values) keep buckets
+    collision-probability sized, and a 100 TB corpus widens again to
+    64-bit signatures with 16-bit bands — same plan, wider key. 48 bits
+    also keeps the md5-slice signature inside BIGINT for both engines.
+
+    Scale shape: signatures are one token-explode aggregate; the band
+    join is bucketed (in-bucket sorted-array pair expansion, the LSH
+    idiom — never a sigs x sigs self-join); the verify joins move one
+    32-bit integer per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"bit{b}")
+            for b in range(_SIMHAMM_BITS)
+        ]
+    )
+    sig = None
+    for b in range(_SIMHAMM_BITS):
+        term = F.when(F.col(f"bit{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    sigs = bit_sums.select(
+        "doc_id", sig.cast("long").alias("s")
+    ).localCheckpoint(eager=True)  # feeds bands AND both verify sides
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("s"), b * _SIMHAMM_BAND_BITS)
+                .bitwiseAND(F.lit((1 << _SIMHAMM_BAND_BITS) - 1))
+                .alias("band_val"),
+            )
+            for b in range(_SIMHAMM_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    buckets = bands.groupBy("band_idx", "band_val").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    candidates = (
+        buckets.filter(
+            (F.size("ids") > 1) & (F.size("ids") <= SIMHASH_BAND_CAP)
+        )
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    hamming = F.bit_count(
+        F.col("s_a").bitwiseXOR(F.col("s_b"))
+    ).cast("bigint")
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )

@@ -1046,3 +1046,103 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(mean_e4) div count(1)").alias("shot_mean_e4"),
         )
     )
+
+
+#: Dominant-frequency extraction: FFT window (power of two, one full
+#: number of cycles per synthesized tone so the peak lands exactly on a
+#: bin) and the synthesis amplitude.
+FFT_N = 256
+TONE_AMP = 12000
+
+
+def _synth_tone_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Pure-sine PCM WAV per doc at bin ``doc_id % 100 + 5`` of a
+    ``FFT_N``-sample window — an integer number of cycles, so the
+    spectrum is a single exact line."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        ids = pdf["doc_id"].to_numpy()
+        ks = ids % 100 + 5                                  # (B,)
+        i = np.arange(FFT_N, dtype=np.float64)              # (N,)
+        # One vectorized synthesis for the whole Arrow batch: (B, N).
+        waves = np.round(
+            TONE_AMP * np.sin(2.0 * np.pi * ks[:, None] * i[None, :] / FFT_N)
+        ).astype("<i2")
+        data_len = FFT_N * 2
+        header = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + data_len, b"WAVE", b"fmt ", 16,
+            1, 1, 8000, 16000, 2, 16, b"data", data_len,
+        )
+        payloads = [header + row.tobytes() for row in waves]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _dominant_freq_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Parse the WAV, run a real ``numpy.fft.rfft``, report the argmax
+    magnitude bin (DC excluded)."""
+    import numpy as np
+
+    for pdf in batches:
+        mat = np.stack(
+            [
+                np.frombuffer(bytes(p)[44 : 44 + FFT_N * 2], dtype="<i2")
+                for p in pdf["payload"]
+            ]
+        ).astype(np.float64)                                # (B, N)
+        mags = np.abs(np.fft.rfft(mat, axis=1))             # one batched FFT
+        mags[:, 0] = 0.0  # exclude DC
+        bins = np.argmax(mags, axis=1).astype(np.int64)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "dominant_bin": bins})
+
+
+@register(
+    "multimodal_audio_dominant_freq",
+    category="multimodal",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(doc_id % 100 + 5 AS BIGINT) AS dominant_bin,
+           CAST((doc_id % 100 + 5) * 3125 AS BIGINT) AS freq_centihz
+    FROM documents
+    """,
+)
+def multimodal_audio_dominant_freq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL spectral analysis: FFT dominant frequency per audio clip.
+
+    The first genuinely spectral member of the audio family (RMS/ZCR
+    and VAD are time-domain): each clip is a synthesized pure tone at a
+    known bin of a ``FFT_N``-sample window, the extractor runs an
+    actual ``numpy.fft.rfft`` over the decoded PCM and reports the
+    argmax magnitude bin — and because every tone completes an integer
+    number of cycles, the spectrum is an exact line and the argmax is
+    closed-form (``doc_id % 100 + 5``), giving a transcendental DSP
+    kernel a hash-exact integer oracle. Reported alongside as
+    centi-hertz (``bin x fs / N`` = bin x 31.25 Hz, exact in integer
+    centi-Hz). Real pipelines swap the synthesizer for the binaryFile
+    scan and keep the identical two-stage Arrow shape.
+
+    Scale shape: chained mapInPandas (synthesize -> FFT) — Arrow
+    batches, partition-parallel, zero shuffles, zero pixel/sample bytes
+    moved; the FFT is O(N log N) per clip with a fixed N.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _synth_tone_batches, schema="doc_id long, payload binary"
+    )
+    feats = payloads.mapInPandas(
+        _dominant_freq_batches, schema="doc_id long, dominant_bin long"
+    )
+    return feats.select(
+        "doc_id",
+        "dominant_bin",
+        (F.col("dominant_bin") * 3125).cast("bigint").alias("freq_centihz"),
+    )

@@ -230,6 +230,9 @@ PROBES = [
     "dedup_minhash_incremental",  # new-batch probe of standing LSH index
     "agg_market_basket_lift",     # checkpointed baskets + in-basket pairs
     "transform_target_encoding_oof",  # one fact agg + bounded-grid windows
+    "dedup_simhash_hamming_pairs",  # pigeonhole bands + bit_count verify
+    "multimodal_audio_dominant_freq",  # chained Arrow synth + rfft argmax
+    "transform_impute_missing",   # non-null medians + broadcast fill
 ]
 
 
