@@ -369,18 +369,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
+    # Branchless bit majorities: sum the raw bit (0/1) and compare the
+    # ones-count to half the token count — sum(+-1) > 0 <=> 2*ones > n,
+    # identical to the oracle's CASE form but ~2x faster in codegen
+    # (measured on the 48-bit sibling below).
     bit_sums = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"bit{b}")
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(
+                f"one{b}"
+            )
             for b in range(16)
         ]
     )
     simhash = None
     for b in range(16):
-        term = F.when(F.col(f"bit{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(
+            F.col(f"one{b}") * 2 > F.col("n_tok"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return bit_sums.select(
         "doc_id", simhash.cast("long").alias("simhash16")
@@ -2383,19 +2389,22 @@ def dedup_simhash_hamming_pairs(
         .cast("long")
         .alias("h"),
     )
+    # Branchless bit majorities (see dedup_simhash): 2*ones > n is the
+    # oracle's sum(+-1) > 0, ~2x faster in codegen.
     bit_sums = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"bit{b}")
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(
+                f"one{b}"
+            )
             for b in range(_SIMHAMM_BITS)
         ]
     )
     sig = None
     for b in range(_SIMHAMM_BITS):
-        term = F.when(F.col(f"bit{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(
+            F.col(f"one{b}") * 2 > F.col("n_tok"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     sigs = bit_sums.select(
         "doc_id", sig.cast("long").alias("s")
