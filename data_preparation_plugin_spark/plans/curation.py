@@ -26,6 +26,9 @@ Scale shape at 100 TB:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -477,4 +480,66 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(n_shared * 10000 div (na + nb - n_shared) AS BIGINT)"
             ).alias("jaccard_bp"),
         )
+    )
+
+
+_EXPORT_DIR = os.path.join(
+    tempfile.gettempdir(), "dpp-curation-export"
+)
+
+
+@register(
+    "sink_kept_corpus_export",
+    category="transform",
+    oracle=f"""
+    WITH statuses AS (
+        {_CURATION_ORACLE}
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT)  AS n_chars,
+           CAST(min(d.doc_id) AS BIGINT)   AS first_doc_id
+    FROM statuses s
+    JOIN documents d ON s.doc_id = d.doc_id
+    WHERE s.status = 'kept'
+    GROUP BY d.source
+    """,
+)
+def sink_kept_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile: materialize the curated corpus and prove the round
+    trip.
+
+    Every pipeline ends by WRITING the kept set somewhere; this query
+    composes the registered funnel verbatim (``curation_corpus_status``'s
+    builder — the dataset-card discipline, so the export can never
+    drift from the filter), physically writes the kept documents to a
+    partitioned parquet stage (partitioned by source — the layout a
+    downstream tokenizer job prunes on), then RE-READS the staged files
+    for the per-source accounting. The oracle recomputes the same
+    accounting from the funnel logic alone — a row lost, duplicated, or
+    mis-partitioned by the write/read round trip hash-fails.
+
+    Scale shape: the funnel's own cost plus one doc_id-joined projection
+    and a partitioned distributed write; the re-read aggregate prunes to
+    partition-local counts. No new shuffle beyond the write's
+    partitioning.
+    """
+    import shutil
+
+    shutil.rmtree(_EXPORT_DIR, ignore_errors=True)
+    statuses = curation_corpus_status(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    kept = (
+        statuses.filter(F.col("status") == "kept")
+        .join(docs, "doc_id")
+        .select("doc_id", "source", "n_chars")
+    )
+    kept.write.mode("overwrite").partitionBy("source").parquet(_EXPORT_DIR)
+    back = spark.read.parquet(_EXPORT_DIR)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("doc_id").alias("first_doc_id"),
     )

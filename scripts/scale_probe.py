@@ -233,6 +233,7 @@ PROBES = [
     "dedup_simhash_hamming_pairs",  # pigeonhole bands + bit_count verify
     "multimodal_audio_dominant_freq",  # chained Arrow synth + rfft argmax
     "transform_impute_missing",   # non-null medians + broadcast fill
+    "sink_kept_corpus_export",    # funnel + partitioned write + re-read
 ]
 
 
