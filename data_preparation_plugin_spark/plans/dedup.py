@@ -2456,3 +2456,115 @@ def dedup_simhash_hamming_pairs(
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
+
+
+_COMMON_NEIGHBORS_ORACLE = (
+    "WITH pairs AS ("
+    + _minhash_sql(
+        """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        """
+    )
+    + """),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (
+        SELECT src, count(*) AS d FROM edges GROUP BY src
+    ),
+    wedge AS (
+        SELECT e1.src AS u, e2.dst AS v, count(*) AS common
+        FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src AND e1.src < e2.dst
+        GROUP BY e1.src, e2.dst
+    )
+    SELECT w.u AS node_a,
+           w.v AS node_b,
+           CAST(w.common AS BIGINT) AS common,
+           CAST(du.d AS BIGINT) AS deg_a,
+           CAST(dv.d AS BIGINT) AS deg_b,
+           w.common * 10000 // (du.d + dv.d - w.common) AS jaccard_bp,
+           CAST(coalesce(e.ise, 0) AS BIGINT) AS is_edge
+    FROM wedge w
+    JOIN deg du ON w.u = du.src
+    JOIN deg dv ON w.v = dv.src
+    LEFT JOIN (SELECT src, dst, 1 AS ise FROM edges) e
+           ON w.u = e.src AND w.v = e.dst
+    """
+)
+
+
+@register(
+    "graph_common_neighbors",
+    category="dedup",
+    oracle=_COMMON_NEIGHBORS_ORACLE,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction over the near-duplicate graph.
+
+    The classic structural-similarity score (common neighbors +
+    neighborhood Jaccard) applied to the problem LSH leaves open: band
+    collisions are probabilistic, so some true near-dup pairs never meet
+    in a bucket. Two documents that share LSH neighbors but no edge of
+    their own (``is_edge = 0`` rows) are exactly the candidates a second
+    verification pass should re-check — the link-prediction recall patch
+    on top of ``dedup_minhash_lsh_pairs``; ``is_edge = 1`` rows triangulate
+    the existing graph. Scores stay in integer basis points
+    (``common / |N(u) ∪ N(v)|``), so the ranking is hash-exact.
+
+    Spark shape: the symmetric edge list is ``localCheckpoint``-ed once
+    (the LSH pipeline executes once, not once per self-join side); the
+    wedge join is keyed on the shared mid-node, so its cost is the sum of
+    per-node degree squares — bounded by LSH bucket sizes, never |docs|² —
+    and the wedge stream reduces map-side into (u, v) counts. Degrees
+    and the edge marker broadcast back onto the bounded 2-hop set. At
+    100 TB the same plan holds with degree-capped hubs (drop nodes whose
+    degree exceeds a cap before wedging — the standard guard, same plan).
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("mid"))
+    e2 = edges.select(F.col("src").alias("mid2"), F.col("dst").alias("v"))
+    wedges = (
+        e1.join(e2, (F.col("mid") == F.col("mid2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    marker = edges.select("src", "dst", F.lit(1).alias("ise"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    deg_a = deg.select(F.col("src").alias("u"), F.col("d").alias("deg_a"))
+    deg_b = deg.select(F.col("src").alias("v"), F.col("d").alias("deg_b"))
+    return (
+        wedges.join(F.broadcast(deg_a), "u")
+        .join(F.broadcast(deg_b), "v")
+        .join(
+            F.broadcast(marker),
+            (F.col("u") == F.col("src")) & (F.col("v") == F.col("dst")),
+            "left",
+        )
+        .select(
+            F.col("u").alias("node_a"),
+            F.col("v").alias("node_b"),
+            "common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "(common * 10000) div (deg_a + deg_b - common)"
+            ).alias("jaccard_bp"),
+            F.coalesce(F.col("ise"), F.lit(0)).cast("bigint").alias("is_edge"),
+        )
+    )

@@ -1808,3 +1808,112 @@ def knn_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@register(
+    "knn_scalar_quantize",
+    category="similarity",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ), st AS (
+        SELECT dim, min(v) AS mn, max(v) AS mx
+        FROM e GROUP BY dim
+        HAVING max(v) > min(v)
+    ), q AS (
+        SELECT e.vec_id, e.dim, e.v, st.mn, st.mx,
+               CAST(round((e.v - st.mn) * 255 / (st.mx - st.mn), 0)
+                    AS INTEGER) AS code
+        FROM e JOIN st ON e.dim = st.dim
+    ), r AS (
+        SELECT vec_id, dim, code,
+               v - (mn + code * (mx - mn) / 255) AS err
+        FROM q
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           array_to_string(list(code ORDER BY dim), ',') AS codes,
+           round(sum(err * err) / count(*), 9) AS mse
+    FROM r
+    GROUP BY vec_id
+    """,
+)
+def knn_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (SQ) of the embedding corpus + error audit.
+
+    The standard vector-index compression step (FAISS ``SQ8``, Milvus
+    ``SQ8``, pgvector ``halfvec`` cousins): per-dimension [min, max] over
+    the corpus defines a 256-level uniform grid; each float becomes one
+    byte (16x smaller than float64, 4x smaller than float32), and ADC
+    search decodes against the same grid. The audit emits the exact code
+    stream plus per-vector reconstruction MSE — the number a pipeline
+    watches to decide SQ8 vs PQ vs float16.
+
+    Spark shape, built to survive 100 TB of vectors: the per-dimension
+    range is one map-side-combinable aggregate over the exploded
+    (dim, value) stream — ``EMBEDDING_DIM`` rows out — broadcast back
+    onto the stream; quantize/dequantize are elementwise expressions
+    inside one codegen stage, and the only wide exchange is the final
+    per-vector regroup. Constant dimensions (mx == mn) are dropped on
+    both sides — they carry zero information and their grid is
+    degenerate. ``round`` before the INT cast is HALF_UP in Spark and
+    half-away in DuckDB — identical on the non-negative grid scale. The
+    9dp round on MSE absorbs summation-order ulps (the established
+    moments idiom, cf. ``embedding_standardize``); codes and their sum
+    are exact integers, so the compressed index itself is hash-checked,
+    not just its error summary.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+        .select(
+            "vec_id",
+            (F.col("dim") + 1).alias("dim"),
+            F.col("v").cast("double").alias("v"),
+        )
+    )
+    stats = (
+        emb.groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .filter(F.col("mx") > F.col("mn"))
+    )
+    code = F.round(
+        (F.col("v") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn")), 0
+    ).cast("int")
+    quantized = (
+        emb.join(F.broadcast(stats), "dim")
+        .withColumn("code", code)
+        .withColumn(
+            "err",
+            F.col("v")
+            - (
+                F.col("mn")
+                + F.col("code") * (F.col("mx") - F.col("mn")) / 255
+            ),
+        )
+    )
+    return quantized.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum("code").cast("bigint").alias("code_sum"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("dim").alias("dim"),
+                            F.col("code").alias("code"),
+                        )
+                    )
+                ),
+                lambda x: x.getField("code").cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+        F.round(
+            F.sum(F.col("err") * F.col("err")) / F.count(F.lit(1)), 9
+        ).alias("mse"),
+    )

@@ -1978,3 +1978,126 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_novel * 10000) div n_shingles").alias("novelty_bp"),
         )
     )
+
+
+#: Deterministic HTML wrapper shared by the Spark builder and the oracle —
+#: the documents fixture is plain text, so the operator manufactures the
+#: page chrome (head scripts/styles, a nav bar, inline markup, a footer)
+#: that a real crawl carries, then proves it can take it back off.
+_HTML_HEAD = (
+    "<html><head><title>doc</title><script>var x=1;</script>"
+    "<style>p{margin:0}</style></head><body>"
+    '<p class="nav"><a href="/">home</a> <a href="/a">about</a>'
+    ' <a href="/c">contact</a></p><p>'
+)
+_HTML_FOOT = (
+    '</p><p class="footer"><a href="/n">next</a> <a href="/p">prev</a></p>'
+    "</body></html>"
+)
+_SCRIPT_STYLE_RE = r"<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+_PARA_RE = r"<p[^>]*>(.*?)</p>"
+_ANCHOR_RE = r"<a[^>]*>(.*?)</a>"
+_TAG_RE = r"<[^>]+>"
+
+
+@register(
+    "text_html_boilerplate_strip",
+    category="text",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               '{_HTML_HEAD}'
+               || replace(text, ' spark ', ' <b>spark</b> ')
+               || '{_HTML_FOOT}' AS html
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               regexp_replace(html, '{_SCRIPT_STYLE_RE}', '', 'g') AS nosrc
+        FROM h
+    ), p AS (
+        SELECT doc_id,
+               list_transform(
+                   regexp_extract_all(nosrc, '{_PARA_RE}', 1),
+                   q -> struct_pack(
+                       c := trim(regexp_replace(regexp_replace(
+                                q, '{_TAG_RE}', ' ', 'g'), ' +', ' ', 'g')),
+                       l := coalesce(list_sum(list_transform(
+                                regexp_extract_all(q, '{_ANCHOR_RE}', 1),
+                                a -> length(a))), 0))
+               ) AS ps
+        FROM s
+    ), k AS (
+        SELECT doc_id, ps,
+               list_filter(ps, q -> 2 * q.l <= length(q.c)) AS ks
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(len(ps) AS BIGINT) AS n_para,
+           CAST(len(ks) AS BIGINT) AS n_kept,
+           CAST(length(array_to_string(list_transform(ks, q -> q.c), ' '))
+                AS BIGINT) AS clean_len,
+           md5(array_to_string(list_transform(ks, q -> q.c), ' '))
+               AS clean_md5
+    FROM k
+    """,
+)
+def text_html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-to-text extraction with link-density boilerplate removal.
+
+    The first step of every web-scale corpus pipeline (CommonCrawl ->
+    text): drop ``<script>``/``<style>`` payloads, segment the page into
+    block elements, strip inline tags, and throw away chrome blocks —
+    nav bars and footers whose text is mostly anchor text — via the
+    classic link-density rule (boilerplate if anchor characters exceed
+    half the block's visible characters, the jusText/boilerpipe
+    heuristic). Output is hash-audited end to end: paragraph counts,
+    extracted length, and the md5 of the cleaned text, so a single
+    mis-stripped tag fails the oracle.
+
+    Spark shape: one projection — every step (regexp strip, paragraph
+    extraction, per-block HOF scoring, rejoin) is an elementwise
+    expression chain inside a single codegen stage; no shuffle, no UDF,
+    no Python. At 100 TB this is the ideal operator: embarrassingly
+    parallel, scan-bound, pruned to the two columns it reads. The page
+    chrome is synthesized deterministically from the fixture (the corpus
+    has no HTML), so both engines round-trip the identical document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_HEAD),
+        F.replace(F.col("text"), F.lit(" spark "), F.lit(" <b>spark</b> ")),
+        F.lit(_HTML_FOOT),
+    )
+    nosrc = F.regexp_replace(html, _SCRIPT_STYLE_RE, "")
+    paras = F.regexp_extract_all(nosrc, F.lit(_PARA_RE), 1)
+
+    def _clean(p: Column) -> Column:
+        return F.trim(
+            F.regexp_replace(F.regexp_replace(p, _TAG_RE, " "), " +", " ")
+        )
+
+    def _link_len(p: Column) -> Column:
+        return F.aggregate(
+            F.regexp_extract_all(p, F.lit(_ANCHOR_RE), 1),
+            F.lit(0),
+            lambda acc, a: acc + F.length(a),
+        )
+
+    scored = F.transform(
+        paras,
+        lambda p: F.struct(_clean(p).alias("c"), _link_len(p).alias("l")),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: s.getField("l") * 2 <= F.length(s.getField("c")),
+    )
+    joined = F.array_join(
+        F.transform(kept, lambda s: s.getField("c")), " "
+    )
+    return docs.select(
+        "doc_id",
+        F.size(scored).cast("bigint").alias("n_para"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.length(joined).cast("bigint").alias("clean_len"),
+        F.md5(joined).alias("clean_md5"),
+    )
