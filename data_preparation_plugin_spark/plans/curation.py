@@ -543,3 +543,161 @@ def sink_kept_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("n_chars"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+@register(
+    "curation_domain_mixture",
+    category="curation",
+    oracle="""
+    WITH d AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_chars) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ), t AS (
+        SELECT sum(CAST(floor(sqrt(n_tokens)) AS BIGINT)) AS w_tot,
+               sum(n_tokens) AS tok_tot
+        FROM d
+    )
+    SELECT d.source,
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(sqrt(d.n_tokens)) AS BIGINT) * 10000
+               // t.w_tot AS weight_bp,
+           t.tok_tot * CAST(floor(sqrt(d.n_tokens)) AS BIGINT)
+               // t.w_tot AS planned_tokens,
+           (t.tok_tot * CAST(floor(sqrt(d.n_tokens)) AS BIGINT)
+               // t.w_tot) * 100 // d.n_tokens AS epochs_x100
+    FROM d, t
+    """,
+)
+def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixture plan for a fixed token budget.
+
+    The pre-training data-recipe step (the mixture table in every LLM
+    paper): per-source token counts are flattened with an α = 0.5
+    temperature (weight ∝ tokens^α — small domains upsampled relative to
+    their share, the multilingual/multi-domain standard), normalized,
+    and converted into a planned token budget per domain plus the
+    implied epoch multiplier (``epochs_x100 > 100`` means the domain
+    repeats; < 100 means it is subsampled). Unlike
+    ``sample_temperature_mix`` — a row-level SAMPLER that can only keep
+    or drop — this is the mixture PLANNER: it emits the recipe readout
+    (weights, budgets, repeat factors) that a scheduler feeds to
+    per-domain loaders, including up-sampling beyond 1 epoch.
+
+    Every number is integer arithmetic end to end (``floor(sqrt(·))`` of
+    an exact count, integer ``div`` normalization against a scalar
+    cross-joined total), so there is no float summation order for 1000
+    executors to disagree on. Scale shape: one map-side-combinable
+    aggregate (|domains| rows), one 1-row scalar join — the corpus is
+    scanned once, and the output is bounded by the domain catalog.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w_num = F.floor(F.sqrt("n_tokens")).cast("bigint")
+    t = d.agg(
+        F.sum(w_num).cast("bigint").alias("w_tot"),
+        F.sum("n_tokens").cast("bigint").alias("tok_tot"),
+    )
+    return (
+        d.withColumn("w_num", w_num)
+        .crossJoin(t)
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(w_num * 10000) div w_tot").alias("weight_bp"),
+            F.expr("(tok_tot * w_num) div w_tot").alias("planned_tokens"),
+            F.expr(
+                "((tok_tot * w_num) div w_tot) * 100 div n_tokens"
+            ).alias("epochs_x100"),
+        )
+    )
+
+
+_MANIFEST_DIR = os.path.join(
+    tempfile.gettempdir(), "dpp-manifest-stage"
+)
+
+
+@register(
+    "sink_manifest_stats",
+    category="transform",
+    oracle="""
+    SELECT o_orderpriority AS partition_value,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           min(o_orderdate) AS min_date,
+           max(o_orderdate) AS max_date,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write + Iceberg-style per-partition stats manifest.
+
+    Table formats prune files with exactly this metadata: per partition,
+    the file count, row count, and column min/max bounds (plus an exact
+    integer checksum here). The operator physically writes the table
+    partitioned by the query key — ONE file per partition value, via a
+    hash repartition on the partition column so each key's rows land in
+    a single task — then RE-READS the staged files and derives the
+    manifest from them, ``input_file_name()`` included. The oracle
+    recomputes the same bounds from the source relation alone, so a row
+    dropped, duplicated, or routed to the wrong partition directory by
+    the write/read round trip hash-fails — and so does a second file
+    appearing in any partition (``n_files`` is part of the compared
+    schema).
+
+    Scale shape: the write is one hash exchange on the partition key
+    (the same exchange any partitioned sink pays); the manifest is a
+    map-side-combinable aggregate over the re-read, pruned to the stats
+    columns. At 100 TB the per-key single-file constraint relaxes to
+    one-file-per-task (drop the repartition, keep the manifest exact) —
+    min/max bounds and checksums aggregate identically across files.
+    """
+    import shutil
+
+    shutil.rmtree(_MANIFEST_DIR, ignore_errors=True)
+    staged = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderdate",
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .repartition("o_orderpriority")
+    )
+    staged.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        _MANIFEST_DIR
+    )
+    back = spark.read.parquet(_MANIFEST_DIR).withColumn(
+        "fname", F.input_file_name()
+    )
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("partition_value"))
+        .agg(
+            F.countDistinct("fname").cast("bigint").alias("n_files"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )

@@ -1238,3 +1238,97 @@ def sample_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("seq_tokens") > SEQ_PACK_BUDGET).cast("long")
         ).alias("n_overflow_seqs"),
     )
+
+
+#: Total sample budget the Neyman allocation distributes across strata.
+NEYMAN_BUDGET = 1000
+#: o_totalprice in exact integer cents (deterministic per row: the double
+#: -> cents round happens before any aggregation, so both engines sum the
+#: identical integers; HUGEINT/DECIMAL(38,0) keeps the squared sums exact).
+_NEYMAN_CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+
+
+@register(
+    "sample_neyman_allocation",
+    category="sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderpriority AS stratum,
+               count(*) AS n_rows,
+               sum(CAST({_NEYMAN_CENTS} AS HUGEINT)) AS s_c,
+               sum(CAST({_NEYMAN_CENTS} AS HUGEINT)
+                   * CAST({_NEYMAN_CENTS} AS HUGEINT)) AS ss_c
+        FROM orders
+        GROUP BY 1
+    ), w AS (
+        SELECT stratum, n_rows,
+               CAST(round(sqrt(
+                   (CAST(ss_c AS DOUBLE)
+                    - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / n_rows)
+                   / (n_rows - 1)), 0) AS BIGINT) AS sd_cents
+        FROM s
+    ), t AS (
+        SELECT sum(n_rows * sd_cents) AS tot FROM w
+    )
+    SELECT stratum,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           sd_cents,
+           ({NEYMAN_BUDGET} * n_rows * sd_cents) // t.tot AS alloc_n,
+           (({NEYMAN_BUDGET} * n_rows * sd_cents) // t.tot) * 10000
+               // n_rows AS alloc_rate_bp
+    FROM w, t
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (n_h ∝ N_h·σ_h).
+
+    The survey-sampling optimum that every proportional allocator leaves
+    on the table: for a fixed budget, variance of the estimated mean is
+    minimized by sampling each stratum in proportion to its size TIMES
+    its in-stratum standard deviation — high-variance strata earn more
+    rows. This is the planning step of principled downsampling (eval-set
+    construction, cost-capped profiling): the output is the per-stratum
+    row budget and implied rate.
+
+    Determinism at any executor count: the value column converts to
+    exact integer cents BEFORE aggregation (a per-row double round both
+    engines do identically), so the per-stratum (n, Σ, Σx²) moments are
+    exact integers — DECIMAL(38,0) Spark-side, HUGEINT in the oracle —
+    with no float summation order anywhere. σ is one closed-form double
+    expression over those exact moments, rounded to whole cents before
+    the allocation arithmetic, which then stays in integer ``div``s end
+    to end. Scale shape: one map-side-combinable aggregate (5 rows out),
+    one scalar cross-join for the normalizer — the corpus is read once.
+    """
+    cents = F.expr(_NEYMAN_CENTS).cast("decimal(38,0)")
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(cents).alias("s_c"),
+            F.sum(cents * cents).alias("ss_c"),
+        )
+    )
+    sd = F.round(
+        F.sqrt(
+            (
+                F.col("ss_c").cast("double")
+                - F.col("s_c").cast("double")
+                * F.col("s_c").cast("double")
+                / F.col("n_rows")
+            )
+            / (F.col("n_rows") - 1)
+        ),
+        0,
+    ).cast("bigint")
+    w = s.select("stratum", "n_rows", sd.alias("sd_cents"))
+    tot = w.agg(F.sum(F.col("n_rows") * F.col("sd_cents")).alias("tot"))
+    alloc = F.expr(f"({NEYMAN_BUDGET} * n_rows * sd_cents) div tot")
+    return (
+        w.crossJoin(tot)
+        .select("stratum", "n_rows", "sd_cents", alloc.alias("alloc_n"))
+        .withColumn(
+            "alloc_rate_bp", F.expr("(alloc_n * 10000) div n_rows")
+        )
+    )
