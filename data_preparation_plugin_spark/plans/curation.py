@@ -594,6 +594,8 @@ def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (|domains| rows), one 1-row scalar join — the corpus is
     scanned once, and the output is bounded by the domain catalog.
     """
+    # |domains| rows; checkpointed so the scalar normalizer reuses this
+    # aggregate instead of re-running the corpus scan via lineage.
     d = (
         load_table(spark, sf_dir, "documents")
         .groupBy("source")
@@ -601,6 +603,7 @@ def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("n_tokens"),
         )
+        .localCheckpoint(eager=True)
     )
     w_num = F.floor(F.sqrt("n_tokens")).cast("bigint")
     t = d.agg(

@@ -1301,6 +1301,9 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scalar cross-join for the normalizer — the corpus is read once.
     """
     cents = F.expr(_NEYMAN_CENTS).cast("decimal(38,0)")
+    # |strata| rows; checkpointed so the normalizer's scalar aggregate
+    # reuses this result instead of re-running the fact scan (the corpus
+    # must be read exactly once — lineage recompute would double it).
     s = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderpriority").alias("stratum"))
@@ -1309,6 +1312,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("s_c"),
             F.sum(cents * cents).alias("ss_c"),
         )
+        .localCheckpoint(eager=True)
     )
     sd = F.round(
         F.sqrt(

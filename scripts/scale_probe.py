@@ -234,6 +234,12 @@ PROBES = [
     "multimodal_audio_dominant_freq",  # chained Arrow synth + rfft argmax
     "transform_impute_missing",   # non-null medians + broadcast fill
     "sink_kept_corpus_export",    # funnel + partitioned write + re-read
+    "knn_scalar_quantize",        # per-dim range agg + broadcast quantize
+    "text_html_boilerplate_strip",  # pure-map regexp/HOF chain, no shuffle
+    "graph_common_neighbors",     # wedge join + pair agg on LSH graph
+    "sample_neyman_allocation",   # exact-cents moments, 5-row agg
+    "curation_domain_mixture",    # bounded domain agg + scalar join
+    "sink_manifest_stats",        # hash-partitioned write + re-read manifest
 ]
 
 

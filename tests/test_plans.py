@@ -714,3 +714,61 @@ def test_target_encoding_windows_on_bounded_grid(spark):
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"Exchange SinglePartition", plan) == 1
     assert count(r"Join", plan) == 0
+
+
+def test_scalar_quantize_broadcasts_ranges(spark):
+    """The 64-row per-dimension range table joins back by broadcast; the
+    quantize/dequantize math never shuffles the vector stream beyond the
+    final per-vector regroup (dim agg + regroup = 2 exchanges)."""
+    plan = plan_of(spark, "knn_scalar_quantize")
+    assert count(r"BroadcastHashJoin", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"Exchange hashpartitioning", plan) == 2
+
+
+def test_html_strip_is_pure_map(spark):
+    """HTML extraction is one scan and zero exchanges — the whole
+    regexp/HOF chain stays inside a single codegen stage."""
+    plan = plan_of(spark, "text_html_boilerplate_strip")
+    assert count(r"Exchange", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_common_neighbors_reuses_checkpointed_edges(spark):
+    """All five edge-list consumers (two wedge sides, the edge marker,
+    two degree lookups) read the ONE checkpointed RDD — the LSH pipeline
+    never re-executes — and the bounded side joins stay broadcast."""
+    plan = plan_of(spark, "graph_common_neighbors")
+    assert count(r"FileScan parquet", plan) == 0
+    assert count(r"Scan ExistingRDD", plan) == 5
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) >= 3
+
+
+def test_neyman_allocation_scans_orders_once(spark):
+    """The stratum moments are checkpointed: the scalar normalizer and
+    the readout both reuse the 5-row result — the fact table is read
+    exactly once, and the only exchanges are the bounded aggregates."""
+    plan = plan_of(spark, "sample_neyman_allocation")
+    assert count(r"FileScan parquet", plan) == 0  # checkpoint absorbed it
+    assert count(r"Exchange hashpartitioning", plan) == 0
+    assert count(r"SortMergeJoin|CartesianProduct", plan) == 0
+
+
+def test_domain_mixture_scans_corpus_once(spark):
+    """Same single-scan discipline as the Neyman planner: the per-domain
+    aggregate is checkpointed and feeds both the normalizer and the
+    readout."""
+    plan = plan_of(spark, "curation_domain_mixture")
+    assert count(r"FileScan parquet", plan) == 0
+    assert count(r"Exchange hashpartitioning", plan) == 0
+    assert count(r"SortMergeJoin|CartesianProduct", plan) == 0
+
+
+def test_manifest_stats_single_key_exchange(spark):
+    """The manifest aggregate reads the staged files back with one hash
+    exchange on the partition key and no joins."""
+    plan = plan_of(spark, "sink_manifest_stats")
+    assert count(r"Exchange hashpartitioning", plan) <= 2
+    assert count(r"Join", plan) == 0
