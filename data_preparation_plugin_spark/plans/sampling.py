@@ -1250,7 +1250,7 @@ _NEYMAN_CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
 
 @register(
     "sample_neyman_allocation",
-    category="sample",
+    category="sampling",
     oracle=f"""
     WITH s AS (
         SELECT o_orderpriority AS stratum,
