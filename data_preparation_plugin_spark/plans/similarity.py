@@ -1917,3 +1917,78 @@ def knn_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("err") * F.col("err")) / F.count(F.lit(1)), 9
         ).alias("mse"),
     )
+
+
+#: Fixed-point scale for the exact Gram accumulation (|v| < 1: products
+#: fit int64 with headroom through ~1e9 vectors at this scale).
+GRAM_SCALE = 10_000
+
+
+@register(
+    "embedding_gram_matrix",
+    category="similarity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(round(unnest(embedding::DOUBLE[]) * {GRAM_SCALE}, 0)
+                    AS BIGINT) AS q
+        FROM embeddings
+    )
+    SELECT a.dim AS i,
+           b.dim AS j,
+           CAST(sum(a.q * b.q) AS BIGINT) AS gram
+    FROM e a
+    JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY a.dim, b.dim
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix XᵀX of the embedding corpus (distributed PCA step).
+
+    The front half of every spectral pipeline over embeddings — PCA /
+    whitening / low-rank compression all start from the d×d Gram (or
+    covariance) matrix, and at corpus scale the ONLY viable plan is
+    partial Gram accumulation: each partition reduces its vectors to one
+    d×d matrix locally, and the shuffle moves d(d+1)/2 scalars per
+    partition instead of n·d elements. The eigen-decomposition of the
+    2080-cell result is a driver-side triviality; producing the matrix is
+    the distributed problem, and it is solved here with one Arrow
+    ``mapInPandas`` stage (a single int64 BLAS-shaped ``QᵀQ`` per batch)
+    feeding a bounded (i, j)-keyed aggregate.
+
+    Exactness: elements convert to fixed-point int64 BEFORE any product
+    (sign-aware half-away rounding, matching DuckDB ``round``), so every
+    partial matrix and the final sums are exact integers — no float
+    summation order across partitions, batches, or engines. The oracle
+    computes the identical integers via an (i ≤ j) self-join; the hash
+    match proves the vectorized partial-aggregation path lossless.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def partial_gram(batches):
+        rows, cols = np.triu_indices(EMBEDDING_DIM)
+        for pdf in batches:
+            mat = np.array(pdf["v"].tolist())  # (B, D) float64
+            scaled = mat * GRAM_SCALE
+            q = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+                "int64"
+            )
+            gram = q.T @ q  # (D, D) exact int64
+            yield pd.DataFrame(
+                {
+                    "i": rows + 1,
+                    "j": cols + 1,
+                    "s": gram[rows, cols],
+                }
+            )
+
+    partials = emb.mapInPandas(partial_gram, "i int, j int, s long")
+    return partials.groupBy("i", "j").agg(
+        F.sum("s").cast("bigint").alias("gram")
+    )

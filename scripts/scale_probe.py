@@ -240,6 +240,8 @@ PROBES = [
     "sample_neyman_allocation",   # exact-cents moments, 5-row agg
     "curation_domain_mixture",    # bounded domain agg + scalar join
     "sink_manifest_stats",        # hash-partitioned write + re-read manifest
+    "events_ab_cuped_adjust",     # one user exchange + 2-row arm moments
+    "embedding_gram_matrix",      # Arrow partial Gram, bounded (i,j) agg
 ]
 
 

@@ -772,3 +772,23 @@ def test_manifest_stats_single_key_exchange(spark):
     plan = plan_of(spark, "sink_manifest_stats")
     assert count(r"Exchange hashpartitioning", plan) <= 2
     assert count(r"Join", plan) == 0
+
+
+def test_cuped_one_exchange_then_bounded(spark):
+    """The firehose collapses at the per-user exchange inside the
+    checkpointed arm aggregate; everything downstream of the checkpoint
+    is bounded (2 arm rows + a scalar broadcast)."""
+    plan = plan_of(spark, "events_ab_cuped_adjust")
+    assert count(r"FileScan parquet", plan) == 0  # checkpoint absorbed it
+    assert count(r"Exchange hashpartitioning", plan) == 0
+    assert count(r"SortMergeJoin|CartesianProduct", plan) == 0
+
+
+def test_gram_matrix_shuffles_only_partials(spark):
+    """Partial Gram: ONE Arrow stage over the scan, ONE exchange that
+    moves d(d+1)/2 scalars per partition — the vector stream itself
+    never shuffles."""
+    plan = plan_of(spark, "embedding_gram_matrix")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"Join", plan) == 0
