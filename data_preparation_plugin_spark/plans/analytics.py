@@ -3739,3 +3739,118 @@ def transform_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value_after",
         )
     )
+
+
+#: MCV (most-common-values) list size for the cardinality estimator.
+CARD_EST_MCV = 20
+
+
+@register(
+    "profile_join_cardinality_estimate",
+    category="profile",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, count(*) AS c
+        FROM events
+        GROUP BY user_id
+    ), ranked AS (
+        SELECT user_id, c,
+               row_number() OVER (ORDER BY c DESC, user_id) AS rn
+        FROM counts
+    ), mcv AS (
+        SELECT sum(c * c) AS mcv_pairs, sum(c) AS mcv_rows,
+               count(*) AS mcv_keys
+        FROM ranked WHERE rn <= {CARD_EST_MCV}
+    ), rest AS (
+        SELECT coalesce(sum(c), 0) AS rest_rows,
+               count(*) AS rest_keys,
+               coalesce(sum(c * c), 0) AS exact_rest
+        FROM ranked WHERE rn > {CARD_EST_MCV}
+    )
+    SELECT CAST(m.mcv_rows + r.rest_rows AS BIGINT) AS n_rows,
+           CAST(m.mcv_keys + r.rest_keys AS BIGINT) AS n_keys,
+           CAST(m.mcv_pairs + r.exact_rest AS BIGINT) AS exact_pairs,
+           CAST(m.mcv_pairs
+                + CASE WHEN r.rest_keys > 0
+                       THEN r.rest_rows * r.rest_rows // r.rest_keys
+                       ELSE 0 END AS BIGINT) AS est_pairs,
+           CAST(abs(m.mcv_pairs
+                    + CASE WHEN r.rest_keys > 0
+                           THEN r.rest_rows * r.rest_rows // r.rest_keys
+                           ELSE 0 END
+                    - (m.mcv_pairs + r.exact_rest)) * 10000
+                // (m.mcv_pairs + r.exact_rest) AS BIGINT) AS err_bp
+    FROM mcv m, rest r
+    """,
+)
+def profile_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CBO-style join-size estimation from MCV statistics, audited exact.
+
+    The statistic a cost-based optimizer keeps per column (ANALYZE's
+    most-common-values list + uniformity for the tail) and the question
+    it answers before every join: how many pairs will this key produce?
+    Self-join size Σc² is the canonical skew detector — it decides
+    salting, broadcast vs shuffle, and AQE skew splits. The operator
+    computes the MCV-based estimate (exact counts for the top
+    ``CARD_EST_MCV`` keys, n²/d uniformity for the tail) NEXT TO the
+    exact answer, so the output is both the planner statistic and its
+    measured error in basis points — statistics quality as data.
+
+    Scale shape: one key-count aggregate (the only corpus exchange), a
+    TakeOrdered top-K for the MCV list (never a global sort), one
+    anti-join of the bounded count table against the 20-row MCV list,
+    and two scalar aggregates. Integer arithmetic end to end.
+    """
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    top = (
+        counts.orderBy(F.col("c").desc(), "user_id")
+        .limit(CARD_EST_MCV)
+        .localCheckpoint(eager=True)
+    )
+    mcv = top.agg(
+        F.sum(F.col("c") * F.col("c")).alias("mcv_pairs"),
+        F.sum("c").alias("mcv_rows"),
+        F.count(F.lit(1)).alias("mcv_keys"),
+    )
+    rest = (
+        counts.join(F.broadcast(top.select("user_id")), "user_id", "left_anti")
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).alias("rest_rows"),
+            F.count(F.lit(1)).alias("rest_keys"),
+            F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0)).alias(
+                "exact_rest"
+            ),
+        )
+    )
+    est_rest = F.when(
+        F.col("rest_keys") > 0,
+        F.expr("(rest_rows * rest_rows) div rest_keys"),
+    ).otherwise(F.lit(0))
+    return (
+        mcv.crossJoin(rest)
+        .withColumn("est_pairs_v", F.col("mcv_pairs") + est_rest)
+        .withColumn(
+            "exact_pairs_v", F.col("mcv_pairs") + F.col("exact_rest")
+        )
+        .select(
+            (F.col("mcv_rows") + F.col("rest_rows")).cast("bigint").alias(
+                "n_rows"
+            ),
+            (F.col("mcv_keys") + F.col("rest_keys")).cast("bigint").alias(
+                "n_keys"
+            ),
+            F.col("exact_pairs_v").cast("bigint").alias("exact_pairs"),
+            F.col("est_pairs_v").cast("bigint").alias("est_pairs"),
+            F.expr(
+                "CAST(abs(est_pairs_v - exact_pairs_v) * 10000"
+                " div exact_pairs_v AS BIGINT)"
+            ).alias("err_bp"),
+        )
+    )

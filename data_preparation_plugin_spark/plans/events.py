@@ -2624,3 +2624,143 @@ def events_ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adjusted_mean_cents"),
         )
     )
+
+
+#: Users whose last event precedes the corpus horizon by this many hours
+#: are churned (the event); later last-events are right-censored. 24 h is
+#: a full silent day in a fixture whose users fire events many times a day.
+KM_CHURN_GAP_HOURS = 24
+
+
+@register(
+    "events_survival_km",
+    category="events",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               date_diff('microsecond', min(ts), max(ts))
+                   // 86400000000 AS t_days,
+               max(ts) AS last_ts
+        FROM events
+        GROUP BY user_id
+    ), horizon AS (
+        SELECT max(last_ts) AS h FROM per_user
+    ), marked AS (
+        SELECT t_days,
+               CASE WHEN last_ts < h - INTERVAL {KM_CHURN_GAP_HOURS} HOUR
+                    THEN 1 ELSE 0 END AS died
+        FROM per_user, horizon
+    ), grid AS (
+        SELECT t_days,
+               CAST(sum(died) AS BIGINT) AS d_events,
+               CAST(count(*) - sum(died) AS BIGINT) AS c_censored,
+               CAST(count(*) AS BIGINT) AS n_here
+        FROM marked GROUP BY t_days
+    ), risk AS (
+        SELECT t_days, d_events, c_censored,
+               CAST(sum(n_here) OVER (
+                   ORDER BY t_days DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS n_at_risk
+        FROM grid
+    ), arr AS (
+        SELECT list(struct_pack(
+                   t := t_days,
+                   f := 1.0 - CAST(d_events AS DOUBLE) / n_at_risk)
+               ORDER BY t_days) AS fs
+        FROM risk
+    )
+    SELECT r.t_days, r.n_at_risk, r.d_events, r.c_censored,
+           round(list_aggregate(
+               list_transform(
+                   list_filter(a.fs, x -> x.t <= r.t_days), x -> x.f),
+               'product'), 6) AS survival
+    FROM risk r, arr a
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (churn analysis).
+
+    The retention statistic done right: users still active at the
+    observation horizon are right-CENSORED, not counted as churned —
+    the error every naive "days until last event" histogram makes. A
+    user's lifetime is first-to-last event in days; the event (churn)
+    fires only when the last event predates the corpus horizon by
+    ``KM_CHURN_GAP_HOURS``. The estimator is the textbook product-limit:
+    S(t) = Π_{{t_i ≤ t}} (1 − d_i / n_i) over the observed death times.
+
+    Determinism: d_i and n_i are exact integers (the at-risk count is a
+    reverse cumulative sum over the bounded duration grid), each factor
+    is one int-ratio double, and the product folds over the SAME
+    t-ascending order in both engines (Spark ``aggregate`` left-fold
+    over a sorted array vs DuckDB ordered ``list_aggregate 'product'``)
+    — bit-identical multiply sequences, rounded once. Scale shape: one
+    user-keyed exchange collapses the firehose; everything after lives
+    on the bounded duration grid (≤ observation window in days), whose
+    windows run behind a single-partition exchange of that tiny grid.
+    """
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "timestampdiff(MICROSECOND, min(ts), max(ts))"
+                " div 86400000000"
+            ).alias("t_days"),
+            F.max("ts").alias("last_ts"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    horizon = per_user.agg(F.max("last_ts").alias("h"))
+    marked = per_user.crossJoin(horizon).select(
+        "t_days",
+        F.when(
+            F.col("last_ts")
+            < F.col("h") - F.expr(f"INTERVAL {KM_CHURN_GAP_HOURS} HOUR"),
+            1,
+        )
+        .otherwise(0)
+        .alias("died"),
+    )
+    grid = marked.groupBy("t_days").agg(
+        F.sum("died").cast("bigint").alias("d_events"),
+        (F.count(F.lit(1)) - F.sum("died")).cast("bigint").alias(
+            "c_censored"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_here"),
+    )
+    w = (
+        Window.orderBy(F.col("t_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = grid.select(
+        "t_days",
+        "d_events",
+        "c_censored",
+        F.sum("n_here").over(w).cast("bigint").alias("n_at_risk"),
+    )
+    factors = risk.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("t_days").alias("t"),
+                    (
+                        F.lit(1.0)
+                        - F.col("d_events").cast("double")
+                        / F.col("n_at_risk")
+                    ).alias("f"),
+                )
+            )
+        ).alias("fs")
+    )
+    surv = F.aggregate(
+        F.filter(F.col("fs"), lambda x: x.getField("t") <= F.col("t_days")),
+        F.lit(1.0),
+        lambda acc, x: acc * x.getField("f"),
+    )
+    return risk.crossJoin(factors).select(
+        "t_days",
+        "n_at_risk",
+        "d_events",
+        "c_censored",
+        F.round(surv, 6).alias("survival"),
+    )

@@ -1336,3 +1336,87 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alloc_rate_bp", F.expr("(alloc_n * 10000) div n_rows")
         )
     )
+
+
+#: Bootstrap replicates, and the Poisson(1) inverse-CDF thresholds in
+#: millionths (cumulative e^-1 * Σ 1/k!): a uniform hash bucket in
+#: [0, 1e6) maps through this table to a deterministic per-(doc, rep)
+#: resample weight — the Poisson bootstrap (Chamandy et al., Google) that
+#: replaces with-replacement draws at corpus scale.
+BOOTSTRAP_REPS = 20
+_POISSON_CDF_E6 = (367879, 735758, 919698, 981011, 996340, 999405)
+
+
+def _poisson_weight_sql(bucket: str) -> str:
+    """CASE expression mapping a [0, 1e6) bucket to a Poisson(1) draw."""
+    whens = "\n               ".join(
+        f"WHEN {bucket} < {t} THEN {k}"
+        for k, t in enumerate(_POISSON_CDF_E6)
+    )
+    return f"CASE {whens} ELSE {len(_POISSON_CDF_E6)} END"
+
+
+@register(
+    "sample_poisson_bootstrap",
+    category="sampling",
+    oracle=f"""
+    WITH drawn AS (
+        SELECT r.rep,
+               {_poisson_weight_sql("('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)), 1, 8))::BIGINT % 1000000")} AS w,
+               n_chars
+        FROM documents, (SELECT unnest(range(0, {BOOTSTRAP_REPS})) AS rep) r
+    )
+    SELECT rep,
+           CAST(sum(w) AS BIGINT) AS n_drawn,
+           CAST(sum(w * n_chars) AS BIGINT) AS token_sum,
+           CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM drawn
+    GROUP BY rep
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap: resampling confidence machinery without a shuffle.
+
+    The with-replacement bootstrap is impossible at corpus scale (a
+    resample is a global random multiset); the Poisson bootstrap
+    (Chamandy et al. 2012 — built for exactly this, MapReduce-scale
+    estimation) replaces it with an independent Poisson(1) weight per
+    (row, replicate), correct because a multinomial with n draws over n
+    rows converges to iid Poisson(1). Here even the Poisson draw is
+    derandomized: md5(doc, rep) → uniform millionths → inverse-CDF
+    table, so every engine, executor, and rerun draws the SAME
+    replicates — reproducible error bars, and the whole statistic is
+    oracle-hash-checked (no RNG to disagree on).
+
+    Scale shape: a bounded ×REPS generate fan-out over the scan, then one
+    map-side-combinable aggregate onto REPS keys. No shuffle of the
+    corpus, no driver state; replicate statistics (here: drawn-row count,
+    token sum, zero-weight count) stay exact integers end to end.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    drawn = docs.select(
+        "n_chars",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOTSTRAP_REPS - 1))
+        ).alias("rep"),
+        F.col("doc_id"),
+    ).select(
+        "rep",
+        "n_chars",
+        F.expr(
+            _poisson_weight_sql(
+                "conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
+                " CAST(rep AS STRING))), 1, 8), 16, 10) % 1000000"
+            )
+        ).alias("w"),
+    )
+    return drawn.groupBy("rep").agg(
+        F.sum("w").cast("bigint").alias("n_drawn"),
+        F.sum(F.col("w") * F.col("n_chars")).cast("bigint").alias(
+            "token_sum"
+        ),
+        F.sum((F.col("w") == 0).cast("long")).cast("bigint").alias(
+            "n_dropped"
+        ),
+    )

@@ -242,6 +242,9 @@ PROBES = [
     "sink_manifest_stats",        # hash-partitioned write + re-read manifest
     "events_ab_cuped_adjust",     # one user exchange + 2-row arm moments
     "embedding_gram_matrix",      # Arrow partial Gram, bounded (i,j) agg
+    "events_survival_km",         # user collapse + bounded duration grid
+    "sample_poisson_bootstrap",   # xREPS generate + REPS-keyed agg
+    "profile_join_cardinality_estimate",  # count agg + TakeOrdered MCV
 ]
 
 

@@ -792,3 +792,30 @@ def test_gram_matrix_shuffles_only_partials(spark):
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"FileScan parquet", plan) == 1
     assert count(r"Join", plan) == 0
+
+
+def test_survival_km_collapses_at_user_exchange(spark):
+    """The firehose reduces at the checkpointed per-user aggregate; all
+    downstream windows/products run on the bounded duration grid."""
+    plan = plan_of(spark, "events_survival_km")
+    assert count(r"FileScan parquet", plan) == 0  # checkpoint absorbed it
+    assert count(r"SortMergeJoin|CartesianProduct", plan) == 0
+
+
+def test_poisson_bootstrap_one_exchange(spark):
+    """Replicate fan-out is a Generate over the scan; the only exchange
+    is the REPS-keyed aggregate — the corpus never shuffles."""
+    plan = plan_of(spark, "sample_poisson_bootstrap")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"Generate", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_cardinality_estimate_bounded_tail(spark):
+    """MCV selection is TakeOrdered at source (checkpointed); the rest
+    aggregate anti-joins the bounded count table by broadcast."""
+    plan = plan_of(spark, "profile_join_cardinality_estimate")
+    assert count(r"FileScan parquet", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
