@@ -563,12 +563,12 @@ def sink_kept_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.source,
            CAST(d.n_docs AS BIGINT) AS n_docs,
            CAST(d.n_tokens AS BIGINT) AS n_tokens,
-           CAST(floor(sqrt(d.n_tokens)) AS BIGINT) * 10000
-               // t.w_tot AS weight_bp,
-           t.tok_tot * CAST(floor(sqrt(d.n_tokens)) AS BIGINT)
-               // t.w_tot AS planned_tokens,
-           (t.tok_tot * CAST(floor(sqrt(d.n_tokens)) AS BIGINT)
-               // t.w_tot) * 100 // d.n_tokens AS epochs_x100
+           CAST(CAST(floor(sqrt(d.n_tokens)) AS BIGINT) * 10000
+               // t.w_tot AS BIGINT) AS weight_bp,
+           CAST(t.tok_tot * CAST(floor(sqrt(d.n_tokens)) AS BIGINT)
+               // t.w_tot AS BIGINT) AS planned_tokens,
+           CAST((t.tok_tot * CAST(floor(sqrt(d.n_tokens)) AS BIGINT)
+               // t.w_tot) * 100 // d.n_tokens AS BIGINT) AS epochs_x100
     FROM d, t
     """,
 )

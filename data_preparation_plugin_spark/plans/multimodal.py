@@ -1146,3 +1146,123 @@ def multimodal_audio_dominant_freq(
         "dominant_bin",
         (F.col("dominant_bin") * 3125).cast("bigint").alias("freq_centihz"),
     )
+
+
+def _gray_sql(p: str) -> str:
+    """Closed-form grayscale (channel sum) of synthesized pixel ``p``."""
+    return (
+        f"((doc_id * 7 + ({p}) * 3) % 256"
+        f" + (doc_id * 7 + ({p}) * 3 + 1) % 256"
+        f" + (doc_id * 7 + ({p}) * 3 + 2) % 256)"
+    )
+
+
+@register(
+    "multimodal_image_sharpness",
+    category="multimodal",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 16 + 4 AS w,
+               doc_id % 12 + 3 AS h
+        FROM documents
+    ), pix AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h)) AS p
+        FROM dims
+    ), lap AS (
+        SELECT doc_id, w, h,
+               4 * {_gray_sql("p")}
+               - {_gray_sql("p - w")} - {_gray_sql("p + w")}
+               - {_gray_sql("p - 1")} - {_gray_sql("p + 1")} AS v
+        FROM pix
+        WHERE (p // w) BETWEEN 1 AND h - 2
+          AND (p % w) BETWEEN 1 AND w - 2
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST((w - 2) * (h - 2) AS BIGINT) AS n_interior,
+           CAST(sum(v * v) AS BIGINT) AS lap_sse,
+           CAST(sum(v * v) // ((w - 2) * (h - 2)) AS BIGINT) AS lap_mse
+    FROM lap
+    GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur / sharpness gate: Laplacian energy over REAL decoded pixels.
+
+    The standard image-quality filter for vision-language corpora
+    (variance-of-Laplacian blur detection): decode the image, take the
+    grayscale channel sum, convolve the interior with the 4-neighbor
+    Laplacian, and score by its mean square — low energy means a blurry
+    or flat capture a curation funnel should drop. The decode is the
+    repo's genuine numpy PPM parser over synthesized binary payloads
+    (the multimodal discipline: fake capture, REAL decode), and every
+    output is an exact integer — grayscale stays a channel SUM (never a
+    rounded luma), so the Laplacian, its squares, and the integer-div
+    mean are reproduced closed-form by the oracle; one transposed axis
+    or off-by-one neighbor offset hash-fails.
+
+    Scale shape: two chained Arrow stages over the scan (synth, then
+    parse + convolve — each batch one vectorized numpy pass), zero
+    shuffles, bounded per-image output. Pixels never leave the stage.
+    """
+    import numpy as np
+
+    from data_preparation_plugin_spark.operators.multimodal import _parse_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _synth_ppm_batches, schema="doc_id long, payload binary"
+    )
+
+    def sharpness(batches):
+        # Parse per row (header scan is cheap), but convolve per SHAPE
+        # GROUP: all same-sized images stack into one (B, h, w) tensor and
+        # one vectorized Laplacian — the batched-kernel discipline that
+        # fixed multimodal_audio_dominant_freq's 10x per-row-loop constant.
+        for pdf in batches:
+            parsed = [
+                _parse_ppm(bytes(p)) for p in pdf["payload"]
+            ]  # (w, h, c, flat_pixels)
+            ids = pdf["doc_id"].to_numpy()
+            groups: dict[tuple[int, int], list[int]] = {}
+            for idx, (w, h, _c, _px) in enumerate(parsed):
+                groups.setdefault((w, h), []).append(idx)
+            n = len(parsed)
+            width = np.empty(n, dtype="int32")
+            height = np.empty(n, dtype="int32")
+            n_interior = np.empty(n, dtype="int64")
+            lap_sse = np.empty(n, dtype="int64")
+            for (w, h), idxs in groups.items():
+                stack = np.stack(
+                    [parsed[i][3] for i in idxs]
+                ).reshape(len(idxs), h, w, 3)
+                gray = stack.astype("int64").sum(axis=3)  # (B, h, w)
+                lap = (
+                    4 * gray[:, 1:-1, 1:-1]
+                    - gray[:, :-2, 1:-1] - gray[:, 2:, 1:-1]
+                    - gray[:, 1:-1, :-2] - gray[:, 1:-1, 2:]
+                )
+                sse = (lap * lap).sum(axis=(1, 2))
+                ii = np.array(idxs)
+                width[ii] = w
+                height[ii] = h
+                n_interior[ii] = (h - 2) * (w - 2)
+                lap_sse[ii] = sse
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": width,
+                    "height": height,
+                    "n_interior": n_interior,
+                    "lap_sse": lap_sse,
+                    "lap_mse": lap_sse // n_interior,
+                }
+            )
+
+    return payloads.mapInPandas(
+        sharpness,
+        "doc_id long, width int, height int,"
+        " n_interior long, lap_sse long, lap_mse long",
+    )

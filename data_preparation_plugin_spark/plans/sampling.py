@@ -1273,9 +1273,10 @@ _NEYMAN_CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
     SELECT stratum,
            CAST(n_rows AS BIGINT) AS n_rows,
            sd_cents,
-           ({NEYMAN_BUDGET} * n_rows * sd_cents) // t.tot AS alloc_n,
-           (({NEYMAN_BUDGET} * n_rows * sd_cents) // t.tot) * 10000
-               // n_rows AS alloc_rate_bp
+           CAST(({NEYMAN_BUDGET} * n_rows * sd_cents) // t.tot
+               AS BIGINT) AS alloc_n,
+           CAST((({NEYMAN_BUDGET} * n_rows * sd_cents) // t.tot) * 10000
+               // n_rows AS BIGINT) AS alloc_rate_bp
     FROM w, t
     """,
 )

@@ -2101,3 +2101,198 @@ def text_html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(joined).cast("bigint").alias("clean_len"),
         F.md5(joined).alias("clean_md5"),
     )
+
+
+#: Span-corruption (T5 denoising) parameters: tokens partition into blocks
+#: of SPAN_BLOCK; a block is masked (its first SPAN_LEN tokens become one
+#: sentinel) when md5(doc_id:block) lands under SPAN_MASK_PCT.
+SPAN_BLOCK = 10
+SPAN_LEN = 3
+SPAN_MASK_PCT = 33
+
+
+@register(
+    "text_span_corruption",
+    category="text",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS tokens
+        FROM documents
+    ), blocks AS (
+        SELECT doc_id, tokens,
+               len(tokens) AS n,
+               list_transform(
+                   range(0, (len(tokens) + {SPAN_BLOCK - 1}) // {SPAN_BLOCK}),
+                   b -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                            || CAST(b AS VARCHAR)), 1, 8))
+                        ::BIGINT % 100 < {SPAN_MASK_PCT}
+               ) AS masked
+        FROM toks
+    ), built AS (
+        SELECT doc_id, n,
+               array_to_string(list_filter(list_transform(
+                   range(0, n),
+                   i -> CASE
+                        WHEN masked[i // {SPAN_BLOCK} + 1]
+                             AND i % {SPAN_BLOCK} = 0
+                        THEN '<extra_id_' || CAST(
+                              len(list_filter(range(0, i // {SPAN_BLOCK}),
+                                              b -> masked[b + 1]))
+                              AS VARCHAR) || '>'
+                        WHEN masked[i // {SPAN_BLOCK} + 1]
+                             AND i % {SPAN_BLOCK} < {SPAN_LEN}
+                        THEN NULL
+                        ELSE tokens[i + 1]
+                        END), x -> x IS NOT NULL), ' ') AS corrupted,
+               array_to_string(list_transform(
+                   list_filter(range(0, (n + {SPAN_BLOCK - 1})
+                                        // {SPAN_BLOCK}),
+                               b -> masked[b + 1]),
+                   b -> '<extra_id_' || CAST(
+                         len(list_filter(range(0, b), q -> masked[q + 1]))
+                         AS VARCHAR) || '> '
+                        || array_to_string(
+                            tokens[b * {SPAN_BLOCK} + 1 :
+                                   b * {SPAN_BLOCK} + {SPAN_LEN}], ' ')),
+                   ' ') AS targets,
+               CAST(len(list_filter(range(0, (n + {SPAN_BLOCK - 1})
+                                             // {SPAN_BLOCK}),
+                                    b -> masked[b + 1])) AS BIGINT)
+                   AS n_spans,
+               CAST(coalesce(list_sum(list_transform(
+                   list_filter(range(0, (n + {SPAN_BLOCK - 1})
+                                        // {SPAN_BLOCK}),
+                               b -> masked[b + 1]),
+                   b -> least({SPAN_LEN}, n - b * {SPAN_BLOCK}))), 0)
+                   AS BIGINT) AS n_masked
+        FROM blocks
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           n_masked, n_spans,
+           md5(corrupted) AS input_md5,
+           md5(coalesce(targets, '')) AS targets_md5
+    FROM built
+    """,
+)
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: masked inputs + sentinel targets.
+
+    The denoising-objective data transform (Raffel et al., T5; UL2's
+    R-denoiser): contiguous token spans are replaced by numbered
+    sentinels in the input, and the targets sequence lists each sentinel
+    followed by the tokens it swallowed. Span selection is derandomized —
+    the token stream partitions into ``SPAN_BLOCK`` blocks and
+    md5(doc, block) decides masking — so the corruption is reproducible
+    on any cluster and the ENTIRE transform (both generated sequences,
+    via md5) is oracle-hash-checked; one token leaked from a masked span
+    or one mis-numbered sentinel fails the driver compare.
+
+    Scale shape: pure per-row HOF chain — no shuffle, no UDF; the only
+    quadratic-looking piece (sentinel rank = masked blocks before this
+    one) folds over the ~n/10 block flags, negligible against the token
+    scan itself. Block flags are materialized once per row and reused by
+    input, targets, and counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("tokens"))
+    n = F.size("tokens")
+    n_blocks = (n + (SPAN_BLOCK - 1)) / SPAN_BLOCK
+    n_blocks = F.floor(n_blocks).cast("int")
+
+    def masked_flag(b: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            b.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < SPAN_MASK_PCT
+        )
+
+    staged = toks.select(
+        "doc_id",
+        "tokens",
+        n.alias("n"),
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1), masked_flag
+        ).alias("masked"),
+    )
+
+    def flag(b: Column) -> Column:
+        return F.element_at(F.col("masked"), b + 1)
+
+    def rank(b: Column) -> Column:
+        # masked blocks strictly before b; sequence stays non-negative.
+        return F.size(
+            F.filter(
+                F.sequence(F.lit(0), b),
+                lambda q: (q < b) & flag(q),
+            )
+        )
+
+    def blk(i: Column) -> Column:
+        return F.floor(i / SPAN_BLOCK).cast("int")
+
+    pieces = F.transform(
+        F.col("tokens"),
+        lambda x, i: F.when(
+            flag(blk(i)) & (i % SPAN_BLOCK == 0),
+            F.concat(
+                F.lit("<extra_id_"),
+                rank(blk(i)).cast("string"),
+                F.lit(">"),
+            ),
+        )
+        .when(
+            flag(blk(i)) & (i % SPAN_BLOCK < SPAN_LEN),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(x),
+    )
+    masked_blocks = F.filter(
+        F.sequence(F.lit(0), F.size("masked") - 1), lambda b: flag(b)
+    )
+    targets = F.array_join(
+        F.transform(
+            masked_blocks,
+            lambda b: F.concat(
+                F.lit("<extra_id_"),
+                rank(b).cast("string"),
+                F.lit("> "),
+                F.array_join(
+                    F.slice(F.col("tokens"), b * SPAN_BLOCK + 1, SPAN_LEN),
+                    " ",
+                ),
+            ),
+        ),
+        " ",
+    )
+    n_masked = F.aggregate(
+        masked_blocks,
+        F.lit(0),
+        lambda acc, b: acc
+        + F.least(F.lit(SPAN_LEN), F.col("n") - b * SPAN_BLOCK),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        n_masked.cast("bigint").alias("n_masked"),
+        F.size(masked_blocks).cast("bigint").alias("n_spans"),
+        F.md5(
+            F.array_join(F.filter(pieces, lambda x: x.isNotNull()), " ")
+        ).alias("input_md5"),
+        F.md5(targets).alias("targets_md5"),
+    )

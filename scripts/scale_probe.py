@@ -245,6 +245,8 @@ PROBES = [
     "events_survival_km",         # user collapse + bounded duration grid
     "sample_poisson_bootstrap",   # xREPS generate + REPS-keyed agg
     "profile_join_cardinality_estimate",  # count agg + TakeOrdered MCV
+    "multimodal_image_sharpness",  # chained Arrow synth + int Laplacian
+    "text_span_corruption",        # pure-map HOF denoising transform
 ]
 
 

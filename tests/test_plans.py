@@ -819,3 +819,21 @@ def test_cardinality_estimate_bounded_tail(spark):
     assert count(r"FileScan parquet", plan) == 0
     assert count(r"BroadcastHashJoin", plan) == 1
     assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_image_sharpness_zero_shuffle(spark):
+    """Synth + parse/convolve are two chained Arrow stages over one scan;
+    pixels never shuffle."""
+    plan = plan_of(spark, "multimodal_image_sharpness")
+    assert count(r"Exchange", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"MapInPandas", plan) == 2
+
+
+def test_span_corruption_pure_map(spark):
+    """The whole denoising transform (block flags, sentinel numbering,
+    both generated sequences) is one shuffle-free HOF projection."""
+    plan = plan_of(spark, "text_span_corruption")
+    assert count(r"Exchange", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"Join|Window", plan) == 0
