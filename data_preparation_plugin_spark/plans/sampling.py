@@ -1421,3 +1421,63 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dropped"
         ),
     )
+
+
+#: Per-user contribution ceiling for training-fairness / privacy capping.
+USER_CAP_K = 50
+
+
+@register(
+    "sample_user_contribution_cap",
+    category="sampling",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN rn <= {USER_CAP_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= {USER_CAP_K} THEN event_id END)
+                AS BIGINT) AS kept_id_sum
+    FROM ranked
+    GROUP BY user_id
+    """,
+)
+def sample_user_contribution_cap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user contribution capping: at most K examples from any one user.
+
+    The fairness / privacy / dedup guard every user-generated training
+    corpus applies (and the precondition of user-level DP): heavy users
+    otherwise dominate the gradient, and memorization risk concentrates
+    in their long tails. The kept set is a deterministic md5-ordered
+    top-K inside each user — a reproducible shuffle, so reruns and
+    engines agree row-for-row (the kept-id checksum is part of the
+    compared schema, not just the counts).
+
+    Scale shape: ONE exchange keyed on user_id; the rank window's sort is
+    partition-local and the per-user row count bounds its depth. No
+    global sort, no second pass — the cap composes with every other
+    hash-bucket sampler in this module.
+    """
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    ranked = events.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("rn") <= USER_CAP_K).cast("long")).cast("bigint").alias(
+            "n_kept"
+        ),
+        F.sum(
+            F.when(F.col("rn") <= USER_CAP_K, F.col("event_id"))
+        ).cast("bigint").alias("kept_id_sum"),
+    )

@@ -1992,3 +1992,99 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("i", "j").agg(
         F.sum("s").cast("bigint").alias("gram")
     )
+
+
+@register(
+    "embedding_pca_whiten_audit",
+    category="similarity",
+    oracle=f"""
+    SELECT CAST(max(len(embedding)) AS INTEGER) AS d,
+           CAST(max(len(embedding)) AS BIGINT) AS n_components,
+           CAST(max(len(embedding)) AS BIGINT) AS n_unit_variance,
+           CAST(0 AS BIGINT) AS n_offdiag_violations
+    FROM embeddings
+    """,
+)
+def embedding_pca_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening end-to-end, audited by its defining invariant.
+
+    The back half of the spectral pipeline ``embedding_gram_matrix``
+    fronts: eigendecompose the (exact, driver-collected — d(d+1)/2 cells,
+    bounded by DIMENSION, never by data) second-moment matrix, build the
+    whitening rotation W = V·Λ^(-1/2), broadcast it into one Arrow stage
+    that rotates every vector, then re-accumulate the Gram of the
+    WHITENED corpus the same partial-Gram way and check the definition:
+    it must be the identity (unit variance per component, zero
+    off-diagonals) within 1e-6. The oracle pins the invariant — full
+    rank, every component unit variance, zero violations — the
+    tolerance-bit oracle style the HLL/approx sketches established
+    (DuckDB cannot eigendecompose; it CAN check what whitening promises).
+
+    Scale shape: the corpus is touched twice (moment pass + rotate/verify
+    pass), each a single Arrow stage with a d²-scalar shuffle; the eig
+    is O(d³) on 64×64 — a driver triviality. Float tolerance absorbs the
+    whitened Gram's summation-order ulps (deviations land ~1e-12,
+    six orders below the gate).
+    """
+    import numpy as np
+    import pandas as pd
+
+    gram_rows = embedding_gram_matrix(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    n_vecs = emb.count()
+    d = EMBEDDING_DIM
+    g = np.zeros((d, d))
+    for r in gram_rows:
+        g[r.i - 1, r.j - 1] = r.gram
+        g[r.j - 1, r.i - 1] = r.gram
+    second_moment = g / (n_vecs * float(GRAM_SCALE) ** 2)
+    vals, vecs = np.linalg.eigh(second_moment)
+    keep = vals > 1e-12
+    w_rot = vecs[:, keep] / np.sqrt(vals[keep])  # (d, k)
+    n_components = int(keep.sum())
+
+    def whitened_gram(batches):
+        rows, cols = np.triu_indices(n_components)
+        for pdf in batches:
+            mat = np.array(pdf["v"].tolist())  # (B, d)
+            # Whiten the SAME corpus the moment matrix describes — the
+            # fixed-point one (otherwise the ~1e-4 quantization residual
+            # would swamp the 1e-6 identity gate).
+            scaled = mat * GRAM_SCALE
+            q = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+            z = (q / GRAM_SCALE) @ w_rot  # (B, k) whitened
+            gw = z.T @ z
+            yield pd.DataFrame(
+                {"i": rows + 1, "j": cols + 1, "s": gw[rows, cols]}
+            )
+
+    gw = (
+        emb.mapInPandas(whitened_gram, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("g"))
+        .select(
+            "i",
+            "j",
+            (F.col("g") / n_vecs).alias("cov"),
+        )
+    )
+    return gw.agg(
+        F.lit(d).alias("d"),
+        F.lit(n_components).cast("bigint").alias("n_components"),
+        F.sum(
+            F.when(
+                (F.col("i") == F.col("j"))
+                & (F.abs(F.col("cov") - 1.0) < 1e-6),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_unit_variance"),
+        F.sum(
+            F.when(
+                (F.col("i") != F.col("j"))
+                & (F.abs(F.col("cov")) >= 1e-6),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_offdiag_violations"),
+    )

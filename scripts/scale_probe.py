@@ -247,6 +247,8 @@ PROBES = [
     "profile_join_cardinality_estimate",  # count agg + TakeOrdered MCV
     "multimodal_image_sharpness",  # chained Arrow synth + int Laplacian
     "text_span_corruption",        # pure-map HOF denoising transform
+    "sample_user_contribution_cap",  # rank window + agg, one exchange
+    "embedding_pca_whiten_audit",  # two partial-Gram passes + driver eig
 ]
 
 

@@ -837,3 +837,20 @@ def test_span_corruption_pure_map(spark):
     assert count(r"Exchange", plan) == 0
     assert count(r"FileScan parquet", plan) == 1
     assert count(r"Join|Window", plan) == 0
+
+
+def test_user_cap_one_exchange(spark):
+    """Cap = rank window + aggregate sharing the ONE user_id exchange."""
+    plan = plan_of(spark, "sample_user_contribution_cap")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Window", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_whiten_audit_verify_pass_shape(spark):
+    """The verify pass is the same partial-Gram shape as the moment
+    pass: one Arrow stage, one bounded (i,j) exchange, no joins."""
+    plan = plan_of(spark, "embedding_pca_whiten_audit")
+    assert count(r"MapInPandas", plan) == 1
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
