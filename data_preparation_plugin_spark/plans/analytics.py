@@ -3854,3 +3854,160 @@ def profile_join_cardinality_estimate(
             ).alias("err_bp"),
         )
     )
+
+
+@register(
+    "profile_cramers_v",
+    category="profile",
+    oracle="""
+    WITH cell AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS obs
+        FROM orders GROUP BY 1, 2
+    ), tot AS (
+        SELECT a, b, obs,
+               sum(obs) OVER (PARTITION BY a) AS rt,
+               sum(obs) OVER (PARTITION BY b) AS ct,
+               sum(obs) OVER () AS n
+        FROM cell
+    ), chi AS (
+        SELECT max(n) AS n,
+               (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+               least(count(DISTINCT a), count(DISTINCT b)) - 1 AS vmin,
+               sum(CAST((obs * n - rt * ct) * (obs * n - rt * ct) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * rt * ct)) AS chi2
+        FROM tot
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(dof AS BIGINT) AS dof,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * vmin)), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between two categorical columns.
+
+    The profiling question "are these columns independent?" answered
+    with the chi-square contingency statistic normalized to [0, 1]:
+    ``V = sqrt(chi2 / (n * (min(r, c) - 1)))`` over order priority x
+    order status.  Each chi-square term clears the expected-count
+    division once — ``(obs*n - rt*ct)^2 / (n*rt*ct)`` — so the only
+    float work is one product, one division, and the final sum; the
+    numerators are exact BIGINTs in both engines.
+
+    Scale shape: one map-side-combinable aggregate collapses the table
+    to r x c cells (bounded by the categorical domains); the window
+    sums, chi-square terms, and the final scalar all run on that tiny
+    relation — the table is scanned exactly once regardless of size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cell = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("a"),
+            F.col("o_orderstatus").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    tot = cell.select(
+        "a",
+        "b",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("a")).alias("rt"),
+        F.sum("obs").over(Window.partitionBy("b")).alias("ct"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    num = F.col("obs") * F.col("n") - F.col("rt") * F.col("ct")
+    chi = tot.agg(
+        F.max("n").alias("n"),
+        (
+            (F.count_distinct(F.col("a")) - 1)
+            * (F.count_distinct(F.col("b")) - 1)
+        ).alias("dof"),
+        (
+            F.least(
+                F.count_distinct(F.col("a")), F.count_distinct(F.col("b"))
+            )
+            - 1
+        ).alias("vmin"),
+        F.sum(
+            (num * num).cast("double")
+            / (F.col("n").cast("double") * F.col("rt") * F.col("ct"))
+        ).alias("chi2"),
+    )
+    return chi.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("dof").cast("bigint").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * F.col("vmin"))), 6
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "profile_key_gini",
+    category="profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_partkey AS key, count(*) AS c
+        FROM lineitem GROUP BY 1
+    ), ranked AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c, key) AS i,
+               count(*) OVER () AS nk,
+               sum(c) OVER () AS total
+        FROM per_key
+    )
+    SELECT CAST(max(nk) AS BIGINT) AS n_keys,
+           CAST(max(total) AS BIGINT) AS total_rows,
+           CAST(max(c) AS BIGINT) AS max_count,
+           round(CAST(sum((2 * i - nk - 1) * c) AS DOUBLE)
+                 / (CAST(max(nk) AS DOUBLE) * max(total)), 6) AS gini
+    FROM ranked
+    """,
+)
+def profile_key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-key row distribution (skew audit).
+
+    The one-number answer to "how skewed is this join/shuffle key?"
+    that the planner-facing profiles (``profile_join_skew``,
+    ``profile_key_frequency_spectrum``) don't give: the Lorenz-curve
+    Gini of rows-per-key, 0 = perfectly even, ->1 = one hot key owns
+    the table.  The numerator ``sum((2i - n - 1) * c_i)`` over
+    ascending counts is pure BIGINT — permutations inside tied counts
+    change nothing (the weight sum over a tie run is fixed) — so both
+    engines agree exactly; the single final division is the only float.
+
+    Scale shape: one map-side-combinable count per key, then a global
+    sort of KEY CARDINALITY (not rows) for the rank — the same cost
+    class as the spectrum profile.  At extreme cardinality swap the
+    exact rank for a t-digest of counts; the fixture-exact form is the
+    audit baseline.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ranked = per_key.select(
+        "c",
+        F.row_number()
+        .over(Window.partitionBy().orderBy("c", "key"))
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nk"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("nk").cast("bigint").alias("n_keys"),
+        F.max("total").cast("bigint").alias("total_rows"),
+        F.max("c").cast("bigint").alias("max_count"),
+        F.round(
+            F.sum(
+                (2 * F.col("i") - F.col("nk") - 1) * F.col("c")
+            ).cast("double")
+            / (
+                F.max("nk").cast("double")
+                * F.max("total").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )

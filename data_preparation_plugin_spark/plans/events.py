@@ -1434,7 +1434,6 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse entirely — the point of the type.
     """
     events = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
     prop_k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
     bucket = (prop_k % 10).alias("k_bucket")
     w = Window.partitionBy(prop_k % 10)
@@ -2763,4 +2762,177 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_events",
         "c_censored",
         F.round(surv, 6).alias("survival"),
+    )
+
+
+#: Conversion path regex over single-char event codes: a view followed
+#: by a purchase with only clicks/errors between.  The char classes
+#: exclude both anchors, so greedy (Java) and leftmost-longest (RE2
+#: family) engines produce identical non-overlapping matches.
+SEQ_PATTERN = "v[ce]*p"
+
+
+@register(
+    "events_sequence_pattern",
+    category="events",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS path,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           n_events,
+           CAST(len(regexp_extract_all(path, '{SEQ_PATTERN}')) AS BIGINT)
+               AS n_conversions,
+           regexp_extract(path, '{SEQ_PATTERN}') AS first_path
+    FROM seq
+    WHERE len(regexp_extract_all(path, '{SEQ_PATTERN}')) >= 1
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern detection over event streams.
+
+    Spark has no ``MATCH_RECOGNIZE`` (the reference's SQL substrate
+    inherits none either); the Spark-first rewrite encodes each user's
+    event history as a string of one-char codes (click/signup/error/
+    view/purchase all start with distinct letters) ordered by
+    ``(ts, event_id)`` and runs the pattern as a regex —
+    ``{SEQ_PATTERN}``: a view converting to a purchase through only
+    clicks/errors.  Non-overlapping match count and the first matched
+    path per user.  The char classes exclude both anchor letters, so
+    backtracking-greedy (Java) and leftmost-longest (RE2/DuckDB)
+    engines agree on every match — the property that makes the oracle
+    exact.
+
+    Scale shape: one shuffle on ``user_id``; each sequence is bounded
+    by per-user activity (cap hot users first with
+    ``sample_user_contribution_cap``); the regex is a narrow per-row
+    expression on the collapsed relation — no joins, no second pass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    seq = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")),
+                    lambda x: x.getField("ch"),
+                ),
+                "",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        seq.select(
+            "user_id",
+            "n_events",
+            F.size(
+                F.regexp_extract_all("path", F.lit(SEQ_PATTERN), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_conversions"),
+            F.regexp_extract("path", SEQ_PATTERN, 0).alias("first_path"),
+        )
+        .filter(F.col("n_conversions") >= 1)
+    )
+
+
+@register(
+    "events_changepoint_cusum",
+    category="events",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, d, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY d) AS prefix,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS k,
+               sum(c) OVER (PARTITION BY event_type) AS total,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily
+    ), stats AS (
+        SELECT event_type, d, n_days,
+               abs(n_days * prefix - k * total) AS stat,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(n_days * prefix - k * total) DESC, d
+               ) AS rn
+        FROM cum
+        WHERE k < n_days
+    )
+    SELECT event_type,
+           d AS change_day,
+           CAST(stat AS BIGINT) AS cusum_stat,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM stats WHERE rn = 1
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint: the day each type's daily rate most shifted.
+
+    The classic single-changepooint statistic max_k |S_k| over centered
+    cumulative sums, kept ENGINE-EXACT by clearing denominators:
+    ``S_k = prefix_k - k*mean`` scaled by ``n_days`` becomes
+    ``n*prefix_k - k*total`` — pure BIGINT cross-multiplication, no
+    float in the argmax, so Spark and the oracle agree bit-for-bit
+    (the same discipline as ``events_burst_windows``).  The last day is
+    excluded (k = n leaves an empty right segment).  Ties break to the
+    earliest day.
+
+    Scale shape: the firehose collapses to (type, day) counts in one
+    map-side-combinable aggregate; every window after that runs over
+    bounded-cardinality partitions (types x days), so the changepoint
+    scan costs no second pass over raw events.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wa = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("c").over(wo).alias("prefix"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("c").over(wa).alias("total"),
+        F.count(F.lit(1)).over(wa).alias("n_days"),
+    )
+    stat = F.abs(
+        F.col("n_days") * F.col("prefix") - F.col("k") * F.col("total")
+    )
+    ranked = cum.filter(F.col("k") < F.col("n_days")).select(
+        "event_type",
+        "d",
+        stat.alias("stat"),
+        "n_days",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                stat.desc(), F.col("d")
+            )
+        )
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("d").alias("change_day"),
+        F.col("stat").cast("bigint").alias("cusum_stat"),
+        F.col("n_days").cast("bigint").alias("n_days"),
     )

@@ -2088,3 +2088,112 @@ def embedding_pca_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("bigint").alias("n_offdiag_violations"),
     )
+
+
+#: Matryoshka audit: prefix length retained from the full embedding.
+MATRYOSHKA_DIMS = 32
+
+
+@register(
+    "embedding_matryoshka_audit",
+    category="similarity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (embedding::DOUBLE[])[1:{MATRYOSHKA_DIMS}] AS tv
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, tv AS qtv FROM e
+        WHERE vec_id < {N_QUERY_VECS}
+    ), full_nn AS (
+        SELECT query_id, vec_id AS full_nn,
+               round(list_cosine_similarity(qv, v), 6) AS full_cosine
+        FROM (
+            SELECT query_id, e.vec_id, qv, v,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(list_cosine_similarity(qv, e.v), 6)
+                                DESC, e.vec_id) AS rn
+            FROM q CROSS JOIN e WHERE e.vec_id <> query_id
+        ) WHERE rn = 1
+    ), trunc_nn AS (
+        SELECT query_id, vec_id AS trunc_nn,
+               round(list_cosine_similarity(qtv, tv), 6) AS trunc_cosine
+        FROM (
+            SELECT query_id, e.vec_id, qtv, tv,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(list_cosine_similarity(qtv, e.tv), 6)
+                                DESC, e.vec_id) AS rn
+            FROM q CROSS JOIN e WHERE e.vec_id <> query_id
+        ) WHERE rn = 1
+    )
+    SELECT f.query_id, f.full_nn, t.trunc_nn,
+           round(f.full_cosine, 4) AS full_cosine,
+           round(t.trunc_cosine, 4) AS trunc_cosine,
+           CAST(CASE WHEN f.full_nn = t.trunc_nn THEN 1 ELSE 0 END
+                AS BIGINT) AS agree
+    FROM full_nn f JOIN trunc_nn t USING (query_id)
+    """,
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: does the {MATRYOSHKA_DIMS}-dim prefix
+    keep the same nearest neighbor as the full vector?
+
+    Matryoshka-style embeddings promise that a prefix of the dimensions
+    is itself a usable embedding at a fraction of the storage/compute;
+    before committing an index to truncated vectors, measure what the
+    cut costs.  Per probe query: exact top-1 under full cosine vs top-1
+    under prefix cosine, with the agreement bit — aggregate ``agree``
+    upstream for the retention rate.  Same round-6 tie discipline as
+    ``knn_bruteforce_cosine`` keeps the argmax engine-exact.
+
+    Scale shape: the probe set broadcasts; both scans stream the corpus
+    once each behind the same broadcast nested loop as the brute-force
+    baseline (and the truncated scan does {MATRYOSHKA_DIMS}/64ths of
+    the flops — the point being audited).  No shuffle of the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, MATRYOSHKA_DIMS)
+        .alias("tv"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("tv").alias("qtv"),
+    )
+
+    def top1(score_a: str, score_b: str, out_id: str, out_cos: str):
+        scored = emb.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        ).withColumn(
+            "c6", F.round(cosine_similarity(score_a, score_b), 6)
+        )
+        win = Window.partitionBy("query_id").orderBy(
+            F.col("c6").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.col("vec_id").alias(out_id),
+                F.col("c6").alias(out_cos),
+            )
+        )
+
+    full = top1("qv", "v", "full_nn", "full_c6")
+    trunc = top1("qtv", "tv", "trunc_nn", "trunc_c6")
+    return full.join(F.broadcast(trunc), "query_id").select(
+        "query_id",
+        "full_nn",
+        "trunc_nn",
+        F.round("full_c6", 4).alias("full_cosine"),
+        F.round("trunc_c6", 4).alias("trunc_cosine"),
+        F.when(F.col("full_nn") == F.col("trunc_nn"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("agree"),
+    )

@@ -249,6 +249,11 @@ PROBES = [
     "text_span_corruption",        # pure-map HOF denoising transform
     "sample_user_contribution_cap",  # rank window + agg, one exchange
     "embedding_pca_whiten_audit",  # two partial-Gram passes + driver eig
+    "events_sequence_pattern",     # user collapse + narrow regex map
+    "events_changepoint_cusum",    # daily collapse + bounded windows
+    "profile_cramers_v",           # r x c cell agg + tiny windows
+    "profile_key_gini",            # per-key counts + key-cardinality rank
+    "embedding_matryoshka_audit",  # two broadcast scans, half-width flops
 ]
 
 

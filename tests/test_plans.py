@@ -294,7 +294,6 @@ def test_hierarchy_flatten_rounds_logarithmic(spark):
         resolve_hierarchy,
     )
 
-    depth = 4096
     bound = 2
     # Chain under div-2 parenting: node k's parent is k//2; the chain
     # 2^0=1(root, <bound) .. up. Use nodes 1..depth*? Simpler: nodes
@@ -854,3 +853,50 @@ def test_whiten_audit_verify_pass_shape(spark):
     assert count(r"MapInPandas", plan) == 1
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"Join", plan) == 0
+
+
+def test_sequence_pattern_one_user_exchange(spark):
+    """Path encoding collapses per user in one exchange; the regex work
+    is a narrow map over the collapsed relation — no joins anywhere."""
+    plan = plan_of(spark, "events_sequence_pattern")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"SortMergeJoin|BroadcastHashJoin|CartesianProduct", plan) == 0
+
+
+def test_changepoint_cusum_bounded_windows(spark):
+    """The firehose collapses to (type, day) in one agg exchange; every
+    window after shares the event_type partitioning — 2 exchanges, no
+    joins, one scan of events."""
+    plan = plan_of(spark, "events_changepoint_cusum")
+    assert count(r"Exchange hashpartitioning", plan) == 2
+    assert count(r"Join", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
+
+
+def test_cramers_v_single_scan(spark):
+    """Chi-square runs entirely on the r x c cell relation: orders is
+    scanned exactly once and no join appears — the windows/final agg
+    exchange only bounded-cardinality rows."""
+    plan = plan_of(spark, "profile_cramers_v")
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_key_gini_single_scan_rank_over_keys(spark):
+    """Per-key counts reduce map-side; the only single-partition step
+    ranks KEY CARDINALITY (the documented t-digest swap point), never
+    raw rows; lineitem is scanned once with only the key column read."""
+    plan = plan_of(spark, "profile_key_gini")
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"Exchange SinglePartition", plan) == 1
+
+
+def test_matryoshka_audit_broadcast_everywhere(spark):
+    """Both scoring passes stream the corpus behind broadcast nested
+    loops (the probe set is the broadcast side) and the final top-1
+    vs top-1 join is broadcast — a SortMergeJoin anywhere means a
+    10-row relation got shuffled."""
+    plan = plan_of(spark, "embedding_matryoshka_audit")
+    assert count(r"BroadcastNestedLoopJoin", plan) == 2
+    assert count(r"SortMergeJoin", plan) == 0

@@ -7,8 +7,6 @@ aggregation in batch mode over the same input (deterministic replay with
 
 from __future__ import annotations
 
-import importlib.util
-
 import pytest
 
 from pyspark.sql import functions as F
