@@ -4011,3 +4011,78 @@ def profile_key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "profile_ks_drift",
+    category="profile",
+    oracle="""
+    WITH tagged AS (
+        SELECT n_chars,
+               CAST(substr(source, 4) AS INTEGER) % 2 AS grp
+        FROM documents
+    ), per_value AS (
+        SELECT n_chars,
+               sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+        FROM tagged GROUP BY n_chars
+    ), cum AS (
+        SELECT sum(c0) OVER (ORDER BY n_chars) AS f0,
+               sum(c1) OVER (ORDER BY n_chars) AS f1,
+               sum(c0) OVER () AS n0,
+               sum(c1) OVER () AS n1
+        FROM per_value
+    )
+    SELECT CAST(max(n0) AS BIGINT) AS n0,
+           CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(abs(f0 * n1 - f1 * n0)) AS BIGINT) AS d_num,
+           round(CAST(max(abs(f0 * n1 - f1 * n0)) AS DOUBLE)
+                 / (CAST(max(n0) AS DOUBLE) * max(n1)), 6) AS ks_d
+    FROM cum
+    """,
+)
+def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between source cohorts.
+
+    The exact nonparametric companion to ``profile_feature_drift``'s
+    binned PSI: the KS statistic ``D = max |F_a(x) - F_b(x)|`` over
+    document length, comparing even- vs odd-numbered sources.  The
+    supremum is taken over CROSS-MULTIPLIED empirical CDFs
+    (``|f0*n1 - f1*n0|`` — pure BIGINT), so the argmax is engine-exact;
+    the one division happens after the max.  D is distribution-free:
+    no binning choice to tune, detects any distributional change.
+
+    Scale shape: collapse to per-distinct-value group counts (map-side
+    combinable), then cumulative sums over DISTINCT VALUE cardinality —
+    never raw rows.  At extreme value cardinality swap the exact CDF
+    walk for t-digest quantile differences; the exact form is the audit
+    baseline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "n_chars",
+        (F.substring("source", 4, 10).cast("int") % 2).alias("grp"),
+    )
+    per_value = tagged.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    wc = Window.partitionBy().orderBy("n_chars")
+    wa = Window.partitionBy()
+    cum = per_value.select(
+        F.sum("c0").over(wc).alias("f0"),
+        F.sum("c1").over(wc).alias("f1"),
+        F.sum("c0").over(wa).alias("n0"),
+        F.sum("c1").over(wa).alias("n1"),
+    )
+    d = F.abs(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0"))
+    return cum.agg(
+        F.max("n0").cast("bigint").alias("n0"),
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max(d).cast("bigint").alias("d_num"),
+        F.round(
+            F.max(d).cast("double")
+            / (F.max("n0").cast("double") * F.max("n1").cast("double")),
+            6,
+        ).alias("ks_d"),
+    )

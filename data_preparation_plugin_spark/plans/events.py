@@ -2936,3 +2936,121 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stat").cast("bigint").alias("cusum_stat"),
         F.col("n_days").cast("bigint").alias("n_days"),
     )
+
+
+#: Two-sided alpha=5% and power=80% normal quantiles for the sample-size
+#: formula.  Literal constants — no inverse-CDF in either engine.
+POWER_Z_ALPHA = 1.959964
+POWER_Z_BETA = 0.841621
+
+
+@register(
+    "events_power_analysis",
+    category="events",
+    oracle=f"""
+    WITH exposure AS (
+        SELECT user_id,
+               user_id % 2 AS variant,
+               min(ts)     AS first_seen
+        FROM events
+        GROUP BY user_id
+    ), converted AS (
+        SELECT e.user_id, e.variant,
+               max(CASE WHEN v.event_type = 'purchase'
+                         AND v.ts < e.first_seen
+                                    + INTERVAL {AB_CONVERSION_DAYS} DAY
+                        THEN 1 ELSE 0 END) AS conv
+        FROM exposure e
+        JOIN events v ON v.user_id = e.user_id
+        GROUP BY e.user_id, e.variant
+    ), arms AS (
+        SELECT
+            sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)    AS na,
+            sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS ca,
+            sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)    AS nb,
+            sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS cb
+        FROM converted
+    ), rates AS (
+        SELECT na, ca, nb, cb,
+               ca * 1.0 / na AS pa, cb * 1.0 / nb AS pb
+        FROM arms
+    )
+    SELECT CAST(ca * 10000 // na AS BIGINT) AS pilot_a_bp,
+           CAST(cb * 10000 // nb AS BIGINT) AS pilot_b_bp,
+           CAST(cb * 10000 // nb - ca * 10000 // na AS BIGINT) AS delta_bp,
+           CAST(ceil(
+               ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+               * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+               * (pa * (1 - pa) + pb * (1 - pb))
+               / nullif((pb - pa) * (pb - pa), 0)
+           ) AS BIGINT) AS n_required_per_arm
+    FROM rates
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size calculator: users per arm to re-detect the pilot lift.
+
+    The question every experiment review asks after
+    ``events_ab_test_lift`` reads out: "how long must the NEXT
+    experiment run?"  Classic two-proportion formula
+    ``n = (z_a+z_b)^2 (pa qa + pb qb) / (pb-pa)^2`` at 5%/80%, fed by
+    the same pilot-arm definitions as the registered lift readout (user
+    parity, {AB_CONVERSION_DAYS}-day conversion window) so the two
+    cannot drift.  No library inverse-CDF on either engine — the z
+    quantiles are literals, squares are written as products, and both
+    engines execute the identical IEEE double expression, so even the
+    ``ceil`` boundary is engine-exact.
+
+    Scale shape: identical to the lift readout — two user-keyed
+    aggregates and a scalar; the formula runs on one row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    exposure = events.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("variant"),
+        F.min("ts").alias("first_seen"),
+    )
+    converted = (
+        events.select("user_id", "event_type", "ts")
+        .join(exposure, "user_id")
+        .groupBy("user_id", "variant")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (
+                        F.col("ts")
+                        < F.col("first_seen")
+                        + F.expr(f"INTERVAL {AB_CONVERSION_DAYS} DAY")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    arms = converted.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias(
+            "cb"
+        ),
+    )
+    pa = F.col("ca") * 1.0 / F.col("na")
+    pb = F.col("cb") * 1.0 / F.col("nb")
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) * (POWER_Z_ALPHA + POWER_Z_BETA)
+    return arms.select(
+        F.expr("CAST(ca * 10000 DIV na AS BIGINT)").alias("pilot_a_bp"),
+        F.expr("CAST(cb * 10000 DIV nb AS BIGINT)").alias("pilot_b_bp"),
+        F.expr(
+            "CAST(cb * 10000 DIV nb - ca * 10000 DIV na AS BIGINT)"
+        ).alias("delta_bp"),
+        F.ceil(
+            F.lit(z2)
+            * (pa * (1 - pa) + pb * (1 - pb))
+            / F.nullif((pb - pa) * (pb - pa), F.lit(0.0))
+        )
+        .cast("bigint")
+        .alias("n_required_per_arm"),
+    )

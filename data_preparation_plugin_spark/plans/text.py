@@ -2296,3 +2296,146 @@ def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("input_md5"),
         F.md5(targets).alias("targets_md5"),
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    category="text",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+                   AS n_subword,
+               len(string_split_regex(trim(lower(text)), '\s+')) AS n_words
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(n_subword) AS BIGINT)  AS subword_tokens,
+           CAST(sum(n_words) AS BIGINT)    AS word_tokens,
+           CAST(sum(n_subword) * 10000 // sum(n_words) AS BIGINT)
+               AS fertility_bp
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens per word, in bp.
+
+    The multilingual-tokenizer health metric — a language whose
+    fertility runs far above the corpus norm is being shredded into
+    characters (under-represented in the vocabulary) and will pay that
+    cost in effective context length and training compute.  Composes the
+    registered BPE-ish pre-tokenization (``text_bpe_token_count``) and
+    the whitespace word count into corpus-level ratios; the ratio is
+    integer fixed-point (``sum*10000 // sum``) so both engines agree
+    exactly — no float, no per-doc averaging bias (token-weighted, the
+    budgeting-relevant weighting).
+
+    Scale shape: two narrow regexp counts per row (no explode — counts,
+    not token rows), then a map-side-combinable aggregate onto |langs|
+    keys.  One scan, one bounded exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pattern = r"[a-z0-9]+|[^a-z0-9\s]"
+    per_doc = docs.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(pattern), F.lit(0))
+        ).alias("n_subword"),
+        F.size(tokens_col(F.col("text"))).alias("n_words"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_subword").cast("bigint").alias("subword_tokens"),
+        F.sum("n_words").cast("bigint").alias("word_tokens"),
+        F.expr("CAST(sum(n_subword) * 10000 DIV sum(n_words) AS BIGINT)")
+        .alias("fertility_bp"),
+    )
+
+
+#: Number of top-frequency terms the Zipf log-log fit runs over.
+ZIPF_TOP = 100
+
+
+@register(
+    "text_zipf_slope",
+    category="text",
+    oracle=rf"""
+    WITH counts AS (
+        SELECT token, count(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                AS token
+            FROM documents
+        )
+        GROUP BY token
+        ORDER BY cnt DESC, token
+        LIMIT {ZIPF_TOP}
+    ), ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                       AS DOUBLE)) AS x,
+               ln(CAST(cnt AS DOUBLE)) AS y
+        FROM counts
+    ), moments AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept
+    FROM moments
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank).
+
+    Natural corpora run a slope near -1; a synthetic or heavily
+    deduplicated corpus drifts flat (templated text pushes it steeper).
+    The one-number "does this look like natural language?" screen to
+    sit beside the Gopher rules and perplexity buckets.  Fit over the
+    top {ZIPF_TOP} terms (the power-law head; the tail's discreteness
+    would dominate OLS), closed-form from five sums — no iterative
+    optimizer.  ``ln`` on identical integer inputs then sum-then-round
+    keeps residual float risk at the 1-ulp library level, far inside
+    the 6dp gate.
+
+    Scale shape: explode -> map-side-combinable vocabulary counts; the
+    top-{ZIPF_TOP} head is a TakeOrdered (no global sort); the fit runs
+    on {ZIPF_TOP} rows.  One corpus scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(ZIPF_TOP)
+    )
+    ranked = counts.select(
+        F.log(
+            F.row_number()
+            .over(Window.partitionBy().orderBy(F.col("cnt").desc(), "token"))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -254,6 +254,10 @@ PROBES = [
     "profile_cramers_v",           # r x c cell agg + tiny windows
     "profile_key_gini",            # per-key counts + key-cardinality rank
     "embedding_matryoshka_audit",  # two broadcast scans, half-width flops
+    "text_tokenizer_fertility",    # narrow regexp counts, one lang agg
+    "text_zipf_slope",             # vocab counts + TakeOrdered head
+    "profile_ks_drift",            # per-value counts + distinct-value walk
+    "events_power_analysis",       # two user-keyed aggs + 1-row formula
 ]
 
 

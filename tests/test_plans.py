@@ -900,3 +900,38 @@ def test_matryoshka_audit_broadcast_everywhere(spark):
     plan = plan_of(spark, "embedding_matryoshka_audit")
     assert count(r"BroadcastNestedLoopJoin", plan) == 2
     assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_tokenizer_fertility_no_explode_one_exchange(spark):
+    """Fertility counts tokens with narrow regexp expressions — no
+    Generate (token explode) appears; one bounded |langs| exchange."""
+    plan = plan_of(spark, "text_tokenizer_fertility")
+    assert count(r"Generate", plan) == 0
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"FileScan parquet", plan) == 1
+
+
+def test_zipf_head_is_take_ordered(spark):
+    """The top-N head must plan as TakeOrderedAndProject, never a global
+    sort of the vocabulary."""
+    plan = plan_of(spark, "text_zipf_slope")
+    assert count(r"TakeOrderedAndProject", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_ks_drift_cdf_walk_over_distinct_values(spark):
+    """One hash exchange collapses rows to per-distinct-value counts;
+    the single-partition step walks DISTINCT VALUE cardinality (the
+    documented t-digest swap point), never raw rows; no joins."""
+    plan = plan_of(spark, "profile_ks_drift")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Exchange SinglePartition", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_power_analysis_no_cartesian(spark):
+    """The pilot recompute joins exposure back by key (broadcast at
+    fixture scale, hash at cluster scale) — never a cartesian; the
+    formula itself runs on a single row."""
+    plan = plan_of(spark, "events_power_analysis")
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
