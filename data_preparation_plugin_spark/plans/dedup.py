@@ -2568,3 +2568,121 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("ise"), F.lit(0)).cast("bigint").alias("is_edge"),
         )
     )
+
+
+#: Integer IDF-ish rarity weight numerator: weight = NUM // df.
+WJ_WEIGHT_NUM = 1_000_000
+
+
+@register(
+    "dedup_weighted_jaccard_pairs",
+    category="dedup",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents
+    ), shingled AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+        FROM toks
+    ), kept AS (
+        SELECT doc_id, shingle, {WJ_WEIGHT_NUM} // df AS w FROM (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM shingled
+        ) WHERE df <= {MAX_SHINGLE_DF}
+    ), wtot AS (
+        SELECT doc_id, shingle, w,
+               sum(w) OVER (PARTITION BY doc_id) AS doc_w
+        FROM kept
+    ), overlap AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               max(a.doc_w) AS wa, max(b.doc_w) AS wb,
+               sum(a.w) AS common_w, count(*) AS n_common
+        FROM wtot a
+        JOIN wtot b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(common_w * 1.0 / (wa + wb - common_w), 4)
+               AS weighted_jaccard
+    FROM overlap
+    WHERE 2 * common_w >= wa + wb - common_w
+    """,
+)
+def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted Jaccard near-dup pairs (WJ >= 0.5).
+
+    Plain Jaccard treats "the cat sat" and a rare technical trigram as
+    equal evidence; IDF-weighted Jaccard
+    ``sum_min w / sum_max w = common_w / (wa + wb - common_w)`` (sets,
+    so min/max collapse to membership) scores overlap by shingle
+    RARITY — boilerplate-heavy pairs fall below threshold while
+    substantive duplication survives.  Weights are pure integers
+    (``{WJ_WEIGHT_NUM} // df``), the threshold is the cross-multiplied
+    predicate ``2*common >= union`` — no float until the one reported
+    division.  Same stop-shingle cap and posting-list pair expansion as
+    ``dedup_ngram_jaccard`` (dedup.py) — candidates only ever come from
+    shared postings, never a doc x doc product.
+
+    Scale shape: identical cost class to the unweighted twin — the
+    weight is a window column on the kept-shingle relation; postings
+    are bounded by MAX_SHINGLE_DF so every pair expansion is capped.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE).distinct()
+    df_counts = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        shingled.join(df_counts.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.expr(f"{WJ_WEIGHT_NUM} DIV df").alias("w"),
+        )
+    )
+    wtot = kept.withColumn(
+        "doc_w", F.sum("w").over(Window.partitionBy("doc_id"))
+    )
+    postings = wtot.groupBy("shingle").agg(
+        F.max("w").alias("w"),
+        F.array_sort(F.collect_list(F.struct("doc_id", "doc_w"))).alias("ids"),
+    )
+    pair_expand = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["doc_w"].alias("wa"),
+                    y["doc_id"].alias("doc_b"),
+                    y["doc_w"].alias("wb"),
+                ),
+            ),
+        )
+    )
+    overlap = (
+        postings.filter(F.size("ids") > 1)
+        .select("w", F.explode(pair_expand).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+        )
+        .agg(
+            F.max("p.wa").alias("wa"),
+            F.max("p.wb").alias("wb"),
+            F.sum("w").alias("common_w"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    union_w = F.col("wa") + F.col("wb") - F.col("common_w")
+    return overlap.filter(2 * F.col("common_w") >= union_w).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round(F.col("common_w") * 1.0 / union_w, 4).alias(
+            "weighted_jaccard"
+        ),
+    )

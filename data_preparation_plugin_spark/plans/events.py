@@ -3054,3 +3054,108 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_required_per_arm"),
     )
+
+
+@register(
+    "events_time_to_convert",
+    category="events",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM events
+        GROUP BY user_id
+    ), lat AS (
+        SELECT user_id,
+               CAST(date_diff('microsecond', first_view, first_purchase)
+                    // 60000000 AS BIGINT) AS latency_min
+        FROM firsts
+        WHERE first_view IS NOT NULL
+          AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+    ), ranked AS (
+        SELECT latency_min,
+               row_number() OVER (ORDER BY latency_min, user_id) AS i,
+               count(*) OVER () AS n
+        FROM lat
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(max(CASE WHEN 2 * i >= n AND 2 * (i - 1) < n
+                         THEN latency_min END) AS BIGINT) AS p50_min,
+           CAST(max(CASE WHEN 10 * i >= 9 * n AND 10 * (i - 1) < 9 * n
+                         THEN latency_min END) AS BIGINT) AS p90_min,
+           CAST(max(latency_min) AS BIGINT) AS max_min
+    FROM ranked
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: first view to first purchase.
+
+    The latency companion to the funnel counts: how LONG conversion
+    takes, reported as exact discrete percentiles.  Neither engine's
+    interpolating ``percentile`` is trusted across implementations
+    (the lerp can differ in the last ulp), so the percentiles are
+    DISCRETE by construction: the ceil(p*n)-th order statistic,
+    selected with pure integer rank predicates (``2i >= n`` etc.) over
+    minute-granularity BIGINT latencies — engine-exact end to end.
+    Latency floors exact MICROSECOND differences to minutes (integer
+    ``DIV``): DuckDB's ``date_diff('minute', ...)`` counts boundary
+    CROSSINGS, not elapsed minutes, and would drift from Spark's
+    ``timestampdiff(MINUTE, ...)`` on sub-minute offsets.
+
+    Scale shape: one user-keyed aggregate collapses the firehose to a
+    row per user; the rank runs over CONVERTED USERS only.  At extreme
+    user counts swap the exact order statistic for approx_percentile;
+    the exact form is the audit baseline.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    lat = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        "user_id",
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, first_view, first_purchase)"
+            " DIV 60000000 AS BIGINT)"
+        ).alias("latency_min"),
+    )
+    ranked = lat.select(
+        "latency_min",
+        F.row_number()
+        .over(Window.partitionBy().orderBy("latency_min", "user_id"))
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(
+            F.when(
+                (2 * F.col("i") >= F.col("n"))
+                & (2 * (F.col("i") - 1) < F.col("n")),
+                F.col("latency_min"),
+            )
+        )
+        .cast("bigint")
+        .alias("p50_min"),
+        F.max(
+            F.when(
+                (10 * F.col("i") >= 9 * F.col("n"))
+                & (10 * (F.col("i") - 1) < 9 * F.col("n")),
+                F.col("latency_min"),
+            )
+        )
+        .cast("bigint")
+        .alias("p90_min"),
+        F.max("latency_min").cast("bigint").alias("max_min"),
+    )

@@ -3471,3 +3471,55 @@ def sort_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_rows_in_range")
     )
+
+
+#: Rolling-median window length (trailing rows, current inclusive).
+ROLLING_MEDIAN_ROWS = 5
+
+
+@register(
+    "window_rolling_median",
+    category="window",
+    oracle=f"""
+    SELECT event_id, user_id,
+           median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ROLLING_MEDIAN_ROWS - 1} PRECEDING
+                        AND CURRENT ROW
+           ) AS rolling_median
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over a trailing row frame — the robust smoother.
+
+    The EWMA/moving-average smoothers already registered are
+    mean-based and blow up on single spikes; the rolling median is the
+    robust alternative every monitoring pipeline reaches for.  Spark
+    has no ``median`` window function — the rewrite collects the
+    trailing {ROLLING_MEDIAN_ROWS}-row frame as an array, sorts it, and
+    takes the middle element (odd frame) or the IEEE-exact mean of the
+    two middles (even frame — the warm-up rows).  ``(a+b)/2`` on
+    identical doubles is bit-exact in both engines, so the result is
+    UNROUNDED — per the repo's float discipline, never round a value
+    both engines compute identically.
+
+    Scale shape: one exchange on ``user_id``; the frame array is
+    bounded at {ROLLING_MEDIAN_ROWS} elements per row, so the sort is
+    O(1) per row and nothing materializes beyond the frame.
+    """
+    events = load_table(spark, sf_dir, "events")
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLING_MEDIAN_ROWS - 1), 0)
+    )
+    vals = F.array_sort(F.collect_list("value").over(frame))
+    n = F.size(vals)
+    mid_hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    return events.select(
+        "event_id",
+        "user_id",
+        ((mid_lo + mid_hi) / 2).alias("rolling_median"),
+    )

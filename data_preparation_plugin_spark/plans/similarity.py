@@ -2197,3 +2197,80 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("agree"),
     )
+
+
+@register(
+    "knn_ivf_cell_balance",
+    category="similarity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {IVF_N_CELLS}
+    ), assigned AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT e.vec_id, cents.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, cv), 6) DESC,
+                                cent_id) AS crn
+            FROM e CROSS JOIN cents
+        ) WHERE crn = 1
+    ), sized AS (
+        SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY cell
+    )
+    SELECT cell,
+           CAST(n_vectors AS BIGINT) AS n_vectors,
+           CAST(n_vectors * 10000 // sum(n_vectors) OVER () AS BIGINT)
+               AS share_bp,
+           CAST(n_vectors * count(*) OVER () * 10000
+                // sum(n_vectors) OVER () AS BIGINT) AS load_factor_bp
+    FROM sized
+    """,
+)
+def knn_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index balance audit: per-cell occupancy and load factor.
+
+    Probe cost in an IVF index is the size of the cells probed — a
+    lopsided codebook makes query latency bimodal and nprobe tuning
+    meaningless.  This audit reports each cell's occupancy, corpus
+    share, and load factor (occupancy x n_cells / total; 10000 bp =
+    perfectly balanced), using the SAME deterministic assignment as the
+    registered ``knn_ivf_cosine`` (same constants, same round-6
+    tie-break) so the audit measures the index the engine actually
+    probes.  All ratios are integer fixed-point — engine-exact.
+
+    Scale shape: assignment is the same narrow broadcast-codebook map
+    as index build; the audit itself aggregates to {IVF_N_CELLS} rows
+    — the windows run on a relation the size of the codebook.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    assign_win = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine_similarity("v", "cv"), 6))
+        .withColumn("crn", F.row_number().over(assign_win))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    sized = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return sized.select(
+        "cell",
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.expr(
+            "CAST(n_vectors * 10000 DIV sum(n_vectors) OVER () AS BIGINT)"
+        ).alias("share_bp"),
+        F.expr(
+            "CAST(n_vectors * count(*) OVER () * 10000"
+            " DIV sum(n_vectors) OVER () AS BIGINT)"
+        ).alias("load_factor_bp"),
+    )

@@ -258,6 +258,10 @@ PROBES = [
     "text_zipf_slope",             # vocab counts + TakeOrdered head
     "profile_ks_drift",            # per-value counts + distinct-value walk
     "events_power_analysis",       # two user-keyed aggs + 1-row formula
+    "window_rolling_median",       # bounded trailing frame, one exchange
+    "events_time_to_convert",      # user collapse + converted-only rank
+    "knn_ivf_cell_balance",        # broadcast codebook map + 8-row audit
+    "dedup_weighted_jaccard_pairs",  # capped posting pairs, integer weights
 ]
 
 

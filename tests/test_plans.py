@@ -935,3 +935,35 @@ def test_power_analysis_no_cartesian(spark):
     formula itself runs on a single row."""
     plan = plan_of(spark, "events_power_analysis")
     assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
+
+
+def test_rolling_median_single_exchange(spark):
+    """The trailing-frame median is one user exchange; the frame array
+    is bounded, so no join/extra shuffle appears."""
+    plan = plan_of(spark, "window_rolling_median")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_time_to_convert_rank_over_converted_only(spark):
+    """One user-keyed collapse; the single-partition order statistic
+    runs over converted users only — no join back to raw events."""
+    plan = plan_of(spark, "events_time_to_convert")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Exchange SinglePartition", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_ivf_cell_balance_codebook_broadcast(spark):
+    """Assignment streams the corpus against the broadcast codebook
+    (the only nested loop); no sort-merge join anywhere."""
+    plan = plan_of(spark, "knn_ivf_cell_balance")
+    assert count(r"BroadcastNestedLoopJoin", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_weighted_jaccard_no_doc_product(spark):
+    """Weighted pairs expand inside capped posting lists exactly like
+    the unweighted twin: no cartesian, no doc x doc self-join."""
+    plan = plan_of(spark, "dedup_weighted_jaccard_pairs")
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
