@@ -2686,3 +2686,85 @@ def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_jaccard"
         ),
     )
+
+
+_HITS_ORACLE = (
+    "WITH pairs AS ("
+    + _minhash_sql(
+        """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        """
+    )
+    + """),
+    outdeg AS (
+        SELECT doc_a AS node, count(*) AS h1 FROM pairs GROUP BY doc_a
+    ),
+    auth AS (
+        SELECT p.doc_b AS node, sum(o.h1) AS auth_score
+        FROM pairs p JOIN outdeg o ON p.doc_a = o.node
+        GROUP BY p.doc_b
+    ),
+    hub AS (
+        SELECT p.doc_a AS node, sum(a.auth_score) AS hub_score
+        FROM pairs p JOIN auth a ON p.doc_b = a.node
+        GROUP BY p.doc_a
+    )
+    SELECT coalesce(h.node, a.node) AS node,
+           CAST(coalesce(h.hub_score, 0) AS BIGINT) AS hub_score,
+           CAST(coalesce(a.auth_score, 0) AS BIGINT) AS auth_score
+    FROM hub h FULL OUTER JOIN auth a ON h.node = a.node
+    """
+)
+
+
+@register("graph_hits_step", category="dedup", oracle=_HITS_ORACLE)
+def graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HITS (hubs & authorities) iteration over the near-dup graph.
+
+    The directional companion to ``graph_pagerank_step``: on the
+    LSH-pair graph oriented low-id -> high-id (deterministic), one full
+    Kleinberg iteration from the uniform start — ``auth = A^T (A 1)``,
+    ``hub = A auth`` — flags documents that AGGREGATE many duplicates
+    (hubs: templated boilerplate sources) vs documents duplicated BY
+    many aggregators (authorities: the canonical originals).  Scores
+    stay UNNORMALIZED BIGINTs (normalization is a scalar; rankings are
+    what the dedup triage consumes), so every value is engine-exact.
+
+    Scale shape: the pair list is ``localCheckpoint``-ed once (the LSH
+    pipeline executes once, feeding all three consumers); each
+    half-step is one bounded equi-join + aggregate keyed on node ids —
+    the same cost class as a degree count, never |docs|^2.
+    """
+    pairs = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    outdeg = pairs.groupBy(F.col("doc_a").alias("node")).agg(
+        F.count(F.lit(1)).alias("h1")
+    )
+    auth = (
+        pairs.join(outdeg, pairs.doc_a == outdeg.node)
+        .groupBy(F.col("doc_b").alias("anode"))
+        .agg(F.sum("h1").alias("auth_score"))
+    )
+    hub = (
+        pairs.join(auth, pairs.doc_b == F.col("anode"))
+        .groupBy(F.col("doc_a").alias("hnode"))
+        .agg(F.sum("auth_score").alias("hub_score"))
+    )
+    return hub.join(
+        auth, hub.hnode == auth.anode, "full_outer"
+    ).select(
+        F.coalesce(F.col("hnode"), F.col("anode")).alias("node"),
+        F.coalesce(F.col("hub_score"), F.lit(0)).cast("bigint").alias(
+            "hub_score"
+        ),
+        F.coalesce(F.col("auth_score"), F.lit(0)).cast("bigint").alias(
+            "auth_score"
+        ),
+    )

@@ -3159,3 +3159,78 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_min"),
         F.max("latency_min").cast("bigint").alias("max_min"),
     )
+
+
+@register(
+    "events_autocorr_daily",
+    category="events",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, c AS x,
+               lead(c) OVER (PARTITION BY event_type ORDER BY d) AS y
+        FROM daily
+    ), moments AS (
+        SELECT event_type, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM lagged WHERE y IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                        * (n * syy - sy * sy)), 6) AS autocorr_lag1
+    FROM moments
+    """,
+)
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event volume per type.
+
+    The persistence statistic that separates trending series from white
+    noise — the quantitative sibling of ``events_seasonal_decompose``
+    (is there structure?) and the precondition check for
+    ``events_changepoint_cusum`` (CUSUM assumes roughly independent
+    residuals).  Computed as the Pearson correlation of consecutive-day
+    pairs: all five moments are exact BIGINTs, and the final expression
+    is the identical IEEE arithmetic in both engines — the only float
+    is the one reported value.
+
+    Scale shape: the firehose collapses to (type, day) counts map-side;
+    the lead window and moment aggregate run over bounded
+    types x days cardinality.  One scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lagged = daily.select(
+        "event_type",
+        F.col("c").alias("x"),
+        F.lead("c")
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("y"),
+    ).filter(F.col("y").isNotNull())
+    m = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / den, 6).alias("autocorr_lag1"),
+    )

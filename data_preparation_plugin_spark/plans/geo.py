@@ -378,3 +378,93 @@ def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.d").alias("nearest_dist_sq"),
         )
     )
+
+
+#: Standard geohash base32 alphabet (no a/i/l/o).
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+#: 6 characters = 30 bits = 15 bits per axis.
+GEOHASH_BITS = 15
+
+
+def _geohash_sql(x_expr: str, y_expr: str) -> str:
+    """Geohash-6 as one engine-portable SQL expression.
+
+    Quantize each axis to 15 bits, interleave with longitude first
+    (the geohash bit layout), then map 5-bit chunks onto the standard
+    base32 alphabet.  Pure integer arithmetic + substr — identical
+    semantics in Spark SQL and DuckDB, which is what makes the oracle
+    exact; reuses the Morton construction of ``layout.zorder_key_sql``
+    with (lat, lon) argument order so longitude lands on the
+    high-weight odd bit positions.
+    """
+    from data_preparation_plugin_spark.layout import zorder_key_sql
+
+    scale = 1 << GEOHASH_BITS
+    lon_q = (
+        f"CAST(least(floor((({x_expr}) + 180.0) / 360.0 * {scale}),"
+        f" {scale - 1}) AS BIGINT)"
+    )
+    lat_q = (
+        f"CAST(least(floor((({y_expr}) + 90.0) / 180.0 * {scale}),"
+        f" {scale - 1}) AS BIGINT)"
+    )
+    morton = zorder_key_sql(lat_q, lon_q, bits=GEOHASH_BITS)
+    chunks = [
+        f"substr('{GEOHASH_ALPHABET}',"
+        f" CAST(((({morton}) >> {25 - 5 * k}) & 31) + 1 AS INTEGER), 1)"
+        for k in range(6)
+    ]
+    return " || ".join(chunks)
+
+
+@register(
+    "geo_geohash_encode",
+    category="geo",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey % 360) - 180
+                   + ((c_custkey * 7919) % 1000) / 1000.0  AS x,
+               ((c_custkey * 31) % 180) - 90
+                   + ((c_custkey * 104729) % 1000) / 1000.0 AS y
+        FROM customer
+    ), hashed AS (
+        SELECT c_custkey, {_geohash_sql("x", "y")} AS geohash
+        FROM pts
+    )
+    SELECT substr(geohash, 1, 4) AS cell,
+           CAST(count(*) AS BIGINT) AS n_points,
+           min(geohash) AS sample_geohash,
+           CAST(min(c_custkey) AS BIGINT) AS min_custkey
+    FROM hashed
+    GROUP BY 1
+    """,
+)
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-6 encoding + prefix-cell density (spatial binning).
+
+    The string-prefix spatial index every lakehouse reaches for when no
+    geo extension is installed: geohash cells nest by prefix, so ONE
+    encoded column serves every aggregation granularity (substr = zoom
+    out) and range-partitions geographically local points into the same
+    files — the geo analogue of ``layout_zorder_bucket``, built on the
+    same Morton construction.  Encoding is pure integer arithmetic
+    shared verbatim between engines (``_geohash_sql``), so every
+    character is engine-exact.  Output: per-4-char-cell density with a
+    sample full-precision hash.
+
+    Scale shape: the encode is a narrow per-row expression inside
+    whole-stage codegen (no UDF, no join); the density aggregate is
+    map-side-combinable on the bounded cell domain.  One scan.
+    """
+    pts = _points(spark, sf_dir)
+    hashed = pts.select(
+        "c_custkey", F.expr(_geohash_sql("x", "y")).alias("geohash")
+    )
+    return hashed.groupBy(
+        F.substring("geohash", 1, 4).alias("cell")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min("geohash").alias("sample_geohash"),
+        F.min("c_custkey").cast("bigint").alias("min_custkey"),
+    )

@@ -3523,3 +3523,51 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         ((mid_lo + mid_hi) / 2).alias("rolling_median"),
     )
+
+
+@register(
+    "agg_mode_exact",
+    category="agg",
+    oracle="""
+    SELECT l_returnflag,
+           mode_value,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM (
+        SELECT l_returnflag, l_linestatus AS mode_value, count(*) AS n_occurrences,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY count(*) DESC, l_linestatus) AS rn
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value).
+
+    Both engines HAVE a ``mode()`` aggregate, and neither defines which
+    value wins a tie — so the portable form is counts + an explicit
+    ranked window with a value tie-break.  That determinism is not
+    pedantry: a modal "most common line status per flag" that flaps
+    between runs poisons incremental downstream caches.
+
+    Scale shape: map-side-combinable (group, value) counts — the
+    shuffle moves distinct combinations, never rows — then the window
+    ranks within each group's bounded value domain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", F.col("l_linestatus").alias("mode_value")).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    win = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n_occurrences").desc(), "mode_value"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "mode_value",
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        )
+    )

@@ -262,6 +262,10 @@ PROBES = [
     "events_time_to_convert",      # user collapse + converted-only rank
     "knn_ivf_cell_balance",        # broadcast codebook map + 8-row audit
     "dedup_weighted_jaccard_pairs",  # capped posting pairs, integer weights
+    "agg_mode_exact",              # combination counts + bounded rank
+    "events_autocorr_daily",       # daily collapse + moment agg
+    "graph_hits_step",             # checkpointed pairs + two half-steps
+    "geo_geohash_encode",          # in-codegen encode + cell agg
 ]
 
 

@@ -967,3 +967,41 @@ def test_weighted_jaccard_no_doc_product(spark):
     the unweighted twin: no cartesian, no doc x doc self-join."""
     plan = plan_of(spark, "dedup_weighted_jaccard_pairs")
     assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
+
+
+def test_mode_exact_shuffles_combinations_only(spark):
+    """(group, value) counts reduce map-side; the rank window shares the
+    bounded combination relation — no join, one scan."""
+    plan = plan_of(spark, "agg_mode_exact")
+    assert count(r"Exchange hashpartitioning", plan) == 2
+    assert count(r"Join", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
+
+
+def test_autocorr_bounded_windows_one_scan(spark):
+    """Daily collapse + lead + moments all run on (type, day)
+    cardinality: 2 exchanges, no joins, one scan."""
+    plan = plan_of(spark, "events_autocorr_daily")
+    assert count(r"Exchange hashpartitioning", plan) == 2
+    assert count(r"Join", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
+
+
+def test_hits_step_reuses_checkpointed_pairs(spark):
+    """All three consumers read the ONE checkpointed LSH pair list (no
+    parquet scan survives); the only sort-merge join is the final
+    node-sized hub/auth full-outer merge (full outer cannot broadcast)."""
+    plan = plan_of(spark, "graph_hits_step")
+    assert count(r"FileScan parquet", plan) == 0
+    assert count(r"SortMergeJoin.*FullOuter", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 1
+    assert count(r"CartesianProduct", plan) == 0
+
+
+def test_geohash_encode_pure_map_one_agg(spark):
+    """The encode is a narrow in-codegen expression: no UDF evaluator,
+    no join; one bounded cell aggregate over one scan."""
+    plan = plan_of(spark, "geo_geohash_encode")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan) == 0
