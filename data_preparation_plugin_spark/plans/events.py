@@ -3234,3 +3234,101 @@ def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.round(num / den, 6).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "events_attribution_position",
+    category="events",
+    oracle="""
+    WITH first_purchase AS (
+        SELECT user_id, min(ts) AS p_ts
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), touches AS (
+        SELECT e.user_id, e.event_id, e.event_type,
+               row_number() OVER (
+                   PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS pos,
+               count(*) OVER (PARTITION BY e.user_id) AS k
+        FROM events e
+        JOIN first_purchase f
+          ON e.user_id = f.user_id AND e.ts < f.p_ts
+         AND e.event_type IN ('view', 'click')
+    ), credited AS (
+        SELECT event_type,
+               CASE
+                   WHEN k = 1 THEN 10000
+                   WHEN k = 2 THEN 5000
+                   WHEN pos = 1 OR pos = k THEN 4000
+                   WHEN pos = 2 THEN 2000 // (k - 2)
+                                    + 2000 - (k - 2) * (2000 // (k - 2))
+                   ELSE 2000 // (k - 2)
+               END AS credit_bp
+        FROM touches
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_bp) AS BIGINT) AS total_credit_bp
+    FROM credited
+    GROUP BY event_type
+    """,
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) attribution: 40/20/40 credit split.
+
+    The multi-touch model between last-touch (already registered) and
+    data-driven Shapley: the first and last pre-purchase touchpoints
+    take 40% each, middles split the remaining 20%.  Credits are
+    integer basis points with the floor remainder assigned to the
+    earliest middle touch, so every user's credits sum to EXACTLY
+    10000 — the invariant that makes channel reports reconcile — and
+    every value is engine-exact (``//`` floor division, no float
+    anywhere).  Touches are views/clicks strictly before the user's
+    first purchase.
+
+    Scale shape: one user-keyed join against the tiny first-purchase
+    aggregate, position ranks inside each user's bounded touch window,
+    and a bounded |event_type| final aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    touches = (
+        events.join(first_purchase, "user_id")
+        .filter(
+            (F.col("ts") < F.col("p_ts"))
+            & F.col("event_type").isin("view", "click")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("pos"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id"))
+            .alias("k"),
+        )
+    )
+    mid_share = F.expr("2000 DIV (k - 2)")
+    credit = (
+        F.when(F.col("k") == 1, F.lit(10000))
+        .when(F.col("k") == 2, F.lit(5000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("k")), F.lit(4000))
+        .when(
+            F.col("pos") == 2,
+            mid_share + 2000 - (F.col("k") - 2) * mid_share,
+        )
+        .otherwise(mid_share)
+    )
+    return (
+        touches.select("event_type", credit.alias("credit_bp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit_bp").cast("bigint").alias("total_credit_bp"),
+        )
+    )

@@ -3571,3 +3571,163 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
         )
     )
+
+
+#: Salt for the format-preserving digit substitution (versioned so a
+#: rotation produces a fresh permutation).
+FPM_SALT = "mask-v1"
+
+
+@register(
+    "transform_format_preserving_mask",
+    category="transform",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(i AS VARCHAR) AS d,
+               row_number() OVER (ORDER BY md5('{FPM_SALT}' || i)) - 1
+                   AS masked
+        FROM (SELECT unnest(range(0, 10)) AS i)
+    ), tgt AS (
+        SELECT string_agg(CAST(masked AS VARCHAR), '' ORDER BY d) AS t
+        FROM digits
+    )
+    SELECT c_custkey,
+           translate(c_name, '0123456789', tgt.t) AS masked_name,
+           CAST(length(c_name) AS BIGINT) AS orig_len,
+           CAST(length(translate(c_name, '0123456789', tgt.t)) AS BIGINT)
+               AS masked_len
+    FROM customer, tgt
+    """,
+)
+def transform_format_preserving_mask(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Format-preserving masking: salt-derived digit substitution.
+
+    ``transform_pseudonymize_consistent`` replaces identifiers with
+    opaque hashes — correct for joins, useless for systems that
+    VALIDATE formats (fixed-width loaders, checksummed account fields,
+    UI display).  This operator masks digits in place: a permutation of
+    0-9 derived by ranking ``md5(salt || digit)``, applied with
+    ``translate`` — length, layout, and non-digit characters survive
+    exactly (proven by the audited length columns).  Deterministic and
+    consistent across tables sharing the salt; documented as
+    obfuscation (a 10! keyspace), NOT cryptographic FPE — rotate
+    ``FPM_SALT`` per release like the pseudonymization salts.
+
+    Scale shape: the 10-row permutation reduces to ONE scalar translate
+    target, broadcast with the literal; the mask itself is a narrow
+    in-codegen expression — no join against the corpus, no UDF.
+    """
+    digits = spark.range(0, 10).select(
+        F.col("id").cast("string").alias("d"),
+        (
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.md5(F.concat(F.lit(FPM_SALT), F.col("id").cast("string")))
+                )
+            )
+            - 1
+        ).alias("masked"),
+    )
+    tgt = digits.orderBy("d").agg(
+        F.concat_ws("", F.collect_list(F.col("masked").cast("string"))).alias(
+            "t"
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.crossJoin(F.broadcast(tgt)).select(
+        "c_custkey",
+        F.expr("translate(c_name, '0123456789', t)").alias("masked_name"),
+        F.length("c_name").cast("bigint").alias("orig_len"),
+        F.length(F.expr("translate(c_name, '0123456789', t)"))
+        .cast("bigint")
+        .alias("masked_len"),
+    )
+
+
+#: Number of reconciliation buckets for the row-checksum digest.
+CHECKSUM_BUCKETS = 16
+
+
+@register(
+    "transform_row_checksum_digest",
+    category="transform",
+    oracle=f"""
+    WITH encoded AS (
+        SELECT o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+               md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   coalesce(o_orderstatus, '<NULL>') || '|' ||
+                   CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS VARCHAR) || '|' ||
+                   CAST(date_diff('microsecond',
+                                  TIMESTAMP '1970-01-01 00:00:00',
+                                  o_orderdate) AS VARCHAR) || '|' ||
+                   coalesce(o_orderpriority, '<NULL>')
+               ) AS row_hash
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(concat('0x', substr(row_hash, 1, 8)) AS BIGINT))
+                AS BIGINT) AS digest_sum,
+           min(row_hash) AS min_hash,
+           max(row_hash) AS max_hash
+    FROM encoded
+    GROUP BY bucket
+    """,
+)
+def transform_row_checksum_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-independent per-bucket row checksums — the replication audit.
+
+    The reference's whole job is copying tables between systems
+    (``CopyTableOperator``, the PG transports); this is the operator
+    that PROVES a copy: a canonical per-row encoding (explicit ``|``
+    separators, ``<NULL>`` sentinels, money as exact cents, timestamps
+    as epoch microseconds — never engine-native string casts, whose
+    float/timestamp formatting differs) hashed with md5, then folded
+    into ORDER-INDEPENDENT per-bucket digests (count + sum of the
+    leading-8-hex-digit integer + min/max hash).  Run on both sides of
+    any transport: a diverging bucket localizes corruption to 1/{CHECKSUM_BUCKETS}
+    of the keyspace without moving any data.
+
+    Scale shape: hash and encode are narrow in-codegen expressions; the
+    digest is one map-side-combinable aggregate onto {CHECKSUM_BUCKETS}
+    buckets — the whole audit is one scan, and the digests it ships are
+    bytes, not rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    encoded = orders.select(
+        (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.coalesce(F.col("o_orderstatus"), F.lit("<NULL>")),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .cast("string"),
+                F.expr(
+                    "CAST(timestampdiff(MICROSECOND,"
+                    " TIMESTAMP '1970-01-01 00:00:00', o_orderdate)"
+                    " AS STRING)"
+                ),
+                F.coalesce(F.col("o_orderpriority"), F.lit("<NULL>")),
+            )
+        ).alias("row_hash"),
+    )
+    return encoded.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.expr("CAST(conv(substr(row_hash, 1, 8), 16, 10) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("digest_sum"),
+        F.min("row_hash").alias("min_hash"),
+        F.max("row_hash").alias("max_hash"),
+    )

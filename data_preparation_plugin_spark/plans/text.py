@@ -2439,3 +2439,76 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "text_readability",
+    category="text",
+    oracle=r"""
+    WITH counts AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences,
+               greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+               AS flesch_ease
+    FROM counts
+    WHERE n_words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score from regex-countable proxies.
+
+    The classic readability gate (common in web-corpus curation
+    alongside the Gopher rules): words per sentence + syllables per
+    word, with syllables approximated by vowel-group runs — the
+    standard regex proxy when no dictionary is shipped.  All three
+    counts are exact integers; the Flesch formula is the identical IEEE
+    double expression in both engines, so the score is engine-exact
+    UNROUNDED (per the float discipline: never round what both engines
+    compute identically).  Sentence/syllable floors of 1 keep the
+    formula total on punctuation-free text.
+
+    Scale shape: three narrow regexp counts per row — no explode, no
+    shuffle at all; the score is a pure projection inside whole-stage
+    codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))),
+            F.lit(1),
+        ).alias("n_sentences"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(r"[aeiouy]+"), F.lit(0)
+                )
+            ),
+            F.lit(1),
+        ).alias("n_syllables"),
+    )
+    return counts.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        ).alias("flesch_ease"),
+    )

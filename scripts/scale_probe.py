@@ -266,6 +266,10 @@ PROBES = [
     "events_autocorr_daily",       # daily collapse + moment agg
     "graph_hits_step",             # checkpointed pairs + two half-steps
     "geo_geohash_encode",          # in-codegen encode + cell agg
+    "transform_format_preserving_mask",  # scalar translate target, pure map
+    "text_readability",            # three regexp counts, zero shuffle
+    "events_attribution_position", # broadcast first-purchase + user ranks
+    "transform_row_checksum_digest",  # in-codegen hash + bucket digest agg
 ]
 
 

@@ -1005,3 +1005,37 @@ def test_geohash_encode_pure_map_one_agg(spark):
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"Join", plan) == 0
     assert count(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan) == 0
+
+
+def test_format_mask_scalar_broadcast_no_udf(spark):
+    """The 10-row permutation folds to ONE broadcast scalar; the mask is
+    a narrow translate expression — no UDF, no corpus shuffle."""
+    plan = plan_of(spark, "transform_format_preserving_mask")
+    assert count(r"Exchange hashpartitioning", plan) == 0
+    assert count(r"BroadcastNestedLoopJoin", plan) == 1
+    assert count(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan) == 0
+
+
+def test_readability_pure_projection(spark):
+    """Three regexp counts + the Flesch formula are a pure projection:
+    zero exchanges of any kind."""
+    plan = plan_of(spark, "text_readability")
+    assert count(r"Exchange", plan) == 0
+    assert count(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan) == 0
+
+
+def test_position_attribution_broadcast_first_purchase(spark):
+    """Touches join the user-level first-purchase aggregate by broadcast;
+    position ranks stay inside the user window — no cartesian, no SMJ."""
+    plan = plan_of(spark, "events_attribution_position")
+    assert count(r"BroadcastHashJoin", plan) == 1
+    assert count(r"SortMergeJoin|CartesianProduct", plan) == 0
+
+
+def test_row_checksum_single_scan_bucket_agg(spark):
+    """Encode + hash are in-codegen projections; the digest reduces
+    map-side onto the bucket domain — one exchange, one scan, no UDF."""
+    plan = plan_of(spark, "transform_row_checksum_digest")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan) == 0
