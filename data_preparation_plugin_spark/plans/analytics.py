@@ -4086,3 +4086,137 @@ def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_d"),
     )
+
+
+@register(
+    "agg_log2_histogram",
+    category="agg",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders WHERE o_totalprice > 0
+    )
+    SELECT CAST(length(bin(v)) - 1 AS BIGINT) AS bucket_log2,
+           CAST(1 << (length(bin(v)) - 1) AS BIGINT) AS bucket_lo_cents,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(v) AS BIGINT) AS min_cents,
+           CAST(max(v) AS BIGINT) AS max_cents
+    FROM cents
+    GROUP BY 1, 2
+    """,
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-style log2 histogram: power-of-two value buckets.
+
+    Linear bins (``agg_histogram_fixed``) waste resolution on
+    heavy-tailed money/latency distributions; the HDR-histogram answer
+    is exponential buckets.  The bucket index is ``floor(log2(v))``
+    computed WITHOUT floating log — ``length(bin(v)) - 1``, the binary
+    digit count — because ``floor(ln(v)/ln(2))`` misassigns exact
+    powers of two when the quotient lands a hair under an integer.
+    Values are exact cents; every output column is BIGINT.
+
+    Scale shape: a narrow in-codegen bucket expression feeding one
+    map-side-combinable aggregate over ~60 possible buckets — the
+    sketch-grade cost profile with exact results.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    return (
+        cents.select(
+            (F.length(F.bin("v")) - 1).cast("bigint").alias("bucket_log2"),
+            F.expr(
+                "CAST(shiftleft(1L, CAST(length(bin(v)) - 1 AS INT))"
+                " AS BIGINT)"
+            ).alias("bucket_lo_cents"),
+            "v",
+        )
+        .groupBy("bucket_log2", "bucket_lo_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("v").cast("bigint").alias("min_cents"),
+            F.max("v").cast("bigint").alias("max_cents"),
+        )
+    )
+
+
+@register(
+    "profile_id_gap_audit",
+    category="profile",
+    oracle="""
+    WITH keys AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+    ), walk AS (
+        SELECT k,
+               CASE WHEN k = lag(k) OVER (ORDER BY k) + 1
+                    THEN 0 ELSE 1 END AS is_new
+        FROM keys
+    ), summary AS (
+        SELECT count(*) AS n_distinct,
+               min(k) AS min_key, max(k) AS max_key,
+               sum(is_new) AS n_islands
+        FROM walk
+    ), totals AS (
+        SELECT count(*) AS n_rows FROM orders
+    )
+    SELECT CAST(t.n_rows AS BIGINT) AS n_rows,
+           CAST(s.n_distinct AS BIGINT) AS n_distinct,
+           CAST(s.min_key AS BIGINT) AS min_key,
+           CAST(s.max_key AS BIGINT) AS max_key,
+           CAST(s.n_islands AS BIGINT) AS n_islands,
+           CAST(s.max_key - s.min_key + 1 - s.n_distinct AS BIGINT)
+               AS n_missing,
+           CAST(t.n_rows - s.n_distinct AS BIGINT) AS n_duplicate_rows
+    FROM summary s, totals t
+    """,
+)
+def profile_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-id continuity audit: gaps, islands, duplicates.
+
+    The data-quality question behind every "did the extract drop rows?"
+    incident: is the id sequence dense?  One pass reports distinct vs
+    total (duplicates), min/max span vs distinct (missing ids), and the
+    number of contiguous islands (HOW the missing ids cluster — one big
+    hole vs scattered erosion — via the lag-walk islands idiom).  All
+    BIGINT, engine-exact; the first row of the walk yields ``is_new=1``
+    through the NULL-comparison CASE in both engines.
+
+    Scale shape: the walk orders DISTINCT KEYS, never rows, after a
+    map-side-combinable distinct; at extreme key cardinality partition
+    the walk by key range (islands compose across ranges by comparing
+    boundary keys) — the documented scale-out, same idiom.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    walk = keys.select(
+        "k",
+        F.when(
+            F.col("k")
+            == F.lag("k").over(Window.partitionBy().orderBy("k")) + 1,
+            0,
+        )
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    summary = walk.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+        F.sum("is_new").alias("n_islands"),
+    )
+    totals = orders.agg(F.count(F.lit(1)).alias("n_rows"))
+    return summary.crossJoin(totals).select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("min_key").cast("bigint").alias("min_key"),
+        F.col("max_key").cast("bigint").alias("max_key"),
+        F.col("n_islands").cast("bigint").alias("n_islands"),
+        (F.col("max_key") - F.col("min_key") + 1 - F.col("n_distinct"))
+        .cast("bigint")
+        .alias("n_missing"),
+        (F.col("n_rows") - F.col("n_distinct"))
+        .cast("bigint")
+        .alias("n_duplicate_rows"),
+    )

@@ -270,6 +270,8 @@ PROBES = [
     "text_readability",            # three regexp counts, zero shuffle
     "events_attribution_position", # broadcast first-purchase + user ranks
     "transform_row_checksum_digest",  # in-codegen hash + bucket digest agg
+    "agg_log2_histogram",          # in-codegen log2 bucket + bounded agg
+    "profile_id_gap_audit",        # distinct keys + islands walk
 ]
 
 

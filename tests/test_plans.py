@@ -1039,3 +1039,20 @@ def test_row_checksum_single_scan_bucket_agg(spark):
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"FileScan parquet", plan) == 1
     assert count(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan) == 0
+
+
+def test_log2_histogram_bounded_agg_one_scan(spark):
+    """The bucket expression is in-codegen (no log(), no UDF); one
+    map-side-combinable exchange over ~60 possible buckets."""
+    plan = plan_of(spark, "agg_log2_histogram")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
+
+
+def test_id_gap_audit_walks_distinct_keys(spark):
+    """The islands walk orders DISTINCT keys after a combinable
+    distinct — the single-partition step never sees raw rows."""
+    plan = plan_of(spark, "profile_id_gap_audit")
+    assert count(r"Exchange SinglePartition", plan) >= 1
+    assert count(r"SortMergeJoin|CartesianProduct", plan) == 0
