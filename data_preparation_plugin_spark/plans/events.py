@@ -3332,3 +3332,73 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit_bp").cast("bigint").alias("total_credit_bp"),
         )
     )
+
+
+#: Dormancy threshold: a gap of at least this many days between a user's
+#: consecutive events counts as a dormancy spell; the event ending it is
+#: a resurrection.
+DORMANCY_DAYS = 3
+
+
+@register(
+    "events_dormancy_resurrection",
+    category="events",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(date_diff('microsecond',
+                              lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                              ts) AS BIGINT) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_resurrections,
+           CAST(max(gap_us) // 86400000000 AS BIGINT)
+               AS longest_dormancy_days,
+           CAST(sum(gap_us) // 86400000000 AS BIGINT)
+               AS total_dormant_days
+    FROM gaps
+    WHERE gap_us >= {DORMANCY_DAYS}::BIGINT * 86400000000
+    GROUP BY user_id
+    """,
+)
+def events_dormancy_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy spells and resurrections per user — the churn-risk signal.
+
+    Retention cohorts say WHETHER users come back; this says HOW they
+    come back: every gap of >= {DORMANCY_DAYS} days between consecutive
+    events is a dormancy spell, and the event that ends it a
+    resurrection — the lifecycle segment ("habitual" vs "lapsing and
+    re-acquired") that churn models key on.  Gaps are exact integer
+    microseconds (the repo's timestamp-difference discipline — never
+    engine-divergent unit date_diffs), floored to days only in the
+    report.
+
+    Scale shape: one user exchange for the lag window; the filter
+    collapses the stream to dormancy rows before the per-user
+    aggregate.  No joins, one scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    gaps = events.select(
+        "user_id",
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND,"
+            " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),"
+            " ts) AS BIGINT)"
+        ).alias("gap_us"),
+    )
+    day_us = 86_400_000_000
+    return (
+        gaps.filter(F.col("gap_us") >= DORMANCY_DAYS * day_us)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_resurrections"),
+            F.expr(f"CAST(max(gap_us) DIV {day_us} AS BIGINT)").alias(
+                "longest_dormancy_days"
+            ),
+            F.expr(f"CAST(sum(gap_us) DIV {day_us} AS BIGINT)").alias(
+                "total_dormant_days"
+            ),
+        )
+    )

@@ -3731,3 +3731,91 @@ def transform_row_checksum_digest(
         F.min("row_hash").alias("min_hash"),
         F.max("row_hash").alias("max_hash"),
     )
+
+
+@register(
+    "transform_interval_coalesce",
+    category="transform",
+    oracle="""
+    WITH ranges AS (
+        SELECT o_custkey AS key,
+               o_orderdate AS lo,
+               o_orderdate + to_days(CAST(o_orderkey % 30 + 1 AS INTEGER))
+                   AS hi
+        FROM orders
+    ), walk AS (
+        SELECT key, lo, hi,
+               CASE WHEN lo <= max(hi) OVER (
+                        PARTITION BY key ORDER BY lo, hi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS is_new
+        FROM ranges
+    ), islands AS (
+        SELECT key, lo, hi,
+               sum(is_new) OVER (PARTITION BY key ORDER BY lo, hi
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS island
+        FROM walk
+    )
+    SELECT key,
+           min(lo) AS valid_from,
+           max(hi) AS valid_to,
+           CAST(count(*) AS BIGINT) AS n_source_ranges
+    FROM islands
+    GROUP BY key, island
+    """,
+)
+def transform_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping validity ranges into disjoint intervals per key.
+
+    The temporal-data normalizer: per customer, overlapping order
+    activity windows (synthesized ``[o_orderdate, +1..30d)`` spans)
+    collapse into maximal disjoint intervals — the precondition for
+    every point-in-time join and effective-dating model, and the
+    general form of the islands idiom the SCD operators use on
+    POINTS.  Overlap detection is the running-max-of-ends window
+    (``lo <= max(hi) over preceding``): correct even when a long range
+    swallows later ones — the classic bug in naive ``lag(hi)``
+    versions.  The first row starts an island through the NULL CASE in
+    both engines; all timestamps pass through untouched (no arithmetic
+    to diverge on).
+
+    Scale shape: one exchange on the key; both windows and the final
+    aggregate share that partitioning — Spark plans a single sort, no
+    joins, one scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ranges = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("lo"),
+        F.expr(
+            "o_orderdate + make_interval(0, 0, 0,"
+            " CAST(o_orderkey % 30 + 1 AS INT), 0, 0, 0)"
+        ).alias("hi"),
+    )
+    prev = (
+        Window.partitionBy("key")
+        .orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    walk = ranges.select(
+        "key",
+        "lo",
+        "hi",
+        F.when(F.col("lo") <= F.max("hi").over(prev), 0)
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    run = (
+        Window.partitionBy("key")
+        .orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = walk.select(
+        "key", "lo", "hi", F.sum("is_new").over(run).alias("island")
+    )
+    return islands.groupBy("key", "island").agg(
+        F.min("lo").alias("valid_from"),
+        F.max("hi").alias("valid_to"),
+        F.count(F.lit(1)).cast("bigint").alias("n_source_ranges"),
+    ).drop("island")

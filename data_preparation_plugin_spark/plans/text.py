@@ -2512,3 +2512,79 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("n_syllables").cast("double") / F.col("n_words"))
         ).alias("flesch_ease"),
     )
+
+
+@register(
+    "text_js_divergence",
+    category="text",
+    oracle=r"""
+    WITH toks AS (
+        SELECT CAST(substr(source, 4) AS INTEGER) % 2 AS grp,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token,
+               sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+        FROM toks GROUP BY token
+    ), norm AS (
+        SELECT token, c0, c1,
+               sum(c0) OVER () AS n0, sum(c1) OVER () AS n1
+        FROM counts
+    ), terms AS (
+        SELECT CAST(c0 AS DOUBLE) / n0 AS p,
+               CAST(c1 AS DOUBLE) / n1 AS q
+        FROM norm
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           round(0.5 * sum(CASE WHEN p > 0
+                               THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+               + 0.5 * sum(CASE WHEN q > 0
+                               THEN q * ln(q / ((p + q) / 2)) ELSE 0 END),
+                 4) AS js_divergence
+    FROM terms
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two source cohorts' vocabularies.
+
+    The text companion to ``profile_ks_drift``'s numeric test: a
+    bounded (0..ln 2), symmetric distribution distance over token
+    frequencies — the standard "did the crawl mix shift?" monitor for
+    training-corpus composition.  Token counts are exact integers; the
+    probabilities and ``ln`` terms use the identical expression in both
+    engines, with the sum-then-round-4 discipline the LM scores
+    established for library-``ln`` 1-ulp noise.  Absent tokens
+    contribute their defined zero limit via the explicit guard.
+
+    Scale shape: explode -> map-side-combinable (token, group) counts
+    — the shuffle moves vocabulary, not corpus; the divergence is one
+    scalar aggregate over that vocabulary.  One scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.substring("source", 4, 10).cast("int") % 2).alias("grp"),
+        F.explode(tokens_col(F.col("text"))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    wall = Window.partitionBy()
+    norm = counts.select(
+        "c0",
+        "c1",
+        F.sum("c0").over(wall).alias("n0"),
+        F.sum("c1").over(wall).alias("n1"),
+    )
+    p = F.col("c0").cast("double") / F.col("n0")
+    q = F.col("c1").cast("double") / F.col("n1")
+    m = (p + q) / 2
+    return norm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.round(
+            0.5 * F.sum(F.when(p > 0, p * F.log(p / m)).otherwise(0.0))
+            + 0.5 * F.sum(F.when(q > 0, q * F.log(q / m)).otherwise(0.0)),
+            4,
+        ).alias("js_divergence"),
+    )

@@ -272,6 +272,9 @@ PROBES = [
     "transform_row_checksum_digest",  # in-codegen hash + bucket digest agg
     "agg_log2_histogram",          # in-codegen log2 bucket + bounded agg
     "profile_id_gap_audit",        # distinct keys + islands walk
+    "events_dormancy_resurrection",  # lag window + per-user agg
+    "transform_interval_coalesce", # running-max islands, one sort
+    "text_js_divergence",          # vocab counts + scalar divergence
 ]
 
 

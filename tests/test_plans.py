@@ -1056,3 +1056,28 @@ def test_id_gap_audit_walks_distinct_keys(spark):
     plan = plan_of(spark, "profile_id_gap_audit")
     assert count(r"Exchange SinglePartition", plan) >= 1
     assert count(r"SortMergeJoin|CartesianProduct", plan) == 0
+
+
+def test_dormancy_one_user_exchange(spark):
+    """Lag window + per-user aggregate share one exchange and one sort;
+    no joins, one scan."""
+    plan = plan_of(spark, "events_dormancy_resurrection")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_interval_coalesce_single_sort(spark):
+    """Running-max walk, island cumsum, and the interval aggregate all
+    share the (key, lo, hi) partitioning: ONE exchange, ONE sort."""
+    plan = plan_of(spark, "transform_interval_coalesce")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Sort ", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_js_divergence_shuffles_vocabulary_only(spark):
+    """Token counts reduce map-side; the divergence is one scalar agg
+    over the vocabulary — no join, one hash exchange."""
+    plan = plan_of(spark, "text_js_divergence")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
