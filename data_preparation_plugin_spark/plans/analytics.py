@@ -4090,7 +4090,7 @@ def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_log2_histogram",
-    category="agg",
+    category="aggregate",
     oracle="""
     WITH cents AS (
         SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v

@@ -3527,7 +3527,7 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_mode_exact",
-    category="agg",
+    category="aggregate",
     oracle="""
     SELECT l_returnflag,
            mode_value,
