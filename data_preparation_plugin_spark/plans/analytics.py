@@ -4220,3 +4220,135 @@ def profile_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_duplicate_rows"),
     )
+
+
+@register(
+    "events_cohort_ltv",
+    category="events",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ), purchases AS (
+        SELECT f.cohort_day,
+               CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                          / 7.0) AS BIGINT) AS week_offset,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    ), weekly AS (
+        SELECT cohort_day, week_offset,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM purchases GROUP BY 1, 2
+    )
+    SELECT cohort_day, week_offset, n_purchases, revenue_cents,
+           CAST(sum(revenue_cents) OVER (
+               PARTITION BY cohort_day ORDER BY week_offset) AS BIGINT)
+               AS cum_revenue_cents
+    FROM weekly
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV accumulation: cumulative revenue by acquisition week.
+
+    The money companion to ``events_retention_cohort``'s activity
+    matrix: per acquisition cohort, purchase revenue by week offset and
+    its running total — the curve whose plateau IS customer lifetime
+    value, and the payback-period input every acquisition-spend
+    decision reads.  Revenue is exact integer cents from the first
+    aggregate on; the cumsum runs over bounded (cohort, week)
+    cardinality; day arithmetic is DATE-to-DATE ``date_diff`` (boundary
+    count equals elapsed days for DATE operands — safe, unlike
+    sub-day units).
+
+    Scale shape: one user-keyed first-seen aggregate, the same
+    broadcast-sized join as the retention matrix, then everything runs
+    on cohort x week cardinality.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+                / 7.0
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    weekly = purchases.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    return weekly.select(
+        "cohort_day",
+        "week_offset",
+        "n_purchases",
+        "revenue_cents",
+        F.sum("revenue_cents")
+        .over(Window.partitionBy("cohort_day").orderBy("week_offset"))
+        .cast("bigint")
+        .alias("cum_revenue_cents"),
+    )
+
+
+@register(
+    "events_lness_histogram",
+    category="events",
+    oracle="""
+    WITH user_weeks AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                   AS epoch_week,
+               count(DISTINCT CAST(ts AS DATE)) AS active_days
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT CAST(epoch_week AS BIGINT) AS epoch_week,
+           CAST(active_days AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM user_weeks
+    GROUP BY 1, 2
+    """,
+)
+def events_lness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-ness engagement histogram: users by active-days-per-week.
+
+    The engagement-depth metric DAU/WAU ratios hide: for each calendar
+    week, how many users were active exactly 1..7 days (the L1..L7
+    histogram whose right-shift is the canonical "habit forming"
+    signal).  Weeks are fixed epoch-day buckets (``epoch_day // 7`` —
+    pure integers, no engine week-truncation semantics to disagree on);
+    active days are exact distinct dates.
+
+    Scale shape: one (user, week) aggregate with a distinct-count over
+    at most 7 values, then a bounded histogram aggregate — both
+    map-side-combinable; no joins, one scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    user_weeks = (
+        events.select(
+            "user_id",
+            F.floor(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+                )
+                / 7
+            ).alias("epoch_week"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .groupBy("user_id", "epoch_week")
+        .agg(F.countDistinct("d").alias("active_days"))
+    )
+    return user_weeks.groupBy(
+        F.col("epoch_week").cast("bigint").alias("epoch_week"),
+        F.col("active_days").cast("bigint").alias("active_days"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))

@@ -2768,3 +2768,113 @@ def graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "auth_score"
         ),
     )
+
+
+#: BFS depth bound for `graph_bfs_levels` — fixed, so the oracle unrolls.
+BFS_MAX_DEPTH = 3
+
+
+_BFS_ORACLE = (
+    "WITH pairs AS ("
+    + _minhash_sql(
+        """
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        """
+    )
+    + """),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT min(doc_a) AS node FROM pairs),
+    l1 AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN l0 ON e.src = l0.node
+        WHERE e.dst NOT IN (SELECT node FROM l0)
+    ),
+    l2 AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN l1 ON e.src = l1.node
+        WHERE e.dst NOT IN (SELECT node FROM l0)
+          AND e.dst NOT IN (SELECT node FROM l1)
+    ),
+    l3 AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN l2 ON e.src = l2.node
+        WHERE e.dst NOT IN (SELECT node FROM l0)
+          AND e.dst NOT IN (SELECT node FROM l1)
+          AND e.dst NOT IN (SELECT node FROM l2)
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(0 AS BIGINT) AS level FROM l0
+    UNION ALL
+    SELECT node, 1 FROM l1
+    UNION ALL
+    SELECT node, 2 FROM l2
+    UNION ALL
+    SELECT node, 3 FROM l3
+    """
+)
+
+
+@register("graph_bfs_levels", category="dedup", oracle=_BFS_ORACLE)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS: hop distance (0..{BFS_MAX_DEPTH}) from a root doc.
+
+    The distance primitive the other graph steps don't expose: how far
+    does duplication INFLUENCE propagate from a document?  Rooted at
+    the smallest doc id in the LSH pair graph (deterministic), expanded
+    breadth-first for ``BFS_MAX_DEPTH`` rounds of frontier-join —
+    each round one equi-join of the CURRENT FRONTIER (never the full
+    visited set) against the checkpointed symmetric edge list, with an
+    anti-join to drop already-visited nodes.  The fixed depth keeps the
+    oracle an unrolled CTE chain (the ``knn_kcenter_coreset`` pattern);
+    the batch form is Pregel-with-a-leash — depth bounds the rounds the
+    way ``transform_hierarchy_flatten`` leashes pointer doubling.
+
+    Scale shape: per round, one frontier x edges equi-join (frontier
+    broadcasts while small — left to AQE) plus an anti-join against the
+    bounded visited set; edges are ``localCheckpoint``-ed once.
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    # Root from the CHECKPOINTED edges (min(src) == min(doc_a) in the
+    # symmetric list) — deriving it from `pairs` would re-execute the
+    # whole LSH pipeline from parquet for one scalar (plan-pinned).
+    root = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).alias("level")
+    )
+    visited = root
+    frontier = root.select("node")
+    out = [root]
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(nxt)
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    result = out[0]
+    for part in out[1:]:
+        result = result.unionByName(part)
+    return result.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("level").cast("bigint").alias("level"),
+    )

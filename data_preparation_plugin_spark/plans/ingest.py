@@ -1443,3 +1443,62 @@ def source_logline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_requests"),
         F.sum("n_bytes").alias("total_bytes"),
     )
+
+
+_JSON_ARRAY_DIR = os.path.join(_STAGE_ROOT, "nation_json_array")
+
+
+@register(
+    "source_json_multiline",
+    category="source",
+    oracle=f"""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           min(n_name) AS first_name
+    FROM read_json('{_JSON_ARRAY_DIR}/nation.json', format='array',
+                   columns={{'n_nationkey': 'BIGINT', 'n_name': 'VARCHAR',
+                             'n_regionkey': 'BIGINT'}})
+    GROUP BY n_regionkey
+    """,
+)
+def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line JSON ARRAY document ingest (``multiLine=true``).
+
+    The OTHER JSON shape in the wild: not newline-delimited records
+    (``source_json_roundtrip``) but one pretty-printed array document —
+    API dumps, config exports.  Spark must be told (``multiLine``),
+    because the default JSONL reader sees a corrupt first record; and
+    the format is intrinsically non-splittable (one document = one
+    task), which is why the staged fixture is DIMENSION-sized (nation,
+    written driver-side) and the docstring rule at 100 TB is: arrays
+    for small reference feeds only, JSONL for anything partitioned —
+    exactly the guidance this query's shape encodes.
+
+    Scale shape: single-document parse (non-splittable by nature) +
+    a bounded aggregate; the oracle reads the identical file with
+    DuckDB's ``format='array'``.
+    """
+    import json as _json
+
+    os.makedirs(_JSON_ARRAY_DIR, exist_ok=True)
+    rows = [
+        {"n_nationkey": r["n_nationkey"], "n_name": r["n_name"],
+         "n_regionkey": r["n_regionkey"]}
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()  # dimension-sized staging (25 rows), driver-side
+    ]
+    rows.sort(key=lambda r: r["n_nationkey"])
+    with open(os.path.join(_JSON_ARRAY_DIR, "nation.json"), "w") as fh:
+        _json.dump(rows, fh, indent=2)
+    df = (
+        spark.read.schema(
+            "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+        )
+        .option("multiLine", "true")
+        .json(_JSON_ARRAY_DIR)
+    )
+    return df.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )

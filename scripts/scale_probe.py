@@ -275,6 +275,10 @@ PROBES = [
     "events_dormancy_resurrection",  # lag window + per-user agg
     "transform_interval_coalesce", # running-max islands, one sort
     "text_js_divergence",          # vocab counts + scalar divergence
+    "events_cohort_ltv",           # first-seen join + cohort-week cumsum
+    "events_lness_histogram",      # two bounded combinable aggs
+    "source_json_multiline",       # single-document array parse
+    "graph_bfs_levels",            # 3 frontier joins on checkpointed edges
 ]
 
 

@@ -1081,3 +1081,28 @@ def test_js_divergence_shuffles_vocabulary_only(spark):
     plan = plan_of(spark, "text_js_divergence")
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"Join", plan) == 0
+
+
+def test_cohort_ltv_broadcast_first_seen(spark):
+    """Purchases join the user-level first-seen aggregate; the weekly
+    rollup and cumsum run on cohort x week cardinality — no cartesian,
+    no sort-merge join at fixture scale."""
+    plan = plan_of(spark, "events_cohort_ltv")
+    assert count(r"CartesianProduct", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) == 1
+
+
+def test_lness_two_bounded_aggs_no_join(spark):
+    """(user, week) distinct-days then the histogram — two combinable
+    aggregates, no joins, one scan."""
+    plan = plan_of(spark, "events_lness_histogram")
+    assert count(r"Join", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
+
+
+def test_bfs_rounds_read_checkpointed_edges(spark):
+    """Every BFS round joins the checkpointed edge list — no parquet
+    scan survives into the final plan, and no round plans a cartesian."""
+    plan = plan_of(spark, "graph_bfs_levels")
+    assert count(r"FileScan parquet", plan) == 0
+    assert count(r"CartesianProduct", plan) == 0
