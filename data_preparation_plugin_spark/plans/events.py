@@ -3402,3 +3402,113 @@ def events_dormancy_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: SLO error budget: allowed error fraction, in basis points (2% here).
+SLO_BUDGET_BP = 200
+#: Long burn window length in hours (the short window is 1 hour).
+SLO_LONG_WINDOW_H = 6
+
+
+@register(
+    "events_slo_burn_rate",
+    category="events",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT CAST(date_diff('microsecond',
+                              TIMESTAMP '1970-01-01 00:00:00', ts)
+                    // 3600000000 AS BIGINT) AS epoch_hour,
+               count(*) AS total,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS errors
+        FROM events GROUP BY 1
+    ), windows AS (
+        SELECT epoch_hour, total, errors,
+               sum(errors) OVER (ORDER BY epoch_hour
+                                 RANGE BETWEEN {SLO_LONG_WINDOW_H - 1}
+                                 PRECEDING AND CURRENT ROW) AS err_6h,
+               sum(total) OVER (ORDER BY epoch_hour
+                                RANGE BETWEEN {SLO_LONG_WINDOW_H - 1}
+                                PRECEDING AND CURRENT ROW) AS tot_6h
+        FROM hourly
+    )
+    SELECT epoch_hour,
+           CAST(total AS BIGINT) AS total,
+           CAST(errors AS BIGINT) AS errors,
+           CAST(errors * 1000000 // (total * {SLO_BUDGET_BP}) AS BIGINT)
+               AS burn_1h_centi,
+           CAST(err_6h * 1000000 // (tot_6h * {SLO_BUDGET_BP}) AS BIGINT)
+               AS burn_6h_centi,
+           CAST(CASE WHEN errors * 10000 > {SLO_BUDGET_BP} * total
+                      AND err_6h * 10000 > {SLO_BUDGET_BP} * tot_6h
+                     THEN 1 ELSE 0 END AS BIGINT) AS page
+    FROM windows
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate — the SRE paging rule as a query.
+
+    The Google-SRE multiwindow alert: page only when BOTH the short
+    (1h) and long ({SLO_LONG_WINDOW_H}h) windows burn error budget
+    faster than allowed — short-only is noise, long-only is too late.
+    Burn rate is (error rate / budget) in centi-units, and both the
+    rates and the paging predicate are pure integer cross-
+    multiplication against the {SLO_BUDGET_BP} bp budget — engine-exact,
+    no float.  Hours are fixed epoch buckets (integer microseconds DIV),
+    and the RANGE frame over the integer hour handles gaps (an empty
+    hour is absent, and the frame is value-based, not row-based —
+    ROWS would silently widen windows across gaps).
+
+    Scale shape: the firehose collapses to hourly (total, errors)
+    map-side; the rolling sums run over HOURS.  One scan, one bounded
+    exchange.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND,"
+                " TIMESTAMP '1970-01-01 00:00:00', ts)"
+                " DIV 3600000000 AS BIGINT)"
+            ).alias("epoch_hour"),
+            (F.col("event_type") == "error").cast("int").alias("is_err"),
+        )
+        .groupBy("epoch_hour")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum("is_err").alias("errors"),
+        )
+    )
+    wlong = (
+        Window.partitionBy()
+        .orderBy("epoch_hour")
+        .rangeBetween(-(SLO_LONG_WINDOW_H - 1), 0)
+    )
+    windows = hourly.select(
+        "epoch_hour",
+        "total",
+        "errors",
+        F.sum("errors").over(wlong).alias("err_6h"),
+        F.sum("total").over(wlong).alias("tot_6h"),
+    )
+    return windows.select(
+        "epoch_hour",
+        F.col("total").cast("bigint").alias("total"),
+        F.col("errors").cast("bigint").alias("errors"),
+        F.expr(
+            f"CAST(errors * 1000000 DIV (total * {SLO_BUDGET_BP})"
+            " AS BIGINT)"
+        ).alias("burn_1h_centi"),
+        F.expr(
+            f"CAST(err_6h * 1000000 DIV (tot_6h * {SLO_BUDGET_BP})"
+            " AS BIGINT)"
+        ).alias("burn_6h_centi"),
+        F.when(
+            (F.col("errors") * 10000 > SLO_BUDGET_BP * F.col("total"))
+            & (F.col("err_6h") * 10000 > SLO_BUDGET_BP * F.col("tot_6h")),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("page"),
+    )

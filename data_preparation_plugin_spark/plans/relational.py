@@ -3819,3 +3819,80 @@ def transform_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hi").alias("valid_to"),
         F.count(F.lit(1)).cast("bigint").alias("n_source_ranges"),
     ).drop("island")
+
+
+@register(
+    "window_max_drawdown",
+    category="window",
+    oracle="""
+    WITH walk AS (
+        SELECT o_custkey, equity,
+               max(equity) OVER (PARTITION BY o_custkey
+                                 ORDER BY rn
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS peak
+        FROM (
+            SELECT o_custkey, equity,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM (
+                SELECT o_custkey, o_orderdate, o_orderkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                           * CASE WHEN o_orderkey % 3 = 0
+                                  THEN -1 ELSE 1 END)
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS equity
+                FROM orders
+            )
+        )
+    )
+    SELECT o_custkey,
+           CAST(max(peak - equity) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM walk
+    GROUP BY o_custkey
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per key: peak-to-trough of a running balance.
+
+    The nested-running-aggregate window shape (cumsum, then running max
+    OF the cumsum, then the max gap) that trips naive rewrites — a
+    single window spec cannot express it; two stacked ordered frames
+    over the SAME partitioning can, and Spark plans them in one sort.
+    The balance alternates sign on every third order (a synthetic
+    debit/credit stream in exact cents), so drawdowns actually occur;
+    all arithmetic is BIGINT.
+
+    Scale shape: one exchange on the key; both ordered frames and the
+    final per-key aggregate share it — single sort, no joins, one scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    signed = F.round(F.col("o_totalprice") * 100).cast("bigint") * F.when(
+        F.col("o_orderkey") % 3 == 0, -1
+    ).otherwise(1)
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.sum(signed).over(wseq).alias("equity"),
+    )
+    # Same ORDER BY columns as wseq so Catalyst reuses the one sort —
+    # ordering by a derived row_number would force a second Sort.
+    wrun = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = seq.select(
+        "o_custkey", "equity", F.max("equity").over(wrun).alias("peak")
+    )
+    return walk.groupBy("o_custkey").agg(
+        F.max(F.col("peak") - F.col("equity"))
+        .cast("bigint")
+        .alias("max_drawdown_cents"),
+        F.max("peak").cast("bigint").alias("peak_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+    )

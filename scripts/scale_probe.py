@@ -279,6 +279,8 @@ PROBES = [
     "events_lness_histogram",      # two bounded combinable aggs
     "source_json_multiline",       # single-document array parse
     "graph_bfs_levels",            # 3 frontier joins on checkpointed edges
+    "events_slo_burn_rate",        # hourly collapse + hour-range burn
+    "window_max_drawdown",         # stacked ordered frames, one sort
 ]
 
 

@@ -1106,3 +1106,22 @@ def test_bfs_rounds_read_checkpointed_edges(spark):
     plan = plan_of(spark, "graph_bfs_levels")
     assert count(r"FileScan parquet", plan) == 0
     assert count(r"CartesianProduct", plan) == 0
+
+
+def test_slo_burn_hourly_collapse_then_hours(spark):
+    """The firehose collapses to hourly counts map-side; the rolling
+    burn windows run over HOURS in one single-partition ordered frame;
+    no joins, one scan."""
+    plan = plan_of(spark, "events_slo_burn_rate")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
+
+
+def test_max_drawdown_single_sort(spark):
+    """Cumsum, running-max-of-cumsum, and the per-key aggregate all
+    share the key partitioning: one exchange, one sort, no joins."""
+    plan = plan_of(spark, "window_max_drawdown")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Sort ", plan) == 1
+    assert count(r"Join", plan) == 0
