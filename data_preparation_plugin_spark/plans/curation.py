@@ -704,3 +704,79 @@ def sink_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+#: License assigned to each source by its numeric suffix mod 4.
+LICENSES = ("cc-by", "cc-by-sa", "noncommercial", "proprietary")
+#: Licenses a commercial pre-training corpus may keep.
+LICENSE_ALLOWED = ("cc-by", "cc-by-sa")
+
+
+@register(
+    "curation_license_filter",
+    category="curation",
+    oracle=f"""
+    WITH policy AS (
+        SELECT source,
+               CASE CAST(substr(source, 4) AS INTEGER) % 4
+                    WHEN 0 THEN 'cc-by'
+                    WHEN 1 THEN 'cc-by-sa'
+                    WHEN 2 THEN 'noncommercial'
+                    ELSE 'proprietary' END AS license
+        FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT p.license,
+           CAST(CASE WHEN p.license IN ('cc-by', 'cc-by-sa')
+                     THEN 1 ELSE 0 END AS BIGINT) AS allowed,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(min(d.doc_id) AS BIGINT) AS min_doc_id
+    FROM documents d JOIN policy p ON d.source = p.source
+    GROUP BY p.license
+    """,
+)
+def curation_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-policy gate: the compliance filter before any token ships.
+
+    Every production corpus carries per-source licensing metadata, and
+    the FIRST curation stage is a policy join — which sources may a
+    commercial model train on at all?  The policy here is a derived
+    dimension (source suffix mod 4 -> {LICENSES}), standing in for the
+    legal team's allowlist table; the audit reports, per license class,
+    whether it is allowed, how many sources and documents it covers,
+    and the character mass at stake — the numbers a data-governance
+    review actually asks for.
+
+    Scale shape: the policy dimension is distinct-source sized (tiny) —
+    built map-side from one aggregate and BROADCAST back onto the
+    corpus scan, so the gate costs one scan plus a bounded-key
+    aggregate.  At 100 TB the real policy table is maintained
+    externally and broadcast the same way; nothing here depends on the
+    corpus fitting anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    policy = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.element_at(
+                F.array(*[F.lit(x) for x in LICENSES]),
+                (F.substring("source", 4, 10).cast("int") % 4) + 1,
+            ).alias("license"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(policy), "source")
+        .groupBy("license")
+        .agg(
+            F.max(
+                F.col("license").isin(*LICENSE_ALLOWED).cast("bigint")
+            ).alias("allowed"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+    )

@@ -2878,3 +2878,94 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("level").cast("bigint").alias("level"),
     )
+
+
+#: Edit-distance verify: max absolute Levenshtein distance accepted.
+EDIT_VERIFY_MAX = 16
+#: Blocking prefix length (characters of raw text).
+EDIT_VERIFY_PREFIX = 12
+
+
+@register(
+    "dedup_edit_distance_verify",
+    category="dedup",
+    oracle=f"""
+    WITH blocked AS (
+        SELECT doc_id, text, lang,
+               substr(text, 1, {EDIT_VERIFY_PREFIX}) AS pfx,
+               length(text) AS len
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           CAST(levenshtein(a.text, b.text) * 10000
+                // greatest(a.len, b.len) AS BIGINT) AS dist_bp
+    FROM blocked a
+    JOIN blocked b
+      ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE abs(a.len - b.len) <= {EDIT_VERIFY_MAX}
+      AND levenshtein(a.text, b.text) <= {EDIT_VERIFY_MAX}
+    """,
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-document edit-distance verification of blocked candidates.
+
+    The verify stage every fuzzy-dedup pipeline ends with: candidate
+    pairs (here from a cheap (lang, {EDIT_VERIFY_PREFIX}-char-prefix)
+    blocking key; in production the MinHash-LSH bucket join) are
+    CONFIRMED by exact Levenshtein over the full text, with the
+    normalized distance in basis points for downstream thresholds.
+    Complements ``dedup_fuzzy_entity_match`` (short entity names):
+    long-text distance is where the banded algorithm matters, so the
+    builder passes ``threshold={EDIT_VERIFY_MAX}`` to Spark's 3-arg
+    ``levenshtein`` — the JVM computes only the ±t diagonal band,
+    O(t·n) instead of O(n²) per pair, and returns -1 past the bound.
+    Two pre-filters keep the expensive call off most candidates: the
+    equi-join on the blocking key (never |docs|²) and the triangle-
+    inequality guard ``|len_a - len_b| <= t`` (a length delta already
+    costs that many edits), both pushed before the DP.
+
+    Scale shape: one scan projects (doc_id, lang, pfx, len, text); the
+    self-join is an equi-join on the block key, so cost is candidate-
+    proportional (the LSH-calibration discipline); the band-limited DP
+    bounds per-pair CPU. No shuffle carries the text twice — Spark
+    hashes the block key only.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        F.substring("text", 1, EDIT_VERIFY_PREFIX).alias("pfx"),
+        F.length("text").alias("len"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    dist = F.levenshtein(
+        F.col("a.text"), F.col("b.text"), threshold=EDIT_VERIFY_MAX
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.len") - F.col("b.len"))
+                <= F.lit(EDIT_VERIFY_MAX)
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("d"),
+            F.greatest(F.col("a.len"), F.col("b.len")).alias("mx"),
+        )
+        .filter(F.col("d") >= 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("d").cast("bigint").alias("edit_dist"),
+            F.expr("CAST(d * 10000 DIV mx AS BIGINT)").alias("dist_bp"),
+        )
+    )

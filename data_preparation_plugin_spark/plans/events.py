@@ -3512,3 +3512,142 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("page"),
     )
+
+
+#: Session timeout (minutes): gap that splits sessions, and how long a
+#: session stays "active" after its last event.
+CONCURRENCY_TIMEOUT_MIN = 30
+
+
+@register(
+    "events_peak_concurrency",
+    category="events",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts)
+                            >= {CONCURRENCY_TIMEOUT_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               sum(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id,
+               ts
+        FROM marked
+    ), intervals AS (
+        SELECT min(ts) AS t_start,
+               max(ts) + INTERVAL {CONCURRENCY_TIMEOUT_MIN} MINUTE AS t_end
+        FROM sess GROUP BY user_id, session_id
+    ), deltas AS (
+        SELECT t_start AS t, 1 AS delta FROM intervals
+        UNION ALL
+        SELECT t_end, -1 FROM intervals
+    ), merged AS (
+        SELECT t, sum(delta) AS net FROM deltas GROUP BY t
+    ), swept AS (
+        SELECT t, sum(net) OVER (ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS concurrent
+        FROM merged
+    )
+    SELECT CAST(date_diff('microsecond',
+                          TIMESTAMP '1970-01-01 00:00:00', t)
+                // 3600000000 AS BIGINT) AS epoch_hour,
+           CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY 1
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the interval sweep, no join.
+
+    "How many sessions were live at once?" is an interval-overlap
+    question, and the naive answer (interval x interval self-join)
+    is quadratic.  The sweep-line form never joins: sessionize
+    ({CONCURRENCY_TIMEOUT_MIN}-min gap), emit +1 at session start and
+    -1 at (last event + timeout), COLLAPSE simultaneous deltas with a
+    groupBy on the timestamp (this also makes the running sum
+    order-deterministic — within one instant only the NET change is
+    observable), then one running sum over time = live-session count
+    after each boundary, and an hourly MAX for the report.  All exact
+    integer arithmetic on NTZ microseconds.
+
+    Scale shape: sessionize shuffles (user_id); the deltas collapse
+    map-side to at most 2 rows per session; the sweep is a single
+    ordered window over BOUNDARY rows (two per session, not per
+    event).  A planetary deployment would range-partition the sweep by
+    coarse time bucket and carry per-bucket opening balances — the
+    same two-pass trick as ``sort_range_split_points``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    gap_us = CONCURRENCY_TIMEOUT_MIN * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = events.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    marked = lagged.select(
+        "user_id",
+        "ts",
+        (
+            F.col("prev_ts").isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") >= gap_us
+            )
+        )
+        .cast("int")
+        .alias("is_start"),
+    )
+    sess_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.select(
+        "user_id",
+        F.sum("is_start").over(sess_w).alias("session_id"),
+        "ts",
+    )
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("t_start"),
+        F.expr(
+            f"timestampadd(MINUTE, {CONCURRENCY_TIMEOUT_MIN}, max(ts))"
+        ).alias("t_end"),
+    )
+    # One explode, not a UNION of two selects — the union form re-executes
+    # the sessionize subtree (two parquet scans of events); the exploded
+    # struct array emits both boundary rows from ONE pass.
+    deltas = intervals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("t_start").alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("t_end").alias("t"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("b")
+    ).select("b.t", "b.delta")
+    merged = deltas.groupBy("t").agg(F.sum("delta").alias("net"))
+    sweep_w = (
+        Window.partitionBy()
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = merged.select(
+        "t", F.sum("net").over(sweep_w).alias("concurrent")
+    )
+    return (
+        swept.select(
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND,"
+                " TIMESTAMP '1970-01-01 00:00:00', t)"
+                " DIV 3600000000 AS BIGINT)"
+            ).alias("epoch_hour"),
+            "concurrent",
+        )
+        .groupBy("epoch_hour")
+        .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
+    )

@@ -3896,3 +3896,101 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak").cast("bigint").alias("peak_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
     )
+
+
+@register(
+    "window_reset_cumsum",
+    category="window",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS is_reset
+        FROM orders
+    ), cum AS (
+        SELECT *,
+               sum(is_reset) OVER w AS segment,
+               sum(cents) OVER w AS cum_cents
+        FROM base
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ), anchored AS (
+        SELECT *,
+               max(CASE WHEN is_reset = 1
+                        THEN cum_cents - cents END) OVER w AS anchor
+        FROM cum
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(segment AS BIGINT) AS segment,
+           CAST(cum_cents - coalesce(anchor, 0) AS BIGINT) AS run_cents
+    FROM anchored
+    WHERE o_custkey % 50 = 0
+    """,
+)
+def window_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with conditional reset — in ONE window partition.
+
+    "Cumulative spend since the customer's last URGENT order" is the
+    window shape plain ``sum() OVER`` cannot express: the frame start
+    MOVES with the data.  The textbook fix (segment id = running count
+    of resets, then cumsum per (key, segment)) costs a SECOND exchange
+    — Catalyst cannot know (key, segment) refines (key).  The anchored
+    form stays in one partitioning: with cents strictly positive the
+    running total ``cum`` is increasing, so the latest reset's
+    pre-reset total is simply the running MAX of ``cum - cents`` over
+    reset rows, and ``run = cum - coalesce(anchor, 0)`` — the marker
+    row starts its own segment (its anchor excludes its own cents).
+    All three window functions share one (custkey) Exchange + one
+    (date, orderkey) Sort; the physical plan has exactly one shuffle.
+    Money stays exact: cents as BIGINT, never float.  The final
+    ``custkey % 50`` cut keeps the driver hash small; the windows run
+    on the full table first, so the computation is the real thing.
+
+    Scale shape: one shuffle on the partition key, one sort, pipelined
+    Window operators, zero joins; per-key frame state is O(1).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias(
+            "is_reset"
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = base.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "cents",
+        "is_reset",
+        F.sum("is_reset").over(w).alias("segment"),
+        F.sum("cents").over(w).alias("cum_cents"),
+    )
+    anchored = cum.select(
+        "o_custkey",
+        "o_orderkey",
+        "segment",
+        "cum_cents",
+        F.max(
+            F.when(
+                F.col("is_reset") == 1,
+                F.col("cum_cents") - F.col("cents"),
+            )
+        )
+        .over(w)
+        .alias("anchor"),
+    )
+    return anchored.filter(F.col("o_custkey") % 50 == 0).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("segment").cast("bigint").alias("segment"),
+        (F.col("cum_cents") - F.coalesce(F.col("anchor"), F.lit(0)))
+        .cast("bigint")
+        .alias("run_cents"),
+    )

@@ -281,6 +281,10 @@ PROBES = [
     "graph_bfs_levels",            # 3 frontier joins on checkpointed edges
     "events_slo_burn_rate",        # hourly collapse + hour-range burn
     "window_max_drawdown",         # stacked ordered frames, one sort
+    "dedup_edit_distance_verify",  # blocked candidates + banded DP verify
+    "curation_license_filter",     # broadcast policy dim + bounded agg
+    "window_reset_cumsum",         # anchored reset cumsum, one exchange
+    "events_peak_concurrency",     # boundary sweep, 2 rows per session
 ]
 
 
@@ -297,8 +301,22 @@ def _lsh_pair_telemetry(spark, sf_dir: str) -> dict:
     }
 
 
+def _edit_verify_telemetry(spark, sf_dir: str) -> dict:
+    """Output-pair count for the edit-distance verify probe: the replica
+    corpus duplicates every doc with a SUFFIX perturbation, so replicas
+    share the 12-char prefix block and the TRUE near-dup groups grow
+    with the factor — verified pairs (the output) grow quadratically by
+    construction. Recording the count shows wall tracks output, i.e.
+    cost is candidate-proportional, not corpus-quadratic."""
+    n = QUERIES["dedup_edit_distance_verify"].builder(spark, sf_dir).count()
+    return {"verified_pairs": n}
+
+
 #: query -> untimed extra measurements merged into that query's probe rows.
-TELEMETRY = {"dedup_lsh_calibration": _lsh_pair_telemetry}
+TELEMETRY = {
+    "dedup_lsh_calibration": _lsh_pair_telemetry,
+    "dedup_edit_distance_verify": _edit_verify_telemetry,
+}
 
 
 def main() -> None:

@@ -1125,3 +1125,42 @@ def test_max_drawdown_single_sort(spark):
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"Sort ", plan) == 1
     assert count(r"Join", plan) == 0
+
+
+def test_edit_distance_verify_equi_join_only(spark):
+    """Candidate generation is an equi-join on the blocking key — never
+    a cartesian or broadcast-nested-loop over the corpus."""
+    plan = plan_of(spark, "dedup_edit_distance_verify")
+    assert count(r"CartesianProduct", plan) == 0
+    assert count(r"BroadcastNestedLoopJoin", plan) == 0
+    assert count(r"Join", plan) == 1
+
+
+def test_license_filter_policy_broadcasts(spark):
+    """The distinct-source policy dimension broadcasts onto the corpus
+    scan; the gate is one broadcast join plus a bounded-key aggregate."""
+    plan = plan_of(spark, "curation_license_filter")
+    assert count(r"BroadcastHashJoin", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"CartesianProduct", plan) == 0
+
+
+def test_reset_cumsum_one_exchange_one_sort(spark):
+    """The anchored form keeps the conditional-reset cumsum in ONE
+    (custkey) partitioning: one exchange, one sort, stacked Window
+    operators, zero joins — the naive (key, segment) second window
+    would cost a second shuffle."""
+    plan = plan_of(spark, "window_reset_cumsum")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Sort ", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_peak_concurrency_single_scan_sweep(spark):
+    """Session boundaries explode from ONE sessionize pass (a UNION of
+    two selects would scan events twice); the sweep is join-free and
+    runs over collapsed boundary rows in one ordered partition."""
+    plan = plan_of(spark, "events_peak_concurrency")
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"Exchange SinglePartition", plan) == 1
