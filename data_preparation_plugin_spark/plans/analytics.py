@@ -4352,3 +4352,88 @@ def events_lness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("epoch_week").cast("bigint").alias("epoch_week"),
         F.col("active_days").cast("bigint").alias("active_days"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+@register(
+    "profile_missingness_patterns",
+    category="profile",
+    oracle="""
+    WITH masked AS (
+        SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END
+                   AS c_name,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END
+                   AS c_acctbal,
+               CASE WHEN c_custkey % 11 = 3 THEN NULL
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    ), flagged AS (
+        SELECT CASE WHEN c_name IS NULL THEN 'N' ELSE '-' END ||
+               CASE WHEN c_acctbal IS NULL THEN 'B' ELSE '-' END ||
+               CASE WHEN c_mktsegment IS NULL THEN 'S' ELSE '-' END
+                   AS pattern,
+               CASE WHEN c_name IS NULL THEN 1 ELSE 0 END
+                 + CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END
+                 + CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END
+                   AS n_missing
+        FROM masked
+    )
+    SELECT pattern,
+           CAST(n_missing AS BIGINT) AS n_missing,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM flagged GROUP BY pattern, n_missing
+    """,
+)
+def profile_missingness_patterns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Missingness-pattern mining: WHICH nulls co-occur, not how many.
+
+    Per-column null counts (``profile_table_columns``) cannot
+    distinguish "two independent feed glitches" from "one upstream
+    join dropping whole records" — the signature of each is the
+    PATTERN: the per-row combination of missing fields and its
+    frequency (the missingno-matrix aggregate).  The fixture tables
+    ship null-free, so the mask is derived deterministically (name
+    missing for every 7th key, balance for negative accounts, segment
+    for key % 11 = 3) — exactly reproducible by the oracle, and the
+    co-occurrence structure (key-driven masks overlap on key
+    arithmetic, value-driven on the balance sign) is non-trivial.
+    Each pattern is a fixed-width flag string, so downstream tooling
+    can split it back per column.
+
+    Scale shape: pure projection to a tiny categorical key (at most
+    2^k patterns for k audited columns) + one bounded-key aggregate —
+    one scan, map-side combine does nearly all the work.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    masked = customer.select(
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 11 == 3, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    name_null = F.col("c_name").isNull()
+    bal_null = F.col("c_acctbal").isNull()
+    seg_null = F.col("c_mktsegment").isNull()
+    flagged = masked.select(
+        F.concat(
+            F.when(name_null, "N").otherwise("-"),
+            F.when(bal_null, "B").otherwise("-"),
+            F.when(seg_null, "S").otherwise("-"),
+        ).alias("pattern"),
+        (
+            name_null.cast("int")
+            + bal_null.cast("int")
+            + seg_null.cast("int")
+        )
+        .cast("bigint")
+        .alias("n_missing"),
+    )
+    return flagged.groupBy("pattern", "n_missing").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )

@@ -1502,3 +1502,133 @@ def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+_BLOOM_DIR = os.path.join(_STAGE_ROOT, "orders_bloom")
+#: Point-lookup keys for the bloom-filtered scan (spread across the file).
+BLOOM_LOOKUP_KEYS = (7, 4000, 8998, 29988, 44998)
+
+
+@register(
+    "layout_parquet_bloom_lookup",
+    category="source",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey IN ({", ".join(str(k) for k in BLOOM_LOOKUP_KEYS)})
+    """,
+)
+def layout_parquet_bloom_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet bloom filters: the point-lookup layout lever.
+
+    The 100 TB needle-in-haystack: min/max row-group statistics prune
+    nothing for a point predicate on an UNSORTED high-cardinality key
+    (every row group spans nearly the full key range), and partitioning
+    by a high-cardinality key is a small-files disaster.  Parquet's
+    split-block bloom filters are the third pruning tier: a few KB per
+    (row group, column) lets the reader skip row groups that certainly
+    lack the key — the closest thing a data lake has to the reference's
+    PostgreSQL b-tree point lookup (``CREATE TABLE ... INCLUDING
+    indexes``, reference ``operators/copy.py:9``).  Orders is staged
+    with blooms enabled on ``o_orderkey`` (64 KB row groups force a
+    multi-group file at every fixture SF so skipping is real), then point-looked-up; the
+    oracle recomputes from the original table, proving the bloom read
+    path loses nothing.  ``tests/test_plans.py`` asserts via the
+    parquet-mr footer API that every staged row group actually carries
+    a bloom filter on the key column, and that the IN predicate is
+    pushed to the scan.
+
+    Scale shape: the write adds a bounded per-row-group sidecar; the
+    read touches footers plus only bloom-positive row groups — I/O
+    proportional to matches, not table size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
+        .option("parquet.block.size", str(64 * 1024))
+        .parquet(_BLOOM_DIR)
+    )
+    df = spark.read.parquet(_BLOOM_DIR).filter(
+        F.col("o_orderkey").isin(*BLOOM_LOOKUP_KEYS)
+    )
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+
+
+_DPP_DIR = os.path.join(_STAGE_ROOT, "orders_dpp_by_year")
+
+
+@register(
+    "layout_dpp_prune",
+    category="source",
+    oracle="""
+    WITH year_dim AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS d_year,
+               CASE WHEN year(o_orderdate) IN (1995, 1996)
+                    THEN 'focus' ELSE 'other' END AS era
+        FROM orders
+    )
+    SELECT d.d_year,
+           count(*) AS n_orders,
+           CAST(sum(round(f.o_totalprice * 100)) AS BIGINT) AS cents
+    FROM orders f
+    JOIN year_dim d ON CAST(year(f.o_orderdate) AS BIGINT) = d.d_year
+    WHERE d.era = 'focus'
+    GROUP BY d.d_year
+    """,
+)
+def layout_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the star-schema scan killer.
+
+    Static pruning (``source_partition_pruning``) needs the literal in
+    the query; the star-schema reality is a predicate on a DIMENSION
+    attribute ("era = 'focus'"), with the fact filter only implied
+    through the join.  Spark's DPP closes the gap at runtime: the dim
+    side's matching join keys become a subquery-driven partition filter
+    on the fact scan, so only the qualifying year directories are read
+    — THE optimization that makes dimensional filtering viable on a
+    100 TB partitioned fact table.  Orders is staged partitioned by
+    year; the year dimension (derived, tiny, broadcast) carries the
+    selective ``era`` attribute; ``tests/test_plans.py`` pins
+    ``dynamicpruningexpression`` in the fact scan's partition filters
+    so a regression to scan-everything fails the build.  The oracle
+    computes the same join from the unpartitioned original.
+
+    Scale shape: dim broadcasts; the fact scan reads 2 of 7 year
+    directories (runtime-pruned); the aggregate is bounded-key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.withColumn(
+        "d_year", F.year("o_orderdate").cast("bigint")
+    ).write.mode("overwrite").partitionBy("d_year").parquet(_DPP_DIR)
+    fact = spark.read.parquet(_DPP_DIR)
+    dim = (
+        fact.select("d_year")
+        .distinct()
+        .withColumn(
+            "era",
+            F.when(F.col("d_year").isin(1995, 1996), "focus").otherwise(
+                "other"
+            ),
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("era") == "focus")), "d_year")
+        .groupBy("d_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("round(o_totalprice * 100)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )

@@ -285,6 +285,9 @@ PROBES = [
     "curation_license_filter",     # broadcast policy dim + bounded agg
     "window_reset_cumsum",         # anchored reset cumsum, one exchange
     "events_peak_concurrency",     # boundary sweep, 2 rows per session
+    "layout_parquet_bloom_lookup",  # bloom-sidecar stage + point lookup
+    "layout_dpp_prune",            # runtime dim-driven partition prune
+    "profile_missingness_patterns",  # pattern-key projection + agg
 ]
 
 

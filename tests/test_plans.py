@@ -1164,3 +1164,58 @@ def test_peak_concurrency_single_scan_sweep(spark):
     assert count(r"FileScan parquet", plan) == 1
     assert count(r"Join", plan) == 0
     assert count(r"Exchange SinglePartition", plan) == 1
+
+
+def test_bloom_lookup_blooms_present_and_filter_pushed(spark):
+    """Every staged row group carries a bloom filter on o_orderkey
+    (parquet-mr footer API), and the IN point-predicate reaches the
+    scan as a pushed filter."""
+    import glob
+
+    from data_preparation_plugin_spark.plans.ingest import _BLOOM_DIR
+
+    plan = plan_of(spark, "layout_parquet_bloom_lookup")
+    assert re.search(r"PushedFilters: \[[^\]]*In\(o_orderkey", plan)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    files = glob.glob(f"{_BLOOM_DIR}/*.parquet")
+    assert files, "bloom staging dir empty"
+    path = jvm.org.apache.hadoop.fs.Path(files[0])
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        path, conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        blocks = reader.getFooter().getBlocks()
+        assert blocks.size() >= 2, "need multiple row groups for skipping"
+        for i in range(blocks.size()):
+            cols = blocks.get(i).getColumns()
+            offs = [
+                cols.get(j).getBloomFilterOffset()
+                for j in range(cols.size())
+                if "o_orderkey" in str(cols.get(j).getPath())
+            ]
+            assert offs and all(o >= 0 for o in offs), (
+                f"row group {i} missing bloom on o_orderkey"
+            )
+    finally:
+        reader.close()
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    """The era predicate lives on the dimension; the fact scan's
+    PartitionFilters must carry a dynamicpruningexpression so only the
+    qualifying year directories are read."""
+    plan = plan_of(spark, "layout_dpp_prune")
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "dynamicpruning" in m.group(0)
+    assert count(r"BroadcastHashJoin", plan) == 1
+
+
+def test_missingness_patterns_one_scan_no_join(spark):
+    """Pure projection to the bounded pattern key + one aggregate —
+    one scan, zero joins, zero windows."""
+    plan = plan_of(spark, "profile_missingness_patterns")
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"Window", plan) == 0
