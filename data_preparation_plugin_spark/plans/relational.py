@@ -3994,3 +3994,248 @@ def window_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("run_cents"),
     )
+
+
+#: Threshold making the NOT IN probe side selective but non-empty.
+NOT_IN_PRICE_FLOOR = 350000.0
+
+
+@register(
+    "join_not_in_null_semantics",
+    category="join",
+    oracle=f"""
+    WITH probe AS (
+        SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                    ELSE o_custkey END AS k
+        FROM orders WHERE o_totalprice > {NOT_IN_PRICE_FLOOR}
+    )
+    SELECT
+        CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_customers,
+        CAST((SELECT count(*) FROM customer
+              WHERE c_custkey NOT IN (SELECT k FROM probe)) AS BIGINT)
+            AS n_not_in,
+        CAST((SELECT count(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                WHERE p.k = c.c_custkey)) AS BIGINT)
+            AS n_not_exists,
+        CAST((SELECT count(*) FROM probe WHERE k IS NULL) AS BIGINT)
+            AS n_null_probes
+    """,
+)
+def join_not_in_null_semantics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap.
+
+    The most common silent-wrong-answer in migrated SQL: ``NOT IN
+    (subquery)`` is three-valued — ONE NULL in the probe makes
+    ``x NOT IN (...)`` UNKNOWN for every x, so the result is EMPTY,
+    while ``NOT EXISTS`` (two-valued, null-rejecting equi-predicate)
+    returns the rows the author almost always meant.  The probe side
+    nulls every 97th key deterministically; the audit row carries all
+    four counts so the trap is visible in data: n_not_in = 0 while
+    n_not_exists > 0.  Spark plans the NOT IN as a null-aware anti
+    join (BroadcastHashJoin ... LeftAnti, isnull-or condition) — an
+    engine-level construct this registry otherwise never exercises,
+    value-checked here against DuckDB's identical semantics.
+
+    Scale shape: both anti joins broadcast the probe when it is
+    dimension-sized; the null-aware variant degenerates to checking
+    one boolean (any null present) plus the hash probe — same cost
+    class as the plain anti join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    orders.createOrReplaceTempView("__nin_orders")
+    customer.createOrReplaceTempView("__nin_customer")
+    return spark.sql(
+        f"""
+        WITH probe AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM __nin_orders WHERE o_totalprice > {NOT_IN_PRICE_FLOOR}
+        )
+        SELECT
+            CAST((SELECT count(*) FROM __nin_customer) AS BIGINT)
+                AS n_customers,
+            CAST((SELECT count(*) FROM __nin_customer
+                  WHERE c_custkey NOT IN (SELECT k FROM probe)) AS BIGINT)
+                AS n_not_in,
+            CAST((SELECT count(*) FROM __nin_customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                    WHERE p.k = c.c_custkey)) AS BIGINT)
+                AS n_not_exists,
+            CAST((SELECT count(*) FROM probe WHERE k IS NULL) AS BIGINT)
+                AS n_null_probes
+        """
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    category="join",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL
+                    ELSE c_nationkey END AS nk
+        FROM customer
+    ), b AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                    ELSE s_nationkey END AS nk
+        FROM supplier
+    )
+    SELECT CASE WHEN a.nk IS NULL THEN -1
+                ELSE CAST(a.nk AS BIGINT) END AS nation_key,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT a.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT b.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+    GROUP BY 1
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>``): NULL keys match each other.
+
+    Plain ``=`` silently drops every NULL-keyed row from an inner join
+    — correct for foreign keys, wrong for "unknown bucket" semantics
+    (sessionless events, unresolved entities) where the NULLs should
+    group TOGETHER.  Spark's ``<=>`` (SQL ``IS NOT DISTINCT FROM``) is
+    the engine primitive for that; crucially it stays a HASH join key
+    (null-safe equality is still an equi-predicate — the planner hashes
+    a null-normalized key) rather than falling to a nested-loop theta
+    join.  Keys are nulled deterministically on both sides; the
+    NULL-match group is reported as nation_key = -1 alongside the
+    ordinary groups, value-checked against DuckDB's
+    ``IS NOT DISTINCT FROM``.
+
+    Scale shape: one hash join on the null-normalized key + a
+    bounded-key aggregate; the NULL group is one key — if it were hot,
+    the salting playbook applies like any skewed key.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    a = customer.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk_a"),
+    )
+    b = supplier.select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 7 == 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("nk_b"),
+    )
+    joined = a.join(b, F.col("nk_a").eqNullSafe(F.col("nk_b")))
+    return (
+        joined.groupBy(
+            F.when(F.col("nk_a").isNull(), F.lit(-1))
+            .otherwise(F.col("nk_a"))
+            .cast("bigint")
+            .alias("nation_key")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+            F.countDistinct("s_suppkey").cast("bigint").alias("n_suppliers"),
+        )
+    )
+
+
+#: Shared skewness/kurtosis formula over exact integer raw moments —
+#: the SAME expression text runs in Spark and DuckDB, so the IEEE
+#: operation order (and therefore every output bit) is identical.
+#: Inputs: n, s1..s4 = count and Σx^k of integer whole-dollar prices.
+_MOMENT_FORMULA = """
+        CAST(n AS BIGINT) AS n,
+        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_dollars,
+        (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS variance,
+        ((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+          - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+          + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        / pow((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 1.5) AS skewness,
+        ((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+          - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+          + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+          - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        / (((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+          * ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) - 3.0
+            AS excess_kurtosis
+"""
+
+
+@register(
+    "agg_skewness_kurtosis",
+    category="aggregate",
+    oracle=f"""
+    WITH m AS (
+        SELECT o_orderpriority,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice) AS HUGEINT)) AS s1,
+               sum(CAST(round(o_totalprice) AS HUGEINT)
+                 * CAST(round(o_totalprice) AS HUGEINT)) AS s2,
+               sum(CAST(round(o_totalprice) AS HUGEINT)
+                 * CAST(round(o_totalprice) AS HUGEINT)
+                 * CAST(round(o_totalprice) AS HUGEINT)) AS s3,
+               sum(CAST(round(o_totalprice) AS HUGEINT)
+                 * CAST(round(o_totalprice) AS HUGEINT)
+                 * CAST(round(o_totalprice) AS HUGEINT)
+                 * CAST(round(o_totalprice) AS HUGEINT)) AS s4
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, {_MOMENT_FORMULA}
+    FROM m
+    """,
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness + excess kurtosis from EXACT integer raw moments.
+
+    The higher-moment distribution screens (is the long tail real?
+    is the distribution heavy-tailed enough to need winsorizing?)
+    done the engine-exact way: each engine's built-in skewness/
+    kurtosis uses its own merge order and its own estimator family
+    (Spark population g1, DuckDB sample G1), so the builtins can
+    never hash-match.  Instead the raw moments Σx..Σx⁴ accumulate as
+    EXACT wide integers on whole-dollar prices (DECIMAL(38,0) in
+    Spark, HUGEINT in DuckDB — identical integers, immune to float
+    summation order), and one shared closed-form expression text
+    (``_MOMENT_FORMULA`` — literally the same string in builder and
+    oracle) converts them, so even the IEEE operation order matches
+    bit-for-bit.  Emits mean/variance/skewness/excess-kurtosis per
+    priority class.
+
+    Scale shape: a plain combinable groupBy aggregate (map-side
+    partials); the formula is a 5-row projection.  Σx⁴ of d-dollar
+    values over r rows needs log10(d⁴·r) < 38 digits — at 1e12 rows
+    of 1e5-dollar prices that is 10^32, still inside DECIMAL(38);
+    recentre on an approximate mean first if values outgrow it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.expr("CAST(round(o_totalprice) AS DECIMAL(38, 0))")
+    m = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+        F.sum(d * d * d).alias("s3"),
+        F.sum(d * d * d * d).alias("s4"),
+    )
+    return m.selectExpr("o_orderpriority", *_MOMENT_FORMULA.split(",\n"))

@@ -2588,3 +2588,83 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("js_divergence"),
     )
+
+
+#: OOV screen: vocabulary size (shared top-V discipline with
+#: ``text_vocab_ids``; separate constant so each can tune).
+OOV_VOCAB_SIZE = 300
+
+
+@register(
+    "text_oov_rate",
+    category="text",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT lang,
+               unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS token
+        FROM documents
+    ), counts AS (
+        SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), vocab AS (
+        SELECT token FROM counts
+        ORDER BY cnt DESC, token LIMIT {OOV_VOCAB_SIZE}
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT)
+               AS n_oov,
+           CAST(count(*) FILTER (WHERE v.token IS NULL) * 10000
+                // count(*) AS BIGINT) AS oov_bp,
+           CAST(count(DISTINCT t.token)
+                    FILTER (WHERE v.token IS NULL) AS BIGINT)
+               AS n_oov_types
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.lang
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language — tokenizer coverage health.
+
+    The number that decides whether a tokenizer (or a top-V
+    vocabulary) is fair to each language: the share of token
+    OCCURRENCES falling outside the corpus-global top-{OOV_VOCAB_SIZE}
+    vocabulary, in integer basis points, plus the distinct OOV type
+    count (high rate + low types = a few hot misses worth adding;
+    high rate + high types = the vocabulary is structurally too small
+    for that language).  A global vocabulary over a multilingual
+    corpus is dominated by the majority language, so per-language OOV
+    is exactly where under-served languages show up — the companion
+    to ``text_tokenizer_fertility``'s subword-inflation view.
+
+    Scale shape: token counts are one map-side-combinable aggregate;
+    the vocabulary is V rows, broadcast to the probe join (the corpus
+    never shuffles on token); the per-language rollup is bounded-key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(OOV_VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    probed = toks.join(F.broadcast(vocab), "token", "left")
+    return probed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("in_vocab").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.expr(
+            "CAST(sum(CAST(in_vocab IS NULL AS BIGINT)) * 10000"
+            " DIV count(1) AS BIGINT)"
+        ).alias("oov_bp"),
+        F.countDistinct(
+            F.when(F.col("in_vocab").isNull(), F.col("token"))
+        )
+        .cast("bigint")
+        .alias("n_oov_types"),
+    )

@@ -288,6 +288,10 @@ PROBES = [
     "layout_parquet_bloom_lookup",  # bloom-sidecar stage + point lookup
     "layout_dpp_prune",            # runtime dim-driven partition prune
     "profile_missingness_patterns",  # pattern-key projection + agg
+    "join_not_in_null_semantics",  # null-aware broadcast anti joins
+    "join_null_safe_eq",           # hash join on null-normalized key
+    "agg_skewness_kurtosis",       # exact decimal moments, one agg
+    "text_oov_rate",               # bounded vocab broadcast probe
 ]
 
 

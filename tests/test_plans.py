@@ -1219,3 +1219,40 @@ def test_missingness_patterns_one_scan_no_join(spark):
     assert count(r"FileScan parquet", plan) == 1
     assert count(r"Join", plan) == 0
     assert count(r"Window", plan) == 0
+
+
+def test_not_in_stays_null_aware_hash_anti_join(spark):
+    """Both the NOT IN (null-aware) and NOT EXISTS subqueries plan as
+    broadcast hash LeftAnti joins — the null-aware variant must not
+    fall back to a nested-loop."""
+    plan = plan_of(spark, "join_not_in_null_semantics")
+    assert count(r"LeftAnti", plan) == 2
+    assert count(r"BroadcastNestedLoopJoin", plan) == 0
+    assert count(r"CartesianProduct", plan) == 0
+
+
+def test_null_safe_eq_is_a_hash_join(spark):
+    """eqNullSafe is still an equi-predicate: the planner must hash the
+    null-normalized key, never degrade to a theta/nested-loop join."""
+    plan = plan_of(spark, "join_null_safe_eq")
+    assert count(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan) == 1
+    assert count(r"BroadcastNestedLoopJoin", plan) == 0
+
+
+def test_skewness_moments_single_combinable_agg(spark):
+    """Raw decimal moments accumulate in ONE map-side-combinable
+    aggregate; the closed-form conversion is a projection — one scan,
+    one exchange, no joins, no windows."""
+    plan = plan_of(spark, "agg_skewness_kurtosis")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
+
+
+def test_oov_vocab_broadcasts_to_probe(spark):
+    """The top-V vocabulary is TakeOrdered-bounded and broadcast; the
+    corpus token stream never shuffles on token for the probe join."""
+    plan = plan_of(spark, "text_oov_rate")
+    assert count(r"TakeOrdered", plan) == 1
+    assert count(r"BroadcastHashJoin", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
