@@ -3651,3 +3651,105 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("epoch_hour")
         .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
     )
+
+
+#: Trailing window length (days) for the sketch-based WAU-daily.
+DAU_HLL_TRAIL_DAYS = 7
+
+
+@register(
+    "events_trailing_dau_hll",
+    category="events",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), contrib AS (
+        SELECT user_id, d + CAST(x AS INTEGER) AS report_d
+        FROM ud, generate_series(0, {DAU_HLL_TRAIL_DAYS - 1}) AS t(x)
+    ), exact AS (
+        SELECT report_d, count(DISTINCT user_id) AS dau7_exact
+        FROM contrib
+        WHERE report_d IN (SELECT DISTINCT d FROM ud)
+        GROUP BY report_d
+    )
+    SELECT CAST(report_d AS DATE) AS report_d,
+           CAST(dau7_exact AS BIGINT) AS dau7_exact,
+           true AS hll_within_2pct
+    FROM exact
+    """,
+)
+def events_trailing_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users from MERGED DAILY HLL SKETCHES.
+
+    ``events_trailing_dau`` rewrites the sliding distinct exactly —
+    but its pair relation still carries every (user, day).  At true
+    firehose scale the standard answer is mergeability: ONE fixed-size
+    HLL sketch per day (a map-side-combinable aggregate over raw
+    events), then each report day unions its {DAU_HLL_TRAIL_DAYS}
+    daily sketches — day-cardinality work, independent of user count,
+    and the daily sketches persist so tomorrow's report touches only
+    tomorrow's data.  This is why sketch stores (the datasketches
+    integration Spark 4 ships) exist: distinct counts don't decompose
+    over sliding windows, sketches do.  The sketch binary is
+    engine-specific, so the oracle-checkable surface is the
+    ``agg_hll_sketch`` discipline: the query emits the EXACT trailing
+    count (from the pair rewrite) next to a tolerance bit asserting
+    the lgK=14 estimate lands within 2% — a sketch regression flips
+    the bit and hash-fails the driver compare.
+
+    Scale shape: one scan -> per-day sketches (days rows, ~16 KB
+    each); the trailing union is a bounded explode of DAYS, not
+    users; the exact twin rides the same pre-aggregated pair relation
+    as ``events_trailing_dau``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    # Distinct (user, day) pairs: the shared pre-aggregate. One
+    # localCheckpoint serves three consumers (daily sketches, the
+    # active-day calendar, the exact twin) from one scan.
+    ud = (
+        events.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active_days = ud.select("d").distinct()
+    # Daily sketches: one fixed-size HLL per calendar day. Built from
+    # the distinct pairs — identical sketch input (HLL is insensitive
+    # to duplicates) without rescanning raw events.
+    daily = ud.groupBy("d").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch")
+    )
+    # Each day's sketch contributes to the TRAIL_DAYS report days
+    # after it; union the contributing sketches per report day.
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), DAU_HLL_TRAIL_DAYS - 1),
+            )
+        ).alias("report_d"),
+        "sketch",
+    ).join(active_days.select(F.col("d").alias("report_d")), "report_d")
+    est = contrib.groupBy("report_d").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("dau7_est")
+    )
+    # Exact twin from the pair rewrite (same shape as events_trailing_dau).
+    pairs = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), DAU_HLL_TRAIL_DAYS - 1),
+            )
+        ).alias("report_d"),
+    ).join(active_days.select(F.col("d").alias("report_d")), "report_d")
+    exact = pairs.groupBy("report_d").agg(
+        F.countDistinct("user_id").alias("dau7_exact")
+    )
+    return exact.join(est, "report_d").select(
+        "report_d",
+        F.col("dau7_exact").cast("bigint").alias("dau7_exact"),
+        (
+            F.abs(F.col("dau7_est") - F.col("dau7_exact"))
+            <= 0.02 * F.col("dau7_exact")
+        ).alias("hll_within_2pct"),
+    )

@@ -19,6 +19,8 @@ pandas, not the default.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -383,4 +385,67 @@ def udf_apply_in_arrow_regression(
             "l_returnflag string, ship_year long, "
             "n_rows long, slope_cents_e6 long"
         ),
+    )
+
+
+#: Substring lexicon and integer weights for the iterator-UDF scorer —
+#: module-level so builder and oracle derive from the same literal.
+SCALAR_ITER_LEXICON = (("data", 3), ("query", 2), ("stream", 5))
+
+
+@register(
+    "udf_scalar_iter_score",
+    category="udf",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({" + ".join(
+               f"{w} * ((length(text) - length(replace(text, '{kw}', '')))"
+               f" // {len(kw)})"
+               for kw, w in SCALAR_ITER_LEXICON
+           )} + length(text) // 100 AS BIGINT) AS score
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def udf_scalar_iter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF — amortized per-worker model load.
+
+    The serving shape of every learned quality filter at 100 TB: the
+    scorer (a fasttext model, an ONNX session, a tokenizer) is
+    expensive to CONSTRUCT and cheap to APPLY, so loading it per row —
+    or even per batch — dominates.  ``SCALAR_ITER`` is the pandas-UDF
+    variant built for exactly this: the function receives the WHOLE
+    iterator of Arrow batches for a partition, so the model loads once
+    per task and streams every batch (the other UDF surfaces here —
+    scalar, grouped-map, cogroup, mapInArrow — cannot express
+    "initialize once, then iterate").  The stand-in model is a
+    deterministic substring-weight lexicon built before the batch
+    loop; scoring is integer (weighted substring occurrences + a
+    length prior), so the oracle replays it exactly with
+    length/replace arithmetic.
+
+    Scale shape: embarrassingly parallel map over Arrow batches, zero
+    shuffle, zero joins; the 10-per-batch Arrow size is configured by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` in production,
+    and per-task init cost amortizes over all of them.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    lexicon = SCALAR_ITER_LEXICON
+
+    @pandas_udf("long")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # "Model load": runs once per task, not once per batch/row.
+        model = [(kw, w) for kw, w in lexicon]
+        for texts in batches:
+            total = texts.str.len() // 100
+            for kw, w in model:
+                total = total + w * texts.str.count(kw, flags=0)
+            yield total.astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return docs.select(
+        "doc_id", score(F.col("text")).cast("bigint").alias("score")
     )

@@ -292,6 +292,8 @@ PROBES = [
     "join_null_safe_eq",           # hash join on null-normalized key
     "agg_skewness_kurtosis",       # exact decimal moments, one agg
     "text_oov_rate",               # bounded vocab broadcast probe
+    "udf_scalar_iter_score",       # iterator UDF, amortized task init
+    "events_trailing_dau_hll",     # daily sketches + bounded-day union
 ]
 
 

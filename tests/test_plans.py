@@ -1256,3 +1256,22 @@ def test_oov_vocab_broadcasts_to_probe(spark):
     assert count(r"TakeOrdered", plan) == 1
     assert count(r"BroadcastHashJoin", plan) == 1
     assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_scalar_iter_single_arrow_stage_no_shuffle(spark):
+    """The iterator UDF is one ArrowEvalPython over one scan — zero
+    shuffle, zero joins; per-task init amortizes over all batches."""
+    plan = plan_of(spark, "udf_scalar_iter_score")
+    assert count(r"ArrowEvalPython", plan) == 1
+    assert count(r"BatchEvalPython", plan) == 0
+    assert count(r"Exchange", plan) == 0
+    assert count(r"Join", plan) == 0
+
+
+def test_trailing_dau_hll_one_corpus_scan(spark):
+    """The distinct (user, day) pair relation is checkpointed once and
+    feeds sketches, calendar, and the exact twin — no consumer rescans
+    raw events."""
+    plan = plan_of(spark, "events_trailing_dau_hll")
+    assert count(r"FileScan parquet", plan) == 0
+    assert count(r"CartesianProduct", plan) == 0
