@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_preparation_plugin_spark.functions.geo import (
+    covering_cells,
     grid_blocked_join,
+    grid_cell,
     planar_distance_sq,
     point_in_polygon,
     polygon_wkt,
@@ -467,4 +469,132 @@ def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.min("geohash").alias("sample_geohash"),
         F.min("c_custkey").cast("bigint").alias("min_custkey"),
+    )
+
+
+#: Half-size (degrees) of the per-supplier service box.
+SUPPLIER_BOX_HALF_DEG = 1.5
+
+
+def _supplier_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A ±1.5° service box around each supplier's deterministic point."""
+    return _supplier_points(spark, sf_dir).select(
+        "s_suppkey",
+        (F.col("sx") - SUPPLIER_BOX_HALF_DEG).alias("b_min_x"),
+        (F.col("sy") - SUPPLIER_BOX_HALF_DEG).alias("b_min_y"),
+        (F.col("sx") + SUPPLIER_BOX_HALF_DEG).alias("b_max_x"),
+        (F.col("sy") + SUPPLIER_BOX_HALF_DEG).alias("b_max_y"),
+    )
+
+
+@register(
+    "geo_bbox_overlap_join",
+    category="geo",
+    oracle="""
+    WITH nb AS (
+        SELECT n_nationkey,
+               n_nationkey * 14.0 - 180 AS min_x,
+               n_nationkey * 7.0  - 90  AS min_y,
+               n_nationkey * 14.0 - 166.5 AS max_x,
+               n_nationkey * 7.0  - 83.5  AS max_y
+        FROM nation
+    ), sb AS (
+        SELECT s_suppkey,
+               (((s_suppkey * 17) % 360) - 180
+                + ((s_suppkey * 4447) % 1000) / 1000.0) - 1.5 AS b_min_x,
+               (((s_suppkey * 13) % 180) - 90
+                + ((s_suppkey * 7873) % 1000) / 1000.0) - 1.5 AS b_min_y,
+               (((s_suppkey * 17) % 360) - 180
+                + ((s_suppkey * 4447) % 1000) / 1000.0) + 1.5 AS b_max_x,
+               (((s_suppkey * 13) % 180) - 90
+                + ((s_suppkey * 7873) % 1000) / 1000.0) + 1.5 AS b_max_y
+        FROM supplier
+    )
+    SELECT n.n_nationkey, s.s_suppkey,
+           CAST(floor((least(n.max_x, s.b_max_x)
+                       - greatest(n.min_x, s.b_min_x))
+                    * (least(n.max_y, s.b_max_y)
+                       - greatest(n.min_y, s.b_min_y)) * 1000000)
+                AS BIGINT) AS overlap_area_e6
+    FROM nb n JOIN sb s
+      ON n.min_x <= s.b_max_x AND s.b_min_x <= n.max_x
+     AND n.min_y <= s.b_max_y AND s.b_min_y <= n.max_y
+    """,
+)
+def geo_bbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-overlap spatial join with REFERENCE-POINT dedup — no distinct.
+
+    The polygon-overlay pre-join (which parcels might intersect which
+    zones?) is a 2-D interval join: boxes overlap iff they overlap on
+    BOTH axes.  Grid blocking makes it an equi-join — but unlike the
+    point joins, BOTH sides explode to covering cells, so an
+    overlapping pair co-occurs in every cell their boxes share and
+    the naive join emits duplicates.  The classic fix is not
+    ``distinct()`` (a full extra shuffle of the result): each
+    candidate pair is emitted ONLY in the cell containing its
+    overlap's min corner (``greatest(min_xs), greatest(min_ys)`` —
+    the reference point), a pure predicate, so the join output is
+    exact with zero post-dedup.  The unblocked quadratic oracle
+    proves the blocking + reference-point discipline lossless.
+    Overlap area ships as an e6 integer computed with the same
+    least/greatest expression in both engines.
+
+    Scale shape: both sides shuffle (or broadcast, dimension-sized
+    here) on the bounded integer cell key; per-cell work is
+    candidate-proportional; no distinct, no cartesian, no window.
+    """
+    nb = _boxes(spark, sf_dir).select(
+        "n_nationkey",
+        F.col("min_x"),
+        F.col("min_y"),
+        F.col("max_x"),
+        F.col("max_y"),
+        F.explode(
+            covering_cells(
+                F.col("min_x"), F.col("min_y"),
+                F.col("max_x"), F.col("max_y"),
+            )
+        ).alias("__cell"),
+    )
+    sb = _supplier_boxes(spark, sf_dir).select(
+        "s_suppkey",
+        "b_min_x",
+        "b_min_y",
+        "b_max_x",
+        "b_max_y",
+        F.explode(
+            covering_cells(
+                F.col("b_min_x"), F.col("b_min_y"),
+                F.col("b_max_x"), F.col("b_max_y"),
+            )
+        ).alias("__cell"),
+    )
+    ref_x = F.greatest(F.col("min_x"), F.col("b_min_x"))
+    ref_y = F.greatest(F.col("min_y"), F.col("b_min_y"))
+    overlap = (
+        (F.col("min_x") <= F.col("b_max_x"))
+        & (F.col("b_min_x") <= F.col("max_x"))
+        & (F.col("min_y") <= F.col("b_max_y"))
+        & (F.col("b_min_y") <= F.col("max_y"))
+    )
+    return (
+        sb.join(F.broadcast(nb), "__cell")
+        .filter(overlap & (grid_cell(ref_x, ref_y) == F.col("__cell")))
+        .select(
+            "n_nationkey",
+            "s_suppkey",
+            F.floor(
+                (
+                    F.least(F.col("max_x"), F.col("b_max_x"))
+                    - F.greatest(F.col("min_x"), F.col("b_min_x"))
+                )
+                * (
+                    F.least(F.col("max_y"), F.col("b_max_y"))
+                    - F.greatest(F.col("min_y"), F.col("b_min_y"))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("overlap_area_e6"),
+        )
     )

@@ -2668,3 +2668,113 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_oov_types"),
     )
+
+
+#: Intra-document dedup granularity: tokens per non-overlapping chunk.
+INTRADOC_CHUNK_TOKENS = 2
+
+
+@register(
+    "text_intradoc_dedup",
+    category="text",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS token,
+               generate_subscripts(
+                   string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               (pos - 1) // {INTRADOC_CHUNK_TOKENS} AS chunk_idx,
+               string_agg(token, ' ' ORDER BY pos) AS chunk_text
+        FROM tok GROUP BY doc_id, (pos - 1) // {INTRADOC_CHUNK_TOKENS}
+    ), ranked AS (
+        SELECT doc_id, chunk_idx, chunk_text,
+               row_number() OVER (PARTITION BY doc_id, chunk_text
+                                  ORDER BY chunk_idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed,
+           md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                   FILTER (WHERE rn = 1)) AS cleaned_md5
+    FROM ranked
+    GROUP BY doc_id
+    HAVING count(*) FILTER (WHERE rn > 1) > 0
+    """,
+)
+def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document chunk dedup — self-repetition removal, reassembled.
+
+    Cross-document dedup (the ``dedup_*`` family) never touches the
+    C4/Gopher finding that documents repeat THEMSELVES (boilerplate
+    runs, templated lines, stuck generators); the cleaning transform
+    is sub-document: split each doc into non-overlapping
+    {INTRADOC_CHUNK_TOKENS}-token chunks, keep each distinct chunk's
+    FIRST occurrence, and reassemble the survivors in original order.
+    The whole edit is order-preserving and md5-audited — a chunk
+    leaked, dropped, or reordered by the distributed reassembly
+    hash-fails.  Output is the affected-docs report (dup chunks > 0)
+    with before/after accounting; ``text_gopher_repetition`` SCORES
+    self-repetition, this REMOVES it.
+
+    Scale shape: three exchanges (chunk build, keep-first window,
+    reassembly), every one keyed by doc_id plus a doc-local column —
+    rows only ever move WITH their document, no corpus-global key
+    anywhere, so skew is bounded by the largest single document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos0", "token"),
+    )
+    chunks = (
+        tok.groupBy(
+            "doc_id",
+            (F.col("pos0") / INTRADOC_CHUNK_TOKENS)
+            .cast("bigint")
+            .alias("chunk_idx"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos0", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    )
+    w = Window.partitionBy("doc_id", "chunk_text").orderBy("chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum((F.col("rn") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1,
+                                    F.struct("chunk_idx", "chunk_text"),
+                                )
+                            )
+                        ),
+                        lambda s: s["chunk_text"],
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_md5"),
+        )
+        .filter(F.col("n_removed") > 0)
+    )

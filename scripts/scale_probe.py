@@ -294,6 +294,8 @@ PROBES = [
     "text_oov_rate",               # bounded vocab broadcast probe
     "udf_scalar_iter_score",       # iterator UDF, amortized task init
     "events_trailing_dau_hll",     # daily sketches + bounded-day union
+    "geo_bbox_overlap_join",       # 2-sided cell explode + ref-point dedup
+    "text_intradoc_dedup",         # doc-keyed chunk dedup + reassembly
 ]
 
 

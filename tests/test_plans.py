@@ -1275,3 +1275,23 @@ def test_trailing_dau_hll_one_corpus_scan(spark):
     plan = plan_of(spark, "events_trailing_dau_hll")
     assert count(r"FileScan parquet", plan) == 0
     assert count(r"CartesianProduct", plan) == 0
+
+
+def test_bbox_overlap_equi_join_no_distinct(spark):
+    """Both box sets explode to covering cells; the pair join is a
+    broadcast hash equi-join on the cell key with reference-point
+    dedup — no cartesian, and NO post-join distinct/aggregate."""
+    plan = plan_of(spark, "geo_bbox_overlap_join")
+    assert count(r"BroadcastHashJoin", plan) == 1
+    assert count(r"CartesianProduct", plan) == 0
+    assert count(r"HashAggregate", plan) == 0
+
+
+def test_intradoc_dedup_doc_keyed_exchanges_only(spark):
+    """One corpus scan; every exchange key starts with doc_id (rows
+    move only with their document — skew bounded by the largest doc)."""
+    plan = plan_of(spark, "text_intradoc_dedup")
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"Join", plan) == 0
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]*)", plan):
+        assert "doc_id" in m.group(1), plan[m.start():m.start() + 120]
