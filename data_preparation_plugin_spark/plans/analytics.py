@@ -4437,3 +4437,87 @@ def profile_missingness_patterns(
     return flagged.groupBy("pattern", "n_missing").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )
+
+
+@register(
+    "transform_scd3_prev_value",
+    category="transform",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER w AS prev_status
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ), changes AS (
+        SELECT o_custkey, o_orderstatus, prev_status,
+               o_orderdate, o_orderkey
+        FROM ordered
+        WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC,
+                                           o_orderkey DESC) AS rn,
+               count(*) OVER (PARTITION BY o_custkey) AS n_changes
+        FROM changes
+    )
+    SELECT o_custkey,
+           o_orderstatus AS current_status,
+           prev_status   AS previous_status,
+           o_orderdate   AS changed_on,
+           CAST(n_changes AS BIGINT) AS n_transitions
+    FROM ranked WHERE rn = 1
+    """,
+)
+def transform_scd3_prev_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCD Type 3: current value + ONE previous value per key.
+
+    Completes the slowly-changing-dimension family in the registry
+    (type 2 history intervals, point-in-time joins, type 6 hybrid):
+    type 3 keeps LIMITED history — each dimension row carries the
+    current attribute and the value it replaced, nothing older.  The
+    build distills the change stream to transition rows (value differs
+    from its predecessor), then keeps each key's LATEST transition:
+    its new value is the current state, its predecessor is the
+    previous-value column, and the change count tells the modeler how
+    much history type 3 is discarding (the design trade-off made
+    visible).
+
+    Scale shape: one lag window + one latest-transition rank window,
+    both over the same (custkey) exchange + sort — a single shuffle;
+    the transition filter shrinks the stream before the rank.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        orders.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+    )
+    latest_w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ranked = changes.select(
+        "o_custkey",
+        "o_orderstatus",
+        "prev_status",
+        "o_orderdate",
+        F.row_number().over(latest_w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_custkey"))
+        .alias("n_changes"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("current_status"),
+        F.col("prev_status").alias("previous_status"),
+        F.col("o_orderdate").alias("changed_on"),
+        F.col("n_changes").cast("bigint").alias("n_transitions"),
+    )

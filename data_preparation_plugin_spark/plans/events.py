@@ -3753,3 +3753,125 @@ def events_trailing_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02 * F.col("dau7_exact")
         ).alias("hll_within_2pct"),
     )
+
+
+#: Identity stitching: events with user unknown every Nth event.
+STITCH_ANON_MOD = 5
+#: Session gap (minutes) within which identity carries over.
+STITCH_GAP_MIN = 30
+
+
+@register(
+    "events_identity_stitch",
+    category="events",
+    oracle=f"""
+    WITH anon AS (
+        SELECT event_id, ts, user_id AS true_user,
+               CASE WHEN event_id % {STITCH_ANON_MOD} = 0 THEN NULL
+                    ELSE user_id END AS known_user
+        FROM events
+    ), marked AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts)
+                            >= {STITCH_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM anon
+        WINDOW w AS (PARTITION BY true_user ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT *,
+               sum(is_start) OVER (PARTITION BY true_user
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ), stitched AS (
+        SELECT *,
+               coalesce(
+                   known_user,
+                   max(known_user) OVER (PARTITION BY true_user, session_id)
+               ) AS stitched_user
+        FROM sess
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE known_user IS NULL) AS BIGINT)
+               AS n_anon,
+           CAST(count(*) FILTER (WHERE known_user IS NULL
+                                   AND stitched_user IS NOT NULL)
+                AS BIGINT) AS n_stitched,
+           CAST(count(*) FILTER (WHERE stitched_user = true_user)
+                AS BIGINT) AS n_correct,
+           CAST(count(*) FILTER (WHERE known_user IS NULL
+                                   AND stitched_user IS NULL)
+                AS BIGINT) AS n_unresolved
+    FROM stitched
+    """,
+)
+def events_identity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity stitching: anonymous events inherit their session's user.
+
+    The identity-resolution primitive of every product-analytics
+    pipeline: cookie-only events (here every {STITCH_ANON_MOD}th
+    event, identity deterministically withheld) are re-attributed to
+    the user whose SESSION they fall inside — a gap-based session
+    ({STITCH_GAP_MIN} min) carries identity across its anonymous
+    members.  Ground truth is retained alongside (the fixture knows
+    the true user), so the report carries the stitching audit every
+    such system needs: how many anonymous events, how many stitched,
+    how many stitched CORRECTLY, how many unresolved (whole session
+    anonymous).  The stitch itself is ``coalesce(known, max(known)
+    OVER session)`` — a window, not a join.
+
+    Scale shape: sessionize + stitch are two windows over the same
+    (user)-keyed sort (in production the partition key is the device/
+    cookie id — the observable key; the fixture's true_user stands in
+    as the device); the audit is one global aggregate.  No joins, one
+    scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    gap_us = STITCH_GAP_MIN * 60 * 1_000_000
+    anon = events.select(
+        "event_id",
+        "ts",
+        F.col("user_id").alias("true_user"),
+        F.when(F.col("event_id") % STITCH_ANON_MOD == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("known_user"),
+    )
+    w = Window.partitionBy("true_user").orderBy("ts", "event_id")
+    lagged = anon.withColumn("prev_ts", F.lag("ts").over(w))
+    marked = lagged.withColumn(
+        "is_start",
+        (
+            F.col("prev_ts").isNull()
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") >= gap_us)
+        ).cast("int"),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sw = Window.partitionBy("true_user", "session_id")
+    stitched = sess.withColumn(
+        "stitched_user",
+        F.coalesce(F.col("known_user"), F.max("known_user").over(sw)),
+    )
+    anon_f = F.col("known_user").isNull()
+    return stitched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(anon_f.cast("bigint")).cast("bigint").alias("n_anon"),
+        F.sum(
+            (anon_f & F.col("stitched_user").isNotNull()).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_stitched"),
+        F.sum(
+            (F.col("stitched_user") == F.col("true_user")).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        F.sum(
+            (anon_f & F.col("stitched_user").isNull()).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_unresolved"),
+    )

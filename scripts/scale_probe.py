@@ -296,6 +296,8 @@ PROBES = [
     "events_trailing_dau_hll",     # daily sketches + bounded-day union
     "geo_bbox_overlap_join",       # 2-sided cell explode + ref-point dedup
     "text_intradoc_dedup",         # doc-keyed chunk dedup + reassembly
+    "events_identity_stitch",      # session windows + coalesce stitch
+    "transform_scd3_prev_value",   # one-exchange latest transition
 ]
 
 

@@ -1295,3 +1295,22 @@ def test_intradoc_dedup_doc_keyed_exchanges_only(spark):
     assert count(r"Join", plan) == 0
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]*)", plan):
         assert "doc_id" in m.group(1), plan[m.start():m.start() + 120]
+
+
+def test_identity_stitch_one_key_exchange_no_join(spark):
+    """Sessionize + stitch are windows over one (user)-keyed exchange;
+    the stitch is coalesce-over-window, never a join; the audit is the
+    only single-partition step."""
+    plan = plan_of(spark, "events_identity_stitch")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
+
+
+def test_scd3_single_key_exchange(spark):
+    """Lag, latest-transition rank, and the per-key count all ride one
+    (custkey) exchange — no joins, one scan."""
+    plan = plan_of(spark, "transform_scd3_prev_value")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
