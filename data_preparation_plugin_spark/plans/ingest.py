@@ -1632,3 +1632,67 @@ def layout_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
+
+
+_STATS_DIR = os.path.join(_STAGE_ROOT, "orders_sorted_stats")
+#: Key range for the stats-pruned scan (a narrow slice of orderkeys).
+STATS_PRUNE_LO, STATS_PRUNE_HI = 10_000, 12_000
+
+
+@register(
+    "layout_sorted_stats_prune",
+    category="source",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey BETWEEN {STATS_PRUNE_LO} AND {STATS_PRUNE_HI}
+    """,
+)
+def layout_sorted_stats_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sort-then-write: min/max row-group statistics become an index.
+
+    The third pruning tier's cheap sibling: parquet writes min/max
+    stats per row group ALWAYS, but on unsorted data every group spans
+    nearly the full key range and the stats prune nothing (why
+    ``layout_parquet_bloom_lookup`` exists).  SORTING before writing
+    is what turns the free stats into a range index: disjoint tight
+    key ranges per row group, so a BETWEEN predicate touches only the
+    covering groups — the same physics as ClickHouse's primary key or
+    Delta/Iceberg's data-skipping files, with zero extra bytes.
+    Orders is sorted by key into small row groups;
+    ``tests/test_plans.py`` reads the staged footers and asserts the
+    row-group key ranges are PAIRWISE DISJOINT (the sort did its job)
+    and that the range predicate is pushed to the scan; the oracle
+    recomputes from the unsorted original, proving the sorted copy
+    faithful.
+
+    Scale shape: the stage is one global range sort (the one-time
+    layout cost every sorted table pays — Spark's rangepartition +
+    local sort); every subsequent range query reads footers plus the
+    few covering row groups.  Pair with bloom filters for point
+    lookups on OTHER columns.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.orderBy("o_orderkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(64 * 1024))
+        .parquet(_STATS_DIR)
+    )
+    df = spark.read.parquet(_STATS_DIR).filter(
+        F.col("o_orderkey").between(STATS_PRUNE_LO, STATS_PRUNE_HI)
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.expr("round(o_totalprice * 100)"))
+        .cast("bigint")
+        .alias("cents"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )

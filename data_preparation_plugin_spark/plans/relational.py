@@ -4239,3 +4239,117 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d * d * d * d).alias("s4"),
     )
     return m.selectExpr("o_orderpriority", *_MOMENT_FORMULA.split(",\n"))
+
+
+def _det3(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+    """3x3 determinant as SQL expression TEXT — same string in both
+    engines, so IEEE evaluation order is identical."""
+    return (
+        f"({a11}) * (({a22}) * ({a33}) - ({a23}) * ({a32}))"
+        f" - ({a12}) * (({a21}) * ({a33}) - ({a23}) * ({a31}))"
+        f" + ({a13}) * (({a21}) * ({a32}) - ({a22}) * ({a31}))"
+    )
+
+
+def _ols2_select() -> str:
+    """Shared closed-form 2-feature OLS solve (normal equations via
+    Cramer's rule) over exact moment columns n,s1,s2,sy,s11,s12,s22,
+    s1y,s2y. Returns the SELECT-list text both engines run."""
+    cols = {
+        "N": "CAST(n AS DOUBLE)",
+        "S1": "CAST(s1 AS DOUBLE)",
+        "S2": "CAST(s2 AS DOUBLE)",
+        "SY": "CAST(sy AS DOUBLE)",
+        "S11": "CAST(s11 AS DOUBLE)",
+        "S12": "CAST(s12 AS DOUBLE)",
+        "S22": "CAST(s22 AS DOUBLE)",
+        "S1Y": "CAST(s1y AS DOUBLE)",
+        "S2Y": "CAST(s2y AS DOUBLE)",
+    }
+    d = _det3(cols["N"], cols["S1"], cols["S2"],
+              cols["S1"], cols["S11"], cols["S12"],
+              cols["S2"], cols["S12"], cols["S22"])
+    d0 = _det3(cols["SY"], cols["S1"], cols["S2"],
+               cols["S1Y"], cols["S11"], cols["S12"],
+               cols["S2Y"], cols["S12"], cols["S22"])
+    d1 = _det3(cols["N"], cols["SY"], cols["S2"],
+               cols["S1"], cols["S1Y"], cols["S12"],
+               cols["S2"], cols["S2Y"], cols["S22"])
+    d2 = _det3(cols["N"], cols["S1"], cols["SY"],
+               cols["S1"], cols["S11"], cols["S1Y"],
+               cols["S2"], cols["S12"], cols["S2Y"])
+    return f"""
+        CAST(n AS BIGINT) AS n,
+        ({d0}) / ({d}) AS intercept_cents,
+        ({d1}) / ({d}) AS beta_quantity,
+        ({d2}) / ({d}) AS beta_discount_bp
+    """
+
+
+@register(
+    "agg_ols_two_features",
+    category="aggregate",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(l_quantity AS HUGEINT)) AS s1,
+               sum(CAST(round(l_discount * 10000) AS HUGEINT)) AS s2,
+               sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+               sum(CAST(l_quantity AS HUGEINT)
+                 * CAST(l_quantity AS HUGEINT)) AS s11,
+               sum(CAST(l_quantity AS HUGEINT)
+                 * CAST(round(l_discount * 10000) AS HUGEINT)) AS s12,
+               sum(CAST(round(l_discount * 10000) AS HUGEINT)
+                 * CAST(round(l_discount * 10000) AS HUGEINT)) AS s22,
+               sum(CAST(l_quantity AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS s1y,
+               sum(CAST(round(l_discount * 10000) AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS s2y
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, {_ols2_select()}
+    FROM m
+    """,
+)
+def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression AS AN AGGREGATE — closed-form, exact.
+
+    The distributed-ML primitive behind every "fit a line to the
+    firehose": price ~ quantity + discount per return flag, solved in
+    closed form from the NORMAL EQUATIONS.  The nine sufficient
+    statistics (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂², Σx₁y, Σx₂y)
+    accumulate as EXACT wide integers on integer-scaled units (cents,
+    quantity, discount bp) — one map-side-combinable aggregate and the
+    whole regression is solved; no gradient steps, no second pass, no
+    float summation-order nondeterminism.  The 3×3 Cramer solve is one
+    shared expression text (``_det3``/``_ols2_select`` — literally the
+    same string in builder and oracle) so the IEEE operation order,
+    and therefore every output bit, matches.  Generalizes
+    ``udf_apply_in_arrow_regression`` (one feature, per-group UDF) to
+    two features with ZERO Python.
+
+    Scale shape: one scan, one bounded-key combinable aggregate, a
+    5-row projection.  Σx₁x₂y-class moments of scaled values fit
+    DECIMAL(38) to ~10^12 rows (see ``agg_skewness_kurtosis``);
+    recentre features first beyond that.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    q = F.expr("CAST(l_quantity AS DECIMAL(38, 0))")
+    disc = F.expr("CAST(round(l_discount * 10000) AS DECIMAL(38, 0))")
+    y = F.expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38, 0))")
+    m = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(disc).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(q * q).alias("s11"),
+        F.sum(q * disc).alias("s12"),
+        F.sum(disc * disc).alias("s22"),
+        F.sum(q * y).alias("s1y"),
+        F.sum(disc * y).alias("s2y"),
+    )
+    return m.selectExpr(
+        "l_returnflag",
+        *[e for e in _ols2_select().split(",\n") if e.strip()],
+    )

@@ -298,6 +298,8 @@ PROBES = [
     "text_intradoc_dedup",         # doc-keyed chunk dedup + reassembly
     "events_identity_stitch",      # session windows + coalesce stitch
     "transform_scd3_prev_value",   # one-exchange latest transition
+    "agg_ols_two_features",        # nine exact moments, Cramer solve
+    "layout_sorted_stats_prune",   # range-sort stage + stats-pruned scan
 ]
 
 

@@ -1314,3 +1314,53 @@ def test_scd3_single_key_exchange(spark):
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"Join", plan) == 0
     assert count(r"FileScan parquet", plan) == 1
+
+
+def test_ols_moments_single_combinable_agg(spark):
+    """Nine exact decimal moments in one map-side-combinable aggregate;
+    the Cramer solve is a projection — one scan, one exchange, no
+    joins, no Python."""
+    plan = plan_of(spark, "agg_ols_two_features")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"ArrowEvalPython|BatchEvalPython", plan) == 0
+
+
+def test_sorted_stats_prune_disjoint_row_groups(spark):
+    """The sort-then-write staging must produce PAIRWISE DISJOINT
+    o_orderkey ranges across row groups (the free range index), and
+    the BETWEEN predicate must reach the scan."""
+    import glob
+
+    from data_preparation_plugin_spark.plans.ingest import _STATS_DIR
+
+    plan = plan_of(spark, "layout_sorted_stats_prune")
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderkey", plan
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    files = glob.glob(f"{_STATS_DIR}/*.parquet")
+    assert files, "stats staging dir empty"
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(files[0]), conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        blocks = reader.getFooter().getBlocks()
+        assert blocks.size() >= 2, "need multiple row groups to prune"
+        ranges = []
+        for i in range(blocks.size()):
+            cols = blocks.get(i).getColumns()
+            for j in range(cols.size()):
+                c = cols.get(j)
+                if "o_orderkey" in str(c.getPath()):
+                    st = c.getStatistics()
+                    ranges.append(
+                        (st.genericGetMin(), st.genericGetMax())
+                    )
+        assert all(
+            ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1)
+        ), f"row-group key ranges overlap: {ranges}"
+    finally:
+        reader.close()
