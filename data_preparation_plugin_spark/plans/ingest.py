@@ -1696,3 +1696,96 @@ def layout_sorted_stats_prune(
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
+
+
+@register(
+    "transform_try_arithmetic",
+    category="transform",
+    oracle="""
+    WITH dirty AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'N/A'
+                    WHEN o_orderkey % 11 = 0
+                        THEN CAST(o_orderkey AS VARCHAR) || 'u'
+                    ELSE CAST(o_orderkey % 500 AS VARCHAR) END AS qty_raw,
+               CASE WHEN o_orderkey % 13 = 0 THEN 0
+                    ELSE CAST(o_orderkey % 9 + 1 AS BIGINT) END AS packs
+        FROM orders
+    ), parsed AS (
+        SELECT o_orderpriority,
+               TRY_CAST(qty_raw AS BIGINT) AS qty,
+               packs,
+               TRY_CAST(qty_raw AS BIGINT) // nullif(packs, 0)
+                   AS per_pack
+        FROM dirty
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE qty IS NULL) AS BIGINT)
+               AS n_bad_cast,
+           CAST(count(*) FILTER (WHERE qty IS NOT NULL
+                                   AND per_pack IS NULL) AS BIGINT)
+               AS n_div_by_zero,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           CAST(sum(per_pack) AS BIGINT) AS total_per_pack
+    FROM parsed
+    GROUP BY o_orderpriority
+    """,
+)
+def transform_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ingestion arithmetic: try_cast / try_divide, audited.
+
+    Spark 4 runs ANSI mode by default: a malformed cast or a divide-
+    by-zero THROWS and kills the job — correct for analytics, fatal
+    for ingest, where a 100 TB load must not die on row 73 billion.
+    The ``try_*`` family is the engine's row-level error boundary:
+    ``try_cast`` and ``try_divide`` return NULL where ANSI would
+    raise, turning data errors into COUNTABLE facts.  The dirty feed
+    is synthesized deterministically (every 7th qty is 'N/A', every
+    11th has a trailing unit suffix, every 13th pack count is zero)
+    and the audit reports exactly what a loader must log: rows, failed
+    casts, divide-by-zero hits, and the totals over the survivors.
+    DuckDB's TRY_CAST + nullif-guarded division replays the identical
+    semantics, so the NULL-propagation rules themselves are
+    value-checked.
+
+    Scale shape: pure projection + one bounded-key aggregate; the
+    error handling is per-row expression logic inside codegen — no
+    quarantine shuffle unless rows are routed (``source_csv_
+    quarantine`` is that variant).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    dirty = orders.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("N/A"))
+        .when(
+            F.col("o_orderkey") % 11 == 0,
+            F.concat(F.col("o_orderkey").cast("string"), F.lit("u")),
+        )
+        .otherwise((F.col("o_orderkey") % 500).cast("string"))
+        .alias("qty_raw"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(0))
+        .otherwise((F.col("o_orderkey") % 9 + 1))
+        .cast("bigint")
+        .alias("packs"),
+    )
+    parsed = dirty.select(
+        "o_orderpriority",
+        F.expr("try_cast(qty_raw AS BIGINT)").alias("qty"),
+        "packs",
+        F.expr(
+            "try_divide(try_cast(qty_raw AS BIGINT), nullif(packs, 0))"
+        )
+        .cast("bigint")
+        .alias("per_pack"),
+    )
+    qty_null = F.col("qty").isNull()
+    return parsed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(qty_null.cast("bigint")).cast("bigint").alias("n_bad_cast"),
+        F.sum((~qty_null & F.col("per_pack").isNull()).cast("bigint"))
+        .cast("bigint")
+        .alias("n_div_by_zero"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+        F.sum("per_pack").cast("bigint").alias("total_per_pack"),
+    )

@@ -2778,3 +2778,97 @@ def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_removed") > 0)
     )
+
+
+#: Chat-template token budget: prompt tokens / completion tokens.
+CHAT_PROMPT_TOKENS = 10
+CHAT_COMPLETION_TOKENS = 20
+#: Special-token sentinels (model-family specific in production).
+CHAT_SYSTEM = "You answer questions about data engineering."
+
+
+@register(
+    "text_chat_template_render",
+    category="text",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), sliced AS (
+        SELECT doc_id, lang,
+               array_to_string(
+                   list_slice(toks, 1, {CHAT_PROMPT_TOKENS}), ' ')
+                   AS prompt,
+               array_to_string(
+                   list_slice(toks, {CHAT_PROMPT_TOKENS} + 1,
+                              {CHAT_PROMPT_TOKENS}
+                              + {CHAT_COMPLETION_TOKENS}), ' ')
+                   AS completion,
+               len(toks) AS n_toks
+        FROM tok
+        WHERE len(toks) >= {CHAT_PROMPT_TOKENS} + {CHAT_COMPLETION_TOKENS}
+    )
+    SELECT doc_id, lang,
+           CAST(length(prompt) AS BIGINT) AS prompt_chars,
+           CAST(length(completion) AS BIGINT) AS completion_chars,
+           md5('<|system|>{CHAT_SYSTEM}<|end|><|user|>' || prompt
+               || '<|end|><|assistant|>' || completion || '<|end|>')
+               AS rendered_md5
+    FROM sliced
+    """,
+)
+def text_chat_template_render(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chat-template rendering — the SFT-data serialization step.
+
+    Between a curated corpus and a fine-tuning run sits one more
+    transform every instruction pipeline ships: render each example
+    into the model family's chat template (special-token sentinels
+    around system/user/assistant turns), with hard token budgets per
+    role.  Prompt/completion pairs are derived deterministically from
+    each document (first {CHAT_PROMPT_TOKENS} tokens prompt, next
+    {CHAT_COMPLETION_TOKENS} completion; too-short docs are dropped —
+    the same admission rule a packer applies), and the RENDERED string
+    is md5-audited, so a sentinel typo, a dropped separator, or a
+    token leaking across the role boundary hash-fails the driver
+    compare.  This is the render half of ``text_span_corruption``'s
+    objective-construction family, for the SFT objective.
+
+    Scale shape: pure per-row projection (split, slice, concat, hash)
+    — zero shuffle, zero joins, whole-stage codegen end to end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", tokens_col(F.col("text")).alias("toks")
+    ).filter(
+        F.size("toks") >= CHAT_PROMPT_TOKENS + CHAT_COMPLETION_TOKENS
+    )
+    sliced = toks.select(
+        "doc_id",
+        "lang",
+        F.array_join(
+            F.slice("toks", 1, CHAT_PROMPT_TOKENS), " "
+        ).alias("prompt"),
+        F.array_join(
+            F.slice(
+                "toks", CHAT_PROMPT_TOKENS + 1, CHAT_COMPLETION_TOKENS
+            ),
+            " ",
+        ).alias("completion"),
+    )
+    rendered = F.concat(
+        F.lit(f"<|system|>{CHAT_SYSTEM}<|end|><|user|>"),
+        F.col("prompt"),
+        F.lit("<|end|><|assistant|>"),
+        F.col("completion"),
+        F.lit("<|end|>"),
+    )
+    return sliced.select(
+        "doc_id",
+        "lang",
+        F.length("prompt").cast("bigint").alias("prompt_chars"),
+        F.length("completion").cast("bigint").alias("completion_chars"),
+        F.md5(rendered).alias("rendered_md5"),
+    )

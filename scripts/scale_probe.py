@@ -300,6 +300,8 @@ PROBES = [
     "transform_scd3_prev_value",   # one-exchange latest transition
     "agg_ols_two_features",        # nine exact moments, Cramer solve
     "layout_sorted_stats_prune",   # range-sort stage + stats-pruned scan
+    "transform_try_arithmetic",    # codegen error boundaries + agg
+    "text_chat_template_render",   # pure projection render, no shuffle
 ]
 
 

@@ -1364,3 +1364,21 @@ def test_sorted_stats_prune_disjoint_row_groups(spark):
         ), f"row-group key ranges overlap: {ranges}"
     finally:
         reader.close()
+
+
+def test_try_arithmetic_pure_projection_one_agg(spark):
+    """Row-level error boundaries are codegen expressions — one scan,
+    one bounded-key aggregate, no quarantine shuffle, no Python."""
+    plan = plan_of(spark, "transform_try_arithmetic")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"ArrowEvalPython|BatchEvalPython", plan) == 0
+
+
+def test_chat_render_zero_shuffle(spark):
+    """Template rendering is a pure per-row projection — no exchange,
+    no joins, no Python anywhere."""
+    plan = plan_of(spark, "text_chat_template_render")
+    assert count(r"Exchange", plan) == 0
+    assert count(r"Join", plan) == 0
+    assert count(r"ArrowEvalPython|BatchEvalPython", plan) == 0
