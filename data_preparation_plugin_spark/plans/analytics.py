@@ -4521,3 +4521,114 @@ def transform_scd3_prev_value(
         F.col("o_orderdate").alias("changed_on"),
         F.col("n_changes").cast("bigint").alias("n_transitions"),
     )
+
+
+#: Distinct-growth curve: prefix fractions of the corpus to measure at.
+GROWTH_PREFIX_BUCKETS = 8
+
+
+@register(
+    "profile_distinct_growth",
+    category="profile",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_custkey AS k,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                    || '|growth'), 1, 8))::BIGINT
+                % {GROWTH_PREFIX_BUCKETS} AS bucket
+        FROM orders
+    ), firsts AS (
+        SELECT k, min(bucket) AS first_bucket,
+               count(*) AS occurrences
+        FROM keyed GROUP BY k
+    ), per_bucket AS (
+        SELECT b.x AS prefix_buckets,
+               (SELECT count(*) FROM keyed
+                WHERE bucket < b.x) AS n_rows,
+               (SELECT count(*) FROM firsts
+                WHERE first_bucket < b.x) AS n_distinct
+        FROM generate_series(1, {GROWTH_PREFIX_BUCKETS}) AS b(x)
+    )
+    SELECT CAST(prefix_buckets AS BIGINT) AS prefix_buckets,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_distinct * 1000000 // n_rows AS BIGINT)
+               AS distinct_per_row_e6
+    FROM per_bucket
+    """,
+)
+def profile_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-cardinality growth curve — does the key space saturate?
+
+    The profiling question behind dictionary encoding, broadcast
+    thresholds, and state-store sizing: as the table grows, do NEW
+    keys keep arriving (ids — distinct grows linearly) or does the
+    key space saturate (categories — distinct flattens)?  Heaps'-law
+    shape, measured: rows are assigned to {GROWTH_PREFIX_BUCKETS}
+    deterministic hash buckets (a reproducible "arrival order"), and
+    the curve reports rows vs distinct keys over every prefix of
+    buckets — one point per prefix, computed WITHOUT rescanning per
+    point: each key reduces to (first_bucket, occurrences) once, and
+    a key is distinct-by-prefix-x iff first_bucket < x.  The fixture's
+    custkey curve visibly flattens (saturating dimension), and the
+    e6 distinct-per-row ratio is the number a capacity planner reads.
+
+    Scale shape: one scan to (key, bucket); one combinable per-key
+    aggregate; then a {GROWTH_PREFIX_BUCKETS}-row bounded explode
+    joins the per-key firsts — never one pass per curve point.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    n_b = GROWTH_PREFIX_BUCKETS
+    keyed = orders.select(
+        F.col("o_custkey").alias("k"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit("|growth"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_b
+        ).alias("bucket"),
+    )
+    firsts = keyed.groupBy("k").agg(
+        F.min("bucket").alias("first_bucket"),
+        F.count(F.lit(1)).alias("occurrences"),
+    )
+    # Bounded explode: each key contributes to every prefix AFTER its
+    # first bucket; each row likewise. Aggregate both curves from the
+    # reduced relations.
+    rows_curve = (
+        keyed.select(
+            F.explode(
+                F.sequence(F.col("bucket") + 1, F.lit(n_b))
+            ).alias("prefix_buckets")
+        )
+        .groupBy("prefix_buckets")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    distinct_curve = (
+        firsts.select(
+            F.explode(
+                F.sequence(F.col("first_bucket") + 1, F.lit(n_b))
+            ).alias("prefix_buckets")
+        )
+        .groupBy("prefix_buckets")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return rows_curve.join(distinct_curve, "prefix_buckets").select(
+        F.col("prefix_buckets").cast("bigint").alias("prefix_buckets"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.expr("CAST(n_distinct * 1000000 DIV n_rows AS BIGINT)").alias(
+            "distinct_per_row_e6"
+        ),
+    )

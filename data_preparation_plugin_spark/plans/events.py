@@ -3875,3 +3875,93 @@ def events_identity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unresolved"),
     )
+
+
+@register(
+    "events_training_set_pit",
+    category="events",
+    oracle="""
+    WITH feat AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               count(CASE WHEN event_type = 'view' THEN 1 END)
+                   OVER past AS n_views_before,
+               count(CASE WHEN event_type = 'click' THEN 1 END)
+                   OVER past AS n_clicks_before,
+               count(*) OVER past AS n_events_before,
+               lag(event_type) OVER w AS last_event_type,
+               date_diff('microsecond', lag(ts) OVER w, ts)
+                   AS us_since_last
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               past AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CAST(n_views_before AS BIGINT) AS n_views_before,
+           CAST(n_clicks_before AS BIGINT) AS n_clicks_before,
+           CAST(n_events_before AS BIGINT) AS n_events_before,
+           coalesce(last_event_type, 'none') AS last_event_type,
+           CAST(coalesce(us_since_last, -1) AS BIGINT) AS us_since_last,
+           CAST(round(value * 100) AS BIGINT) AS label_cents
+    FROM feat
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training-set assembly — the feature-store export.
+
+    The last hop before model training, and the one where leakage is
+    born: every purchase (the label row) needs its features AS OF
+    strictly BEFORE the label instant.  Here the point-in-time rule
+    is not a join discipline but a WINDOW FRAME — ``ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING`` over the user's timeline IS
+    the "strictly before" semantics, so behavioral counters (prior
+    views/clicks/events), the previous action, and recency arrive
+    leakage-free BY CONSTRUCTION; there is no feature table to
+    mis-join.  The frame runs over ALL events, the label filter
+    applies after — features see the full history, labels only the
+    purchase rows.  Complements ``join_point_in_time_scd2`` (the
+    versioned-dimension PIT join) with the event-aggregate PIT shape.
+
+    Scale shape: one (user)-keyed exchange + sort shared by every
+    frame; the label filter prunes output, not input (it must not —
+    pre-filtering would corrupt the features).  Zero joins, one scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    past = w.rowsBetween(Window.unboundedPreceding, -1)
+    feat = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .over(past)
+        .alias("n_views_before"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .over(past)
+        .alias("n_clicks_before"),
+        F.count(F.lit(1)).over(past).alias("n_events_before"),
+        F.lag("event_type").over(w).alias("last_event_type_raw"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),"
+            " ts)"
+        ).alias("us_since_last_raw"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("n_views_before").cast("bigint").alias("n_views_before"),
+        F.col("n_clicks_before").cast("bigint").alias("n_clicks_before"),
+        F.col("n_events_before").cast("bigint").alias("n_events_before"),
+        F.coalesce(F.col("last_event_type_raw"), F.lit("none")).alias(
+            "last_event_type"
+        ),
+        F.coalesce(F.col("us_since_last_raw"), F.lit(-1))
+        .cast("bigint")
+        .alias("us_since_last"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("label_cents"),
+    )

@@ -302,6 +302,8 @@ PROBES = [
     "layout_sorted_stats_prune",   # range-sort stage + stats-pruned scan
     "transform_try_arithmetic",    # codegen error boundaries + agg
     "text_chat_template_render",   # pure projection render, no shuffle
+    "profile_distinct_growth",     # per-key firsts + bounded explode
+    "events_training_set_pit",     # shared PIT frames, one exchange
 ]
 
 

@@ -1382,3 +1382,22 @@ def test_chat_render_zero_shuffle(spark):
     assert count(r"Exchange", plan) == 0
     assert count(r"Join", plan) == 0
     assert count(r"ArrowEvalPython|BatchEvalPython", plan) == 0
+
+
+def test_distinct_growth_no_per_point_rescan(spark):
+    """The curve comes from bounded explodes of the reduced (key,
+    first_bucket) and (row, bucket) relations — one corpus scan total,
+    never one pass per curve point."""
+    plan = plan_of(spark, "profile_distinct_growth")
+    assert count(r"FileScan parquet", plan) <= 2
+    assert count(r"CartesianProduct", plan) == 0
+
+
+def test_training_set_pit_single_exchange_no_join(spark):
+    """All point-in-time frames share one (user) exchange + sort; the
+    label filter must sit ABOVE the windows (pre-filtering would
+    corrupt the features) and there is no feature-table join."""
+    plan = plan_of(spark, "events_training_set_pit")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"Join", plan) == 0
+    assert count(r"FileScan parquet", plan) == 1
