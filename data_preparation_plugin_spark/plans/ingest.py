@@ -1789,3 +1789,82 @@ def transform_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").cast("bigint").alias("total_qty"),
         F.sum("per_pack").cast("bigint").alias("total_per_pack"),
     )
+
+
+_MLCSV_DIR = os.path.join(_STAGE_ROOT, "csv_embedded_newlines")
+
+
+@register(
+    "source_csv_embedded_newlines",
+    category="source",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(length(note) - length(replace(note, chr(10), ''))
+                         AS BIGINT)) AS BIGINT) AS embedded_newlines,
+           min(n_name) AS first_name
+    FROM (
+        SELECT n_nationkey, n_name, n_regionkey,
+               n_name || chr(10) || 'line2 of ' || n_name
+                      || chr(10) || 'line3' AS note
+        FROM nation
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def source_csv_embedded_newlines(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CSV with newlines INSIDE quoted fields — the multiLine contract.
+
+    The classic silent CSV corruption: a free-text column containing
+    real line breaks is perfectly legal RFC-4180 (quoted), but a
+    line-oriented reader splits records mid-field and shreds the
+    file.  Spark's default CSV path is line-split (that is what makes
+    it splittable at 100 TB); ``multiLine=true`` switches to a real
+    RFC parser that honors quotes across line boundaries — at the
+    documented cost that each file becomes ONE split.  The stage
+    writes nation rows with a 3-line quoted note via the distributed
+    CSV writer (quoting on by default), reads them back multiLine,
+    and the audit counts the embedded newlines that survived — a
+    reader regression to line-splitting produces mangled rows and
+    hash-fails.  The oracle rebuilds the note from the base table:
+    values matching proves the quoted round trip lossless.
+
+    Scale shape: the one-split-per-file cost is the REAL production
+    trade-off this operator documents — multiLine inputs must arrive
+    as many small-ish files (the stage writes one per task) to keep
+    parallelism; everything downstream is a bounded-key aggregate.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    staged = nation.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.concat(
+            F.col("n_name"),
+            F.lit("\nline2 of "),
+            F.col("n_name"),
+            F.lit("\nline3"),
+        ).alias("note"),
+    )
+    staged.write.mode("overwrite").option("header", "true").csv(_MLCSV_DIR)
+    df = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema(
+            "n_nationkey BIGINT, n_name STRING,"
+            " n_regionkey BIGINT, note STRING"
+        )
+        .csv(_MLCSV_DIR)
+    )
+    newlines = F.length("note") - F.length(
+        F.regexp_replace("note", "\n", "")
+    )
+    return df.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(newlines.cast("bigint")).cast("bigint").alias(
+            "embedded_newlines"
+        ),
+        F.min("n_name").alias("first_name"),
+    )

@@ -9,6 +9,8 @@ linearly with input.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2871,4 +2873,73 @@ def text_chat_template_render(
         F.length("prompt").cast("bigint").alias("prompt_chars"),
         F.length("completion").cast("bigint").alias("completion_chars"),
         F.md5(rendered).alias("rendered_md5"),
+    )
+
+
+@register(
+    "text_unicode_normalize",
+    category="text",
+    oracle=r"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN replace(text, 'e', 'e' || chr(769))
+                    ELSE text END AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS raw_chars,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars,
+           CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT)
+               AS chars_composed,
+           md5(nfc_normalize(raw)) AS nfc_md5
+    FROM injected
+    WHERE doc_id % 3 = 0
+    """,
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — cross-validated against a second
+    implementation of the standard.
+
+    The zeroth text-cleaning stage of any multilingual corpus: the
+    same glyph arrives both composed (é, U+00E9) and decomposed
+    (e + U+0301), and every downstream equality — dedup fingerprints,
+    vocabulary counts, PII patterns — silently fractures unless
+    normalization runs first.  Decomposed sequences are injected
+    deterministically (every 3rd doc, combining acute after each
+    'e'); Spark normalizes via an Arrow-batched pandas
+    ``str.normalize('NFC')`` (Python's unicodedata, UCD tables) while
+    the oracle runs DuckDB's ``nfc_normalize`` (ICU) — two INDEPENDENT
+    implementations of UAX #15, so an md5 match is real conformance
+    evidence, not self-agreement.  Composition shrinks the string by
+    exactly the composed-pair count, reported per doc.
+
+    Scale shape: pure Arrow-vectorized map, zero shuffle, zero joins;
+    at 100 TB this pins one Python worker per core streaming batches
+    (the ``udf_scalar_iter_score`` economics).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        return texts.str.normalize("NFC")
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    injected = docs.select(
+        "doc_id",
+        F.regexp_replace("text", "e", "é").alias("raw"),
+    )
+    out = injected.select(
+        "doc_id", "raw", nfc(F.col("raw")).alias("nfc_text")
+    )
+    return out.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("raw_chars"),
+        F.length("nfc_text").cast("bigint").alias("nfc_chars"),
+        (F.length("raw") - F.length("nfc_text"))
+        .cast("bigint")
+        .alias("chars_composed"),
+        F.md5("nfc_text").alias("nfc_md5"),
     )

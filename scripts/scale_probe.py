@@ -304,6 +304,8 @@ PROBES = [
     "text_chat_template_render",   # pure projection render, no shuffle
     "profile_distinct_growth",     # per-key firsts + bounded explode
     "events_training_set_pit",     # shared PIT frames, one exchange
+    "text_unicode_normalize",      # Arrow NFC map, zero shuffle
+    "source_csv_embedded_newlines",  # multiLine quoted-record parse
 ]
 
 

@@ -1401,3 +1401,32 @@ def test_training_set_pit_single_exchange_no_join(spark):
     assert count(r"Exchange hashpartitioning", plan) == 1
     assert count(r"Join", plan) == 0
     assert count(r"FileScan parquet", plan) == 1
+
+
+def test_unicode_normalize_arrow_vectorized_no_shuffle(spark):
+    """Normalization is one Arrow-batched pandas UDF over one scan —
+    never row-at-a-time Python, never a shuffle."""
+    plan = plan_of(spark, "text_unicode_normalize")
+    assert count(r"ArrowEvalPython", plan) == 1
+    assert count(r"BatchEvalPython", plan) == 0
+    assert count(r"Exchange", plan) == 0
+
+
+def test_csv_embedded_newlines_reads_quoted_records(spark):
+    """The multiLine read must reassemble 3-line quoted notes: row
+    count equals the base table and every note carries its 2
+    newlines."""
+    import os
+
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = (
+        QUERIES["source_csv_embedded_newlines"].builder(spark, sf).collect()
+    )
+    assert sum(r["n_rows"] for r in rows) == 25
+    assert all(
+        r["embedded_newlines"] == 2 * r["n_rows"] for r in rows
+    )
