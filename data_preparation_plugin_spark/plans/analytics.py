@@ -4632,3 +4632,98 @@ def profile_distinct_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_per_row_e6"
         ),
     )
+
+
+#: Inclusion-dependency candidates: (child table, child col,
+#: parent table, parent col) — the FK-discovery search space.
+IND_CANDIDATES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "profile_inclusion_dependencies",
+    category="profile",
+    oracle="""
+    WITH {ctes}
+    {selects}
+    """.replace(
+        "{ctes}",
+        ",\n    ".join(
+            f"d{i} AS (SELECT DISTINCT {cc} AS v FROM {ct}),\n"
+            f"    p{i} AS (SELECT DISTINCT {pc} AS v FROM {pt})"
+            for i, (ct, cc, pt, pc) in enumerate(IND_CANDIDATES)
+        ),
+    ).replace(
+        "{selects}",
+        "\n    UNION ALL\n    ".join(
+            f"SELECT '{ct}.{cc} < {pt}.{pc}' AS candidate,\n"
+            f"           CAST((SELECT count(*) FROM d{i}) AS BIGINT)"
+            f" AS n_child_values,\n"
+            f"           CAST((SELECT count(*) FROM d{i}"
+            f" JOIN p{i} USING (v)) AS BIGINT) AS n_contained,\n"
+            f"           CAST((SELECT count(*) FROM d{i} JOIN p{i}"
+            f" USING (v)) * 10000 // (SELECT count(*) FROM d{i})"
+            f" AS BIGINT) AS containment_bp,\n"
+            f"           CAST(CASE WHEN (SELECT count(*) FROM d{i}"
+            f" JOIN p{i} USING (v)) = (SELECT count(*) FROM d{i})"
+            f" THEN 1 ELSE 0 END AS BIGINT) AS is_inclusion"
+            for i, (ct, cc, pt, pc) in enumerate(IND_CANDIDATES)
+        ),
+    ),
+)
+def profile_inclusion_dependencies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inclusion-dependency mining: DISCOVER the foreign keys.
+
+    The schema-archaeology companion to
+    ``profile_functional_dependencies``: given candidate column pairs,
+    which satisfy child ⊆ parent?  Full containment is an inclusion
+    dependency — the FK the undocumented lake lost; partial
+    containment (customers ⊆ orders.custkey fails by exactly the
+    never-ordered customers) measures how far off, in basis points.
+    Each candidate reduces BOTH sides to distinct values before the
+    containment semi-join — the join runs on key-cardinality
+    relations, never row counts, which is what makes IND mining
+    feasible on a 100 TB lake (SINDY/BINDER's discipline).
+
+    Scale shape: per candidate, two map-side-combinable distinct
+    aggregates + one equi-join on the reduced sides + 1-row counts;
+    candidates are independent and union bounded rows.
+    """
+    results = None
+    for ct, cc, pt, pc in IND_CANDIDATES:
+        child = (
+            load_table(spark, sf_dir, ct).select(F.col(cc).alias("v"))
+            .distinct()
+        )
+        parent = (
+            load_table(spark, sf_dir, pt).select(F.col(pc).alias("v"))
+            .distinct()
+        )
+        contained = child.join(parent, "v")
+        row = (
+            child.agg(F.count(F.lit(1)).alias("n_child_values"))
+            .crossJoin(
+                contained.agg(F.count(F.lit(1)).alias("n_contained"))
+            )
+            .select(
+                F.lit(f"{ct}.{cc} < {pt}.{pc}").alias("candidate"),
+                F.col("n_child_values").cast("bigint"),
+                F.col("n_contained").cast("bigint"),
+                F.expr(
+                    "CAST(n_contained * 10000 DIV n_child_values"
+                    " AS BIGINT)"
+                ).alias("containment_bp"),
+                (F.col("n_contained") == F.col("n_child_values"))
+                .cast("bigint")
+                .alias("is_inclusion"),
+            )
+        )
+        results = row if results is None else results.unionByName(row)
+    return results

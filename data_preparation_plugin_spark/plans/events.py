@@ -3965,3 +3965,69 @@ def events_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("us_since_last"),
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("label_cents"),
     )
+
+
+@register(
+    "events_stream_windowed_rollup",
+    category="streaming",
+    oracle="""
+    WITH wm AS (
+        SELECT max(ts) - INTERVAL 2 HOUR AS final_wm FROM events
+    ), hours AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               count(DISTINCT time_bucket(INTERVAL 15 MINUTE, ts))
+                   AS n_subwindows
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_subwindows AS BIGINT) AS n_subwindows
+    FROM hours, wm
+    WHERE window_start + INTERVAL 1 HOUR <= wm.final_wm
+    """,
+)
+def events_stream_windowed_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED stateful streaming aggregation: window over window.
+
+    Two stateful operators in one streaming query — the
+    multiple-stateful-operator capability (Spark 3.4+/4): a 15-minute
+    windowed count feeds an HOURLY rollup downstream, with
+    ``window_time`` re-deriving event time from the finalized inner
+    window so the watermark propagates through.  This is streaming
+    partial aggregation: at firehose rates the inner window collapses
+    the stream before the wide hourly state — map-side combine,
+    stateful edition.  Chained stateful operators REQUIRE append mode,
+    so only watermark-finalized hours emit; the oracle models that
+    exactly (hours whose end <= max event time - the 2h delay), making
+    the emission rule itself part of the checked contract.  The
+    per-hour subwindow count proves the rollup really consumed the
+    inner windows (4 where the hour is fully covered).
+
+    Scale shape: two keyed stateful exchanges, both on bounded window
+    keys; inner state is (15-min windows x types), outer (hours x
+    types); the stream itself never reaches the outer operator un-
+    collapsed.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        chained_window_rollup,
+        events_stream,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    stream = chained_window_rollup(
+        events_stream(spark, staged, max_files_per_trigger=2)
+    )
+    result = _replay(
+        spark, "events_stream_windowed_rollup", stream, output_mode="append"
+    )
+    return result.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "n_subwindows",
+    )

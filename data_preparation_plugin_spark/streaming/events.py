@@ -693,3 +693,45 @@ def interval_join_stream_outer(
             "CAST(timestampdiff(MICROSECOND, left_ts, right_ts) AS BIGINT)"
         ).alias("delay_micros"),
     )
+
+
+def chained_window_rollup(
+    stream: DataFrame,
+    inner_window: str = "15 minutes",
+    outer_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """TWO stateful windowed aggregations chained in ONE streaming query.
+
+    The multiple-stateful-operator support Spark added for exactly this
+    pre-aggregation pattern: a fine-grained window (state bounded by the
+    15-minute key space) feeds a coarse rollup window downstream —
+    at firehose scale the inner aggregate collapses the stream BEFORE
+    the wide hourly state, the same partial-aggregation physics as
+    batch map-side combine. ``window_time`` re-derives the event-time
+    column from the finalized inner window so the outer watermark
+    propagates; append mode is required for chained stateful operators,
+    so only watermark-finalized hours emit (the oracle models that
+    cutoff).
+    """
+    inner = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", inner_window).alias("w15"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_15m"))
+    )
+    return (
+        inner.groupBy(
+            F.window(F.window_time("w15"), outer_window).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_15m").alias("n_events"),
+            F.count(F.lit(1)).alias("n_subwindows"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_subwindows").cast("bigint").alias("n_subwindows"),
+        )
+    )

@@ -306,6 +306,8 @@ PROBES = [
     "events_training_set_pit",     # shared PIT frames, one exchange
     "text_unicode_normalize",      # Arrow NFC map, zero shuffle
     "source_csv_embedded_newlines",  # multiLine quoted-record parse
+    "events_stream_windowed_rollup",  # chained stateful window agg
+    "profile_inclusion_dependencies",  # distinct-reduced containment
 ]
 
 

@@ -1430,3 +1430,13 @@ def test_csv_embedded_newlines_reads_quoted_records(spark):
     assert all(
         r["embedded_newlines"] == 2 * r["n_rows"] for r in rows
     )
+
+
+def test_inclusion_deps_join_reduced_sides_only(spark):
+    """Every containment join runs on DISTINCT-reduced sides (the
+    SINDY/BINDER discipline) — no cartesian beyond the 1-row count
+    cross joins, no corpus-row join."""
+    plan = plan_of(spark, "profile_inclusion_dependencies")
+    assert count(r"SortMergeJoin", plan) == 0
+    # 1-row x 1-row count combinations are the only nested loops.
+    assert count(r"CartesianProduct", plan) <= 5
