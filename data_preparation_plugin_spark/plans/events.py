@@ -4031,3 +4031,84 @@ def events_stream_windowed_rollup(
         "n_events",
         "n_subwindows",
     )
+
+
+@register(
+    "events_activity_streaks",
+    category="events",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), anchored AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY d) AS INTEGER)
+                   AS anchor
+        FROM days
+    ), streaks AS (
+        SELECT user_id, anchor,
+               count(*) AS len,
+               max(d) AS streak_end
+        FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(max(CASE WHEN streak_end = (SELECT max(CAST(ts AS DATE))
+                                            FROM events)
+                         THEN len ELSE 0 END) AS BIGINT)
+               AS open_streak
+    FROM streaks
+    GROUP BY user_id
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks — the date-islands idiom.
+
+    The engagement metric product teams gamify (and retention models
+    feature): per user, maximal runs of CONSECUTIVE active days.  The
+    date-islands trick makes it one pass: subtract each active day's
+    per-user rank from the day itself — consecutive days share the
+    resulting anchor date, so a plain groupBy collapses each streak
+    with no iterative merging.  Reported per user: active days,
+    streak count, longest streak, and the OPEN streak (one ending on
+    the corpus's last day — the "don't break the chain" number; 0
+    otherwise, exactly like the product widget).
+
+    Scale shape: distinct (user, day) is the map-side-combinable
+    reduction; rank + streak groupBy share the (user) exchange; the
+    corpus-last-day scalar broadcasts.  No joins on event rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anchored = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"), F.max("d").alias("streak_end")
+    )
+    last_day = events.agg(
+        F.max(F.col("ts").cast("date")).alias("last_d")
+    )
+    return (
+        streaks.crossJoin(F.broadcast(last_day))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.max(
+                F.when(
+                    F.col("streak_end") == F.col("last_d"), F.col("len")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("open_streak"),
+        )
+    )

@@ -1266,3 +1266,90 @@ def multimodal_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int,"
         " n_interior long, lap_sse long, lap_mse long",
     )
+
+
+#: Decimation factor for the audio resample stage (8 kHz -> 2 kHz).
+AUDIO_DECIMATE = 4
+
+
+@register(
+    "multimodal_audio_resample",
+    category="multimodal",
+    oracle=f"""
+    WITH sam AS (
+        SELECT doc_id,
+               doc_id % 500 + 100 AS n,
+               unnest(range(0, doc_id % 500 + 100)) AS i
+        FROM documents
+    ), vals AS (
+        SELECT doc_id, n, i,
+               (doc_id * 31 + i * 17) % 65536 - 32768 AS s
+        FROM sam
+        WHERE i % {AUDIO_DECIMATE} = 0
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_samples_in,
+           CAST(count(*) AS BIGINT) AS n_samples_out,
+           CAST(sum(s * s) AS BIGINT) AS energy_out,
+           CAST(min(s) AS BIGINT) AS min_sample,
+           CAST(max(s) AS BIGINT) AS max_sample
+    FROM vals
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL audio decimation: 8 kHz PCM -> 2 kHz by integer stride.
+
+    The sample-rate normalization every speech corpus runs before
+    featurization (models want one rate; capture devices deliver
+    many).  Integer-factor decimation — keep every
+    {AUDIO_DECIMATE}th sample — is the exact, aliasing-accepting
+    baseline (production prepends an anti-alias FIR; the
+    data-movement shape is identical).  The WAV payloads are genuinely
+    parsed (struct header + np.frombuffer) and strided in numpy; the
+    oracle rebuilds the kept sample set from the synthesis closed
+    form, so a stride off-by-one, a header misparse, or an endianness
+    slip changes the exact output energy and hash-fails.
+
+    Scale shape: chained Arrow ``mapInPandas`` (synthesize -> decode ->
+    decimate) with zero shuffle; per-clip output is 5 scalars, so
+    nothing audio-sized ever crosses a stage boundary.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _synth_wav_batches, schema="doc_id long, payload binary"
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                (n_data,) = struct.unpack("<I", raw[40:44])
+                samples = np.frombuffer(
+                    raw, dtype="<i2", count=n_data // 2, offset=44
+                ).astype(np.int64)
+                kept = samples[::AUDIO_DECIMATE]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples_in": int(samples.size),
+                        "n_samples_out": int(kept.size),
+                        "energy_out": int(np.sum(kept * kept)),
+                        "min_sample": int(kept.min()),
+                        "max_sample": int(kept.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(
+        resample,
+        "doc_id long, n_samples_in long, n_samples_out long,"
+        " energy_out long, min_sample long, max_sample long",
+    )

@@ -308,6 +308,8 @@ PROBES = [
     "source_csv_embedded_newlines",  # multiLine quoted-record parse
     "events_stream_windowed_rollup",  # chained stateful window agg
     "profile_inclusion_dependencies",  # distinct-reduced containment
+    "multimodal_audio_resample",   # chained Arrow decimation, no shuffle
+    "events_activity_streaks",     # date islands, one user exchange
 ]
 
 

@@ -1440,3 +1440,20 @@ def test_inclusion_deps_join_reduced_sides_only(spark):
     assert count(r"SortMergeJoin", plan) == 0
     # 1-row x 1-row count combinations are the only nested loops.
     assert count(r"CartesianProduct", plan) <= 5
+
+
+def test_audio_resample_zero_shuffle_chained_arrow(spark):
+    """Synthesize -> decode -> decimate are chained Arrow stages with
+    zero exchange; only 5 scalars per clip leave the pipeline."""
+    plan = plan_of(spark, "multimodal_audio_resample")
+    assert count(r"Exchange", plan) == 0
+    assert count(r"Join", plan) == 0
+
+
+def test_activity_streaks_islands_single_user_exchange(spark):
+    """The date-islands rank and the streak groupBy share the (user)
+    keyed partitioning; the last-day scalar broadcasts."""
+    plan = plan_of(spark, "events_activity_streaks")
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 1
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"FileScan parquet", plan) == 2
