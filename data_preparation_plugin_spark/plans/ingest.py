@@ -1868,3 +1868,116 @@ def source_csv_embedded_newlines(
         ),
         F.min("n_name").alias("first_name"),
     )
+
+
+_SCD2_DIM_DIR = os.path.join(_STAGE_ROOT, "dim_customer_scd2")
+#: SCD2 apply: initial load date and the change batch's effective date.
+SCD2_BASE_DATE = "1995-01-01"
+SCD2_EFF_DATE = "1997-06-01"
+
+
+@register(
+    "sink_scd2_merge_apply",
+    category="source",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment AS segment FROM customer
+    ), changes AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 8 = 0 THEN segment
+                    ELSE 'SEG' || CAST(c_custkey % 3 AS VARCHAR)
+               END AS new_segment
+        FROM base WHERE c_custkey % 4 = 0
+    ), final AS (
+        -- unchanged keys, and no-op changes: one open version
+        SELECT b.c_custkey, b.segment,
+               DATE '{SCD2_BASE_DATE}' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to,
+               true AS is_current
+        FROM base b LEFT JOIN changes c USING (c_custkey)
+        WHERE c.c_custkey IS NULL OR c.new_segment = b.segment
+        UNION ALL
+        -- real changes: the closed old version ...
+        SELECT b.c_custkey, b.segment,
+               DATE '{SCD2_BASE_DATE}', DATE '{SCD2_EFF_DATE}', false
+        FROM base b JOIN changes c USING (c_custkey)
+        WHERE c.new_segment <> b.segment
+        UNION ALL
+        -- ... plus the new open version
+        SELECT c.c_custkey, c.new_segment,
+               DATE '{SCD2_EFF_DATE}', CAST(NULL AS DATE), true
+        FROM base b JOIN changes c USING (c_custkey)
+        WHERE c.new_segment <> b.segment
+    )
+    SELECT c_custkey, segment, valid_from, valid_to, is_current
+    FROM final WHERE c_custkey % 10 = 0
+    """,
+)
+def sink_scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE physically applied: close, insert, rewrite, re-read.
+
+    The warehouse's nightly dimension load, done to real files: a
+    change batch arrives against the CURRENT version of every key;
+    rows whose tracked attribute actually changed get their open
+    version CLOSED (valid_to = effective date) and a NEW open version
+    appended; no-op changes (every 8th key re-sends its existing
+    value) must NOT spawn a version — the idempotence rule that keeps
+    re-delivered CDC batches from exploding history.  The dimension is
+    staged to parquet, the merge result is REWRITTEN over it, and the
+    returned rows are RE-READ from the files — so the physical
+    round trip, not just the logical plan, is what the oracle's
+    recomputed final state checks.  Composes the in-query history
+    builders (``transform_scd2``) with the physical sink half.
+
+    Scale shape: one equi-join of dim x changes (changes broadcast
+    when batch-sized); the rewrite is the standard copy-on-write
+    dimension swap — dims are key-cardinality, orders of magnitude
+    under fact scale.  Delta/Iceberg MERGE INTO is the same plan with
+    file-level pruning.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    dim0 = customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(SCD2_BASE_DATE).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dim0.write.mode("overwrite").parquet(_SCD2_DIM_DIR)
+
+    dim = spark.read.parquet(_SCD2_DIM_DIR)
+    changes = customer.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 8 == 0, F.col("c_mktsegment")
+        )
+        .otherwise(
+            F.concat(F.lit("SEG"), (F.col("c_custkey") % 3).cast("string"))
+        )
+        .alias("new_segment"),
+    )
+    joined = dim.join(F.broadcast(changes), "c_custkey", "left")
+    real_change = (
+        F.col("new_segment").isNotNull()
+        & (F.col("new_segment") != F.col("segment"))
+        & F.col("is_current")
+    )
+    untouched = joined.filter(~real_change).select(dim.columns)
+    closed = joined.filter(real_change).select(
+        "c_custkey",
+        "segment",
+        "valid_from",
+        F.lit(SCD2_EFF_DATE).cast("date").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = joined.filter(real_change).select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        F.lit(SCD2_EFF_DATE).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    merged = untouched.unionByName(closed).unionByName(opened)
+    out_dir = _SCD2_DIM_DIR + "_v2"
+    merged.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).filter(F.col("c_custkey") % 10 == 0)

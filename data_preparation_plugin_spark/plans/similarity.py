@@ -2274,3 +2274,165 @@ def knn_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV sum(n_vectors) OVER () AS BIGINT)"
         ).alias("load_factor_bp"),
     )
+
+
+#: Johnson-Lindenstrauss target dimension (64 -> 16).
+JL_OUT_DIM = 16
+#: Fixed-point scale for exact integer embedding components.
+JL_SCALE = 1_000_000
+#: Probe set size for the distance-preservation audit.
+JL_PROBE = 10
+
+
+@register(
+    "embedding_random_projection_jl",
+    category="similarity",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, i - 1 AS i,
+               CAST(floor(CAST(x AS DOUBLE) * {JL_SCALE} + 0.5)
+                    AS HUGEINT) AS qx
+        FROM (SELECT vec_id,
+                     unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings
+              WHERE vec_id < {JL_PROBE})
+    ), signs AS (
+        SELECT i.x AS i, j.x AS j,
+               CASE WHEN ('0x' || substr(md5(CAST(i.x AS VARCHAR) || ':'
+                          || CAST(j.x AS VARCHAR)), 1, 2))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM generate_series(0, 63) AS i(x),
+             generate_series(0, {JL_OUT_DIM - 1}) AS j(x)
+    ), proj AS (
+        SELECT q.vec_id, s.j, sum(s.s * q.qx) AS p
+        FROM q JOIN signs s ON q.i = s.i
+        GROUP BY q.vec_id, s.j
+    ), dot64 AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               sum(a.qx * b.qx) AS dot_orig
+        FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ), dot16 AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               sum(a.p * b.p) AS dot_proj_scaled
+        FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT d.vec_a, d.vec_b,
+           CAST(d.dot_orig AS BIGINT) AS dot_orig,
+           CAST(p.dot_proj_scaled AS BIGINT) AS dot_proj_scaled
+    FROM dot64 d JOIN dot16 p USING (vec_a, vec_b)
+    """,
+)
+def embedding_random_projection_jl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection, integer-exact end to end.
+
+    The dimensionality-reduction front half of large-scale ANN
+    (64 -> {JL_OUT_DIM} dims = 4x cheaper distance math and index
+    memory): the Achlioptas ±1 sign matrix, DERANDOMIZED — each sign
+    is the md5 parity of "(i:j)", so builder and oracle regenerate the
+    identical matrix with no RNG state shipped.  Components quantize
+    to e6 fixed point FIRST (floor(x*s + 0.5) — identical half-up in
+    both engines where round()'s tie rule would diverge on negatives), so projections and both dot products are
+    exact wide-integer arithmetic; the audit emits, per probe pair,
+    the original 64-dim dot next to the projected dot (carrying the
+    k-fold JL scale factor — divide by k downstream; kept raw here so
+    every value stays exact integer) — the distance-preservation
+    check as data, no float anywhere.
+
+    Scale shape: the sign matrix is 64x{JL_OUT_DIM} rows, broadcast;
+    projection is one explode + equi-join + (vec, j) aggregate —
+    map-side combinable, the corpus never self-joins; only the
+    {JL_PROBE}-vector probe set pairs up for the audit.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < JL_PROBE)
+        .select(
+            "vec_id",
+            F.posexplode("embedding").alias("i", "x"),
+        )
+        .select(
+            "vec_id",
+            "i",
+            F.expr(
+                f"CAST(floor(CAST(x AS DOUBLE) * {JL_SCALE} + 0.5)"
+                f" AS DECIMAL(38, 0))"
+            ).alias("qx"),
+        )
+    )
+    signs = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(
+            spark.range(JL_OUT_DIM).select(
+                F.col("id").cast("int").alias("j")
+            )
+        )
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("i").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    proj = (
+        emb.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("qx")).alias("p"))
+    )
+    a64, b64 = emb.alias("a"), emb.alias("b")
+    dot64 = (
+        a64.join(
+            b64,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .agg(F.sum(F.col("a.qx") * F.col("b.qx")).alias("dot_orig"))
+    )
+    ap, bp = proj.alias("a"), proj.alias("b")
+    dot16 = (
+        ap.join(
+            bp,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .agg(F.sum(F.col("a.p") * F.col("b.p")).alias("dot_proj_scaled"))
+    )
+    return dot64.join(dot16, ["vec_a", "vec_b"]).select(
+        "vec_a",
+        "vec_b",
+        F.col("dot_orig").cast("bigint").alias("dot_orig"),
+        F.col("dot_proj_scaled").cast("bigint").alias("dot_proj_scaled"),
+    )

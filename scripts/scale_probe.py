@@ -310,6 +310,8 @@ PROBES = [
     "profile_inclusion_dependencies",  # distinct-reduced containment
     "multimodal_audio_resample",   # chained Arrow decimation, no shuffle
     "events_activity_streaks",     # date islands, one user exchange
+    "sink_scd2_merge_apply",       # dim x broadcast changes + rewrite
+    "embedding_random_projection_jl",  # broadcast sign matrix project
 ]
 
 

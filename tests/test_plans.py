@@ -1457,3 +1457,35 @@ def test_activity_streaks_islands_single_user_exchange(spark):
     assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 1
     assert count(r"SortMergeJoin", plan) == 0
     assert count(r"FileScan parquet", plan) == 2
+
+
+def test_scd2_merge_apply_counts(spark):
+    """No-op changes must not spawn versions: at sf0.001 every 4th key
+    gets a change, every 8th is a no-op resend — closed+opened rows
+    exist only for real changes, and all returned rows re-read from
+    the rewritten files."""
+    import os as _os
+
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = _os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = QUERIES["sink_scd2_merge_apply"].builder(spark, sf).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    for k, vs in by_key.items():
+        if k % 4 == 0 and k % 8 != 0:
+            assert len(vs) == 2, (k, vs)
+            assert sorted(v["is_current"] for v in vs) == [False, True]
+        else:
+            assert len(vs) == 1 and vs[0]["is_current"], (k, vs)
+
+
+def test_jl_projection_sign_matrix_broadcasts(spark):
+    """The 64x16 sign matrix broadcasts onto the exploded component
+    stream; only the bounded probe set ever pairs up."""
+    plan = plan_of(spark, "embedding_random_projection_jl")
+    assert count(r"CartesianProduct", plan) <= 1  # the 64x16 matrix build
+    assert count(r"BroadcastHashJoin", plan) >= 2
