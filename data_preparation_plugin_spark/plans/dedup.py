@@ -2969,3 +2969,77 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(d * 10000 DIV mx AS BIGINT)").alias("dist_bp"),
         )
     )
+
+
+def _lsh_recall_oracle() -> str:
+    """Compose the registered LSH-pairs and exact-Jaccard oracles into
+    the recall/precision audit — reusing the member oracle TEXTS (the
+    ``knn_ivf_recall_audit`` discipline) so the audit cannot drift from
+    the pipelines it scores."""
+    from data_preparation_plugin_spark.plans.registry import QUERIES
+
+    lsh = QUERIES["dedup_minhash_lsh_pairs"].oracle
+    gt = QUERIES["dedup_ngram_jaccard"].oracle
+    return f"""
+    WITH cand AS (SELECT doc_a, doc_b FROM ({lsh})),
+         gt AS (SELECT doc_a, doc_b FROM ({gt})),
+         hit AS (SELECT doc_a, doc_b FROM cand JOIN gt USING (doc_a, doc_b))
+    SELECT CAST((SELECT count(*) FROM gt) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM hit) * 10000
+                // greatest((SELECT count(*) FROM gt), 1) AS BIGINT)
+               AS recall_bp,
+           CAST((SELECT count(*) FROM hit) * 10000
+                // greatest((SELECT count(*) FROM cand), 1) AS BIGINT)
+               AS precision_bp
+    """
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    category="dedup",
+    oracle=_lsh_recall_oracle(),
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall AND precision of MinHash-LSH against exact ground truth.
+
+    The eval loop that closes fuzzy dedup: ``dedup_lsh_calibration``
+    judges the SKETCH per candidate, but nothing scored the CANDIDATE
+    SET itself against the exact-Jaccard ground truth
+    (``dedup_ngram_jaccard``'s threshold pairs).  This audit joins the
+    two REGISTERED pipelines — builders composed on the Spark side,
+    oracle TEXTS composed on the DuckDB side (the
+    ``knn_ivf_recall_audit`` discipline), so the audit can never
+    drift from the pipelines it scores — and reports banding recall
+    (truth pairs the bands surfaced) and precision (candidates that
+    are true pairs) in integer basis points.  This is the number that
+    tunes (bands x rows): more bands buys recall with more
+    candidates; the audit makes the trade measurable per corpus.
+
+    Scale shape: both members keep their own banded/posting-capped
+    shapes; the audit adds one equi-join on (doc_a, doc_b) pair keys
+    and three 1-row counts.  The exact member is the bounded
+    verification baseline — at 100 TB the audit runs on a sampled
+    stratum, same plan.
+    """
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    gt = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    hit = cand.join(gt, ["doc_a", "doc_b"])
+    return (
+        gt.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            F.col("n_truth").cast("bigint"),
+            F.col("n_candidates").cast("bigint"),
+            F.col("n_hits").cast("bigint"),
+            F.expr(
+                "CAST(n_hits * 10000 DIV greatest(n_truth, 1) AS BIGINT)"
+            ).alias("recall_bp"),
+            F.expr(
+                "CAST(n_hits * 10000 DIV greatest(n_candidates, 1)"
+                " AS BIGINT)"
+            ).alias("precision_bp"),
+        )
+    )

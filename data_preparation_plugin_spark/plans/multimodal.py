@@ -1353,3 +1353,133 @@ def multimodal_audio_resample(
         "doc_id long, n_samples_in long, n_samples_out long,"
         " energy_out long, min_sample long, max_sample long",
     )
+
+
+@register(
+    "multimodal_keyframe_select",
+    category="multimodal",
+    oracle=f"""
+    WITH vids AS (
+        SELECT doc_id,
+               octet_length(encode(text)) % 7 + 1 AS n_frames
+        FROM documents WHERE doc_id % 10 = 0
+    ), frames AS (
+        SELECT doc_id, unnest(range(0, n_frames)) AS fi FROM vids
+    ), px AS (
+        SELECT doc_id, fi,
+               (doc_id + fi) % 8 + 4 AS w,
+               doc_id % 6 + 3        AS h
+        FROM frames
+    ), feat AS (
+        SELECT doc_id, fi,
+               CAST(sum((doc_id * 7 + fi * 13 + k) % 256) AS BIGINT)
+                   AS f_sum,
+               CAST(max((doc_id * 7 + fi * 13 + k) % 256) AS BIGINT)
+                   AS f_max,
+               CAST(w * h * 3 AS BIGINT) AS n_px,
+               CAST(sum((doc_id * 7 + fi * 13 + k) % 256) AS BIGINT)
+                   * 10000 // CAST(w * h * 3 AS BIGINT) AS mean_e4
+        FROM (SELECT doc_id, fi, w, h, unnest(range(0, w * h * 3)) AS k
+              FROM px)
+        GROUP BY doc_id, fi, w, h
+    ), flagged AS (
+        SELECT doc_id, fi, f_sum, f_max, n_px, mean_e4,
+               CASE WHEN lag(mean_e4) OVER (PARTITION BY doc_id
+                                            ORDER BY fi) IS NULL
+                    OR abs(mean_e4 - lag(mean_e4)
+                           OVER (PARTITION BY doc_id ORDER BY fi))
+                       > {SHOT_THRESH_E4}
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM feat
+    ), shots AS (
+        SELECT *, CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY fi
+                                         ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS shot_seq
+        FROM flagged
+    ), scored AS (
+        SELECT doc_id, shot_seq, fi,
+               f_max * n_px - f_sum AS score,
+               row_number() OVER (PARTITION BY doc_id, shot_seq
+                                  ORDER BY f_max * n_px - f_sum DESC,
+                                           fi) AS rn,
+               count(*) OVER (PARTITION BY doc_id, shot_seq) AS n_frames
+        FROM shots
+    )
+    SELECT doc_id, shot_seq,
+           CAST(fi AS BIGINT) AS keyframe_idx,
+           CAST(score AS BIGINT) AS keyframe_score,
+           CAST(n_frames AS BIGINT) AS n_frames
+    FROM scored WHERE rn = 1
+    """,
+)
+def multimodal_keyframe_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keyframe selection: the best frame of every shot, by argmax.
+
+    The stage after shot segmentation in a video-curation pipeline:
+    captioning/embedding budgets are per SHOT, so each shot must
+    nominate one representative frame.  Reuses the same Arrow frame
+    featurizer and the same cut rule as
+    ``multimodal_shot_boundaries``, then picks each shot's frame with
+    the highest contrast proxy (peak-minus-mean pixel mass,
+    ``f_max·n_px − f_sum`` — pure integers), ties broken to the
+    earliest frame — a deterministic ``max_by`` expressed as one
+    ranked window, so both engines agree on every nomination.
+
+    Scale shape: identical to the shot pipeline (bounded frame
+    explode, partition-local Arrow featurizer, one doc-keyed
+    exchange); the argmax adds a window over the SAME partitioning —
+    no second shuffle, and pixels still never move.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    n_frames = F.octet_length(F.encode("text", "UTF-8")) % 7 + 1
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+    feat = frames.mapInPandas(
+        _frame_feature_batches,
+        schema="doc_id long, frame_idx long, f_sum long, f_max int, n_px long",
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "f_sum",
+        "f_max",
+        "n_px",
+        F.expr("(f_sum * 10000) div n_px").alias("mean_e4"),
+    )
+    order = W.partitionBy("doc_id").orderBy("frame_idx")
+    cum = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("mean_e4").over(order)
+    is_cut = (
+        prev.isNull() | (F.abs(F.col("mean_e4") - prev) > SHOT_THRESH_E4)
+    ).cast("long")
+    shots = feat.withColumn("is_cut", is_cut).withColumn(
+        "shot_seq", F.sum("is_cut").over(cum)
+    )
+    score = F.col("f_max") * F.col("n_px") - F.col("f_sum")
+    shot_w = W.partitionBy("doc_id", "shot_seq").orderBy(
+        score.desc(), "frame_idx"
+    )
+    scored = shots.select(
+        "doc_id",
+        "shot_seq",
+        "frame_idx",
+        score.alias("score"),
+        F.row_number().over(shot_w).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("doc_id", "shot_seq"))
+        .alias("n_frames"),
+    )
+    return scored.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("shot_seq").cast("bigint").alias("shot_seq"),
+        F.col("frame_idx").cast("bigint").alias("keyframe_idx"),
+        F.col("score").cast("bigint").alias("keyframe_score"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+    )

@@ -312,6 +312,8 @@ PROBES = [
     "events_activity_streaks",     # date islands, one user exchange
     "sink_scd2_merge_apply",       # dim x broadcast changes + rewrite
     "embedding_random_projection_jl",  # broadcast sign matrix project
+    "multimodal_keyframe_select",  # shot argmax on the same exchange
+    "dedup_lsh_recall_audit",      # composed members + pair-key join
 ]
 
 

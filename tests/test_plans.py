@@ -1489,3 +1489,21 @@ def test_jl_projection_sign_matrix_broadcasts(spark):
     plan = plan_of(spark, "embedding_random_projection_jl")
     assert count(r"CartesianProduct", plan) <= 1  # the 64x16 matrix build
     assert count(r"BroadcastHashJoin", plan) >= 2
+
+
+def test_keyframe_argmax_shares_shot_pipeline_shape(spark):
+    """The argmax window rides the shot pipeline's doc-keyed
+    partitioning — no extra corpus scan, no join, pixels never move."""
+    plan = plan_of(spark, "multimodal_keyframe_select")
+    assert count(r"FileScan parquet", plan) == 1
+    assert count(r"Join", plan) == 0
+
+
+def test_lsh_recall_audit_composes_registered_oracles():
+    """The audit's oracle must embed both member oracle texts so it
+    cannot drift from the pipelines it scores."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    audit = QUERIES["dedup_lsh_recall_audit"].oracle
+    assert QUERIES["dedup_minhash_lsh_pairs"].oracle.strip() in audit
+    assert QUERIES["dedup_ngram_jaccard"].oracle.strip() in audit
