@@ -4112,3 +4112,103 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("open_streak"),
         )
     )
+
+
+#: Bot heuristics: velocity threshold (events in any single minute).
+BOT_VELOCITY_PER_MIN = 5
+#: Night hours (UTC) for the automation-share signal.
+BOT_NIGHT_START, BOT_NIGHT_END = 2, 5
+
+
+@register(
+    "events_bot_score",
+    category="events",
+    oracle=f"""
+    WITH mins AS (
+        SELECT user_id,
+               date_trunc('minute', ts) AS m,
+               count(*) AS n_in_min
+        FROM events GROUP BY user_id, date_trunc('minute', ts)
+    ), velocity AS (
+        SELECT user_id,
+               max(n_in_min) AS max_per_min,
+               count(*) AS active_minutes
+        FROM mins GROUP BY user_id
+    ), shape AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types,
+               sum(CASE WHEN hour(ts) >= {BOT_NIGHT_START}
+                         AND hour(ts) < {BOT_NIGHT_END}
+                        THEN 1 ELSE 0 END) AS n_night
+        FROM events GROUP BY user_id
+    )
+    SELECT s.user_id,
+           CAST(s.n_events AS BIGINT) AS n_events,
+           CAST(v.max_per_min AS BIGINT) AS max_per_min,
+           CAST(s.n_types AS BIGINT) AS n_types,
+           CAST(s.n_night * 10000 // s.n_events AS BIGINT) AS night_bp,
+           CAST(CASE WHEN v.max_per_min >= {BOT_VELOCITY_PER_MIN}
+                      AND s.n_types <= 2 THEN 1 ELSE 0 END AS BIGINT)
+               AS bot_flag
+    FROM shape s JOIN velocity v USING (user_id)
+    """,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation screening — the web-data curation gate.
+
+    Scraped and telemetry corpora are polluted by automation, and the
+    standard first screen is behavioral: burst velocity (max events
+    in any single minute), action diversity (distinct event types —
+    bots repeat), and the night-hours share (integer bp).  The
+    composite flag (velocity >= {BOT_VELOCITY_PER_MIN}/min AND <= 2
+    action types) is the transparent-heuristic baseline a learned
+    classifier later replaces — same plan, different scorer (the
+    ``text_quality_classifier`` trajectory).  All exact integer
+    arithmetic; the fixture's uniform users mostly pass, which is the
+    correct read on clean synthetic traffic.
+
+    Scale shape: the minute collapse is map-side combinable and
+    shrinks the firehose to (user, active-minute) rows before the
+    per-user max; both aggregates and the join share (user_id)
+    partitioning.  NTZ hour/minute functions — timezone-free.
+    """
+    events = load_table(spark, sf_dir, "events")
+    mins = (
+        events.select(
+            "user_id", F.date_trunc("minute", "ts").alias("m")
+        )
+        .groupBy("user_id", "m")
+        .agg(F.count(F.lit(1)).alias("n_in_min"))
+    )
+    velocity = mins.groupBy("user_id").agg(
+        F.max("n_in_min").alias("max_per_min"),
+        F.count(F.lit(1)).alias("active_minutes"),
+    )
+    shape = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(
+            (
+                (F.hour("ts") >= BOT_NIGHT_START)
+                & (F.hour("ts") < BOT_NIGHT_END)
+            ).cast("int")
+        ).alias("n_night"),
+    )
+    return shape.join(velocity, "user_id").select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("max_per_min").cast("bigint").alias("max_per_min"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.expr("CAST(n_night * 10000 DIV n_events AS BIGINT)").alias(
+            "night_bp"
+        ),
+        F.when(
+            (F.col("max_per_min") >= BOT_VELOCITY_PER_MIN)
+            & (F.col("n_types") <= 2),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("bot_flag"),
+    )

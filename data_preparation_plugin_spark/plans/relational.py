@@ -4353,3 +4353,72 @@ def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         *[e for e in _ols2_select().split(",\n") if e.strip()],
     )
+
+
+@register(
+    "window_pareto_front",
+    category="window",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS recency_days
+        FROM orders WHERE o_custkey % 25 = 0
+    ), ranked AS (
+        SELECT *,
+               max(recency_days) OVER (
+                   ORDER BY price_cents DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_recency_so_far
+        FROM pts
+    )
+    SELECT o_orderkey, price_cents, recency_days
+    FROM ranked
+    WHERE best_recency_so_far IS NULL
+       OR recency_days > best_recency_so_far
+    """,
+)
+def window_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) via one sort + one running max.
+
+    The dominance query behind "best trade-offs" shortlists (price vs
+    recency here; latency vs cost, quality vs size in general): a row
+    is on the front iff NO other row beats it on both axes.  The
+    naive form is the quadratic anti-self-join; the sort-based
+    algorithm is one pass — order by axis 1 descending, keep a row
+    iff its axis-2 value beats the running max over every
+    already-better-on-axis-1 row (the ``1 PRECEDING`` frame handles
+    axis-1 ties as non-dominating, with the key tiebreak making the
+    order total and both engines identical).
+
+    Scale shape: one global sort (range-partitioned at scale) + one
+    O(1)-state running frame — the same physics as
+    ``events_watermark_audit``'s arrival-order max; no join, no
+    explode.  A k-dimensional front falls back to blocked dominance
+    joins; 2-D is the common case and is linear after the sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.filter(F.col("o_custkey") % 25 == 0).select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE),"
+            " DATE '1995-01-01') AS BIGINT)"
+        ).alias("recency_days"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.desc("price_cents"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = pts.withColumn(
+        "best_recency_so_far", F.max("recency_days").over(w)
+    )
+    return ranked.filter(
+        F.col("best_recency_so_far").isNull()
+        | (F.col("recency_days") > F.col("best_recency_so_far"))
+    ).select("o_orderkey", "price_cents", "recency_days")

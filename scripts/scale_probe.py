@@ -314,6 +314,8 @@ PROBES = [
     "embedding_random_projection_jl",  # broadcast sign matrix project
     "multimodal_keyframe_select",  # shot argmax on the same exchange
     "dedup_lsh_recall_audit",      # composed members + pair-key join
+    "window_pareto_front",         # one sort + running-max skyline
+    "events_bot_score",            # minute collapse + user aggs
 ]
 
 

@@ -1507,3 +1507,19 @@ def test_lsh_recall_audit_composes_registered_oracles():
     audit = QUERIES["dedup_lsh_recall_audit"].oracle
     assert QUERIES["dedup_minhash_lsh_pairs"].oracle.strip() in audit
     assert QUERIES["dedup_ngram_jaccard"].oracle.strip() in audit
+
+
+def test_pareto_front_single_sort_no_join(spark):
+    """The skyline is one global sort + one O(1)-state running frame —
+    never the quadratic dominance self-join."""
+    plan = plan_of(spark, "window_pareto_front")
+    assert count(r"Join", plan) == 0
+    assert count(r"Sort ", plan) == 1
+
+
+def test_bot_score_minute_collapse_before_user_aggs(spark):
+    """The firehose collapses to (user, minute) rows map-side before
+    any per-user work; no corpus-row join."""
+    plan = plan_of(spark, "events_bot_score")
+    assert count(r"CartesianProduct", plan) == 0
+    assert count(r"FileScan parquet", plan) <= 2
