@@ -2889,6 +2889,7 @@ EDIT_VERIFY_PREFIX = 12
 @register(
     "dedup_edit_distance_verify",
     category="dedup",
+    bench=True,
     oracle=f"""
     WITH blocked AS (
         SELECT doc_id, text, lang,
