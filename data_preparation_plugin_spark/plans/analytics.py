@@ -4727,3 +4727,91 @@ def profile_inclusion_dependencies(
         )
         results = row if results is None else results.unionByName(row)
     return results
+
+
+#: WOE/IV: number of quantile bins over the account balance.
+WOE_BINS = 5
+
+
+@register(
+    "transform_woe_encoding",
+    category="transform",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT c_custkey, c_acctbal,
+               CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS bad
+        FROM customer
+    ), binned AS (
+        SELECT *, ntile({WOE_BINS}) OVER (ORDER BY c_acctbal, c_custkey)
+                      AS bin
+        FROM labeled
+    ), stats AS (
+        SELECT bin,
+               sum(1 - bad) AS n_good,
+               sum(bad) AS n_bad
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT sum(n_good) AS tg, sum(n_bad) AS tb FROM stats
+    )
+    SELECT CAST(s.bin AS BIGINT) AS bin,
+           CAST(s.n_good AS BIGINT) AS n_good,
+           CAST(s.n_bad AS BIGINT) AS n_bad,
+           ln((CAST(s.n_good AS DOUBLE) * CAST(t.tb AS DOUBLE))
+              / (CAST(s.n_bad AS DOUBLE) * CAST(t.tg AS DOUBLE))) AS woe,
+           ((CAST(s.n_good AS DOUBLE) / CAST(t.tg AS DOUBLE))
+            - (CAST(s.n_bad AS DOUBLE) / CAST(t.tb AS DOUBLE)))
+           * ln((CAST(s.n_good AS DOUBLE) * CAST(t.tb AS DOUBLE))
+                / (CAST(s.n_bad AS DOUBLE) * CAST(t.tg AS DOUBLE)))
+               AS iv_term
+    FROM stats s CROSS JOIN tot t
+    """,
+)
+def transform_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning — the credit-scoring encoder.
+
+    The regulated-industry cousin of target encoding
+    (``transform_target_encoding_oof``): a numeric feature is quantile-
+    binned and each bin is scored by the log odds ratio
+    WOE = ln((good_share)/(bad_share)) with its Information-Value term
+    — monotone-risk features for scorecards, interpretable by
+    construction.  The label is derived deterministically (every 5th
+    key "bad"); bins are exact ntiles with a total-order tiebreak so
+    both engines bin identically; counts stay integer and the two
+    ln-based outputs go through one shared expression text — the
+    IEEE-exact float discipline.
+
+    Scale shape: ntile costs one global sort at fixture scale; the
+    production form swaps in the registered histogram-quantile binner
+    (``transform_quantile_bin``'s approach) to avoid it — WOE itself
+    is a {WOE_BINS}-row aggregate + projection either way.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    labeled = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("c_custkey") % 5 == 0).cast("int").alias("bad"),
+    )
+    w = Window.partitionBy().orderBy("c_acctbal", "c_custkey")
+    binned = labeled.withColumn("bin", F.ntile(WOE_BINS).over(w))
+    stats = binned.groupBy("bin").agg(
+        F.sum(1 - F.col("bad")).alias("n_good"),
+        F.sum("bad").alias("n_bad"),
+    )
+    tot = stats.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    woe_expr = (
+        "ln((CAST(n_good AS DOUBLE) * CAST(tb AS DOUBLE))"
+        " / (CAST(n_bad AS DOUBLE) * CAST(tg AS DOUBLE)))"
+    )
+    return stats.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n_good").cast("bigint").alias("n_good"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.expr(woe_expr).alias("woe"),
+        F.expr(
+            "((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))"
+            " - (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)))"
+            f" * {woe_expr}"
+        ).alias("iv_term"),
+    )

@@ -2943,3 +2943,101 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chars_composed"),
         F.md5("nfc_text").alias("nfc_md5"),
     )
+
+
+#: PMI collocations: minimum pair count and top-K output.
+PMI_MIN_PAIRS = 25
+PMI_TOP_K = 40
+
+
+@register(
+    "text_pmi_collocations",
+    category="text",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS token,
+               generate_subscripts(
+                   string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+        FROM documents
+    ), pairs AS (
+        SELECT a.token AS w1, b.token AS w2
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), pc AS (
+        SELECT w1, w2, count(*) AS n_xy FROM pairs GROUP BY w1, w2
+    ), uni AS (
+        SELECT w1 AS w, count(*) AS n FROM pairs GROUP BY w1
+    ), uni2 AS (
+        SELECT w2 AS w, count(*) AS n FROM pairs GROUP BY w2
+    ), total AS (
+        SELECT count(*) AS big_n FROM pairs
+    ), scored AS (
+        SELECT pc.w1, pc.w2,
+               CAST(pc.n_xy AS BIGINT) AS n_xy,
+               CAST(u1.n AS BIGINT) AS n_x,
+               CAST(u2.n AS BIGINT) AS n_y,
+               ln((CAST(pc.n_xy AS DOUBLE) * CAST(t.big_n AS DOUBLE))
+                  / (CAST(u1.n AS DOUBLE) * CAST(u2.n AS DOUBLE))) AS pmi
+        FROM pc JOIN uni u1 ON pc.w1 = u1.w
+                JOIN uni2 u2 ON pc.w2 = u2.w
+                CROSS JOIN total t
+        WHERE pc.n_xy >= {PMI_MIN_PAIRS}
+    )
+    SELECT w1, w2, n_xy, n_x, n_y, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining — the phrase-discovery statistic.
+
+    The word2vec-era association measure that still drives phrase
+    vocabularies ("new york" -> one token): pointwise mutual
+    information of adjacent pairs, ln((n_xy·N)/(n_x·n_y)), computed
+    from EXACT integer counts with the ln applied through one shared
+    expression (identical IEEE input and op order in both engines —
+    the ``agg_skewness_kurtosis`` discipline).  Marginals are
+    position-specific (left vs right occurrence counts — the
+    directed-bigram convention), the {PMI_MIN_PAIRS}-count floor
+    suppresses the low-frequency PMI explosion, and the top-{PMI_TOP_K}
+    ships with full counts so downstream can re-threshold.
+
+    Scale shape: adjacent pairs come from a doc-keyed self-join on
+    position (never corpus-global); pair/marginal counts are
+    map-side-combinable; the final rank is a bounded TakeOrdered.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos", "token"),
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(F.col("a.token").alias("w1"), F.col("b.token").alias("w2"))
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n_x"))
+    uni2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("n_y"))
+    total = pairs.agg(F.count(F.lit(1)).alias("big_n"))
+    scored = (
+        pc.filter(F.col("n_xy") >= PMI_MIN_PAIRS)
+        .join(uni, "w1")
+        .join(uni2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_xy").cast("bigint").alias("n_xy"),
+            F.col("n_x").cast("bigint").alias("n_x"),
+            F.col("n_y").cast("bigint").alias("n_y"),
+            F.expr(
+                "ln((CAST(n_xy AS DOUBLE) * CAST(big_n AS DOUBLE))"
+                " / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))"
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(PMI_TOP_K)

@@ -316,6 +316,8 @@ PROBES = [
     "dedup_lsh_recall_audit",      # composed members + pair-key join
     "window_pareto_front",         # one sort + running-max skyline
     "events_bot_score",            # minute collapse + user aggs
+    "text_pmi_collocations",       # doc-keyed pair join + TakeOrdered
+    "transform_woe_encoding",      # ntile sort + 5-row WOE projection
 ]
 
 

@@ -1523,3 +1523,19 @@ def test_bot_score_minute_collapse_before_user_aggs(spark):
     plan = plan_of(spark, "events_bot_score")
     assert count(r"CartesianProduct", plan) == 0
     assert count(r"FileScan parquet", plan) <= 2
+
+
+def test_pmi_pairs_doc_keyed_never_global(spark):
+    """Adjacent pairs come from a doc-keyed position self-join; the
+    rank is a bounded TakeOrdered, never a global sort of all pairs."""
+    plan = plan_of(spark, "text_pmi_collocations")
+    assert count(r"TakeOrdered", plan) == 1
+    assert count(r"CartesianProduct", plan) == 0
+
+
+def test_woe_bounded_stats_then_projection(spark):
+    """WOE/IV is a bin-count aggregate + broadcast totals projection;
+    the only wide step is the ntile sort."""
+    plan = plan_of(spark, "transform_woe_encoding")
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"Exchange SinglePartition", plan) >= 1
