@@ -4815,3 +4815,74 @@ def transform_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {woe_expr}"
         ).alias("iv_term"),
     )
+
+
+@register(
+    "profile_value_patterns",
+    category="profile",
+    oracle="""
+    WITH shaped AS (
+        SELECT 'customer.c_name' AS col,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_name, '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'),
+                   '[A-Z]', 'A', 'g') AS shape
+        FROM customer
+        UNION ALL
+        SELECT 'part.p_brand',
+               regexp_replace(regexp_replace(regexp_replace(
+                   p_brand, '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'),
+                   '[A-Z]', 'A', 'g')
+        FROM part
+        UNION ALL
+        SELECT 'orders.o_orderpriority',
+               regexp_replace(regexp_replace(regexp_replace(
+                   o_orderpriority, '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'),
+                   '[A-Z]', 'A', 'g')
+        FROM orders
+    )
+    SELECT col, shape,
+           CAST(count(*) AS BIGINT) AS n_values
+    FROM shaped GROUP BY col, shape
+    """,
+)
+def profile_value_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-pattern (shape) profiling: WHAT FORMATS live in a column?
+
+    The profiler view that catches mixed formats before they break a
+    parser: every value maps to its shape token string (digits -> 9,
+    lower -> a, upper -> A, punctuation kept literally), and the
+    per-column shape histogram makes format drift visible — one
+    'Aaaaaaaa#999999999' shape means a clean surrogate pattern; a
+    second shape appearing IS the incident.  Three representative
+    string columns are profiled in one union; the shape map is three
+    stacked regexp_replace calls with identical semantics in both
+    engines.
+
+    Scale shape: pure codegen projection + a bounded aggregate (shape
+    cardinality is tiny by construction — that is the point of
+    shapes); the union is scan-parallel, no joins.
+    """
+
+    def shape(col: str) -> F.Column:
+        out = F.regexp_replace(F.col(col), "[0-9]", "9")
+        out = F.regexp_replace(out, "[a-z]", "a")
+        return F.regexp_replace(out, "[A-Z]", "A")
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer.c_name").alias("col"),
+        shape("c_name").alias("shape"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.lit("part.p_brand").alias("col"),
+        shape("p_brand").alias("shape"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("orders.o_orderpriority").alias("col"),
+        shape("o_orderpriority").alias("shape"),
+    )
+    return (
+        customer.unionByName(part)
+        .unionByName(orders)
+        .groupBy("col", "shape")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_values"))
+    )

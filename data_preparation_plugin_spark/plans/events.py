@@ -4212,3 +4212,84 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bot_flag"),
     )
+
+
+#: Frequency cap: max purchases credited per user per rolling window.
+FREQ_CAP_K = 3
+FREQ_CAP_DAYS = 7
+
+
+@register(
+    "events_frequency_cap",
+    category="events",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), ranked AS (
+        SELECT *,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL {FREQ_CAP_DAYS} DAYS PRECEDING
+                             AND CURRENT ROW
+               ) AS n_in_window
+        FROM purchases
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(*) FILTER (WHERE n_in_window <= {FREQ_CAP_K})
+                AS BIGINT) AS n_allowed,
+           CAST(count(*) FILTER (WHERE n_in_window > {FREQ_CAP_K})
+                AS BIGINT) AS n_capped,
+           CAST(count(DISTINCT CASE WHEN n_in_window > {FREQ_CAP_K}
+                                    THEN user_id END) AS BIGINT)
+               AS n_capped_users
+    FROM ranked
+    """,
+)
+def events_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling frequency cap — the messaging/exposure governor.
+
+    Every notification, ad-exposure, and incentive system runs this
+    admission rule: allow an event only while the user has had at most
+    {FREQ_CAP_K} in the trailing {FREQ_CAP_DAYS} days.  The rolling
+    count is a RANGE frame over event time (value-based — a per-user
+    gap does not silently widen the window the way ROWS would), and
+    the decision is per event, not per bucket: the cap engages
+    mid-window exactly when the (K+1)th arrival falls inside the
+    trailing span.  The audit reports allowed/capped volumes and the
+    distinct users the cap actually touched.  Complements
+    ``sample_user_contribution_cap`` (global per-user K) with the
+    TIME-LOCAL cap.
+
+    Scale shape: one (user)-keyed exchange + sort; the RANGE frame
+    carries O(window) state per user; the audit is one global
+    aggregate.  No joins, one scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            # NTZ-safe epoch seconds — casting NTZ through "timestamp"
+            # routes via the session TZ (the date_trunc trap's cousin).
+            F.expr(
+                "timestampdiff(SECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        )
+        .rangeBetween(-FREQ_CAP_DAYS * 86_400, 0)
+    )
+    ranked = purchases.withColumn(
+        "n_in_window", F.count(F.lit(1)).over(w)
+    )
+    capped = F.col("n_in_window") > FREQ_CAP_K
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum((~capped).cast("bigint")).cast("bigint").alias("n_allowed"),
+        F.sum(capped.cast("bigint")).cast("bigint").alias("n_capped"),
+        F.countDistinct(F.when(capped, F.col("user_id")))
+        .cast("bigint")
+        .alias("n_capped_users"),
+    )

@@ -318,6 +318,8 @@ PROBES = [
     "events_bot_score",            # minute collapse + user aggs
     "text_pmi_collocations",       # doc-keyed pair join + TakeOrdered
     "transform_woe_encoding",      # ntile sort + 5-row WOE projection
+    "profile_value_patterns",      # codegen shapes + bounded agg
+    "events_frequency_cap",        # rolling RANGE cap, one user exchange
 ]
 
 

@@ -1539,3 +1539,20 @@ def test_woe_bounded_stats_then_projection(spark):
     plan = plan_of(spark, "transform_woe_encoding")
     assert count(r"SortMergeJoin", plan) == 0
     assert count(r"Exchange SinglePartition", plan) >= 1
+
+
+def test_value_patterns_union_scan_parallel(spark):
+    """Shape mapping is pure codegen over a 3-scan union; no joins;
+    the aggregate key space is shape-cardinality tiny."""
+    plan = plan_of(spark, "profile_value_patterns")
+    assert count(r"Join", plan) == 0
+    assert count(r"FileScan parquet", plan) == 3
+
+
+def test_frequency_cap_one_user_exchange(spark):
+    """The rolling RANGE frame rides one (user)-keyed exchange (the
+    second exchange is the capped-users distinct aggregate); no
+    joins."""
+    plan = plan_of(spark, "events_frequency_cap")
+    assert count(r"Exchange hashpartitioning", plan) == 2
+    assert count(r"Join", plan) == 0
