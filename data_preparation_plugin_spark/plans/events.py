@@ -4293,3 +4293,108 @@ def events_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_capped_users"),
     )
+
+
+#: TWS timer sessions: inactivity gap and watermark delay (minutes).
+TWS_SESS_GAP_MIN = 30
+TWS_SESS_WM_MIN = 10
+
+
+@register(
+    "events_stream_tws_timer_sessions",
+    category="streaming",
+    oracle=f"""
+    WITH m AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts)
+                            >= {TWS_SESS_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS st
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    ), sess AS (
+        SELECT user_id, sid,
+               date_diff('microsecond', TIMESTAMP '1970-01-01', min(ts))
+                   AS start_us,
+               date_diff('microsecond', TIMESTAMP '1970-01-01', max(ts))
+                   AS end_us,
+               count(*) AS n
+        FROM s GROUP BY user_id, sid
+    ), wm AS (
+        SELECT date_diff('microsecond', TIMESTAMP '1970-01-01', max(ts))
+                   // 1000 - {TWS_SESS_WM_MIN} * 60 * 1000 AS wm_ms
+        FROM events
+    ), marked AS (
+        SELECT sess.*,
+               sid = (SELECT max(sid) FROM sess s2
+                      WHERE s2.user_id = sess.user_id) AS is_tail
+        FROM sess
+    )
+    SELECT user_id,
+           CAST(start_us AS BIGINT) AS start_us,
+           CAST(end_us AS BIGINT) AS end_us,
+           CAST(n AS BIGINT) AS n_events,
+           CASE WHEN is_tail THEN 'timer' ELSE 'gap' END AS closed_by
+    FROM marked, wm
+    WHERE NOT is_tail
+       OR end_us // 1000 + {TWS_SESS_GAP_MIN} * 60 * 1000 <= wm.wm_ms
+    """,
+)
+def events_stream_tws_timer_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EVENT-TIME TIMERS in transformWithStateInPandas, replayed live.
+
+    The v2 stateful API's third primitive after value/map state:
+    TIMERS.  Gap sessions close in-row when the next event reveals the
+    gap — but each key's LAST session has no next event, and the timer
+    is the engine's answer: every batch re-registers an event-time
+    timer at ``last_ts + gap`` (deleting its predecessor), and when
+    the WATERMARK passes it, ``handleExpiredTimer`` emits the session
+    with ``closed_by='timer'`` and CLEARS the state — the state store
+    carries no dead sessions.  The replay is time-sorted
+    (``_stage_events_sorted``); input rows process before expired
+    timers within a batch, so mid-stream sessions always close 'gap'
+    and exactly the watermark-passed tails close 'timer' — the oracle
+    models that emission rule in closed form (tails with
+    ``end_ms + gap <= max_ms - delay``), making the TIMER SEMANTICS
+    themselves the checked contract.  One tail per corpus typically
+    stays open (inside the final watermark) — withheld by both sides.
+
+    Scale shape: state is (4 scalars + 1 timer) per user in RocksDB;
+    batches vectorize the gap split in numpy; timer firing is
+    watermark-driven per partition — no scan, no join anywhere.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        events_stream,
+        tws_session_finalize,
+    )
+    from data_preparation_plugin_spark.streaming.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf(spark):
+        raise ImportError(
+            "transformWithStateInPandas needs a protobuf runtime"
+            " (see streaming/protobuf_compat.py; pip install .[tws])"
+        )
+    staged = _stage_events_sorted(spark, sf_dir)
+    stream = tws_session_finalize(
+        events_stream(spark, staged, max_files_per_trigger=1),
+        gap_minutes=TWS_SESS_GAP_MIN,
+        watermark=f"{TWS_SESS_WM_MIN} minutes",
+    )
+    return _replay(
+        spark,
+        "events_stream_tws_timer_sessions",
+        stream,
+        output_mode="append",
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER
+        },
+    )

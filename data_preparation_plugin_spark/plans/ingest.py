@@ -1981,3 +1981,106 @@ def sink_scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _SCD2_DIM_DIR + "_v2"
     merged.write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir).filter(F.col("c_custkey") % 10 == 0)
+
+
+_JSONQ_DIR = os.path.join(_STAGE_ROOT, "jsonl_quarantine")
+
+
+@register(
+    "source_json_quarantine",
+    category="source",
+    oracle="""
+    WITH raw AS (
+        SELECT CASE WHEN s_suppkey % 6 = 0
+                    THEN '{"s_suppkey": ' || CAST(s_suppkey AS VARCHAR)
+                         || ', "s_nationkey": '  -- truncated: malformed
+                    ELSE '{"s_suppkey": ' || CAST(s_suppkey AS VARCHAR)
+                         || ', "s_nationkey": '
+                         || CAST(s_nationkey AS VARCHAR) || '}'
+               END AS line,
+               s_suppkey, s_nationkey
+        FROM supplier
+    )
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(s_suppkey) AS BIGINT) AS min_key
+    FROM raw WHERE s_suppkey % 6 <> 0
+    GROUP BY s_nationkey
+    UNION ALL
+    SELECT -1,
+           CAST(count(*) AS BIGINT),
+           CAST(min(length(line)) AS BIGINT)
+    FROM raw WHERE s_suppkey % 6 = 0
+    """,
+)
+def source_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON-lines load with malformed-record quarantine.
+
+    The JSONL twin of ``source_csv_quarantine`` — semi-structured
+    feeds break DIFFERENTLY than CSV (truncated objects, not shifted
+    columns), and Spark's JSON parser has its own corrupt-record
+    machinery.  Every 6th supplier line is staged truncated
+    mid-object; the PERMISSIVE read types the clean rows and lands
+    each bad line byte-intact in ``_corrupt_record``.  The report
+    carries per-nation clean counts plus a quarantine row (key -1)
+    whose payload is the minimum preserved raw-line LENGTH — byte-
+    intact preservation checked without hashing engine-specific
+    whitespace.  The oracle rebuilds both halves from the synthesis
+    rule.
+
+    Scale shape: one file scan, corrupt column populated during the
+    parse with no extra pass; both halves map-side-combinable.
+    """
+    import shutil
+
+    shutil.rmtree(_JSONQ_DIR, ignore_errors=True)
+    supplier = load_table(spark, sf_dir, "supplier")
+    lines = supplier.select(
+        F.when(
+            F.col("s_suppkey") % 6 == 0,
+            F.concat(
+                F.lit('{"s_suppkey": '),
+                F.col("s_suppkey").cast("string"),
+                F.lit(', "s_nationkey": '),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"s_suppkey": '),
+                F.col("s_suppkey").cast("string"),
+                F.lit(', "s_nationkey": '),
+                F.col("s_nationkey").cast("string"),
+                F.lit("}"),
+            )
+        )
+        .alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(_JSONQ_DIR)
+    df = (
+        spark.read.schema(
+            "s_suppkey BIGINT, s_nationkey BIGINT, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(_JSONQ_DIR)
+    )
+    df = df.cache()
+    clean = (
+        df.filter(F.col("_corrupt_record").isNull())
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("s_suppkey").cast("bigint").alias("min_key"),
+        )
+        .select(
+            F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
+            "n_rows",
+            "min_key",
+        )
+    )
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull()).agg(
+        F.lit(-1).cast("bigint").alias("s_nationkey"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min(F.length("_corrupt_record")).cast("bigint").alias("min_key"),
+    )
+    return clean.unionByName(quarantine)

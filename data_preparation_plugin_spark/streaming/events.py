@@ -735,3 +735,109 @@ def chained_window_rollup(
             F.col("n_subwindows").cast("bigint").alias("n_subwindows"),
         )
     )
+
+
+def tws_session_finalize(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap sessions finalized by EVENT-TIME TIMERS (transformWithState).
+
+    The third leg of the v2 stateful API after value/map state: TIMERS.
+    Mid-stream sessions close exactly as in every sessionizer — a new
+    event more than ``gap_minutes`` after the last one closes the open
+    session in-row.  But the LAST session of a key has no next event to
+    close it; the timer is the engine primitive for that tail: each
+    batch re-registers an event-time timer at ``last_ts + gap``, and
+    when the WATERMARK passes it, ``handleExpiredTimer`` fires, emits
+    the session with ``closed_by='timer'``, and clears the state — the
+    state store never accumulates dead sessions.  Batches are
+    vectorized (numpy gap-split per key), and the one registered timer
+    per key is tracked in the value state so re-registration deletes
+    its predecessor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    epoch = pd.Timestamp("1970-01-01")
+
+    class SessionFinalize(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            # (start_us, last_us, n, timer_ms)
+            self._sess = handle.getValueState(
+                "sess", "start_us BIGINT, last_us BIGINT,"
+                " n BIGINT, timer_ms BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            ts_us_parts = []
+            for pdf in rows:
+                ts_us_parts.append(
+                    ((pdf["ts"] - epoch) // pd.Timedelta(microseconds=1))
+                    .to_numpy(dtype="int64")
+                )
+            ts = np.sort(np.concatenate(ts_us_parts))
+            state = self._sess.get()
+            if state is not None:
+                start, last, n, timer_ms = state
+            else:
+                start, last, n, timer_ms = None, None, 0, None
+            out = []
+            for t in ts.tolist():
+                if last is not None and t - last >= gap_us:
+                    out.append((key[0], start, last, n, "gap"))
+                    start, last, n = t, t, 1
+                else:
+                    start = t if start is None else start
+                    last, n = t, n + 1
+            if timer_ms is not None:
+                self._handle.deleteTimer(timer_ms)
+            new_timer = last // 1000 + gap_minutes * 60 * 1000
+            self._handle.registerTimer(new_timer)
+            self._sess.update((start, last, n, new_timer))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "user_id", "start_us", "end_us", "n_events",
+                        "closed_by",
+                    ],
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            state = self._sess.get()
+            if state is not None:
+                start, last, n, _timer = state
+                self._sess.clear()
+                yield pd.DataFrame(
+                    [(key[0], start, last, n, "timer")],
+                    columns=[
+                        "user_id", "start_us", "end_us", "n_events",
+                        "closed_by",
+                    ],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionFinalize(),
+            outputStructType=(
+                "user_id BIGINT, start_us BIGINT, end_us BIGINT,"
+                " n_events BIGINT, closed_by STRING"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

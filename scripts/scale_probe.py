@@ -320,6 +320,8 @@ PROBES = [
     "transform_woe_encoding",      # ntile sort + 5-row WOE projection
     "profile_value_patterns",      # codegen shapes + bounded agg
     "events_frequency_cap",        # rolling RANGE cap, one user exchange
+    "source_json_quarantine",      # PERMISSIVE JSONL corrupt routing
+    "events_stream_tws_timer_sessions",  # event-time timers, RocksDB
 ]
 
 

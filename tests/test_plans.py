@@ -1556,3 +1556,19 @@ def test_frequency_cap_one_user_exchange(spark):
     plan = plan_of(spark, "events_frequency_cap")
     assert count(r"Exchange hashpartitioning", plan) == 2
     assert count(r"Join", plan) == 0
+
+
+def test_json_quarantine_preserves_corrupt_lines(spark):
+    """The PERMISSIVE JSONL read must route every 6th (truncated) line
+    to the quarantine row byte-intact."""
+    import os as _os
+
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    sf = _os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = QUERIES["source_json_quarantine"].builder(spark, sf).collect()
+    quarantine = [r for r in rows if r["s_nationkey"] == -1]
+    assert len(quarantine) == 1 and quarantine[0]["n_rows"] > 0
+    assert sum(r["n_rows"] for r in rows if r["s_nationkey"] >= 0) > 0
