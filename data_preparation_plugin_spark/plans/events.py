@@ -4398,3 +4398,145 @@ def events_stream_tws_timer_sessions(
             "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER
         },
     )
+
+
+#: Triangle downsampling: days per output bucket.
+LTTB_BUCKET_DAYS = 7
+
+
+@register(
+    "events_downsample_triangle",
+    category="events",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(sum(round(value * 100)) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), bucketed AS (
+        SELECT *, x // {LTTB_BUCKET_DAYS} AS b FROM daily
+    ), anchors AS (
+        SELECT b, sum(x) AS sx, sum(y) AS sy, count(*) AS n
+        FROM bucketed GROUP BY b
+    ), scored AS (
+        SELECT p.b, p.x, p.y,
+               abs((pa.sx - pa.n * p.x) * (pb.sy - pb.n * p.y)
+                 - (pb.sx - pb.n * p.x) * (pa.sy - pa.n * p.y))
+                   AS area2
+        FROM bucketed p
+        JOIN anchors pa ON pa.b = p.b - 1
+        JOIN anchors pb ON pb.b = p.b + 1
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY b
+                                     ORDER BY area2 DESC, x) AS rn
+        FROM scored
+    ), edges AS (
+        SELECT b, x, y, CAST(0 AS BIGINT) AS area2
+        FROM bucketed
+        WHERE (b = (SELECT min(b) FROM bucketed)
+               AND x = (SELECT min(x) FROM bucketed))
+           OR (b = (SELECT max(b) FROM bucketed)
+               AND x = (SELECT max(x) FROM bucketed))
+    )
+    SELECT CAST(b AS BIGINT) AS bucket,
+           CAST(x AS BIGINT) AS epoch_day,
+           CAST(y AS BIGINT) AS value_cents,
+           CAST(area2 AS BIGINT) AS area2
+    FROM ranked WHERE rn = 1
+      AND b > (SELECT min(b) FROM bucketed)
+      AND b < (SELECT max(b) FROM bucketed)
+    UNION ALL
+    SELECT CAST(b AS BIGINT), CAST(x AS BIGINT), CAST(y AS BIGINT),
+           CAST(area2 AS BIGINT)
+    FROM edges
+    """,
+)
+def events_downsample_triangle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Triangle-area timeseries downsampling — the dashboard renderer.
+
+    Plotting a year of daily revenue at 52 points without erasing the
+    spikes: the Largest-Triangle family keeps, per output bucket, the
+    point subtending the largest triangle against its neighbor
+    buckets.  This is the PARALLEL variant (anchors are the fixed
+    neighbor-bucket centroids rather than the previously-selected
+    point — classic LTTB's sequential dependency doesn't distribute;
+    fixed anchors make every bucket independent and the result
+    deterministic).  The cross product is cleared of fractions by
+    multiplying through with both anchor denominators, so the area
+    argmax is EXACT integer arithmetic; first/last days anchor the
+    series per LTTB convention.
+
+    Scale shape: the firehose collapses to daily points map-side;
+    anchors are bucket-level aggregates; scoring joins each point to
+    two bucket anchors (bounded keys) and the argmax is one ranked
+    window per bucket.  Everything after the first collapse runs on
+    DAYS, not events.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+                " AS BIGINT)"
+            ).alias("x"),
+            F.expr("round(value * 100)").alias("cents"),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").cast("bigint").alias("y"))
+    )
+    bucketed = daily.withColumn(
+        "b", F.expr(f"x DIV {LTTB_BUCKET_DAYS}")
+    ).localCheckpoint(eager=True)
+    anchors = bucketed.groupBy("b").agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pa = anchors.alias("pa")
+    pb = anchors.alias("pb")
+    p = bucketed.alias("p")
+    area2 = F.abs(
+        (F.col("pa.sx") - F.col("pa.n") * F.col("p.x"))
+        * (F.col("pb.sy") - F.col("pb.n") * F.col("p.y"))
+        - (F.col("pb.sx") - F.col("pb.n") * F.col("p.x"))
+        * (F.col("pa.sy") - F.col("pa.n") * F.col("p.y"))
+    )
+    scored = (
+        p.join(pa, F.col("pa.b") == F.col("p.b") - 1)
+        .join(pb, F.col("pb.b") == F.col("p.b") + 1)
+        .select(
+            F.col("p.b").alias("b"),
+            F.col("p.x").alias("x"),
+            F.col("p.y").alias("y"),
+            area2.alias("area2"),
+        )
+    )
+    w = Window.partitionBy("b").orderBy(F.desc("area2"), "x")
+    bounds = bucketed.agg(
+        F.min("b").alias("bmin"),
+        F.max("b").alias("bmax"),
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+    )
+    inner = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("b") > F.col("bmin")) & (F.col("b") < F.col("bmax")))
+        .select("b", "x", "y", "area2")
+    )
+    edges = (
+        bucketed.crossJoin(F.broadcast(bounds))
+        .filter(
+            ((F.col("b") == F.col("bmin")) & (F.col("x") == F.col("xmin")))
+            | ((F.col("b") == F.col("bmax")) & (F.col("x") == F.col("xmax")))
+        )
+        .select("b", "x", "y", F.lit(0).cast("bigint").alias("area2"))
+    )
+    return inner.unionByName(edges).select(
+        F.col("b").cast("bigint").alias("bucket"),
+        F.col("x").cast("bigint").alias("epoch_day"),
+        F.col("y").cast("bigint").alias("value_cents"),
+        F.col("area2").cast("bigint").alias("area2"),
+    )

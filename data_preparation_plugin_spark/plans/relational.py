@@ -4422,3 +4422,121 @@ def window_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_recency_so_far").isNull()
         | (F.col("recency_days") > F.col("best_recency_so_far"))
     ).select("o_orderkey", "price_cents", "recency_days")
+
+
+@register(
+    "agg_hll_intersection_ie",
+    category="aggregate",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.o_orderpriority AS p1, b.o_orderpriority AS p2
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) a
+        JOIN (SELECT DISTINCT o_orderpriority FROM orders) b
+          ON a.o_orderpriority < b.o_orderpriority
+    ), exact AS (
+        SELECT p.p1, p.p2,
+               (SELECT count(DISTINCT o_custkey) FROM orders
+                WHERE o_orderpriority = p.p1) AS n_a,
+               (SELECT count(DISTINCT o_custkey) FROM orders
+                WHERE o_orderpriority = p.p2) AS n_b,
+               (SELECT count(DISTINCT o_custkey) FROM orders
+                WHERE o_orderpriority IN (p.p1, p.p2)) AS n_union,
+               (SELECT count(DISTINCT o.o_custkey) FROM orders o
+                WHERE o.o_orderpriority = p.p1
+                  AND EXISTS (SELECT 1 FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey
+                                AND o2.o_orderpriority = p.p2))
+                   AS n_intersect
+        FROM pairs p
+    )
+    SELECT p1, p2,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_intersect AS BIGINT) AS n_intersect_exact,
+           CAST(n_union AS BIGINT) AS n_union_exact,
+           true AS hll_ie_within_tol
+    FROM exact
+    """,
+)
+def agg_hll_intersection_ie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL intersection by inclusion-exclusion — with its error honest.
+
+    HLL sketches union natively but CANNOT intersect; the folk answer
+    is inclusion-exclusion (|A∩B| = |A|+|B|-|A∪B|) whose error scales
+    with the UNION's size, not the intersection's — tiny overlaps of
+    big sets drown in sketch noise, which is exactly why the KMV/theta
+    family (``agg_kmv_intersection``) exists.  This audit runs the
+    technique honestly: per priority-class pair, three lgK=14 HLL
+    estimates feed the I-E identity, compared in-query against the
+    exact intersection with a tolerance scaled to the UNION (3% of
+    n_union — the theoretically right yardstick), emitted as the
+    ``agg_hll_sketch``-style tolerance bit.  The exact I-E identity
+    on true counts rides along, proving the algebra (not just the
+    sketches) against the semi-join oracle.
+
+    Scale shape: per-class sketches build in ONE combinable aggregate
+    pass; pair algebra runs on CLASS-cardinality rows.  The exact
+    columns are the bounded verification baseline.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_class = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"),
+        F.count_distinct("o_custkey").alias("n_exact"),
+    )
+    a = per_class.alias("a")
+    b = per_class.alias("b")
+    paired = a.join(
+        b, F.col("a.o_orderpriority") < F.col("b.o_orderpriority")
+    ).select(
+        F.col("a.o_orderpriority").alias("p1"),
+        F.col("b.o_orderpriority").alias("p2"),
+        F.col("a.n_exact").alias("n_a_exact"),
+        F.col("b.n_exact").alias("n_b_exact"),
+        F.hll_sketch_estimate(F.col("a.sk")).alias("est_a"),
+        F.hll_sketch_estimate(F.col("b.sk")).alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_union(F.col("a.sk"), F.col("b.sk"))
+        ).alias("est_union"),
+    )
+    # Exact intersection / union per pair from one extra bounded agg.
+    pairs_exact = (
+        orders.select("o_custkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.collect_set("o_orderpriority").alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x ->"
+                    " transform(filter(ps, y -> y > x),"
+                    " y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_intersect_exact"))
+    )
+    joined = paired.join(pairs_exact, ["p1", "p2"], "left").na.fill(
+        {"n_intersect_exact": 0}
+    )
+    ie_est = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    n_union_exact = (
+        F.col("n_a_exact") + F.col("n_b_exact") - F.col("n_intersect_exact")
+    )
+    # Spark derives the union via the I-E identity on independently
+    # computed exacts; the oracle counts the union directly — matching
+    # proves the identity as well as the counts.
+    return joined.select(
+        "p1",
+        "p2",
+        F.col("n_a_exact").cast("bigint").alias("n_a"),
+        F.col("n_b_exact").cast("bigint").alias("n_b"),
+        F.col("n_intersect_exact").cast("bigint").alias(
+            "n_intersect_exact"
+        ),
+        n_union_exact.cast("bigint").alias("n_union_exact"),
+        (
+            F.abs(ie_est - F.col("n_intersect_exact"))
+            <= 0.03 * n_union_exact
+        ).alias("hll_ie_within_tol"),
+    )

@@ -322,6 +322,8 @@ PROBES = [
     "events_frequency_cap",        # rolling RANGE cap, one user exchange
     "source_json_quarantine",      # PERMISSIVE JSONL corrupt routing
     "events_stream_tws_timer_sessions",  # event-time timers, RocksDB
+    "agg_hll_intersection_ie",     # one sketch pass + class pairs
+    "events_downsample_triangle",  # daily collapse + bucket argmax
 ]
 
 

@@ -1572,3 +1572,19 @@ def test_json_quarantine_preserves_corrupt_lines(spark):
     quarantine = [r for r in rows if r["s_nationkey"] == -1]
     assert len(quarantine) == 1 and quarantine[0]["n_rows"] > 0
     assert sum(r["n_rows"] for r in rows if r["s_nationkey"] >= 0) > 0
+
+
+def test_hll_ie_single_sketch_pass(spark):
+    """Per-class sketches build in one combinable aggregate; pair
+    algebra runs on class-cardinality rows."""
+    plan = plan_of(spark, "agg_hll_intersection_ie")
+    assert count(r"ObjectHashAggregate", plan) >= 1
+    assert count(r"CartesianProduct", plan) == 0
+
+
+def test_downsample_triangle_day_level_after_collapse(spark):
+    """One corpus scan collapses to daily points (checkpointed once);
+    anchors, scoring, and the argmax all run on day/bucket keys."""
+    plan = plan_of(spark, "events_downsample_triangle")
+    assert count(r"FileScan parquet", plan) == 0  # checkpoint feeds all
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) <= 2
