@@ -1481,3 +1481,94 @@ def sample_user_contribution_cap(
             F.when(F.col("rn") <= USER_CAP_K, F.col("event_id"))
         ).cast("bigint").alias("kept_id_sum"),
     )
+
+
+def _leakage_oracle() -> str:
+    """Compose the registered split and LSH-pairs oracles (the
+    ``dedup_lsh_recall_audit`` discipline) into the cross-split
+    leakage audit."""
+    from data_preparation_plugin_spark.plans.registry import QUERIES
+
+    split = QUERIES["split_train_test"].oracle
+    pairs = QUERIES["dedup_minhash_lsh_pairs"].oracle
+    return f"""
+    WITH sp AS (SELECT doc_id, split FROM ({split})),
+         pr AS (SELECT doc_a, doc_b FROM ({pairs})),
+         crossed AS (
+            SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b
+            FROM pr p JOIN sp a ON p.doc_a = a.doc_id
+                      JOIN sp b ON p.doc_b = b.doc_id
+         )
+    SELECT CASE WHEN split_a <= split_b
+                THEN split_a || '->' || split_b
+                ELSE split_b || '->' || split_a END AS split_pair,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE split_a <> split_b) AS BIGINT)
+               AS n_leaks,
+           CAST(min(doc_a) AS BIGINT) AS example_doc_a,
+           CAST(min(doc_b) AS BIGINT) AS example_doc_b
+    FROM crossed
+    GROUP BY 1
+    """
+
+
+@register(
+    "split_leakage_audit",
+    category="sampling",
+    oracle=_leakage_oracle(),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test NEAR-DUP leakage audit — eval hygiene as a query.
+
+    The evaluation-integrity check every benchmark pipeline needs and
+    few run: a near-duplicate pair STRADDLING the train/test boundary
+    silently inflates eval scores (the model saw the answer's twin in
+    training), and a plain hash split does nothing to prevent it —
+    duplicates hash independently.  The audit joins the REGISTERED
+    near-dup pairs (``dedup_minhash_lsh_pairs``) to the REGISTERED
+    split assignment (``split_train_test``), reports pair counts per
+    split combination with the cross-split rows flagged as leaks, and
+    carries example ids for triage.  Builders and oracle texts of both
+    members are composed (the ``dedup_lsh_recall_audit`` discipline),
+    so the audit cannot drift from the split or the pair pipeline it
+    polices.  The fix it motivates is also registered:
+    ``sample_group_kfold`` splits by SOURCE so twins travel together.
+
+    Scale shape: pairs are LSH-banded (never corpus²); the split is a
+    zero-shuffle projection; the audit adds two broadcast-able
+    equi-joins on doc ids and a bounded (<=6 combinations) aggregate.
+    """
+    from data_preparation_plugin_spark.plans.dedup import (
+        dedup_minhash_lsh_pairs,
+    )
+
+    sp = split_train_test(spark, sf_dir).select("doc_id", "split")
+    pr = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    crossed = (
+        pr.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "doc_b",
+        )
+    )
+    pair_key = F.when(
+        F.col("split_a") <= F.col("split_b"),
+        F.concat_ws("->", "split_a", "split_b"),
+    ).otherwise(F.concat_ws("->", "split_b", "split_a"))
+    return crossed.groupBy(pair_key.alias("split_pair")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum((F.col("split_a") != F.col("split_b")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_leaks"),
+        F.min("doc_a").cast("bigint").alias("example_doc_a"),
+        F.min("doc_b").cast("bigint").alias("example_doc_b"),
+    )

@@ -324,6 +324,7 @@ PROBES = [
     "events_stream_tws_timer_sessions",  # event-time timers, RocksDB
     "agg_hll_intersection_ie",     # one sketch pass + class pairs
     "events_downsample_triangle",  # daily collapse + bucket argmax
+    "split_leakage_audit",         # banded pairs x split projection
 ]
 
 

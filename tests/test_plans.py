@@ -1588,3 +1588,13 @@ def test_downsample_triangle_day_level_after_collapse(spark):
     plan = plan_of(spark, "events_downsample_triangle")
     assert count(r"FileScan parquet", plan) == 0  # checkpoint feeds all
     assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) <= 2
+
+
+def test_split_leakage_composes_registered_oracles():
+    """The audit embeds both member oracle texts so it cannot drift
+    from the split or pair pipeline it polices."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    audit = QUERIES["split_leakage_audit"].oracle
+    assert QUERIES["split_train_test"].oracle.strip() in audit
+    assert QUERIES["dedup_minhash_lsh_pairs"].oracle.strip() in audit
