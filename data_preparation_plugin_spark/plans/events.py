@@ -4540,3 +4540,83 @@ def events_downsample_triangle(
         F.col("y").cast("bigint").alias("value_cents"),
         F.col("area2").cast("bigint").alias("area2"),
     )
+
+
+#: Stickiness: the MAU trailing window length in days.
+STICKINESS_MAU_DAYS = 28
+
+
+@register(
+    "events_stickiness_ratio",
+    category="events",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), days AS (
+        SELECT DISTINCT d FROM ud
+    ), contrib AS (
+        SELECT user_id, d + CAST(x AS INTEGER) AS report_d
+        FROM ud, generate_series(0, {STICKINESS_MAU_DAYS - 1}) AS t(x)
+    ), mau AS (
+        SELECT report_d, count(DISTINCT user_id) AS mau
+        FROM contrib
+        WHERE report_d IN (SELECT d FROM days)
+        GROUP BY report_d
+    ), dau AS (
+        SELECT d AS report_d, count(DISTINCT user_id) AS dau
+        FROM ud GROUP BY d
+    )
+    SELECT CAST(m.report_d AS DATE) AS report_d,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           CAST(d.dau * 10000 // m.mau AS BIGINT) AS stickiness_bp
+    FROM mau m JOIN dau d USING (report_d)
+    """,
+)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — THE engagement ratio, daily.
+
+    The number product reviews lead with: what share of the monthly
+    audience shows up on a given day?  Both distinct counts ride the
+    SAME pre-aggregated (user, day) pair relation —
+    ``events_trailing_dau``'s bounded-explode rewrite at window
+    lengths 1 and {STICKINESS_MAU_DAYS} — so the firehose collapses
+    once and the sliding-distinct trap (per-day rescans) never
+    appears.  The ratio ships as integer basis points.
+
+    Scale shape: one distinct pre-aggregate; the MAU explode
+    multiplies the REDUCED pair relation by a constant; two bounded
+    distinct-counts and a day-keyed join.  Swap in the daily-HLL
+    merge (``events_trailing_dau_hll``) when even the pair relation
+    is too big.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ud = (
+        events.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), STICKINESS_MAU_DAYS - 1),
+            )
+        ).alias("report_d"),
+    ).join(days.select(F.col("d").alias("report_d")), "report_d")
+    mau = contrib.groupBy("report_d").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    dau = ud.groupBy(F.col("d").alias("report_d")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return mau.join(dau, "report_d").select(
+        "report_d",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.expr("CAST(dau * 10000 DIV mau AS BIGINT)").alias(
+            "stickiness_bp"
+        ),
+    )

@@ -449,3 +449,76 @@ def udf_scalar_iter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", score(F.col("text")).cast("bigint").alias("score")
     )
+
+
+@register(
+    "udtf_arrow_ngram_stats",
+    category="udf",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+               generate_subscripts(
+                   string_split_regex(trim(lower(text)), '\s+'), 1) AS idx
+        FROM documents
+        WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
+           CAST(max(length(w)) AS BIGINT) AS max_token_len,
+           min(w) AS first_token_alpha
+    FROM words
+    GROUP BY doc_id
+    """,
+)
+def udtf_arrow_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-optimized Python UDTF (``useArrow=True``) in a LATERAL join.
+
+    The second half of the UDTF surface: ``udtf_word_chunks`` proved
+    the row-based table function; Spark 4 can also run UDTFs over
+    Arrow batches, removing the per-row pickle round trip — the same
+    ~10-100× transport gap as scalar UDFs vs pandas UDFs, now for
+    table functions.  The function itself computes per-document token
+    stats (count, distinct, longest token, alphabetic min) in plain
+    Python over the split — deterministic, so the DuckDB aggregate
+    replays it exactly.  The point under test is the ARROW TRANSPORT
+    of the lateral expansion, value-checked end to end.
+
+    Scale shape: partition-local lateral apply, zero shuffle; the
+    UDTF emits one row per input document, so the expansion is
+    bounded by construction.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "n_tokens BIGINT, n_distinct BIGINT,"
+            " max_token_len BIGINT, first_token_alpha STRING"
+        ),
+        useArrow=True,
+    )
+    class NgramStats:
+        def eval(self, text: str):
+            toks = text.strip().lower().split()
+            if toks:
+                yield (
+                    len(toks),
+                    len(set(toks)),
+                    max(len(t) for t in toks),
+                    min(toks),
+                )
+
+    spark.udtf.register("__ngram_stats", NgramStats)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    docs.createOrReplaceTempView("__arrow_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.n_tokens, s.n_distinct,
+               s.max_token_len, s.first_token_alpha
+        FROM __arrow_udtf_docs d,
+             LATERAL __ngram_stats(d.text) s
+        """
+    )

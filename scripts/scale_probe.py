@@ -325,6 +325,8 @@ PROBES = [
     "agg_hll_intersection_ie",     # one sketch pass + class pairs
     "events_downsample_triangle",  # daily collapse + bucket argmax
     "split_leakage_audit",         # banded pairs x split projection
+    "udtf_arrow_ngram_stats",      # Arrow-transported lateral UDTF
+    "events_stickiness_ratio",     # one pair relation, two windows
 ]
 
 

@@ -1598,3 +1598,19 @@ def test_split_leakage_composes_registered_oracles():
     audit = QUERIES["split_leakage_audit"].oracle
     assert QUERIES["split_train_test"].oracle.strip() in audit
     assert QUERIES["dedup_minhash_lsh_pairs"].oracle.strip() in audit
+
+
+def test_arrow_udtf_is_arrow_transported(spark):
+    """The UDTF lateral apply must run over Arrow batches, not the
+    row-pickle path."""
+    plan = plan_of(spark, "udtf_arrow_ngram_stats")
+    assert count(r"ArrowEvalPythonUDTF", plan) == 1
+    assert count(r"BatchEvalPythonUDTF", plan) == 0
+
+
+def test_stickiness_single_pair_checkpoint(spark):
+    """DAU and MAU both ride one checkpointed (user, day) relation —
+    no consumer rescans raw events."""
+    plan = plan_of(spark, "events_stickiness_ratio")
+    assert count(r"FileScan parquet", plan) == 0
+    assert count(r"CartesianProduct", plan) == 0
