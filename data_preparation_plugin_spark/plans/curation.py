@@ -780,3 +780,79 @@ def curation_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("min_doc_id"),
         )
     )
+
+
+#: Review queue: sampled docs per rejection gate.
+REVIEW_QUEUE_K = 5
+
+
+def _review_queue_oracle() -> str:
+    """Compose the registered funnel oracle (the recall-audit
+    discipline) into the per-gate review-queue sample."""
+    from data_preparation_plugin_spark.plans.registry import QUERIES
+
+    funnel = QUERIES["curation_corpus_status"].oracle
+    return f"""
+    WITH verdicts AS (SELECT doc_id, status FROM ({funnel})),
+         rejected AS (
+            SELECT v.doc_id, v.status, d.n_chars,
+                   row_number() OVER (
+                       PARTITION BY v.status
+                       ORDER BY md5(CAST(v.doc_id AS VARCHAR)), v.doc_id
+                   ) AS rn
+            FROM verdicts v JOIN documents d ON v.doc_id = d.doc_id
+            WHERE v.status <> 'kept'
+         )
+    SELECT status AS gate,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rn AS BIGINT) AS queue_pos,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM rejected WHERE rn <= {REVIEW_QUEUE_K}
+    """
+
+
+@register(
+    "curation_review_queue",
+    category="curation",
+    oracle=_review_queue_oracle(),
+)
+def curation_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-review queue: a deterministic sample of every gate's kills.
+
+    The labeling-ops step that keeps automated curation honest: each
+    rejection gate (quality, language, exact-dup, near-dup) sends a
+    fixed-size sample of ITS OWN kills to human review, so gate drift
+    (a threshold suddenly over-killing good docs) is caught by eyes,
+    not just counts.  The queue samples {REVIEW_QUEUE_K} docs per gate
+    in md5 order — deterministic, unbiased by doc id locality, and
+    stable across runs, so reviewers never see a reshuffled queue.
+    The funnel verdicts come from the REGISTERED end-to-end funnel
+    (builder composed; oracle TEXT composed), so the queue cannot
+    drift from the filter it audits.
+
+    Scale shape: the funnel's own shapes (one scan feeding the gate
+    cascade); the queue adds a per-gate rank window over REJECTED
+    rows only and a broadcast-able join for triage metadata.
+    """
+    from data_preparation_plugin_spark.plans.curation import (
+        curation_corpus_status,
+    )
+
+    verdicts = curation_corpus_status(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("status").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    rejected = (
+        verdicts.filter(F.col("status") != "kept")
+        .join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return rejected.filter(F.col("rn") <= REVIEW_QUEUE_K).select(
+        F.col("status").alias("gate"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("rn").cast("bigint").alias("queue_pos"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )

@@ -327,6 +327,7 @@ PROBES = [
     "split_leakage_audit",         # banded pairs x split projection
     "udtf_arrow_ngram_stats",      # Arrow-transported lateral UDTF
     "events_stickiness_ratio",     # one pair relation, two windows
+    "curation_review_queue",       # funnel verdicts + per-gate rank
 ]
 
 

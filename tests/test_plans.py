@@ -1614,3 +1614,12 @@ def test_stickiness_single_pair_checkpoint(spark):
     plan = plan_of(spark, "events_stickiness_ratio")
     assert count(r"FileScan parquet", plan) == 0
     assert count(r"CartesianProduct", plan) == 0
+
+
+def test_review_queue_composes_funnel_oracle():
+    """The queue's oracle embeds the registered funnel's oracle text so
+    it cannot drift from the filter it audits."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    audit = QUERIES["curation_review_queue"].oracle
+    assert QUERIES["curation_corpus_status"].oracle.strip() in audit
