@@ -32,17 +32,36 @@ REPO_ROOT = os.path.dirname(
 )
 DRIVER_SLOTS = 50
 
-#: Multi-round-green canaries, one per fragile category. Keep short: every
-#: anchor slot is a slot a dark query can't use.
+#: Multi-round-green canaries. Keep short: every anchor slot is a slot a
+#: dark query can't use. Round 11 (VERDICT r10 #1) cut this from 8 to 3 —
+#: one relational, one streaming, one physical-sink — because the dark
+#: backlog (80 queries) overflows the 50-slot budget and anchors were
+#: eating drain capacity.
 ANCHORS = [
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q12_priority_by_linestatus",
-    "join_asof",
     "events_stream_tumbling",
-    "geo_point_in_region",
-    "curation_corpus_status",
     "sink_merge_upsert",
+]
+
+#: Already-green queries pinned into the slate for a specific re-check the
+#: judge asked for (VERDICT r10 #6: exercise the bitemporal correction
+#: stripe under the driver — its only green row predates the r8 fix that
+#: made corrections survive). Pinned rows sit right after the anchors.
+PINNED_RECHECKS = [
+    "join_bitemporal_asof",
+]
+
+#: Driver-dark queries the judge named as highest-risk (VERDICT r10 #2):
+#: stateful-streaming state protocol, physical sink round trips, leakage
+#: rules. They take the first dark slots regardless of registration age.
+PRIORITY_DARKS = [
+    "events_stream_tws_bucketed",
+    "events_stream_tws_profile",
+    "events_stream_tws_timer_sessions",
+    "sink_kept_corpus_export",
+    "sink_scd2_merge_apply",
+    "split_leakage_audit",
+    "events_training_set_pit",
 ]
 
 
@@ -122,22 +141,36 @@ def compute_slate(
     """
     latest = green_history(root)
     anchors = [n for n in ANCHORS if n in registered]
+    pinned = [
+        n for n in PINNED_RECHECKS if n in registered and n not in anchors
+    ]
     dark = sorted(
-        (n for n in registered if n not in latest and n not in anchors),
-        key=lambda n: (n not in R5_DARK_BACKLOG, n),
+        (
+            n
+            for n in registered
+            if n not in latest and n not in anchors and n not in pinned
+        ),
+        key=lambda n: (
+            n not in PRIORITY_DARKS,
+            PRIORITY_DARKS.index(n) if n in PRIORITY_DARKS else 0,
+            n not in R5_DARK_BACKLOG,
+            n,
+        ),
     )
-    core = anchors + dark
+    core = anchors + pinned + dark
     fills = sorted(
         (n for n in registered if n in latest and n not in core),
         key=lambda n: (latest[n], n),
     )
     cat_fills: list[str] = []
-    if categories:
-        # Category coverage is a hard invariant
-        # (test_first_slots_cover_every_category): when the dark set
-        # alone overflows the budget, coverage fills EVICT tail dark
-        # queries from the window — evicted darks stay registered, stay
-        # dark, and re-enter at the head of next round's slate.
+    if categories and len(core) < slots:
+        # Category coverage applies only to SPARE slots: when the dark
+        # backlog alone overflows the budget (rounds 9-11), draining darks
+        # outranks re-checking an already-green query for coverage — a
+        # dark row is the only kind that can never have regressed because
+        # it has never been measured (VERDICT r10 #1). With spare slots,
+        # fills first cover every category missing from the slate, then
+        # go to the globally stalest rows.
         all_cats = {categories[n] for n in registered if n in categories}
         while True:
             visible = core[: slots - len(cat_fills)] + cat_fills
@@ -165,6 +198,25 @@ def compute_slate(
         n for n in fills if n not in head
     ]
     return (head + rest)[:slots]
+
+
+def projected_dark_after_next_round(
+    registered: list[str],
+    categories: dict[str, str] | None = None,
+    root: str = REPO_ROOT,
+    slots: int = DRIVER_SLOTS,
+) -> int:
+    """How many registered queries stay driver-dark even if every slated
+    dark goes green next round.
+
+    VERDICT r10 #8: registration velocity must stay gated on verification
+    capacity — ``test_projected_dark_backlog_bounded`` fails the build when
+    this exceeds 50, forcing any new registration to come with a drain
+    plan instead of silently compounding the backlog.
+    """
+    latest = green_history(root)
+    slate = set(compute_slate(registered, categories, root=root, slots=slots))
+    return sum(1 for n in registered if n not in latest and n not in slate)
 
 
 def category_coverage_report(

@@ -18,19 +18,25 @@ sys.path.insert(0, REPO_ROOT)
 from data_preparation_plugin_spark.plans.rotation import (  # noqa: E402
     ANCHORS,
     DRIVER_SLOTS,
+    PINNED_RECHECKS,
+    PRIORITY_DARKS,
     R5_DARK_BACKLOG,
     category_coverage_report,
     compute_slate,
     green_history,
+    projected_dark_after_next_round,
 )
 
 __all__ = [
     "ANCHORS",
     "DRIVER_SLOTS",
+    "PINNED_RECHECKS",
+    "PRIORITY_DARKS",
     "R5_DARK_BACKLOG",
     "compute_slate",
     "green_history",
     "category_coverage_report",
+    "projected_dark_after_next_round",
 ]
 
 
@@ -47,6 +53,11 @@ def main() -> None:
     print("# computed slate (already live via plans.DRIVER_CHECK_PRIORITY)")
     for name in plans.DRIVER_CHECK_PRIORITY:
         print(name)
+    projected = projected_dark_after_next_round(
+        list(plans.QUERIES),
+        {n: q.category for n, q in plans.QUERIES.items()},
+    )
+    print(f"# projected driver-dark after next round: {projected}")
 
 
 if __name__ == "__main__":

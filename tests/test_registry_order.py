@@ -17,7 +17,13 @@ from data_preparation_plugin_spark import plans
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 )
-from scripts.rotation import compute_slate  # noqa: E402
+from scripts.rotation import (  # noqa: E402
+    ANCHORS,
+    PINNED_RECHECKS,
+    compute_slate,
+    green_history,
+    projected_dark_after_next_round,
+)
 
 DRIVER_SLOTS = 50
 
@@ -47,12 +53,49 @@ def test_priority_matches_rotation_script():
     assert plans.DRIVER_CHECK_PRIORITY == expected
 
 
-def test_first_slots_cover_every_category():
-    all_categories = {q.category for q in plans.QUERIES.values()}
-    checked_categories = {q.category for q in first_50()}
-    assert checked_categories == all_categories, (
-        f"categories outside the driver's check budget: "
-        f"{all_categories - checked_categories}"
+def test_first_slots_cover_every_category_or_drain_backlog():
+    """Category coverage holds whenever the slate has spare slots.
+
+    In backlog-drain mode (dark queries alone overflow the budget —
+    VERDICT r10 #1) the invariant flips: every non-anchor, non-pinned
+    slot must hold a driver-dark query, because a dark row is the only
+    kind that can never have regressed (it has never been measured).
+    """
+    latest = green_history()
+    dark = {n for n in plans.QUERIES if n not in latest}
+    overflow = len(dark) + len(ANCHORS) + len(PINNED_RECHECKS) >= DRIVER_SLOTS
+    slate = list(plans.QUERIES)[:DRIVER_SLOTS]
+    if overflow:
+        non_drain = [
+            n
+            for n in slate
+            if n not in dark and n not in ANCHORS and n not in PINNED_RECHECKS
+        ]
+        assert not non_drain, (
+            f"backlog-drain mode but already-green fills burn slots: "
+            f"{non_drain}"
+        )
+    else:
+        all_categories = {q.category for q in plans.QUERIES.values()}
+        checked_categories = {q.category for q in first_50()}
+        assert checked_categories == all_categories, (
+            f"categories outside the driver's check budget: "
+            f"{all_categories - checked_categories}"
+        )
+
+
+def test_projected_dark_backlog_bounded():
+    """VERDICT r10 #8: growth gated on verification capacity — the number
+    of queries that would STILL be dark after a fully-green next round
+    must stay <= 50, otherwise new registrations must ship with a drain
+    plan (more slots freed, or fewer new queries)."""
+    projected = projected_dark_after_next_round(
+        list(plans.QUERIES),
+        {n: q.category for n, q in plans.QUERIES.items()},
+    )
+    assert projected <= 50, (
+        f"projected driver-dark after next round = {projected} > 50: "
+        f"registration velocity has outrun the 50-slot check budget"
     )
 
 
