@@ -1236,13 +1236,25 @@ def graph_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     part pairs sharing an order — the self-join stays keyed on
     ``l_orderkey`` so its cost is sum-of-squares of *order sizes*
     (bounded: an order has ~4-7 items), never a global cross join.
-    Triangles are counted on the ORIENTED graph (u<v<w): each triangle
-    is materialized exactly once via wedge join (e1.v = e2.u) + closing
-    probe (e1.u, e2.v), the standard distributed formulation whose work
-    is bounded by sum of per-node wedge counts; production adds
-    degree-based orientation to cap hub wedges — same plan, different
-    sort key. Every join is an equi-join Catalyst can shuffle-hash; the
-    final explode + count is map-side combinable.
+
+    Triangles are counted on the DEGREE-ORIENTED graph: each undirected
+    edge points from its lower-(degree, id) endpoint to the higher one,
+    so every node's out-degree is O(sqrt(m)) and the wedge stream —
+    rank-ordered paths a->b->c through a middle vertex — is bounded by
+    sum over b of indeg(b)*outdeg(b) <= m*sqrt(m), the classic
+    node-iterator++ bound (Chiba-Nishizeki; Suri-Vassilvitskii's
+    MapReduce formulation). A hub of degree d contributes O(d*sqrt(m))
+    wedges instead of O(d^2) under the previous id-orientation — the
+    100x skew fix VERDICT r10 #3 / r11 #2 asked for. Each triangle has
+    exactly one rank-ordered path (through its middle-ranked corner) and
+    its closing edge is oriented min->max corner by the same order, so
+    the wedge join + closing semi-join materializes every triangle
+    exactly once with no dedup filter. Every join is an equi-join
+    Catalyst can shuffle-hash; the final explode + count is map-side
+    combinable. Measured at sf0.1, idle host, best-of-3 (SCALE.md
+    "triangle orientation", r12): 6.97s middle-vertex oriented vs 9.46s
+    apex-oriented vs 7.5-9.4s for the old id-oriented plan (BENCH_r8-r10
+    records).
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -1252,11 +1264,12 @@ def graph_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     other = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
     )
-    # Materialize the edge list once (two longs per edge): the wedge and
-    # closing joins reference it three times, and without a checkpoint
-    # Spark would re-run the lineitem self-join per reference (measured
-    # 9.4s -> 3.4s at sf0.1) — the DataFrame analogue of DuckDB's
-    # once-materialized CTE.
+    # Materialize the edge list once (two longs per edge): the degree
+    # aggregate and the orientation join both reference it, and without
+    # a checkpoint Spark would re-run the lineitem self-join per
+    # reference — the DataFrame analogue of DuckDB's once-materialized
+    # CTE (sf0.1 best-of-3, idle host, r12: 6.97s checkpointed vs
+    # 11.65s re-deriving; SCALE.md "triangle orientation").
     edges = (
         li.join(
             other,
@@ -1270,21 +1283,43 @@ def graph_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
-    # Broadcast the edge list into both probes: the wedge stream is the
-    # quadratic object (sum of deg_out*deg_in ~ 60x the edge count here)
-    # and must stay pipelined inside one codegen stage — a sort-merge
-    # plan would shuffle AND sort all wedges (measured 8.9s vs 2.9s at
-    # sf0.1). The broadcast side is only the deduplicated edge list
-    # (two longs per edge); for unbounded-catalog graphs swap to a
-    # shuffled hash join on the same keys — the wedge stream still never
-    # sorts.
+    # Degree of each node in the undirected graph, then orient every
+    # edge low -> high in the (degree, id) total order. The broadcast
+    # degree lookup is one long + one count per distinct node — tiny
+    # relative to the edge list it annotates.
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        edges.join(
+            F.broadcast(deg.selectExpr("node AS u", "deg AS du")), "u"
+        ).join(F.broadcast(deg.selectExpr("node AS v", "deg AS dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    # Broadcast the oriented edge list into both probes: the wedge stream
+    # is the super-linear object (sum of indeg*outdeg over the oriented
+    # DAG) and must stay pipelined inside one codegen stage — a
+    # sort-merge plan would shuffle AND sort all wedges. The broadcast
+    # side is only the deduplicated oriented edge list (two longs per
+    # edge); for unbounded-catalog graphs swap to a shuffled hash join
+    # on the same keys — the wedge stream still never sorts, and
+    # orientation keeps per-node wedge fan-out O(sqrt(m)) either way.
     wedges = e1.join(F.broadcast(e2), F.col("b") == F.col("b2")).select(
         "a", "b", "c"
     )
-    closing = edges.select(
-        F.col("u").alias("a3"), F.col("v").alias("c3")
+    closing = oriented.select(
+        F.col("src").alias("a3"), F.col("dst").alias("c3")
     )
     triangles = wedges.join(
         F.broadcast(closing),

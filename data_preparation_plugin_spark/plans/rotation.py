@@ -10,8 +10,11 @@ data instead of a hand-kept literal (which drifted in rounds 5, 7 and 8):
 2. **Driver-dark queries** — every registered query with no green row in
    any committed ``CORRECTNESS_r*.json`` (newly registered queries are
    dark by construction, so they join the slate automatically).
-3. **Stalest fills** — remaining slots go to the queries whose most
-   recent green row is oldest, with category coverage as an invariant.
+3. **Stalest fills** — remaining SPARE slots (if any) first cover every
+   category missing from the slate, then go to the queries whose most
+   recent green row is oldest. Coverage is conditional on spare slots —
+   it never evicts a dark query
+   (``test_first_slots_cover_every_category_or_drain_backlog``).
 
 ``plans/__init__.py`` calls :func:`compute_slate` at import time, so the
 slate is always the pure function of (registry, committed history) —
@@ -131,10 +134,14 @@ def compute_slate(
 ) -> list[str]:
     """The slate: anchors, all driver-dark queries, then stalest fills.
 
-    When ``categories`` (name -> category) is given, fills first cover
-    every category missing from the slate so far (stalest query of each
-    missing category), keeping ``test_first_slots_cover_every_category``
-    an invariant; remaining slots go to the globally stalest rows.
+    When ``categories`` (name -> category) is given and SPARE slots
+    remain after anchors + pins + darks, fills first cover every
+    category missing from the slate so far (stalest query of each
+    missing category), then remaining spare slots go to the globally
+    stalest rows. Coverage is capped at the true spare capacity, so it
+    can never evict a dark query — draining darks outranks re-checking
+    an already-green row (VERDICT r10 #1; see
+    ``test_first_slots_cover_every_category_or_drain_backlog``).
     Orderings are fully sorted (dark: alphabetical; fills: by last-green
     round then name) so the result is a pure function of
     (registry, committed history).
@@ -163,40 +170,41 @@ def compute_slate(
         key=lambda n: (latest[n], n),
     )
     cat_fills: list[str] = []
-    if categories and len(core) < slots:
+    spare = slots - len(core)
+    if categories and spare > 0:
         # Category coverage applies only to SPARE slots: when the dark
         # backlog alone overflows the budget (rounds 9-11), draining darks
         # outranks re-checking an already-green query for coverage — a
         # dark row is the only kind that can never have regressed because
-        # it has never been measured (VERDICT r10 #1). With spare slots,
-        # fills first cover every category missing from the slate, then
-        # go to the globally stalest rows.
+        # it has never been measured (VERDICT r10 #1). Coverage fills are
+        # hard-capped at the spare capacity so they can never shrink the
+        # core window and evict a dark query (ADVICE r11).
         all_cats = {categories[n] for n in registered if n in categories}
-        while True:
-            visible = core[: slots - len(cat_fills)] + cat_fills
-            uncovered = sorted(
-                all_cats - {categories[n] for n in visible if n in categories}
-            )
+        unfillable: set[str] = set()
+        while len(cat_fills) < spare:
+            covered = {
+                categories[n] for n in core + cat_fills if n in categories
+            }
+            uncovered = sorted(all_cats - covered - unfillable)
             if not uncovered:
                 break
-            for cat in uncovered:
-                pick = next(
-                    (
-                        n
-                        for n in fills
-                        if categories.get(n) == cat and n not in cat_fills
-                    ),
-                    None,
-                )
-                if pick is None:
-                    return (visible + [n for n in fills if n not in visible])[
-                        :slots
-                    ]
-                cat_fills.append(pick)
-    head = core[: slots - len(cat_fills)] + cat_fills
-    rest = [n for n in core if n not in head] + [
-        n for n in fills if n not in head
-    ]
+            pick = next(
+                (
+                    n
+                    for n in fills
+                    if categories.get(n) == uncovered[0]
+                    and n not in cat_fills
+                ),
+                None,
+            )
+            if pick is None:
+                # Every member of this category is dark (already in core)
+                # — nothing green exists to fill with; skip it.
+                unfillable.add(uncovered[0])
+                continue
+            cat_fills.append(pick)
+    head = core + cat_fills
+    rest = [n for n in fills if n not in head]
     return (head + rest)[:slots]
 
 

@@ -63,7 +63,20 @@ def test_first_slots_cover_every_category_or_drain_backlog():
     """
     latest = green_history()
     dark = {n for n in plans.QUERIES if n not in latest}
-    overflow = len(dark) + len(ANCHORS) + len(PINNED_RECHECKS) >= DRIVER_SLOTS
+    # Derive core exactly as compute_slate does (ADVICE r11): anchors in
+    # the registry, pinned-not-anchor, then darks excluding both — a
+    # popcount over disjoint sets, so a dark anchor is never counted
+    # twice and out-of-registry anchors never counted at all.
+    anchors = [n for n in ANCHORS if n in plans.QUERIES]
+    pinned = [
+        n for n in PINNED_RECHECKS if n in plans.QUERIES and n not in anchors
+    ]
+    core_n = (
+        len(anchors)
+        + len(pinned)
+        + len(dark - set(anchors) - set(pinned))
+    )
+    overflow = core_n >= DRIVER_SLOTS
     slate = list(plans.QUERIES)[:DRIVER_SLOTS]
     if overflow:
         non_drain = [
@@ -85,18 +98,45 @@ def test_first_slots_cover_every_category_or_drain_backlog():
 
 
 def test_projected_dark_backlog_bounded():
-    """VERDICT r10 #8: growth gated on verification capacity — the number
-    of queries that would STILL be dark after a fully-green next round
-    must stay <= 50, otherwise new registrations must ship with a drain
-    plan (more slots freed, or fewer new queries)."""
+    """VERDICT r10 #8 / r11 #6: growth gated on verification capacity —
+    the number of queries that would STILL be dark after a fully-green
+    next round must stay <= 20 (tightened from 50 once the r11 drain
+    slate projected 0), otherwise new registrations must ship with a
+    drain plan (more slots freed, or fewer new queries)."""
     projected = projected_dark_after_next_round(
         list(plans.QUERIES),
         {n: q.category for n, q in plans.QUERIES.items()},
     )
-    assert projected <= 50, (
-        f"projected driver-dark after next round = {projected} > 50: "
+    assert projected <= 20, (
+        f"projected driver-dark after next round = {projected} > 20: "
         f"registration velocity has outrun the 50-slot check budget"
     )
+
+
+def test_coverage_fills_never_evict_darks(tmp_path):
+    """ADVICE r11 (medium): with core slightly under budget and several
+    missing categories, the cat-fill loop used to shrink the core window
+    by one per missing category, evicting tail darks for green coverage
+    fills. Coverage must be capped at true spare capacity: 9 darks,
+    10 slots, 4 missing categories -> all 9 darks stay, exactly 1 fill.
+    """
+    import json as _json
+
+    greens = {f"g{i}": {"hash_match": True, "rows_match": True} for i in range(1, 5)}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(_json.dumps(greens))
+    darks = [f"d{i}" for i in range(1, 10)]
+    registered = darks + list(greens)
+    categories = {d: "c0" for d in darks}
+    categories.update({f"g{i}": f"c{i}" for i in range(1, 5)})
+    slate = compute_slate(
+        registered, categories, root=str(tmp_path), slots=10
+    )
+    assert len(slate) == 10
+    missing_darks = [d for d in darks if d not in slate]
+    assert not missing_darks, (
+        f"coverage fills evicted dark queries: {missing_darks}"
+    )
+    assert sum(1 for n in slate if n in greens) == 1
 
 
 def test_first_slots_are_oracle_checkable():
