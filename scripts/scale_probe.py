@@ -328,6 +328,165 @@ PROBES = [
     "udtf_arrow_ngram_stats",      # Arrow-transported lateral UDTF
     "events_stickiness_ratio",     # one pair relation, two windows
     "curation_review_queue",       # funnel verdicts + per-gate rank
+    # --- r12: probe-coverage fill — every registered query lacking a
+    # probe row in SCALE_PROBE_r09/r10_new (VERDICT r11 #5). Grouped by
+    # category; shapes are the families documented in SCALE.md §2. ---
+    # aggregate:
+    "agg_approx_percentile",
+    "agg_arg_max",
+    "agg_correlation",
+    "agg_distinct",
+    "agg_histogram_fixed",
+    "agg_hll_sketch",
+    "agg_kmv_union",
+    "agg_percentiles",
+    "agg_salted_skew",
+    "agg_statistics",
+    "agg_string_concat",
+    "cube_agg",
+    "grouping_sets",
+    "q11_important_stock",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q6_forecast_revenue",
+    "rollup_agg",
+    # curation:
+    "curation_adaptive_threshold",
+    # dedup:
+    "dedup_cluster_canonicalize",
+    "dedup_embedding_cosine",
+    "dedup_exact_distinct",
+    "dedup_exact_fingerprint",
+    "dedup_keep_first",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_segments_cross_doc",
+    "dedup_simhash",
+    "graph_triangle_cooccurrence",
+    # events:
+    "events_interarrival_stats",
+    "events_props_map",
+    "events_retention_cohort",
+    "events_sessionize",
+    "events_sliding_windows",
+    "events_tumbling_hourly",
+    "events_type_pivot",
+    # join:
+    "exists_late_shipment",
+    "join_anti",
+    "join_asof",
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "join_full_outer",
+    "join_left",
+    "join_range_band",
+    "join_right_outer",
+    "join_semi",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicate_join",
+    "q22_dormant_rich_customers",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    # multimodal:
+    "multimodal_audio_features",
+    "multimodal_binary_meta",
+    "multimodal_decode_meta",
+    "multimodal_decode_wav",
+    "multimodal_frame_sample",
+    "multimodal_patch_extract",
+    "multimodal_resize_ppm",
+    # profile:
+    "profile_benford_audit",
+    # sampling:
+    "sample_epoch_upsample",
+    "sample_fixed_per_stratum",
+    "sample_length_batches",
+    "sample_pack_efficiency",
+    "sample_packed_sequences",
+    "sample_stratified",
+    "sample_temperature_mix",
+    "sample_weighted_mix",
+    "sample_weighted_reservoir",
+    # setop:
+    "set_ops",
+    "set_ops_multiset",
+    # similarity:
+    "embedding_norm_stats",
+    "embedding_standardize",
+    "knn_bruteforce_cosine",
+    "knn_bruteforce_cosine_arrow",
+    "knn_hard_negatives",
+    "knn_ivf_cosine",
+    "knn_kmeans_step",
+    "knn_lsh_cosine",
+    # sort:
+    "sort_limit_topk",
+    # source:
+    "sink_dynamic_partition_overwrite",
+    "source_binaryfile_ingest",
+    "source_csv_roundtrip",
+    "source_date_spine",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_partition_pruning",
+    "source_postgres_copy_roundtrip",
+    "source_schema_evolution",
+    "source_shapefile_ingest",
+    "source_zip_ingest",
+    # streaming:
+    "events_stream_dedup",
+    "events_stream_enrich",
+    "events_stream_interval_join",
+    "events_stream_merge_totals",
+    "events_stream_sessionize",
+    "events_stream_sliding",
+    "events_stream_tumbling",
+    "source_python_datasource_stream",
+    # text:
+    "text_bigrams",
+    "text_bpe_merge_step",
+    "text_bpe_token_count",
+    "text_chunk_sliding",
+    "text_gopher_repetition",
+    "text_langid",
+    "text_quality_score",
+    "text_scrub_pii",
+    "text_token_count",
+    "text_token_entropy",
+    "text_top_terms",
+    "text_url_canonicalize",
+    "text_winnowing_fingerprints",
+    # transform:
+    "array_functions",
+    "date_arithmetic",
+    "date_functions",
+    "filter_compute",
+    "null_handling",
+    "project_columns",
+    "regex_extract",
+    "string_format",
+    "transform_quality_constraints",
+    "transform_quantile_bin",
+    "transform_winsorize",
+    # udf:
+    "udf_cogroup_views_before_purchase",
+    "udf_grouped_agg_span",
+    "udf_grouped_map_median",
+    "udf_map_in_arrow",
+    # window:
+    "above_customer_avg",
+    "window_distribution",
+    "window_lag_lead",
+    "window_rank_dense",
+    "window_running",
+    "window_topk_per_group",
+    "window_value_functions",
 ]
 
 
