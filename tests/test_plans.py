@@ -321,6 +321,27 @@ def test_triangle_count_wedges_never_sort(spark):
     assert count(r"Cartesian|BroadcastNestedLoop", plan) == 0
 
 
+def test_triangle_count_correct_under_hub_skew(spark, tmp_path):
+    """Degree orientation (r12) must COUNT correctly on a hub graph — the
+    skew shape it exists for: a K4 clique (4 triangles, every member in
+    3) plus 50 spokes on one clique node (hub degree 53). Spokes close
+    nothing, so counts are exactly the clique's; any double/missed
+    enumeration in the rank-ordered wedge join shows up here."""
+    rows = [(1, p) for p in (1, 2, 3, 4)]  # order 1: K4 over parts 1-4
+    rows += [(1 + i, 1) for i in range(1, 51)]  # spoke orders: hub part 1
+    rows += [(1 + i, 100 + i) for i in range(1, 51)]
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r.part: r.n_triangles
+        for r in QUERIES["graph_triangle_cooccurrence"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
 def test_bigram_backoff_scoring_is_map_side(spark):
     """The backoff deployment's claim: model + unigram + scalar joins are
     ALL broadcast — the corpus stream is never shuffled on a bigram key;
