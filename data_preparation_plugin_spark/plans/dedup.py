@@ -256,6 +256,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-document-frequency "stop shingles" pruned first so no posting list
     (and hence no bucket self-join) can blow up — the classic bound that
     keeps exact Jaccard feasible on large corpora.
+
+    Cost (SCALE_PROBE_r12): ×12.6 at the ×8 probe BECAUSE the answer
+    grows — the replica corpus makes every doc an 8-way near-dup family,
+    so true J>=0.5 pairs grow ×610 (256 → 156,256 measured same-run)
+    while wall grows only ×12.6. Work tracks candidates/output, never
+    corpus²; on a corpus whose duplicate rate doesn't grow with size,
+    this plan scales with the posting lists (df-capped), like the
+    ×11.1/×1836-pairs `dedup_edit_distance_verify` precedent.
     """
     docs = load_table(spark, sf_dir, "documents")
     shingled = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE).distinct()

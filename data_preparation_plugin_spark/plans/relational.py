@@ -670,7 +670,14 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def exists_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 flavor: semi join with a correlated date condition."""
+    """TPC-H Q4 flavor: semi join with a correlated date condition.
+
+    Cost (SCALE_PROBE_r12): ×4.0 at the ×8 probe on a 0.71s ×1
+    denominator (2.87s absolute) — unlike ``q4_order_priority`` there is
+    no date prefilter, so the whole fact-fact semi join shuffles; the
+    ratio is the one wide exchange emerging past the 32-core parallelism
+    floor, still sub-linear in the ×8 input.
+    """
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
@@ -1428,6 +1435,11 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explode — the vocabulary for array<float> columns at scale. Both
     engines fold the sum left-to-right over the same element order, so
     doubles match bit-for-bit before rounding.
+
+    Cost (SCALE_PROBE_r12): ×3.2 on a 0.20s ×1 denominator (0.63s
+    absolute at ×8) — a pure per-row map whose ×1 run never saturates
+    32 cores; the ratio is fixed task overhead vanishing, sub-linear in
+    the ×8 input.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")

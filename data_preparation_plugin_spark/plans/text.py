@@ -308,6 +308,11 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (GPT-2 style \\w+|punct splitting) — the right denominator for
     tokens-per-document budgeting of LLM training data, alongside the
     naive whitespace count.
+
+    Cost (SCALE_PROBE_r12): ×3.1 on a 0.23s ×1 denominator (0.71s
+    absolute at ×8) — a zero-shuffle regex map; the ratio is fixed task
+    overhead vanishing past the 32-core floor, sub-linear in the ×8
+    input.
     """
     docs = load_table(spark, sf_dir, "documents")
     pattern = r"[a-z0-9]+|[^a-z0-9\s]"
