@@ -1723,6 +1723,11 @@ def dedup_containment_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # One canonical global order: (df asc, shingle asc). array_sort on
     # the (df, shingle) struct gives exactly that lexicographic order.
+    # doc_sets ALSO feeds three consumers (the prefix probe and both
+    # verify sides); without its own checkpoint the groupBy+array_sort
+    # shuffle over `kept` re-runs per consumer — two redundant full
+    # exchanges at any scale (r12 A/B at sf0.1: 4.52s -> 4.20s
+    # best-of-3; the win is two shuffles of the whole corpus at 100x).
     doc_sets = kept.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
             "ordered"
@@ -1731,7 +1736,7 @@ def dedup_containment_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform("ordered", lambda x: x["shingle"]).alias("shingles"),
         F.size("ordered").alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     # prefix_len = n - ceil(t*n/100) + 1, in engine-exact integer form.
     prefix_len = (
         F.col("n")
