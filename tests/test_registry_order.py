@@ -139,6 +139,33 @@ def test_coverage_fills_never_evict_darks(tmp_path):
     assert sum(1 for n in slate if n in greens) == 1
 
 
+def test_slate_after_full_drain_restores_coverage(tmp_path):
+    """The post-drain regime (first reached after r12): with every
+    registered query green, the slate must fill all 50 slots, restore
+    full category coverage from the spare capacity, and project zero
+    dark — the steady state the rotation converges to."""
+    import json as _json
+    import shutil as _shutil
+
+    for p in __import__("glob").glob(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "CORRECTNESS_r*.json")
+    ):
+        _shutil.copy(p, tmp_path)
+    sim = {
+        n: {"hash_match": True, "rows_match": True}
+        for n in plans.QUERIES
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(_json.dumps(sim))
+    cats = {n: q.category for n, q in plans.QUERIES.items()}
+    slate = compute_slate(list(plans.QUERIES), cats, root=str(tmp_path))
+    assert len(slate) == DRIVER_SLOTS
+    assert {cats[n] for n in slate} == set(cats.values())
+    assert projected_dark_after_next_round(
+        list(plans.QUERIES), cats, root=str(tmp_path)
+    ) == 0
+
+
 def test_first_slots_are_oracle_checkable():
     rows_only = [
         q.name for q in first_50() if q.oracle is None and q.category != "streaming"
