@@ -310,9 +310,21 @@ def tws_user_profile_bucketed(
             self._types = handle.getMapState(
                 "user_types", "k STRING", "one TINYINT"
             )
+            # Worker-local POSITIVE cache over _types membership: once a
+            # (user, type) marker is written it stays true for the life
+            # of the state store, so a hit here skips the containsKey
+            # round trip on every later batch (r12: most type-marker
+            # traffic in steady state). Restart/rescheduling just empties
+            # the cache and falls back to containsKey — never wrong, only
+            # cold. Memory is one short string per distinct (user, type)
+            # seen by this worker; droppable by construction.
+            self._seen_types: set[str] = set()
 
         def handleInputRows(self, key, rows, timer_values):
-            touched: set[int] = set()
+            # Values written this batch are emitted from `current`, not
+            # re-read from MapState — the final getValue-per-touched-user
+            # pass was pure protocol overhead (r12).
+            current: dict[int, tuple] = {}
             for pdf in rows:
                 grouped = pdf.groupby("user_id")
                 sizes = grouped.size()
@@ -325,14 +337,21 @@ def tws_user_profile_bucketed(
                 ):
                     uid = int(uid)
                     mk = f"{uid}|{t}"
+                    if mk in self._seen_types:
+                        continue
                     if not self._types.containsKey((mk,)):
                         self._types.updateValue((mk,), (1,))
                         new_types[uid] = new_types.get(uid, 0) + 1
+                    self._seen_types.add(mk)
                 for uid, cnt in sizes.items():
                     uid = int(uid)
                     # getValue returns None when absent: one round trip,
                     # not containsKey + getValue.
-                    prev = self._users.getValue((uid,)) or (0, None, 0)
+                    prev = (
+                        current.get(uid)
+                        or self._users.getValue((uid,))
+                        or (0, None, 0)
+                    )
                     n = prev[0] + int(cnt)
                     mx = prev[1]
                     nt = prev[2] + new_types.get(uid, 0)
@@ -340,15 +359,14 @@ def tws_user_profile_bucketed(
                     if pd.notna(m) and (mx is None or float(m) > mx):
                         mx = float(m)
                     self._users.updateValue((uid,), (n, mx, nt))
-                    touched.add(uid)
-            out = sorted(touched)
-            profiles = [self._users.getValue((u,)) for u in out]
+                    current[uid] = (n, mx, nt)
+            out = sorted(current)
             yield pd.DataFrame(
                 {
                     "user_id": out,
-                    "n_events": [p[0] for p in profiles],
-                    "max_value": [p[1] for p in profiles],
-                    "n_types": [p[2] for p in profiles],
+                    "n_events": [current[u][0] for u in out],
+                    "max_value": [current[u][1] for u in out],
+                    "n_types": [current[u][2] for u in out],
                 }
             )
 
@@ -599,8 +617,13 @@ def tws_user_profile(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
 
     class UserProfile(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            # n_types rides IN the value state and is incremented on
+            # first sight of a type (its per-type count read returns
+            # None) — counting by iterating MapState.keys() would be an
+            # O(type vocabulary) state-server walk per active user per
+            # batch (r12: removing it cut the per-user replay ~2x).
             self._totals = handle.getValueState(
-                "totals", "n BIGINT, mx DOUBLE"
+                "totals", "n BIGINT, mx DOUBLE, nt BIGINT"
             )
             self._types = handle.getMapState(
                 "type_counts", "event_type STRING", "cnt BIGINT"
@@ -610,7 +633,7 @@ def tws_user_profile(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
             # get()/getValue() return None when absent — one protocol
             # round trip instead of exists()+get() (each state op is a
             # state-server round trip; see SCALE.md on the per-key cost).
-            n, mx = self._totals.get() or (0, None)
+            n, mx, nt = self._totals.get() or (0, None, 0)
             for pdf in rows:
                 n += len(pdf)
                 vals = pdf["value"].fillna(0.0)
@@ -618,16 +641,17 @@ def tws_user_profile(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
                     batch_mx = float(vals.max())
                     mx = batch_mx if mx is None or batch_mx > mx else mx
                 for t, cnt in pdf["event_type"].value_counts().items():
-                    prev = (self._types.getValue((t,)) or (0,))[0]
-                    self._types.updateValue((t,), (prev + int(cnt),))
-            self._totals.update((n, mx))
-            n_types = sum(1 for _ in self._types.keys())
+                    prev = self._types.getValue((t,))
+                    if prev is None:
+                        nt += 1
+                    self._types.updateValue((t,), ((prev or (0,))[0] + int(cnt),))
+            self._totals.update((n, mx, nt))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
                     "max_value": [mx],
-                    "n_types": [n_types],
+                    "n_types": [nt],
                 }
             )
 
