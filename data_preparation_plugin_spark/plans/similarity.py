@@ -1358,11 +1358,17 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", qv.alias("qv"), _sem_sig_col(F.col("v")).alias("sig")
     )
     n = vecs.agg(F.count(F.lit(1)).alias("n_vecs"))
+    # blocked feeds the dim explode AND rides into `side`; side feeds
+    # BOTH sides of the within-block pair join plus the final verdict
+    # join. Without checkpoints each consumer re-runs the whole
+    # embed -> quantize -> sign-code -> centroid pipeline (r12 A/B at
+    # sf0.1: 3.86s -> 2.32s best-of-3 with these two materializations;
+    # both are one row per vector — digest-sized, never the corpus).
     blocked = vecs.crossJoin(F.broadcast(n)).select(
         "vec_id",
         "qv",
         F.expr(f"substr(sig, 1, {_sem_bits_case('n_vecs')})").alias("block"),
-    )
+    ).localCheckpoint(eager=True)
     dims = blocked.select(
         "vec_id", "block", F.posexplode("qv").alias("d0", "x")
     ).select("vec_id", "block", (F.col("d0") + 1).alias("d"), "x")
@@ -1374,7 +1380,9 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "block")
         .agg(F.sum(F.col("x") * F.col("sx")).cast("long").alias("cdot"))
     )
-    side = blocked.join(cdots.select("vec_id", "cdot"), "vec_id")
+    side = blocked.join(
+        cdots.select("vec_id", "cdot"), "vec_id"
+    ).localCheckpoint(eager=True)
 
     def _int_dot(a: Column, b: Column) -> Column:
         return F.aggregate(
