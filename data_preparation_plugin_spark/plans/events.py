@@ -2205,6 +2205,13 @@ _ROCKSDB_PROVIDER = (
 #   4. Per-user v1/v2 (×5.1-5.3) — didactic 1:1 forms of the API; kept
 #      registered as protocol-correctness proofs (driver-green r11), NOT
 #      as deployment shapes. A 100 TB deployment copies 1-3.
+#
+# r12 fusion pass (apply the model to the model's own processors): the
+# per-user v2 was walking MapState.keys() to count types (an O(vocab)
+# state-server iteration per active user per batch) and the bucketed v2
+# re-read every touched user at emit — removing both cut 30.4s -> 19.6s
+# (per-user) and 7.75s -> 6.36s (bucketed) at sf0.1; see SCALE.md
+# "Stateful-streaming cost budget".
 # ---------------------------------------------------------------------------
 
 
