@@ -32,6 +32,12 @@ Three Embulk-parity behaviors, all declarative:
   Arrow-parses the bytes (quoting-aware NULLs, see
   :mod:`.postgres_copy`) — the same COPY path Embulk's own
   postgresql input plugin uses.
+* **Write side** (``df.write.format("dpp_pg_copy").mode(...)``): the
+  output-plugin half of the parity. Each task COPYes its Arrow batches
+  into a private staging table; the driver commit folds all stagings
+  into the target in ONE implicit transaction (Embulk insert-mode
+  atomicity — a reader never sees a partial job), honoring
+  append/overwrite save modes; abort drops the stagings.
 
 Scale shape: partitions() runs on the driver (two tiny metadata
 queries at most); every data byte moves executor-side, one PG backend
@@ -48,14 +54,22 @@ ordering); the runtime evidence lives in tests/test_python_datasource.py.
 from __future__ import annotations
 
 import io
+from dataclasses import dataclass
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from data_preparation_plugin_spark.sources.postgres_copy import (
     CSV_NULL,
     _coerce_to_schema,
     _split_predicates,
+    pg_ddl,
     run_psql,
 )
 
@@ -204,6 +218,130 @@ class _PgCopyReader(DataSourceReader):
             yield row
 
 
+@dataclass
+class _StageCommit(WriterCommitMessage):
+    """One staged partition: its staging table (None if empty) + rows."""
+
+    stage_table: str | None
+    n_rows: int
+
+
+class _PgCopyWriter(DataSourceArrowWriter):
+    """Staged, atomically-committed COPY write — Embulk 'insert mode'.
+
+    Each task COPYes its Arrow batches into a private staging table; the
+    driver's ``commit`` folds every staging table into the target inside
+    ONE psql multi-statement command (a single implicit transaction), so
+    the target never exposes a partial write — the semantics Embulk's
+    postgresql output plugin calls insert mode, vs. the direct
+    per-partition append of ``postgres_copy.copy_dataframe_to_postgres``.
+    A failed job's ``abort`` drops the stagings and the target is
+    untouched.
+    """
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        self._conninfo = options["conninfo"]
+        self._table = options["table"]
+        self._schema = schema
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        import io as _io
+        import os
+        import subprocess
+        import uuid
+
+        from pyarrow import csv as pacsv
+
+        stage = f"{self._table}__stage_{uuid.uuid4().hex[:12]}_{os.getpid()}"
+        proc = None
+        n = 0
+        for batch in iterator:
+            if proc is None:
+                # Lazily create the staging table so empty partitions
+                # leave nothing to clean up.
+                run_psql(self._conninfo, pg_ddl(self._schema, stage))
+                columns = ", ".join(f'"{f.name}"' for f in self._schema.fields)
+                copy_sql = (
+                    f"\\copy \"{stage}\" ({columns}) FROM STDIN "
+                    f"(FORMAT csv, NULL '')"
+                )
+                proc = subprocess.Popen(
+                    [
+                        "psql", self._conninfo, "-X", "-q",
+                        "-v", "ON_ERROR_STOP=1", "-c", copy_sql,
+                    ],
+                    stdin=subprocess.PIPE,
+                    stderr=subprocess.PIPE,
+                )
+            n += batch.num_rows
+            # Arrow's CSV writer with quoting_style="all_valid" quotes
+            # EVERY valid value and writes nulls unquoted-empty; with
+            # COPY's ``NULL ''`` that makes the write side LOSSLESS —
+            # a genuine '\\N' or '' string arrives quoted (a value),
+            # only real nulls arrive unquoted — closing the documented
+            # write-side corner of copy_dataframe_to_postgres (whose
+            # pandas to_csv cannot quote the NULL marker selectively).
+            # Types stay Arrow-side: decimals exact, timestamps ISO,
+            # ints never floated by a null (no pandas hop at all).
+            buf = _io.BytesIO()
+            pacsv.write_csv(
+                batch,
+                buf,
+                pacsv.WriteOptions(
+                    include_header=False, quoting_style="all_valid"
+                ),
+            )
+            proc.stdin.write(buf.getvalue())
+        if proc is None:
+            return _StageCommit(stage_table=None, n_rows=0)
+        proc.stdin.close()
+        if proc.wait() != 0:
+            raise RuntimeError(
+                f"COPY stage failed: {proc.stderr.read().decode().strip()}"
+            )
+        return _StageCommit(stage_table=stage, n_rows=n)
+
+    def commit(self, messages):
+        stages = [
+            m.stage_table
+            for m in messages
+            if m is not None and m.stage_table is not None
+        ]
+        columns = ", ".join(f'"{f.name}"' for f in self._schema.fields)
+        stmts = []
+        if self._overwrite:
+            stmts.append(f'DROP TABLE IF EXISTS "{self._table}"')
+            stmts.append(pg_ddl(self._schema, self._table))
+        else:
+            stmts.append(
+                pg_ddl(self._schema, self._table).replace(
+                    "CREATE TABLE", "CREATE TABLE IF NOT EXISTS", 1
+                )
+            )
+        for s in stages:
+            stmts.append(
+                f'INSERT INTO "{self._table}" ({columns}) '
+                f'SELECT {columns} FROM "{s}"'
+            )
+            stmts.append(f'DROP TABLE "{s}"')
+        # One psql -c string with multiple statements runs as a SINGLE
+        # implicit transaction: either every staged partition lands in
+        # the target and every staging table is gone, or nothing moved.
+        run_psql(self._conninfo, "; ".join(stmts))
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m is not None and m.stage_table is not None:
+                try:
+                    run_psql(
+                        self._conninfo,
+                        f'DROP TABLE IF EXISTS "{m.stage_table}"',
+                    )
+                except RuntimeError:
+                    pass  # best-effort cleanup; stagings are namespaced
+
+
 class PgCopyDataSource(DataSource):
     """``spark.read.format("dpp_pg_copy")`` — declarative PG-over-COPY."""
 
@@ -236,6 +374,14 @@ class PgCopyDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return _PgCopyReader(self._validated_options(), schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        opts = dict(self.options)
+        if not opts.get("conninfo"):
+            raise ValueError("dpp_pg_copy requires a 'conninfo' option")
+        if not opts.get("table"):
+            raise ValueError("dpp_pg_copy writes need a 'table' option")
+        return _PgCopyWriter(opts, schema, overwrite)
 
 
 __all__ = ["PgCopyDataSource"]

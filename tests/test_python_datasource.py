@@ -166,6 +166,105 @@ def test_option_validation(spark, conninfo, seeded):
         )
 
 
+def test_write_roundtrip_append_and_overwrite(spark, conninfo, seeded):
+    """The output-plugin half: staged atomic COPY write, both save modes,
+    read back through the same format."""
+    table = "dpp_pyds_written"
+    pgc.run_psql(conninfo, f'DROP TABLE IF EXISTS "{table}"')
+    src = spark.createDataFrame(
+        [
+            (1, "plain", 1.5, True),
+            (2, 'comma, "quote"\nnewline', None, None),
+            (3, r"\N", 2.25, False),
+            (4, "", 0.0, True),
+            (None, None, None, None),
+        ],
+        "id bigint, label string, ratio double, ok boolean",
+    )
+    writer = (
+        src.write.format("dpp_pg_copy")
+        .option("conninfo", conninfo)
+        .option("table", table)
+    )
+    writer.mode("append").save()
+    writer.mode("append").save()  # append doubles
+    df = (
+        spark.read.format("dpp_pg_copy")
+        .option("conninfo", conninfo)
+        .option("table", table)
+        .load()
+    )
+    assert df.count() == 10
+    writer.mode("overwrite").save()  # overwrite resets
+    rows = {
+        r.id: r
+        for r in spark.read.format("dpp_pg_copy")
+        .option("conninfo", conninfo)
+        .option("table", table)
+        .load()
+        .collect()
+    }
+    assert len(rows) == 5
+    assert rows[2].label == 'comma, "quote"\nnewline'
+    # lossless corners: a literal backslash-N STRING and an empty string
+    # both survive the write (all_valid quoting makes them values; only
+    # true nulls travel unquoted), where the pandas-CSV write path
+    # documents collapsing them to NULL.
+    assert rows[3].label == r"\N" and rows[3].ratio == 2.25
+    assert rows[4].label == ""
+    assert rows[None].label is None
+    # commit is atomic and self-cleaning: no staging tables survive
+    leftovers = pgc.run_psql(
+        conninfo,
+        "SELECT count(*) FROM information_schema.tables "
+        f"WHERE table_name LIKE '{table}__stage_%'",
+    ).strip()
+    assert leftovers == "0"
+
+
+def test_write_abort_drops_stagings(conninfo):
+    from pyspark.sql import types as T
+
+    from data_preparation_plugin_spark.sources.python_datasource import (
+        _PgCopyWriter,
+        _StageCommit,
+    )
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    stage = "dpp_pyds_abort__stage_deadbeef"
+    pgc.run_psql(conninfo, f'DROP TABLE IF EXISTS "{stage}"')
+    pgc.run_psql(conninfo, f'CREATE TABLE "{stage}" (x bigint)')
+    w = _PgCopyWriter(
+        {"conninfo": conninfo, "table": "dpp_pyds_abort"}, schema, False
+    )
+    w.abort([None, _StageCommit(stage_table=stage, n_rows=1),
+             _StageCommit(stage_table=None, n_rows=0)])
+    gone = pgc.run_psql(
+        conninfo,
+        "SELECT count(*) FROM information_schema.tables "
+        f"WHERE table_name = '{stage}'",
+    ).strip()
+    assert gone == "0"
+    # the never-created target stays never-created
+    target = pgc.run_psql(
+        conninfo,
+        "SELECT count(*) FROM information_schema.tables "
+        "WHERE table_name = 'dpp_pyds_abort'",
+    ).strip()
+    assert target == "0"
+
+
+def test_write_option_validation(spark, conninfo):
+    df = spark.range(1)
+    with pytest.raises(Exception, match="table"):
+        (
+            df.write.format("dpp_pg_copy")
+            .option("conninfo", conninfo)
+            .mode("append")
+            .save()
+        )
+
+
 def test_reflection_rejects_unknown_types(conninfo):
     table = "dpp_pyds_badtype"
     pgc.run_psql(conninfo, f'DROP TABLE IF EXISTS "{table}"')
