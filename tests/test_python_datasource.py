@@ -265,6 +265,62 @@ def test_write_option_validation(spark, conninfo):
         )
 
 
+@pytest.fixture(scope="module")
+def roundtrip(spark, conninfo):
+    """One write+read round trip through the declarative format."""
+    spark.dataSource.register(PgCopyDataSource)
+
+    def go(values: list[str | None]) -> list[str | None]:
+        table = "dpp_pyds_prop"
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "id bigint, s string"
+        )
+        (
+            df.coalesce(2)
+            .write.format("dpp_pg_copy")
+            .option("conninfo", conninfo)
+            .option("table", table)
+            .mode("overwrite")
+            .save()
+        )
+        back = (
+            spark.read.format("dpp_pg_copy")
+            .option("conninfo", conninfo)
+            .option("table", table)
+            .load()
+            .collect()
+        )
+        assert len(back) == len(values)
+        return [r.s for r in sorted(back, key=lambda r: r.id)]
+
+    return go
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# PostgreSQL text cannot hold NUL; lone surrogates can't encode to UTF-8.
+_pg_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\x00"
+    ),
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=st.lists(st.one_of(st.none(), _pg_text), max_size=12))
+def test_write_read_roundtrip_property(roundtrip, values):
+    """Any UTF-8 text PostgreSQL can hold — quotes, newlines, the NULL
+    marker, empty strings, unicode — survives write+read bit-exactly,
+    and None stays None (the all_valid-quoting contract)."""
+    assert roundtrip(values) == values
+
+
 def test_reflection_rejects_unknown_types(conninfo):
     table = "dpp_pyds_badtype"
     pgc.run_psql(conninfo, f'DROP TABLE IF EXISTS "{table}"')
