@@ -222,6 +222,63 @@ def test_write_roundtrip_append_and_overwrite(spark, conninfo, seeded):
     assert leftovers == "0"
 
 
+def test_write_typed_roundtrip(spark, conninfo, reader):
+    """The full writable type palette through the Arrow-CSV COPY path:
+    decimals exact, both timestamp flavors to PG's zoneless 'timestamp'
+    (instant preserved under the repo's UTC session; reflected back as
+    timestamp_ntz), dates, floats, shorts — and NULLs in every column."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField("day", T.DateType()),
+            T.StructField("at_ntz", T.TimestampNTZType()),
+            T.StructField("at_ltz", T.TimestampType()),
+            T.StructField("f", T.FloatType()),
+            T.StructField("sm", T.ShortType()),
+        ]
+    )
+    ts = datetime.datetime(2024, 2, 29, 23, 59, 59, 123456)
+    rows = [
+        Row(
+            id=1,
+            price=decimal.Decimal("19.99"),
+            day=datetime.date(2024, 2, 29),
+            at_ntz=ts,
+            at_ltz=ts,
+            f=1.5,
+            sm=7,
+        ),
+        Row(id=2, price=None, day=None, at_ntz=None, at_ltz=None, f=None, sm=None),
+    ]
+    table = "dpp_pyds_typed"
+    pgc.run_psql(conninfo, f'DROP TABLE IF EXISTS "{table}"')
+    (
+        spark.createDataFrame(rows, schema)
+        .write.format("dpp_pg_copy")
+        .option("conninfo", conninfo)
+        .option("table", table)
+        .mode("overwrite")
+        .save()
+    )
+    back = {
+        r.id: r
+        for r in spark.read.format("dpp_pg_copy")
+        .option("conninfo", conninfo)
+        .option("table", table)
+        .load()
+        .collect()
+    }
+    assert back[1].price == decimal.Decimal("19.99")
+    assert back[1].day == datetime.date(2024, 2, 29)
+    assert back[1].at_ntz == ts and back[1].at_ltz == ts
+    assert back[1].f == 1.5 and back[1].sm == 7
+    assert all(v is None for k, v in back[2].asDict().items() if k != "id")
+
+
 def test_write_abort_drops_stagings(conninfo):
     from pyspark.sql import types as T
 
