@@ -237,6 +237,12 @@ class _PgCopyWriter(DataSourceArrowWriter):
     per-partition append of ``postgres_copy.copy_dataframe_to_postgres``.
     A failed job's ``abort`` drops the stagings and the target is
     untouched.
+
+    Timestamp note: LTZ (``timestamp``) columns are written as their
+    instant under the session timezone (this repo pins UTC in
+    ``session.py``) into PG's zoneless ``timestamp``; a non-UTC session
+    should cast to ``timestamp_ntz`` first, the standard zoneless-column
+    discipline everywhere else in this repo.
     """
 
     def __init__(self, options, schema: T.StructType, overwrite: bool):
