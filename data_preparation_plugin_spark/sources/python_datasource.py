@@ -38,6 +38,11 @@ Three Embulk-parity behaviors, all declarative:
   into the target in ONE implicit transaction (Embulk insert-mode
   atomicity — a reader never sees a partial job), honoring
   append/overwrite save modes; abort drops the stagings.
+* **Streaming sink** (``df.writeStream.format("dpp_pg_copy")``):
+  EXACTLY-ONCE per micro-batch — the same staged transaction plus a
+  batch-id ledger (``<target>__epochs``) guarding every insert, so a
+  replayed epoch lands nothing twice. Append-only by design
+  (complete/update semantics belong to foreachBatch + MERGE).
 
 Scale shape: partitions() runs on the driver (two tiny metadata
 queries at most); every data byte moves executor-side, one PG backend
@@ -61,6 +66,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -226,6 +232,64 @@ class _StageCommit(WriterCommitMessage):
     n_rows: int
 
 
+def _stage_arrow_batches(conninfo, table, schema, iterator) -> _StageCommit:
+    """COPY a task's Arrow batches into a private staging table.
+
+    Shared by the batch and streaming writers. Arrow's CSV writer with
+    ``quoting_style="all_valid"`` quotes EVERY valid value and writes
+    nulls unquoted-empty; with COPY's ``NULL ''`` that makes the write
+    side LOSSLESS — a genuine '\\N' or '' string arrives quoted (a
+    value), only real nulls arrive unquoted — closing the documented
+    write-side corner of ``copy_dataframe_to_postgres`` (whose pandas
+    to_csv cannot quote the NULL marker selectively). Types stay
+    Arrow-side: decimals exact, timestamps ISO, ints never floated by a
+    null (no pandas hop at all). The staging table is created lazily so
+    empty partitions leave nothing to clean up.
+    """
+    import io as _io
+    import os
+    import subprocess
+    import uuid
+
+    from pyarrow import csv as pacsv
+
+    stage = f"{table}__stage_{uuid.uuid4().hex[:12]}_{os.getpid()}"
+    proc = None
+    n = 0
+    for batch in iterator:
+        if proc is None:
+            run_psql(conninfo, pg_ddl(schema, stage))
+            columns = ", ".join(f'"{f.name}"' for f in schema.fields)
+            copy_sql = (
+                f"\\copy \"{stage}\" ({columns}) FROM STDIN "
+                f"(FORMAT csv, NULL '')"
+            )
+            proc = subprocess.Popen(
+                [
+                    "psql", conninfo, "-X", "-q",
+                    "-v", "ON_ERROR_STOP=1", "-c", copy_sql,
+                ],
+                stdin=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        n += batch.num_rows
+        buf = _io.BytesIO()
+        pacsv.write_csv(
+            batch,
+            buf,
+            pacsv.WriteOptions(include_header=False, quoting_style="all_valid"),
+        )
+        proc.stdin.write(buf.getvalue())
+    if proc is None:
+        return _StageCommit(stage_table=None, n_rows=0)
+    proc.stdin.close()
+    if proc.wait() != 0:
+        raise RuntimeError(
+            f"COPY stage failed: {proc.stderr.read().decode().strip()}"
+        )
+    return _StageCommit(stage_table=stage, n_rows=n)
+
+
 class _PgCopyWriter(DataSourceArrowWriter):
     """Staged, atomically-committed COPY write — Embulk 'insert mode'.
 
@@ -252,61 +316,9 @@ class _PgCopyWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
 
     def write(self, iterator):
-        import io as _io
-        import os
-        import subprocess
-        import uuid
-
-        from pyarrow import csv as pacsv
-
-        stage = f"{self._table}__stage_{uuid.uuid4().hex[:12]}_{os.getpid()}"
-        proc = None
-        n = 0
-        for batch in iterator:
-            if proc is None:
-                # Lazily create the staging table so empty partitions
-                # leave nothing to clean up.
-                run_psql(self._conninfo, pg_ddl(self._schema, stage))
-                columns = ", ".join(f'"{f.name}"' for f in self._schema.fields)
-                copy_sql = (
-                    f"\\copy \"{stage}\" ({columns}) FROM STDIN "
-                    f"(FORMAT csv, NULL '')"
-                )
-                proc = subprocess.Popen(
-                    [
-                        "psql", self._conninfo, "-X", "-q",
-                        "-v", "ON_ERROR_STOP=1", "-c", copy_sql,
-                    ],
-                    stdin=subprocess.PIPE,
-                    stderr=subprocess.PIPE,
-                )
-            n += batch.num_rows
-            # Arrow's CSV writer with quoting_style="all_valid" quotes
-            # EVERY valid value and writes nulls unquoted-empty; with
-            # COPY's ``NULL ''`` that makes the write side LOSSLESS —
-            # a genuine '\\N' or '' string arrives quoted (a value),
-            # only real nulls arrive unquoted — closing the documented
-            # write-side corner of copy_dataframe_to_postgres (whose
-            # pandas to_csv cannot quote the NULL marker selectively).
-            # Types stay Arrow-side: decimals exact, timestamps ISO,
-            # ints never floated by a null (no pandas hop at all).
-            buf = _io.BytesIO()
-            pacsv.write_csv(
-                batch,
-                buf,
-                pacsv.WriteOptions(
-                    include_header=False, quoting_style="all_valid"
-                ),
-            )
-            proc.stdin.write(buf.getvalue())
-        if proc is None:
-            return _StageCommit(stage_table=None, n_rows=0)
-        proc.stdin.close()
-        if proc.wait() != 0:
-            raise RuntimeError(
-                f"COPY stage failed: {proc.stderr.read().decode().strip()}"
-            )
-        return _StageCommit(stage_table=stage, n_rows=n)
+        return _stage_arrow_batches(
+            self._conninfo, self._table, self._schema, iterator
+        )
 
     def commit(self, messages):
         stages = [
@@ -337,6 +349,81 @@ class _PgCopyWriter(DataSourceArrowWriter):
         run_psql(self._conninfo, "; ".join(stmts))
 
     def abort(self, messages):
+        for m in messages or []:
+            if m is not None and m.stage_table is not None:
+                try:
+                    run_psql(
+                        self._conninfo,
+                        f'DROP TABLE IF EXISTS "{m.stage_table}"',
+                    )
+                except RuntimeError:
+                    pass  # best-effort cleanup; stagings are namespaced
+
+
+class _PgCopyStreamWriter(DataSourceStreamArrowWriter):
+    """EXACTLY-ONCE streaming COPY sink: staged epochs + a batch ledger.
+
+    Structured Streaming re-runs a failed micro-batch from the
+    checkpoint, so a sink is exactly-once only if committing the same
+    ``batchId`` twice lands the data once. Each epoch's partitions
+    stage exactly like the batch writer; the driver commit then folds
+    stagings into the target AND records the batchId in a ledger table
+    (``<target>__epochs``) inside ONE implicit transaction, with every
+    INSERT guarded by ``NOT EXISTS(ledger row)`` — a replayed epoch's
+    stagings are dropped without inserting. Readers never see a partial
+    epoch, and a crash between target-insert and ledger-insert is
+    impossible by construction (same transaction).
+
+    Append-only by design: streaming 'complete' mode would truncate the
+    target per epoch, which no sane PG sink wants — the foreachBatch
+    MERGE path (``events_stream_merge_totals``) is the upsert shape.
+    """
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "dpp_pg_copy streaming sink is append-only; use "
+                "foreachBatch + MERGE for complete/update semantics"
+            )
+        self._conninfo = options["conninfo"]
+        self._table = options["table"]
+        self._schema = schema
+
+    def write(self, iterator):
+        return _stage_arrow_batches(
+            self._conninfo, self._table, self._schema, iterator
+        )
+
+    def commit(self, messages, batchId):
+        ledger = f"{self._table}__epochs"
+        stages = [
+            m.stage_table
+            for m in messages
+            if m is not None and m.stage_table is not None
+        ]
+        columns = ", ".join(f'"{f.name}"' for f in self._schema.fields)
+        guard = (
+            f"NOT EXISTS (SELECT 1 FROM \"{ledger}\" "
+            f"WHERE batch_id = {int(batchId)})"
+        )
+        stmts = [
+            pg_ddl(self._schema, self._table).replace(
+                "CREATE TABLE", "CREATE TABLE IF NOT EXISTS", 1
+            ),
+            f'CREATE TABLE IF NOT EXISTS "{ledger}" (batch_id BIGINT)',
+        ]
+        for s in stages:
+            stmts.append(
+                f'INSERT INTO "{self._table}" ({columns}) '
+                f'SELECT {columns} FROM "{s}" WHERE {guard}'
+            )
+        stmts.append(
+            f'INSERT INTO "{ledger}" SELECT {int(batchId)} WHERE {guard}'
+        )
+        stmts.extend(f'DROP TABLE "{s}"' for s in stages)
+        run_psql(self._conninfo, "; ".join(stmts))
+
+    def abort(self, messages, batchId):
         for m in messages or []:
             if m is not None and m.stage_table is not None:
                 try:
@@ -381,13 +468,19 @@ class PgCopyDataSource(DataSource):
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return _PgCopyReader(self._validated_options(), schema)
 
-    def writer(self, schema: T.StructType, overwrite: bool):
+    def _write_options(self) -> dict:
         opts = dict(self.options)
         if not opts.get("conninfo"):
             raise ValueError("dpp_pg_copy requires a 'conninfo' option")
         if not opts.get("table"):
             raise ValueError("dpp_pg_copy writes need a 'table' option")
-        return _PgCopyWriter(opts, schema, overwrite)
+        return opts
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return _PgCopyWriter(self._write_options(), schema, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        return _PgCopyStreamWriter(self._write_options(), schema, overwrite)
 
 
 __all__ = ["PgCopyDataSource"]

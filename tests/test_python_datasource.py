@@ -378,6 +378,110 @@ def test_write_read_roundtrip_property(roundtrip, values):
     assert roundtrip(values) == values
 
 
+def test_streaming_sink_end_to_end(spark, conninfo, tmp_path):
+    """writeStream.format('dpp_pg_copy'): a multi-batch file replay lands
+    every source row exactly once in the target, with the epoch ledger
+    recording each committed micro-batch."""
+    table = "dpp_pyds_stream_sink"
+    for t in (table, f"{table}__epochs"):
+        pgc.run_psql(conninfo, f'DROP TABLE IF EXISTS "{t}"')
+    src_dir = f"{tmp_path}/src"
+    for i in range(3):  # three files -> multiple micro-batches
+        spark.createDataFrame(
+            [(i * 10 + j, f"v{i}_{j}") for j in range(10)],
+            "id bigint, s string",
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    spark.dataSource.register(PgCopyDataSource)
+    stream = (
+        spark.readStream.schema("id bigint, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.format("dpp_pg_copy")
+        .option("conninfo", conninfo)
+        .option("table", table)
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = (
+        spark.read.format("dpp_pg_copy")
+        .option("conninfo", conninfo)
+        .option("table", table)
+        .load()
+        .collect()
+    )
+    assert sorted((r.id, r.s) for r in back) == [
+        (i * 10 + j, f"v{i}_{j}") for i in range(3) for j in range(10)
+    ]
+    epochs = pgc.run_psql(
+        conninfo, f'SELECT count(*) FROM "{table}__epochs"'
+    ).strip()
+    assert int(epochs) >= 2  # maxFilesPerTrigger=1 -> >=3 batches (some may be empty)
+
+
+def test_streaming_sink_replayed_epoch_is_exactly_once(spark, conninfo):
+    """Commit the SAME batchId twice with fresh stagings (what Structured
+    Streaming does when a batch is replayed after a failure between sink
+    commit and checkpoint write): the second commit must drop its
+    stagings without inserting."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from data_preparation_plugin_spark.sources.python_datasource import (
+        _PgCopyStreamWriter,
+    )
+
+    table = "dpp_pyds_replay"
+    for t in (table, f"{table}__epochs"):
+        pgc.run_psql(conninfo, f'DROP TABLE IF EXISTS "{t}"')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    w = _PgCopyStreamWriter(
+        {"conninfo": conninfo, "table": table}, schema, False
+    )
+
+    def staged(vals):
+        batch = pa.record_batch(
+            {"id": pa.array([v[0] for v in vals], pa.int64()),
+             "s": pa.array([v[1] for v in vals], pa.string())}
+        )
+        return w.write(iter([batch]))
+
+    w.commit([staged([(1, "a"), (2, "b")])], batchId=7)
+    w.commit([staged([(1, "a"), (2, "b")])], batchId=7)  # replay
+    w.commit([staged([(3, "c")])], batchId=8)
+    rows = pgc.run_psql(
+        conninfo, f'SELECT count(*) FROM "{table}"'
+    ).strip()
+    assert rows == "3"  # the replayed epoch inserted nothing
+    leftovers = pgc.run_psql(
+        conninfo,
+        "SELECT count(*) FROM information_schema.tables "
+        f"WHERE table_name LIKE '{table}__stage_%'",
+    ).strip()
+    assert leftovers == "0"  # replay stagings dropped, not leaked
+
+
+def test_streaming_sink_rejects_complete_mode(spark, conninfo):
+    from pyspark.sql import types as T
+
+    from data_preparation_plugin_spark.sources.python_datasource import (
+        _PgCopyStreamWriter,
+    )
+
+    with pytest.raises(ValueError, match="append-only"):
+        _PgCopyStreamWriter(
+            {"conninfo": conninfo, "table": "x"},
+            T.StructType([T.StructField("id", T.LongType())]),
+            True,
+        )
+
+
 def test_reflection_rejects_unknown_types(conninfo):
     table = "dpp_pyds_badtype"
     pgc.run_psql(conninfo, f'DROP TABLE IF EXISTS "{table}"')
