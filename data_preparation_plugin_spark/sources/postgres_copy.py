@@ -181,7 +181,7 @@ def _split_predicates(
     if num_partitions <= 1:
         return ["TRUE"]
     stride = max((upper_bound - lower_bound) // num_partitions, 1)
-    col = f'"{partition_column}"'
+    col = '"' + partition_column.replace('"', '""') + '"'
     bounds = [lower_bound + i * stride for i in range(1, num_partitions)]
     preds = [f"{col} < {bounds[0]} OR {col} IS NULL"]
     preds += [

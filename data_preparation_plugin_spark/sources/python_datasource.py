@@ -101,15 +101,37 @@ _INFOSCHEMA_TO_SPARK = {
 }
 
 
-def _reflect_schema(conninfo: str, table: str) -> str:
-    """Spark DDL for a PG table from information_schema (Embulk ``guess``)."""
+def _q_ident(name: str) -> str:
+    """Double-quote a PG identifier, escaping embedded double quotes."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _q_lit(value: str) -> str:
+    """Single-quote a PG string literal, escaping embedded quotes."""
+    return "'" + value.replace("'", "''") + "'"
+
+
+def _reflect_schema(conninfo: str, table: str, pg_schema: str | None = None) -> str:
+    """Spark DDL for a PG table from information_schema (Embulk ``guess``).
+
+    The reflection is scoped to one namespace — ``pg_schema`` when the
+    reader declared it, else ``current_schema()`` — so a same-named table
+    in another schema can't merge its columns into the reflected DDL
+    (ADVICE r12). The table name is interpolated as an escaped literal.
+    """
+    schema_pred = (
+        f"table_schema = {_q_lit(pg_schema)}"
+        if pg_schema
+        else "table_schema = current_schema()"
+    )
     out = run_psql(
         conninfo,
         "SELECT column_name || '|' || data_type || '|' || "
         "coalesce(numeric_precision::text, '') || '|' || "
         "coalesce(numeric_scale::text, '') "
         "FROM information_schema.columns "
-        f"WHERE table_name = '{table}' ORDER BY ordinal_position",
+        f"WHERE table_name = {_q_lit(table)} AND {schema_pred} "
+        "ORDER BY ordinal_position",
     )
     fields = []
     for line in out.splitlines():
@@ -143,8 +165,8 @@ class _PgCopyReader(DataSourceReader):
         self._conninfo = options["conninfo"]
         table = options.get("table")
         query = options.get("query")
-        col_list = ", ".join(f'"{f.name}"' for f in schema.fields)
-        relation = f'"{table}"' if table else f"({query}) dpp_q"
+        col_list = ", ".join(_q_ident(f.name) for f in schema.fields)
+        relation = _q_ident(table) if table else f"({query}) dpp_q"
         self._select = f"SELECT {col_list} FROM {relation}"
         self._partition_column = options.get("partition_column")
         self._num_partitions = int(options.get("num_partitions", "4"))
@@ -158,7 +180,7 @@ class _PgCopyReader(DataSourceReader):
         if lower is None or upper is None:
             # JDBC-parity auto-bounds: one tiny driver-side metadata
             # query; every data byte still moves executor-side.
-            col = f'"{self._partition_column}"'
+            col = _q_ident(self._partition_column)
             out = run_psql(
                 self._conninfo,
                 f"SELECT min({col}) || '|' || max({col}) "
@@ -249,45 +271,67 @@ def _stage_arrow_batches(conninfo, table, schema, iterator) -> _StageCommit:
     import io as _io
     import os
     import subprocess
+    import tempfile
     import uuid
 
     from pyarrow import csv as pacsv
 
     stage = f"{table}__stage_{uuid.uuid4().hex[:12]}_{os.getpid()}"
     proc = None
+    # stderr goes to an unbuffered temp FILE, never a PIPE: an undrained
+    # stderr pipe fills and deadlocks both processes mid-COPY, and the
+    # file survives an early psql death so the real error is reportable
+    # (ADVICE r12).
+    errf = None
     n = 0
-    for batch in iterator:
+
+    def _stage_error() -> RuntimeError:
+        errf.seek(0)
+        detail = errf.read().decode(errors="replace").strip()
+        return RuntimeError(f"COPY stage failed: {detail or 'psql exited'}")
+
+    try:
+        for batch in iterator:
+            if proc is None:
+                run_psql(conninfo, pg_ddl(schema, stage))
+                columns = ", ".join(_q_ident(f.name) for f in schema.fields)
+                copy_sql = (
+                    f"\\copy {_q_ident(stage)} ({columns}) FROM STDIN "
+                    f"(FORMAT csv, NULL '')"
+                )
+                errf = tempfile.TemporaryFile()
+                proc = subprocess.Popen(
+                    [
+                        "psql", conninfo, "-X", "-q",
+                        "-v", "ON_ERROR_STOP=1", "-c", copy_sql,
+                    ],
+                    stdin=subprocess.PIPE,
+                    stderr=errf,
+                )
+            n += batch.num_rows
+            buf = _io.BytesIO()
+            pacsv.write_csv(
+                batch,
+                buf,
+                pacsv.WriteOptions(
+                    include_header=False, quoting_style="all_valid"
+                ),
+            )
+            try:
+                proc.stdin.write(buf.getvalue())
+            except BrokenPipeError:
+                # psql died early — surface ITS error, not the pipe's.
+                proc.wait()
+                raise _stage_error() from None
         if proc is None:
-            run_psql(conninfo, pg_ddl(schema, stage))
-            columns = ", ".join(f'"{f.name}"' for f in schema.fields)
-            copy_sql = (
-                f"\\copy \"{stage}\" ({columns}) FROM STDIN "
-                f"(FORMAT csv, NULL '')"
-            )
-            proc = subprocess.Popen(
-                [
-                    "psql", conninfo, "-X", "-q",
-                    "-v", "ON_ERROR_STOP=1", "-c", copy_sql,
-                ],
-                stdin=subprocess.PIPE,
-                stderr=subprocess.PIPE,
-            )
-        n += batch.num_rows
-        buf = _io.BytesIO()
-        pacsv.write_csv(
-            batch,
-            buf,
-            pacsv.WriteOptions(include_header=False, quoting_style="all_valid"),
-        )
-        proc.stdin.write(buf.getvalue())
-    if proc is None:
-        return _StageCommit(stage_table=None, n_rows=0)
-    proc.stdin.close()
-    if proc.wait() != 0:
-        raise RuntimeError(
-            f"COPY stage failed: {proc.stderr.read().decode().strip()}"
-        )
-    return _StageCommit(stage_table=stage, n_rows=n)
+            return _StageCommit(stage_table=None, n_rows=0)
+        proc.stdin.close()
+        if proc.wait() != 0:
+            raise _stage_error()
+        return _StageCommit(stage_table=stage, n_rows=n)
+    finally:
+        if errf is not None:
+            errf.close()
 
 
 class _PgCopyWriter(DataSourceArrowWriter):
@@ -326,10 +370,10 @@ class _PgCopyWriter(DataSourceArrowWriter):
             for m in messages
             if m is not None and m.stage_table is not None
         ]
-        columns = ", ".join(f'"{f.name}"' for f in self._schema.fields)
+        columns = ", ".join(_q_ident(f.name) for f in self._schema.fields)
         stmts = []
         if self._overwrite:
-            stmts.append(f'DROP TABLE IF EXISTS "{self._table}"')
+            stmts.append(f"DROP TABLE IF EXISTS {_q_ident(self._table)}")
             stmts.append(pg_ddl(self._schema, self._table))
         else:
             stmts.append(
@@ -339,10 +383,10 @@ class _PgCopyWriter(DataSourceArrowWriter):
             )
         for s in stages:
             stmts.append(
-                f'INSERT INTO "{self._table}" ({columns}) '
-                f'SELECT {columns} FROM "{s}"'
+                f"INSERT INTO {_q_ident(self._table)} ({columns}) "
+                f"SELECT {columns} FROM {_q_ident(s)}"
             )
-            stmts.append(f'DROP TABLE "{s}"')
+            stmts.append(f"DROP TABLE {_q_ident(s)}")
         # One psql -c string with multiple statements runs as a SINGLE
         # implicit transaction: either every staged partition lands in
         # the target and every staging table is gone, or nothing moved.
@@ -367,12 +411,22 @@ class _PgCopyStreamWriter(DataSourceStreamArrowWriter):
     checkpoint, so a sink is exactly-once only if committing the same
     ``batchId`` twice lands the data once. Each epoch's partitions
     stage exactly like the batch writer; the driver commit then folds
-    stagings into the target AND records the batchId in a ledger table
+    stagings into the target AND records the epoch in a ledger table
     (``<target>__epochs``) inside ONE implicit transaction, with every
     INSERT guarded by ``NOT EXISTS(ledger row)`` — a replayed epoch's
     stagings are dropped without inserting. Readers never see a partial
     epoch, and a crash between target-insert and ledger-insert is
     impossible by construction (same transaction).
+
+    The ledger is keyed on **(query_id, batch_id)**, not batch_id alone:
+    batch ids are only unique within one checkpoint lineage, so a second
+    streaming query appending to the same target, or a restart with a
+    fresh checkpoint (batch ids restart at 0), would otherwise find its
+    ids already claimed and silently insert nothing (ADVICE r12). The
+    query identity comes from the ``query_id`` option when declared,
+    else the forwarded ``checkpointLocation`` (the exact scope batch ids
+    live in), else a constant — in which case concurrent writers to one
+    target must declare ``query_id`` themselves.
 
     Append-only by design: streaming 'complete' mode would truncate the
     target per epoch, which no sane PG sink wants — the foreachBatch
@@ -388,6 +442,12 @@ class _PgCopyStreamWriter(DataSourceStreamArrowWriter):
         self._conninfo = options["conninfo"]
         self._table = options["table"]
         self._schema = schema
+        self._query_id = (
+            options.get("query_id")
+            or options.get("checkpointlocation")
+            or options.get("checkpointLocation")
+            or "default"
+        )
 
     def write(self, iterator):
         return _stage_arrow_batches(
@@ -401,26 +461,34 @@ class _PgCopyStreamWriter(DataSourceStreamArrowWriter):
             for m in messages
             if m is not None and m.stage_table is not None
         ]
-        columns = ", ".join(f'"{f.name}"' for f in self._schema.fields)
+        columns = ", ".join(_q_ident(f.name) for f in self._schema.fields)
+        qid = _q_lit(self._query_id)
         guard = (
-            f"NOT EXISTS (SELECT 1 FROM \"{ledger}\" "
-            f"WHERE batch_id = {int(batchId)})"
+            f"NOT EXISTS (SELECT 1 FROM {_q_ident(ledger)} "
+            f"WHERE batch_id = {int(batchId)} AND query_id = {qid})"
         )
         stmts = [
             pg_ddl(self._schema, self._table).replace(
                 "CREATE TABLE", "CREATE TABLE IF NOT EXISTS", 1
             ),
-            f'CREATE TABLE IF NOT EXISTS "{ledger}" (batch_id BIGINT)',
+            f"CREATE TABLE IF NOT EXISTS {_q_ident(ledger)} "
+            f"(batch_id BIGINT, query_id TEXT NOT NULL DEFAULT 'default')",
+            # Pre-(query_id) ledgers migrate in place: existing rows get
+            # the 'default' identity, which is also the fallback key, so
+            # an in-flight query upgrading mid-stream stays exactly-once.
+            f"ALTER TABLE {_q_ident(ledger)} ADD COLUMN IF NOT EXISTS "
+            f"query_id TEXT NOT NULL DEFAULT 'default'",
         ]
         for s in stages:
             stmts.append(
-                f'INSERT INTO "{self._table}" ({columns}) '
-                f'SELECT {columns} FROM "{s}" WHERE {guard}'
+                f"INSERT INTO {_q_ident(self._table)} ({columns}) "
+                f"SELECT {columns} FROM {_q_ident(s)} WHERE {guard}"
             )
         stmts.append(
-            f'INSERT INTO "{ledger}" SELECT {int(batchId)} WHERE {guard}'
+            f"INSERT INTO {_q_ident(ledger)} (batch_id, query_id) "
+            f"SELECT {int(batchId)}, {qid} WHERE {guard}"
         )
-        stmts.extend(f'DROP TABLE "{s}"' for s in stages)
+        stmts.extend(f"DROP TABLE {_q_ident(s)}" for s in stages)
         run_psql(self._conninfo, "; ".join(stmts))
 
     def abort(self, messages, batchId):
@@ -463,7 +531,9 @@ class PgCopyDataSource(DataSource):
         declared = opts.get("schema")
         if declared:
             return declared
-        return _reflect_schema(opts["conninfo"], opts["table"])
+        return _reflect_schema(
+            opts["conninfo"], opts["table"], opts.get("pg_schema")
+        )
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return _PgCopyReader(self._validated_options(), schema)

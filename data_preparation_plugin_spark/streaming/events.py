@@ -310,14 +310,18 @@ def tws_user_profile_bucketed(
             self._types = handle.getMapState(
                 "user_types", "k STRING", "one TINYINT"
             )
-            # Worker-local POSITIVE cache over _types membership: once a
-            # (user, type) marker is written it stays true for the life
-            # of the state store, so a hit here skips the containsKey
-            # round trip on every later batch (r12: most type-marker
-            # traffic in steady state). Restart/rescheduling just empties
-            # the cache and falls back to containsKey — never wrong, only
-            # cold. Memory is one short string per distinct (user, type)
-            # seen by this worker; droppable by construction.
+            # Worker-local POSITIVE cache over _types membership. A key
+            # enters the cache ONLY from the containsKey-true branch —
+            # i.e. a marker some PRIOR batch committed — never right
+            # after this batch's own uncommitted write, so the cached
+            # fact ("marker committed") holds even if a processor
+            # instance outlived a rolled-back batch and replayed it
+            # (ADVICE r12). In practice pyspark re-deserializes the
+            # processor per task, so the cache is per-task/intra-batch;
+            # the invariant just doesn't depend on that. Restart or
+            # rescheduling empties it and falls back to containsKey —
+            # never wrong, only cold. Memory is one short string per
+            # distinct committed (user, type) re-seen by this worker.
             self._seen_types: set[str] = set()
 
         def handleInputRows(self, key, rows, timer_values):
@@ -325,6 +329,10 @@ def tws_user_profile_bucketed(
             # re-read from MapState — the final getValue-per-touched-user
             # pass was pure protocol overhead (r12).
             current: dict[int, tuple] = {}
+            # Markers written by THIS (uncommitted) batch — dedups
+            # repeats across pdf chunks without poisoning _seen_types,
+            # whose entries must mean "committed by a prior batch".
+            batch_writes: set[str] = set()
             for pdf in rows:
                 grouped = pdf.groupby("user_id")
                 sizes = grouped.size()
@@ -337,12 +345,16 @@ def tws_user_profile_bucketed(
                 ):
                     uid = int(uid)
                     mk = f"{uid}|{t}"
-                    if mk in self._seen_types:
+                    if mk in self._seen_types or mk in batch_writes:
                         continue
-                    if not self._types.containsKey((mk,)):
+                    if self._types.containsKey((mk,)):
+                        # Confirmed committed by a prior batch — only
+                        # this branch may populate the cache.
+                        self._seen_types.add(mk)
+                    else:
                         self._types.updateValue((mk,), (1,))
+                        batch_writes.add(mk)
                         new_types[uid] = new_types.get(uid, 0) + 1
-                    self._seen_types.add(mk)
                 for uid, cnt in sizes.items():
                     uid = int(uid)
                     # getValue returns None when absent: one round trip,

@@ -467,6 +467,112 @@ def test_streaming_sink_replayed_epoch_is_exactly_once(spark, conninfo):
     assert leftovers == "0"  # replay stagings dropped, not leaked
 
 
+def test_streaming_sink_distinct_queries_share_target(spark, conninfo):
+    """The ledger is keyed on (query_id, batch_id), not batch_id alone:
+    a second streaming query (or a restart with a fresh checkpoint,
+    where batch ids restart at 0) writing to the same target must NOT
+    have its epochs swallowed by the first query's ledger rows
+    (ADVICE r12 — the silent data-loss path)."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from data_preparation_plugin_spark.sources.python_datasource import (
+        _PgCopyStreamWriter,
+    )
+
+    table = "dpp_pyds_two_queries"
+    for t in (table, f"{table}__epochs"):
+        pgc.run_psql(conninfo, f'DROP TABLE IF EXISTS "{t}"')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("s", T.StringType())]
+    )
+
+    def writer(qid):
+        return _PgCopyStreamWriter(
+            {"conninfo": conninfo, "table": table, "query_id": qid},
+            schema,
+            False,
+        )
+
+    def staged(w, vals):
+        batch = pa.record_batch(
+            {"id": pa.array([v[0] for v in vals], pa.int64()),
+             "s": pa.array([v[1] for v in vals], pa.string())}
+        )
+        return w.write(iter([batch]))
+
+    a, b = writer("query-a"), writer("query-b")
+    a.commit([staged(a, [(1, "a")])], batchId=0)
+    # Same batchId, different query: must land (the r12 bug dropped it).
+    b.commit([staged(b, [(2, "b")])], batchId=0)
+    # Replay within each query still exactly-once.
+    a.commit([staged(a, [(1, "a")])], batchId=0)
+    b.commit([staged(b, [(9, "z")])], batchId=1)
+    rows = pgc.run_psql(
+        conninfo, f'SELECT id FROM "{table}" ORDER BY id'
+    ).split()
+    assert rows == ["1", "2", "9"]
+    ledger = pgc.run_psql(
+        conninfo,
+        f'SELECT query_id || \'|\' || batch_id FROM "{table}__epochs" '
+        "ORDER BY 1",
+    ).split()
+    assert ledger == ["query-a|0", "query-b|0", "query-b|1"]
+
+
+def test_streaming_sink_ledger_migrates_from_batchid_only(spark, conninfo):
+    """A pre-(query_id) ledger left by an older build migrates in place:
+    its rows get the 'default' identity, so an in-flight query that only
+    ever used the fallback key stays exactly-once across the upgrade."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from data_preparation_plugin_spark.sources.python_datasource import (
+        _PgCopyStreamWriter,
+    )
+
+    table = "dpp_pyds_ledger_migrate"
+    for t in (table, f"{table}__epochs"):
+        pgc.run_psql(conninfo, f'DROP TABLE IF EXISTS "{t}"')
+    # Old-shape ledger: batch 3 already committed, batch_id column only.
+    pgc.run_psql(
+        conninfo,
+        f'CREATE TABLE "{table}__epochs" (batch_id BIGINT); '
+        f'INSERT INTO "{table}__epochs" VALUES (3)',
+    )
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    w = _PgCopyStreamWriter({"conninfo": conninfo, "table": table}, schema, False)
+
+    def staged(vals):
+        return w.write(iter([pa.record_batch({"id": pa.array(vals, pa.int64())})]))
+
+    w.commit([staged([30])], batchId=3)  # replay of the pre-upgrade epoch
+    w.commit([staged([40])], batchId=4)  # genuinely new epoch
+    rows = pgc.run_psql(conninfo, f'SELECT id FROM "{table}" ORDER BY id')
+    assert rows.split() == ["40"]
+
+
+def test_reflection_scoped_to_current_schema(conninfo):
+    """A same-named table in another schema must not merge its columns
+    into the reflected DDL (ADVICE r12)."""
+    table = "dpp_pyds_shadow"
+    pgc.run_psql(
+        conninfo,
+        f'DROP TABLE IF EXISTS "{table}"; '
+        "CREATE SCHEMA IF NOT EXISTS dpp_other; "
+        f'DROP TABLE IF EXISTS dpp_other."{table}"; '
+        f'CREATE TABLE "{table}" (id bigint); '
+        f'CREATE TABLE dpp_other."{table}" (id bigint, extra text)',
+    )
+    assert _reflect_schema(conninfo, table) == "id bigint"
+    assert (
+        _reflect_schema(conninfo, table, pg_schema="dpp_other")
+        == "id bigint, extra string"
+    )
+
+
 def test_streaming_sink_rejects_complete_mode(spark, conninfo):
     from pyspark.sql import types as T
 
