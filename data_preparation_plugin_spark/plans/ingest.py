@@ -1266,6 +1266,88 @@ def source_postgres_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "source_python_datasource_declarative",
+    category="source",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(min(c_custkey) AS BIGINT) AS first_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def source_python_datasource_declarative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generic declarative source/sink — the Embulk plugin passthrough.
+
+    The reference's ``EmbulkOperator`` drives ANY input plugin from a
+    declarative YAML config (reference ``operators/embulk.py:8-24``);
+    the Spark-4 twin is the ``dpp_pg_copy`` Python DataSource
+    (``sources/python_datasource.py``), whose whole behavior is declared
+    through reader/writer OPTIONS. This query exercises every
+    declarative behavior at once against a REAL PostgreSQL server:
+
+    * **write side** — ``df.write.format("dpp_pg_copy").mode("overwrite")``
+      stages the customer table per-partition and commits atomically
+      (Embulk insert-mode semantics);
+    * **schema guess** — the read back declares NO schema; column
+      names/types (incl. numeric precision/scale) are reflected from
+      ``information_schema`` scoped to the current namespace;
+    * **partition planning** — ``partition_column`` with NO declared
+      bounds: min/max are reflected with one metadata query and the
+      scan becomes 4 range-predicate COPY splits (JDBC semantics).
+
+    The oracle aggregates the original parquet, so any transport bug —
+    CSV quoting, NULL markers, decimal text, split coverage, reflected
+    types — breaks value parity. Money flows as numeric(12,2) through
+    PG and exact integer cents out, making the check order-independent.
+
+    Scale shape: write parallelism = input partitions, read parallelism
+    = ``num_partitions``; driver does two metadata queries, every data
+    byte moves executor-side. ``num_partitions`` doubles as the PG
+    admission knob on a real cluster.
+    """
+    from data_preparation_plugin_spark.sources import postgres_copy as pgc
+    from data_preparation_plugin_spark.sources.python_datasource import (
+        PgCopyDataSource,
+    )
+
+    conninfo = pgc.ensure_postgres()
+    spark.dataSource.register(PgCopyDataSource)
+    table = "dpp_customer_declarative"
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    (
+        customer.repartition(4)
+        .write.format("dpp_pg_copy")
+        .option("conninfo", conninfo)
+        .option("table", table)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("dpp_pg_copy")
+        .option("conninfo", conninfo)
+        .option("table", table)  # no schema option: reflected
+        .option("partition_column", "c_custkey")  # no bounds: reflected
+        .option("num_partitions", "4")
+        .load()
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum((F.col("c_acctbal") * 100).cast("long")).alias("total_cents"),
+        F.min("c_custkey").alias("first_key"),
+    )
+
+
 _FORGET_DIR = os.path.join(_STAGE_ROOT, "forget_cascade")
 #: Deletion-request stripe: every customer key divisible by this is purged.
 FORGET_MOD = 101

@@ -51,9 +51,10 @@ admission knob. On a real cluster the only executor requirement is the
 ``psql`` client binary — the package itself travels with the usual
 Python environment.
 
-Registration as a query (``source_python_datasource_declarative``) is
-deferred to the round after CORRECTNESS shows 381/381 (VERDICT r11 #7
-ordering); the runtime evidence lives in tests/test_python_datasource.py.
+Registered as the query ``source_python_datasource_declarative``
+(``plans/ingest.py``) since round 13, per the VERDICT r11 #7 ordering
+(land after CORRECTNESS shows 381/381, which r12 did); the unit-level
+runtime evidence lives in tests/test_python_datasource.py.
 """
 
 from __future__ import annotations
