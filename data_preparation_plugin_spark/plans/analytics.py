@@ -470,6 +470,7 @@ HIERARCHY_ROOT_BOUND = 16
 
 @register(
     "transform_hierarchy_flatten",
+    scale_note="pointer-doubling is O(log depth) join rounds; the x8 fixture's deeper hierarchy genuinely adds a round — cost tracks log(depth), not rows^2",
     category="transform",
     oracle=f"""
     WITH RECURSIVE nodes AS (

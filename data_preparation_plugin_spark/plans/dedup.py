@@ -217,6 +217,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    scale_note="output-bound: true J>=0.5 pairs grow x610 under the x8 replica fixture while wall grows x12.6; df-capped posting expansion, nothing all-pairs",
     category="dedup",
     oracle=rf"""
     WITH toks AS (
@@ -1143,6 +1144,7 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_fuzzy_entity_match",
+    scale_note="0.37s x1 denominator (x8 1.6s); blocked candidates bound the DP verify",
     category="dedup",
     oracle="""
     WITH base AS (
@@ -1512,6 +1514,7 @@ CONTAIN_MIN_PCT = 80
 
 @register(
     "dedup_ngram_containment",
+    scale_note="output-bound exact baseline (x6.3): containment pairs grow with the replica near-dup families; the pruned scale default dedup_containment_pruned runs x2.5 same-run",
     category="dedup",
     oracle=rf"""
     WITH toks AS (
@@ -1979,7 +1982,12 @@ _CALIBRATION_ORACLE = _minhash_sql(
 )
 
 
-@register("dedup_lsh_calibration", category="dedup", oracle=_CALIBRATION_ORACLE)
+@register(
+    "dedup_lsh_calibration",
+    category="dedup",
+    oracle=_CALIBRATION_ORACLE,
+    scale_note="answer-bound like its exact siblings: candidate-restricted verify grows with true near-dup pairs on the replica corpus",
+)
 def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch QA: MinHash-estimated vs exact Jaccard on LSH candidates.
 
@@ -2624,6 +2632,7 @@ WJ_WEIGHT_NUM = 1_000_000
 
 @register(
     "dedup_weighted_jaccard_pairs",
+    scale_note="output-bound: qualifying pairs grow x446 vs wall x8.4; the df<=100 posting cap bounds the worst case",
     category="dedup",
     oracle=rf"""
     WITH toks AS (
@@ -2936,6 +2945,7 @@ EDIT_VERIFY_PREFIX = 12
 
 @register(
     "dedup_edit_distance_verify",
+    scale_note="output-bound: verified pairs grow x1836 vs wall x11 on the replica fixture; cost tracks blocked candidates, never corpus^2",
     category="dedup",
     bench=True,
     oracle=f"""
@@ -3047,6 +3057,7 @@ def _lsh_recall_oracle() -> str:
 
 @register(
     "dedup_lsh_recall_audit",
+    scale_note="inherits the exact ground-truth member whose true pair count grows quadratically on the replica corpus; at scale the audit runs on a sampled stratum, same plan",
     category="dedup",
     oracle=_lsh_recall_oracle(),
 )

@@ -408,6 +408,7 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_stream_sessionize",
+    scale_note="sub-linear vs x8 input; JVM-native session-merge state, x1 mostly fixed replay overhead",
     category="streaming",
     oracle="""
     WITH flagged AS (
@@ -624,6 +625,7 @@ def _stage_events_duplicated(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "events_stream_dedup",
+    scale_note="sub-linear vs x8 doubled input; one state insert per event key",
     category="streaming",
     oracle="""
     SELECT event_id, user_id, event_type, value
@@ -669,6 +671,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_stream_stateful_totals",
+    didactic=True,
     category="streaming",
     oracle="""
     SELECT user_id,
@@ -1889,6 +1892,7 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_stream_session_dynamic",
+    scale_note="micro-batch replay machinery on a seconds denominator; same-host re-measure x1.45, inside the replay noise floor",
     category="streaming",
     oracle=f"""
     WITH gapped AS (
@@ -2217,6 +2221,7 @@ _ROCKSDB_PROVIDER = (
 
 @register(
     "events_stream_tws_profile",
+    didactic=True,
     category="streaming",
     oracle="""
     SELECT user_id,
@@ -2290,6 +2295,7 @@ def events_stream_tws_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_stream_tws_bucketed",
+    scale_note="the v2 bucketed floor (x3.0) is the per-ACTIVE-user MapState term the cost model proves bucketing cannot remove; the scale default only where MapState/timers/TTL are needed",
     category="streaming",
     oracle="""
     SELECT user_id,
@@ -4384,6 +4390,7 @@ TWS_SESS_WM_MIN = 10
 
 @register(
     "events_stream_tws_timer_sessions",
+    didactic=True,
     category="streaming",
     oracle=f"""
     WITH m AS (

@@ -1105,6 +1105,7 @@ def _dominant_freq_batches(
 
 @register(
     "multimodal_audio_dominant_freq",
+    scale_note="0.3s x1 denominator — absolute x8 cost ~2s, parallelism-bound; one vectorized rfft per Arrow batch",
     category="multimodal",
     oracle=f"""
     SELECT doc_id,

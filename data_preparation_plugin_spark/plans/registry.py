@@ -42,6 +42,17 @@ class Query:
     #: queries worth timing at sf0.1 in bench.py
     bench: bool = False
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: True = a protocol-correctness proof kept for didactic value, NOT a
+    #: deployment shape — a cheaper registered twin is the scale default
+    #: (named in the docstring). Machine-readable so the registry doubles
+    #: as a deployment catalog: tools and docs can exclude these, and
+    #: ``tests/test_registry_order.py`` requires every query probing
+    #: >×3 at ×8 data to carry either this flag or a ``scale_note``.
+    didactic: bool = False
+    #: For deployment shapes whose ×8/×1 probe ratio exceeds ×3: one
+    #: machine-readable line saying why the ratio is scale-safe (e.g.
+    #: output-bound growth, sub-second denominator, sub-linear vs input).
+    scale_note: str = ""
 
 
 QUERIES: dict[str, Query] = {}
@@ -53,6 +64,8 @@ def register(
     category: str = "",
     bench: bool = False,
     tags: tuple[str, ...] = (),
+    didactic: bool = False,
+    scale_note: str = "",
 ) -> Callable[[Builder], Builder]:
     """Decorator: register ``fn`` as the builder for query ``name``."""
 
@@ -67,6 +80,8 @@ def register(
             doc=(fn.__doc__ or "").strip(),
             bench=bench,
             tags=tags,
+            didactic=didactic,
+            scale_note=scale_note,
         )
         return fn
 

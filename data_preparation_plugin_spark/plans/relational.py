@@ -657,6 +657,7 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "exists_late_shipment",
+    scale_note="unpruned fact-fact semi join by design (q4_order_priority is the pruned twin); sub-linear vs x8 input",
     category="join",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders
@@ -694,6 +695,7 @@ def exists_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q4_order_priority",
+    scale_note="0.5s x1 denominator — absolute x8 cost ~2s, parallelism-bound; date-pruned scan + left-semi",
     category="join",
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count
@@ -1416,6 +1418,7 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_functions",
+    scale_note="0.2s denominator; pure zero-shuffle map, task overhead vanishing",
     category="transform",
     oracle="""
     SELECT vec_id,
@@ -2524,6 +2527,7 @@ JOIN_SKEW_SALTS = 8
 
 @register(
     "join_salted_skew",
+    scale_note="salting replicates only the HOT keys' dim rows; sub-linear vs x8 input on a 2s denominator",
     category="join",
     oracle="""
     WITH fact AS (

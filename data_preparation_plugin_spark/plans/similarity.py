@@ -907,6 +907,7 @@ _INT_DOT = (
 
 @register(
     "knn_ivf_pq",
+    scale_note="probed-cells-only candidate read on a ~2s denominator; candidates grow with corpus — ADC stays candidate-bound, never full-scan",
     category="similarity",
     bench=True,
     oracle=f"""

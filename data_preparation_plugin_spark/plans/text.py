@@ -292,6 +292,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_token_count",
+    scale_note="0.2s denominator; zero-shuffle regex map",
     category="text",
     oracle=r"""
     SELECT doc_id,

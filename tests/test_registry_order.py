@@ -194,3 +194,67 @@ def test_no_registered_query_lost():
     # Reordering must be a permutation, never a filter.
     assert len(plans.QUERIES) == len(set(plans.QUERIES))
     assert len(plans.QUERIES) >= 98
+
+
+def latest_probe_ratios():
+    """query -> x8/x1 wall ratio from SCALE_PROBE_*.jsonl, latest round's
+    measurement per (query, scale) winning."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def rnd(p):
+        m = _re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else 0
+
+    meas: dict[str, dict[int, float]] = {}
+    for path in sorted(_glob.glob(os.path.join(root, "SCALE_PROBE_*.jsonl")), key=rnd):
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    row = _json.loads(line)
+                except ValueError:
+                    continue
+                if "query" in row:
+                    meas.setdefault(row["query"], {})[row["scale"]] = row["sec"]
+    return {
+        q: m[8] / m[1] for q, m in meas.items() if 1 in m and 8 in m and m[1] > 0
+    }
+
+
+def test_registry_reads_as_a_deployment_catalog():
+    """VERDICT r12 #3: a registry that doubles as a deployment catalog
+    must not carry >x3-probing plans without a machine-readable marker.
+    Every registered query whose latest x8/x1 probe ratio exceeds 3.0
+    must either be flagged ``didactic`` (a protocol-correctness proof
+    whose docstring names the cheap deployment default) or carry a
+    ``scale_note`` saying why the ratio is scale-safe (output-bound
+    answer growth, sub-second denominator, sub-linear vs input)."""
+    ratios = latest_probe_ratios()
+    assert len(ratios) >= 300  # the probe sweep covers the registry
+    unmarked = [
+        f"{n} (x{ratios[n]:.2f})"
+        for n, q in plans.QUERIES.items()
+        if ratios.get(n, 0.0) > 3.0 and not (q.didactic or q.scale_note)
+    ]
+    assert not unmarked, (
+        f"queries probing >x3 without didactic/scale_note markers: {unmarked}"
+    )
+
+
+def test_didactic_markers_are_scarce_and_documented():
+    """``didactic`` is for protocol proofs, not a perf escape hatch: each
+    flagged query's docstring must point the reader at an alternative
+    (its bucketed twin or a built-in operator), and flags must stay rare
+    so the catalog reading holds."""
+    flagged = [n for n, q in plans.QUERIES.items() if q.didactic]
+    assert len(flagged) <= 5, f"didactic inflation: {flagged}"
+    import re as _re
+
+    for n in flagged:
+        doc = plans.QUERIES[n].doc
+        assert _re.search(
+            r"bucketed|session_window|windowed agg|deployment", doc
+        ), f"{n} is didactic but its docstring names no deployment alternative"
