@@ -1572,3 +1572,135 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_a").cast("bigint").alias("example_doc_a"),
         F.min("doc_b").cast("bigint").alias("example_doc_b"),
     )
+
+
+#: End-to-end corpus assembly: global token budget split across languages
+#: by temperature weight, then packed at this context length.
+ASSEMBLY_TOKEN_BUDGET = 4000
+ASSEMBLY_SEQ_LEN = 512
+
+
+@register(
+    "sample_corpus_assembly",
+    category="sampling",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ), counts AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(floor(sqrt(count(*))) AS BIGINT) AS w_num
+        FROM sized GROUP BY lang
+    ), denom AS (
+        SELECT CAST(sum(w_num) AS BIGINT) AS s FROM counts
+    ), budgets AS (
+        SELECT c.lang, c.n_docs, c.w_num,
+               ({ASSEMBLY_TOKEN_BUDGET} * c.w_num) // d.s AS token_budget
+        FROM counts c CROSS JOIN denom d
+    ), cum AS (
+        SELECT z.doc_id, z.lang, z.n_tokens, b.token_budget,
+               b.n_docs, b.w_num,
+               CAST(sum(z.n_tokens) OVER (
+                   PARTITION BY z.lang ORDER BY z.hx, z.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+        FROM sized z JOIN budgets b ON z.lang = b.lang
+    )
+    SELECT lang,
+           min(n_docs)       AS n_docs,
+           min(w_num)        AS w_num,
+           min(token_budget) AS token_budget,
+           CAST(sum(CASE WHEN cum_tokens <= token_budget THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN cum_tokens <= token_budget
+                         THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+           (sum(CASE WHEN cum_tokens <= token_budget
+                     THEN n_tokens ELSE 0 END) * 10000)
+               // min(token_budget) AS util_bp,
+           (sum(CASE WHEN cum_tokens <= token_budget
+                     THEN n_tokens ELSE 0 END)
+            + {ASSEMBLY_SEQ_LEN} - 1) // {ASSEMBLY_SEQ_LEN} AS n_sequences
+    FROM cum
+    GROUP BY lang
+    """,
+)
+def sample_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pre-training corpus assembly: temperature mixture →
+    per-language token budgets → greedy admission → packing manifest.
+
+    The whole data-recipe pipeline the single-purpose samplers in this
+    module are pieces of, composed into the one query a data engineer
+    actually signs off on: per-language counts set temperature (α = 0.5)
+    weights (``sample_temperature_mix``'s integer ``floor(sqrt(n))``
+    scheme); a GLOBAL token budget is split across languages
+    proportionally to those weights in pure integer arithmetic; each
+    language admits documents in stable md5 order until ITS budget is
+    exhausted (``sample_token_budget``'s greedy cap, re-based from
+    per-source constants to mixture-derived budgets); and the output is
+    the per-language assembly manifest — docs/tokens admitted, budget
+    utilization in basis points, and how many ``ASSEMBLY_SEQ_LEN``-token
+    packed sequences the slice yields (``sample_packed_sequences``'s
+    accounting). Everything before the final ratio is integer, so 1000
+    executors, DuckDB and a laptop produce the identical recipe —
+    reproducibility is the contract a training-data manifest must meet.
+
+    Scale shape: one map-side token count (text never shuffles — only
+    (doc_id, lang, n_tokens, digest) rows move); a bounded per-language
+    count aggregate whose weight/budget table broadcasts back; one
+    exchange on ``lang`` for the running-sum window; and a final
+    per-language rollup on the same exchange. Admission order is the
+    md5 hash — data-independent, so the per-language prefix sums can be
+    range-partitioned if one language dominates the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from data_preparation_plugin_spark.functions.text import tokens as _toks
+
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+    )
+    counts = sized.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("w_num"),
+    )
+    denom = counts.agg(F.sum("w_num").cast("bigint").alias("s"))
+    budgets = counts.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        "n_docs",
+        "w_num",
+        F.expr(f"({ASSEMBLY_TOKEN_BUDGET} * w_num) div s").alias(
+            "token_budget"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("hx", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.join(F.broadcast(budgets), "lang").withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    admitted = F.when(F.col("cum_tokens") <= F.col("token_budget"), 1).otherwise(0)
+    admitted_tokens = F.when(
+        F.col("cum_tokens") <= F.col("token_budget"), F.col("n_tokens")
+    ).otherwise(F.lit(0))
+    return cum.groupBy("lang").agg(
+        F.min("n_docs").alias("n_docs"),
+        F.min("w_num").alias("w_num"),
+        F.min("token_budget").alias("token_budget"),
+        F.sum(admitted).cast("bigint").alias("n_docs_kept"),
+        F.sum(admitted_tokens).cast("bigint").alias("tokens_kept"),
+        F.expr(
+            "sum(CASE WHEN cum_tokens <= token_budget THEN n_tokens ELSE 0 END)"
+            " * 10000 div min(token_budget)"
+        ).alias("util_bp"),
+        F.expr(
+            "(sum(CASE WHEN cum_tokens <= token_budget THEN n_tokens"
+            f" ELSE 0 END) + {ASSEMBLY_SEQ_LEN} - 1) div {ASSEMBLY_SEQ_LEN}"
+        ).alias("n_sequences"),
+    )

@@ -2445,3 +2445,161 @@ def embedding_random_projection_jl(
         F.col("dot_orig").cast("bigint").alias("dot_orig"),
         F.col("dot_proj_scaled").cast("bigint").alias("dot_proj_scaled"),
     )
+
+
+#: Two-stage retrieval: the ANN index proposes RERANK_SHORTLIST
+#: candidates per query (recall stage); a cross-feature scorer re-orders
+#: just those rows (precision stage). The fusion weight mixes vector
+#: cosine with lexical token Jaccard 50/50 — the deterministic stand-in
+#: for a learned cross-encoder score (swap the fused expression for a
+#: model UDF in production; the plan is identical).
+RERANK_SHORTLIST = 20
+
+
+@register(
+    "knn_rerank_crossfeatures",
+    category="similarity",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {{bucket_sql}} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, bucket FROM e
+        WHERE vec_id < {N_QUERY_VECS}
+    ), shortlist AS (
+        SELECT query_id, neighbor_id, cosine6 FROM (
+            SELECT query_id,
+                   e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(qv, e.v), 6) AS cosine6,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(list_cosine_similarity(qv, e.v), 6)
+                                DESC, e.vec_id) AS arn
+            FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
+        ) WHERE arn <= {RERANK_SHORTLIST}
+    ), toks AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS tk
+        FROM documents
+    ), feats AS (
+        SELECT s.query_id, s.neighbor_id, s.cosine6,
+               CAST(len(list_intersect(qt.tk, ct.tk)) AS BIGINT) AS n_common,
+               CAST(len(list_distinct(list_concat(qt.tk, ct.tk))) AS BIGINT)
+                   AS n_union
+        FROM shortlist s
+        JOIN toks qt ON qt.doc_id = s.query_id
+        JOIN toks ct ON ct.doc_id = s.neighbor_id
+    ), fused AS (
+        SELECT query_id, neighbor_id, n_common, n_union,
+               round(0.5 * cosine6
+                     + 0.5 * (n_common * 1.0 / n_union), 6) AS score6
+        FROM feats
+    )
+    SELECT query_id, neighbor_id,
+           round(score6, 4) AS score,
+           n_common, n_union, rn
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score6 DESC, neighbor_id) AS rn
+          FROM fused)
+    WHERE rn <= {TOP_K}
+    """.replace("{bucket_sql}", _bucket_sql("embedding::DOUBLE[]")),
+)
+def knn_rerank_crossfeatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: ANN recall, then a cross-feature rerank.
+
+    The deployed-RAG pipeline shape the single-stage queries stop short
+    of: a cheap index proposes a per-query SHORTLIST (here the
+    ``knn_lsh_cosine`` bucket join ranked by rounded cosine, the recall
+    stage), and only those ``queries x RERANK_SHORTLIST`` pairs are
+    re-scored by an expensive PAIRWISE scorer that sees BOTH sides'
+    content — a cross-encoder in production, here its deterministic
+    stand-in: 50/50 fusion of vector cosine and lexical token Jaccard
+    between the query document's text and the candidate's
+    (``doc_id``/``vec_id`` align 1:1 in the fixture). Fusing vector and
+    lexical evidence is what repairs ANN's characteristic misses —
+    paraphrases the embedding collapses and keyword matches it
+    underweights.
+
+    Scale shape: stage 1 is the LSH equi-join (each query touches
+    ~corpus/2^planes candidates, never the corpus) plus a bounded
+    per-query top-R window. Stage 2 touches text for exactly the
+    shortlist keys: the (query_id, neighbor_id) pairs broadcast to join
+    ``documents`` twice — query side and candidate side — so document
+    text NEVER shuffles and the expensive scorer runs on
+    queries x R rows, a vanishing fraction of the corpus. Swapping the
+    fused expression for a model-scoring Pandas UDF changes nothing in
+    the plan: the rerank cost stays candidate-bounded, which is the
+    entire point of retrieve-then-rerank.
+    """
+    from data_preparation_plugin_spark.functions.text import tokens as _toks
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bucket", _bucket_col(F.col("v")))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    arn_win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine6").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+        .withColumn("arn", F.row_number().over(arn_win))
+        .filter(F.col("arn") <= RERANK_SHORTLIST)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine6")
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_toks(F.col("text"))).alias("tk")
+    )
+    qt = toks.select(
+        F.col("doc_id").alias("query_id"), F.col("tk").alias("q_tk")
+    )
+    feats = (
+        F.broadcast(shortlist)
+        .join(qt, "query_id")
+        .join(toks, F.col("doc_id") == F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine6",
+            F.size(F.array_intersect("q_tk", "tk"))
+            .cast("long")
+            .alias("n_common"),
+            F.size(F.array_union("q_tk", "tk")).cast("long").alias("n_union"),
+        )
+    )
+    fused = feats.withColumn(
+        "score6",
+        F.round(
+            0.5 * F.col("cosine6")
+            + 0.5 * (F.col("n_common") * F.lit(1.0) / F.col("n_union")),
+            6,
+        ),
+    )
+    rk_win = Window.partitionBy("query_id").orderBy(
+        F.col("score6").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(rk_win))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score6", 4).alias("score"),
+            "n_common",
+            "n_union",
+            "rn",
+        )
+    )

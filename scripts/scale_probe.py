@@ -487,6 +487,10 @@ PROBES = [
     "window_running",
     "window_topk_per_group",
     "window_value_functions",
+    # --- registered r13 ---
+    "source_python_datasource_declarative",  # live-PG declarative write+reflect+split read
+    "knn_rerank_crossfeatures",  # LSH recall + candidate-bounded lexical rerank
+    "sample_corpus_assembly",    # temperature budgets + greedy admission + packing
 ]
 
 
