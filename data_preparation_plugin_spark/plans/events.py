@@ -2208,7 +2208,10 @@ _ROCKSDB_PROVIDER = (
 #      fused state op per active user per batch.
 #   4. Per-user v1/v2 (×5.1-5.3) — didactic 1:1 forms of the API; kept
 #      registered as protocol-correctness proofs (driver-green r11), NOT
-#      as deployment shapes. A 100 TB deployment copies 1-3.
+#      as deployment shapes. A 100 TB deployment copies 1-3. As of r13
+#      this is MACHINE-READABLE: their registry entries carry
+#      ``didactic=True`` (registry.Query.didactic), enforced by
+#      tests/test_registry_order.py::test_registry_reads_as_a_deployment_catalog.
 #
 # r12 fusion pass (apply the model to the model's own processors): the
 # per-user v2 was walking MapState.keys() to count types (an O(vocab)
