@@ -1644,3 +1644,46 @@ def test_review_queue_composes_funnel_oracle():
 
     audit = QUERIES["curation_review_queue"].oracle
     assert QUERIES["curation_corpus_status"].oracle.strip() in audit
+
+
+def test_rerank_crossfeatures_candidate_bounded(spark):
+    """Retrieve-then-rerank stays candidate-bounded: the recall stage is
+    the LSH bucket BroadcastHashJoin (probe set broadcast, never the
+    corpus), the shortlist window is rank-limited (WindowGroupLimit),
+    both document-side joins broadcast the bounded shortlist/probe side
+    so text never rides a shuffle, and nothing is cartesian."""
+    plan = plan_of(spark, "knn_rerank_crossfeatures")
+    assert count(r"CartesianProduct", plan) == 0
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) >= 3
+    assert count(r"WindowGroupLimit", plan) >= 1
+    # The documents scan prunes to (doc_id, text): reading more columns
+    # would ship payload the rerank never uses. In formatted mode the
+    # scan's ReadSchema is its own line, so pin the exact struct.
+    fmt = plan_of(spark, "knn_rerank_crossfeatures", mode="formatted")
+    doc_schemas = [
+        line.strip()
+        for line in fmt.splitlines()
+        if line.strip().startswith("ReadSchema") and "text:string" in line
+    ]
+    assert doc_schemas and all(
+        s == "ReadSchema: struct<doc_id:bigint,text:string>"
+        for s in doc_schemas
+    )
+
+
+def test_corpus_assembly_text_never_shuffles(spark):
+    """The assembly manifest moves only (doc_id, lang, n_tokens, digest)
+    rows: token counts are map-side, the budget table broadcasts back,
+    and the single wide exchange is the per-language window. The text
+    column must not appear in any Exchange input."""
+    plan = plan_of(spark, "sample_corpus_assembly")
+    assert count(r"CartesianProduct", plan) == 0  # denom cross-join is broadcast-nested-loop of 1 row
+    assert count(r"BroadcastHashJoin", plan) >= 1
+    fmt = plan_of(spark, "sample_corpus_assembly", mode="formatted")
+    exchange_args = [
+        line
+        for line in fmt.splitlines()
+        if line.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert exchange_args and all("text" not in a for a in exchange_args)
