@@ -1617,12 +1617,13 @@ ASSEMBLY_SEQ_LEN = 512
                 AS BIGINT) AS n_docs_kept,
            CAST(sum(CASE WHEN cum_tokens <= token_budget
                          THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
-           (sum(CASE WHEN cum_tokens <= token_budget
-                     THEN n_tokens ELSE 0 END) * 10000)
-               // min(token_budget) AS util_bp,
-           (sum(CASE WHEN cum_tokens <= token_budget
-                     THEN n_tokens ELSE 0 END)
-            + {ASSEMBLY_SEQ_LEN} - 1) // {ASSEMBLY_SEQ_LEN} AS n_sequences
+           CAST((sum(CASE WHEN cum_tokens <= token_budget
+                          THEN n_tokens ELSE 0 END) * 10000)
+                // min(token_budget) AS BIGINT) AS util_bp,
+           CAST((sum(CASE WHEN cum_tokens <= token_budget
+                          THEN n_tokens ELSE 0 END)
+                 + {ASSEMBLY_SEQ_LEN} - 1) // {ASSEMBLY_SEQ_LEN}
+                AS BIGINT) AS n_sequences
     FROM cum
     GROUP BY lang
     """,
