@@ -293,8 +293,12 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the funnel's own cost plus one doc_id join against the
     (doc_id, source, token-count) projection and a bounded-key
-    aggregate. Token counting touches only KEPT documents' text —
-    dropped docs short-circuit to 0 without tokenizing.
+    aggregate. Token counting runs map-side BEFORE the join over every
+    document — deliberately: the alternative (tokenize after joining the
+    verdict, so dropped docs skip it) would put the text column through
+    the join's shuffle, and shipping text costs more at scale than
+    tokenizing the dropped fraction. Only (doc_id, source, n_tok) rows
+    ever move.
     """
     status = curation_corpus_status(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(

@@ -439,6 +439,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = with_norm.alias("a")
     b = with_norm.alias("b")
+    # zip_with+aggregate, NOT a 64-term unrolled element_at sum: the
+    # unroll was A/B'd in r13 and LOST (4.9s -> 9.2s best-of-3 at
+    # sf0.1) — at 64 dims the expression tree exceeds what codegen
+    # handles well and falls back to interpreted expression evaluation,
+    # which is slower than the one-pass HOF fold (contrast the 8-dim
+    # PQ subspaces in similarity.py, where unrolling wins).
     dot = F.aggregate(
         F.zip_with("a.v", "b.v", lambda x, y: x * y),
         F.lit(0.0),

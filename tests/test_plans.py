@@ -1687,3 +1687,14 @@ def test_corpus_assembly_text_never_shuffles(spark):
         if line.strip().startswith("Arguments: hashpartitioning")
     ]
     assert exchange_args and all("text" not in a for a in exchange_args)
+
+
+def test_profile_columns_expand_agg_stays_hash(spark):
+    """The Expand/count-distinct aggregate must stay HashAggregate: one
+    immutable-buffer function (min/max over a string) in the same
+    operator silently degrades the whole pipeline to Sort+SortAggregate,
+    full-sorting the n_cols-times-expanded corpus (the r13 3.79s->1.99s
+    fix). String extremes ride their own keyless, sort-free aggregate."""
+    plan = plan_of(spark, "profile_table_columns")
+    assert count(r"\+- Sort ", plan) == 0
+    assert count(r"HashAggregate", plan) >= 4
