@@ -95,6 +95,19 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     so deduplicating first would only add a full shuffle of the shingle
     strings before the aggregation shuffle. With partial (map-side)
     aggregation the only shuffle moves 8 hex pieces per document.
+
+    ``min`` over the hex STRING pieces, although that means the keyed
+    aggregate runs as Sort+SortAggregate (immutable string buffers):
+    the numeric alternative — ``min(conv(piece, 16, 10))``, valid
+    because fixed-width lowercase hex is order-isomorphic to its 32-bit
+    value, converting back via lpad(hex()) after the agg — was A/B'd in
+    r13 and LOST (same-session interleaved best-of-5 at sf0.1: 0.96s
+    string-min vs 1.32s long-min). Parsing 8 conv() per shingle
+    map-side costs more than the sort it avoids; the sorted stream is
+    narrow (doc_id + 2 digests) and mostly pre-aggregated. Contrast
+    ``profile_table_columns``, where evicting string min/max from an
+    Expand aggregate DID win 1.9x — there the sort covered a 6x-expanded
+    corpus and the fix added no per-row parsing.
     """
     exploded = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE)
     digests = exploded.select(
