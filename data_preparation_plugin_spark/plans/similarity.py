@@ -843,18 +843,28 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = sq if expr is None else expr + sq
         return expr
 
-    # argmin per (vector, subspace) as a map-side-combinable
-    # min(struct(d2, cent_id)) — a row_number window here would shuffle
-    # and sort the full candidate stream (n x PQ_M x PQ_K rows); the
-    # struct-min reduces it to one row per (vec, m) before the exchange.
+    # argmin per (vector, subspace) as a map-side-combinable min — a
+    # row_number window here would shuffle and sort the full candidate
+    # stream (n x PQ_M x PQ_K rows). The lexicographic (d2, cent_id)
+    # pair is packed into ONE long (d2 * PQ_K + cent_id; exact since
+    # cent_id < PQ_K and d2 <= PQ_SUBDIM * (2*PQ_QSCALE)^2 ~ 1.6e11, so
+    # the product stays far under 2^63): min(struct) has an immutable
+    # buffer and silently degrades the whole keyed aggregate to
+    # Sort+SortAggregate over the candidate stream, while min(long)
+    # keeps it a HashAggregate — r13 interleaved A/B on the encode
+    # stage: 1.31s -> 0.87s at sf0.1, codes identical.
     encoded = (
         subs.join(F.broadcast(cents), F.col("m") == F.col("cm"))
         .select(
-            "vec_id", "m", "cent_id", _sub_dist2("sv", "cv").alias("d2")
+            "vec_id",
+            "m",
+            (_sub_dist2("sv", "cv") * PQ_K + F.col("cent_id")).alias("ck"),
         )
         .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "cent_id")).alias("best"))
-        .select("vec_id", "m", F.col("best.cent_id").alias("code"))
+        .agg(F.min("ck").alias("best"))
+        .select(
+            "vec_id", "m", F.pmod("best", F.lit(PQ_K)).cast("bigint").alias("code")
+        )
     )
     dtab = (
         subs.where(F.col("vec_id") < N_QUERY_VECS)
@@ -1064,12 +1074,26 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # Lexicographic (d2, cell_id) argmin packed into one long so the
+    # keyed aggregate stays HashAggregate (min(struct)'s immutable
+    # buffer forces Sort+SortAggregate; see the encode stage of
+    # knn_pq_adc for the measured A/B). Exact: cell_id < IVF_N_CELLS
+    # and full-dim d2 <= EMBEDDING_DIM * (2*PQ_QSCALE)^2 ~ 1e13.
     assigned = (
         vecs.crossJoin(F.broadcast(coarse))
-        .select("vec_id", "qv", "cell_id", _full_d2("qv", "cqv").alias("d2"))
+        .select(
+            "vec_id",
+            "qv",
+            (_full_d2("qv", "cqv") * IVF_N_CELLS + F.col("cell_id")).alias(
+                "ck"
+            ),
+        )
         .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cell_id")).alias("best"))
-        .select("vec_id", F.col("best.cell_id").alias("cell"))
+        .agg(F.min("ck").alias("best"))
+        .select(
+            "vec_id",
+            F.pmod("best", F.lit(IVF_N_CELLS)).cast("bigint").alias("cell"),
+        )
     )
     resid = (
         vecs.join(assigned, "vec_id")
@@ -1106,14 +1130,25 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = sq if expr is None else expr + sq
         return expr
 
+    # Same packed-long argmin as the assignment above (and knn_pq_adc's
+    # encode stage, where the r13 A/B measured 1.31s -> 0.87s): keeps
+    # the n x PQ_M x PQ_K candidate stream's aggregate hash-based.
     encoded = (
         subs.join(F.broadcast(rcents), F.col("m") == F.col("cm"))
         .select(
-            "vec_id", "cell", "m", "cent_id", _sub_d2("sv", "cv").alias("d2")
+            "vec_id",
+            "cell",
+            "m",
+            (_sub_d2("sv", "cv") * PQ_K + F.col("cent_id")).alias("ck"),
         )
         .groupBy("vec_id", "cell", "m")
-        .agg(F.min(F.struct("d2", "cent_id")).alias("best"))
-        .select("vec_id", "cell", "m", F.col("best.cent_id").alias("code"))
+        .agg(F.min("ck").alias("best"))
+        .select(
+            "vec_id",
+            "cell",
+            "m",
+            F.pmod("best", F.lit(PQ_K)).cast("bigint").alias("code"),
+        )
     )
     probe_win = Window.partitionBy("query_id").orderBy("d2", "cell_id")
     probed = (
