@@ -2638,3 +2638,198 @@ def knn_rerank_crossfeatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# The audit oracle splices the registered rerank oracle verbatim as a CTE
+# (the knn_ivf_recall_audit pattern): edits to the rerank's SQL flow into
+# the audit automatically, so the two can never drift.
+_RERANK_AUDIT_ORACLE = """
+    WITH pipeline AS (
+        SELECT query_id, neighbor_id FROM ({rerank})
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {bucket} AS bucket
+        FROM embeddings
+    ), toks AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS tk
+        FROM documents
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e
+        WHERE vec_id < {nq}
+    ), fused_all AS (
+        SELECT q.query_id,
+               e.vec_id AS neighbor_id,
+               (e.bucket = q.qbucket) AS in_bucket,
+               round(0.5 * round(list_cosine_similarity(qv, e.v), 6)
+                     + 0.5 * (len(list_intersect(qt.tk, ct.tk)) * 1.0
+                              / len(list_distinct(list_concat(qt.tk, ct.tk)))),
+                     6) AS score6
+        FROM q
+        JOIN e ON e.vec_id <> q.query_id
+        JOIN toks qt ON qt.doc_id = q.query_id
+        JOIN toks ct ON ct.doc_id = e.vec_id
+    ), reachable_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score6 DESC, neighbor_id) AS rn
+            FROM fused_all WHERE in_bucket)
+        WHERE rn <= {k}
+    ), global_top AS (
+        SELECT query_id, in_bucket FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score6 DESC, neighbor_id) AS rn
+            FROM fused_all)
+        WHERE rn <= {k}
+    ), rerank_agg AS (
+        SELECT t.query_id,
+               count(*) AS n_reachable,
+               sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_hits
+        FROM reachable_top t
+        LEFT JOIN pipeline p
+          ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
+    ), ceiling_agg AS (
+        SELECT query_id,
+               count(*) AS n_global,
+               sum(CASE WHEN in_bucket THEN 1 ELSE 0 END) AS n_in_bucket
+        FROM global_top GROUP BY query_id
+    )
+    SELECT r.query_id,
+           CAST(r.n_reachable AS BIGINT) AS n_reachable,
+           CAST(r.n_hits AS BIGINT) AS n_hits,
+           CAST((r.n_hits * 10000) // r.n_reachable AS BIGINT)
+               AS rerank_recall_bp,
+           CAST(c.n_global AS BIGINT) AS n_global,
+           CAST(c.n_in_bucket AS BIGINT) AS n_in_bucket,
+           CAST((c.n_in_bucket * 10000) // c.n_global AS BIGINT)
+               AS ceiling_bp
+    FROM rerank_agg r JOIN ceiling_agg c ON r.query_id = c.query_id
+"""
+
+
+@register(
+    "knn_rerank_recall_audit",
+    category="similarity",
+    oracle=_RERANK_AUDIT_ORACLE.format(
+        rerank=_registered_oracle("knn_rerank_crossfeatures"),
+        bucket=_bucket_sql("embedding::DOUBLE[]"),
+        nq=N_QUERY_VECS,
+        k=TOP_K,
+    ),
+)
+def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-isolated quality audit of the two-stage retrieval pipeline:
+    rerank recall over REACHABLE candidates + the index-geometry ceiling.
+
+    Two axes, each blaming exactly one stage. ``rerank_recall_bp``: of
+    the exact fused-score top-k AMONG the query's own-bucket candidates
+    (the best ANY rerank over this index could return), how many did the
+    shortlist-capped pipeline (``knn_rerank_crossfeatures``) actually
+    return? A shortfall here blames the R-candidate cap or the fusion
+    weights — the recall stage is held fixed. ``ceiling_bp``: of the
+    GLOBAL exact fused top-k (no index at all), how many even share the
+    query's bucket? A shortfall here blames index geometry (the fixture
+    measures it honestly: random 64-dim embeddings give 256 fine buckets
+    no locality, so lexical winners live cross-bucket and the ceiling is
+    near zero — the signal that a fused objective needs multi-probe or
+    more bands, which no rerank tuning can recover). Composes the
+    REGISTERED rerank builder directly and splices its oracle text as a
+    CTE, the ``knn_ivf_recall_audit`` no-drift pattern. All ratios are
+    integer basis points over varying per-query reachable counts.
+
+    Scale shape: the exact side is a broadcast nested-loop over the
+    bounded query set (the same shape as ``knn_bruteforce_cosine`` —
+    one corpus pass, no shuffle of the big side) with the pairwise
+    lexical features computed only against the k x queries ground-truth
+    rows' join partners; the audit joins are queries x k rows on both
+    sides, broadcast. At 100 TB the exact side runs on a sampled query
+    stratum — the standard offline-eval shape — and the pipeline side
+    is unchanged.
+    """
+    from data_preparation_plugin_spark.functions.text import tokens as _toks
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bucket", _bucket_col(F.col("v")))
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_toks(F.col("text"))).alias("tk")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    qt = toks.select(
+        F.col("doc_id").alias("query_id"), F.col("tk").alias("q_tk")
+    )
+    fused_all = (
+        emb.join(
+            F.broadcast(queries.join(qt, "query_id")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .join(toks, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("bucket") == F.col("qbucket")).alias("in_bucket"),
+            F.round(
+                0.5 * F.round(cosine_similarity("qv", "v"), 6)
+                + 0.5
+                * (
+                    F.size(F.array_intersect("q_tk", "tk"))
+                    * F.lit(1.0)
+                    / F.size(F.array_union("q_tk", "tk"))
+                ),
+                6,
+            ).alias("score6"),
+        )
+    )
+    top_win = Window.partitionBy("query_id").orderBy(
+        F.col("score6").desc(), F.col("neighbor_id")
+    )
+    reachable_top = (
+        fused_all.filter("in_bucket")
+        .withColumn("rn", F.row_number().over(top_win))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    global_top = (
+        fused_all.withColumn("rn", F.row_number().over(top_win))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "in_bucket")
+    )
+    pipeline = knn_rerank_crossfeatures(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    rerank_agg = (
+        reachable_top.join(
+            F.broadcast(pipeline), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reachable"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    ceiling_agg = global_top.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_global"),
+        F.sum(F.col("in_bucket").cast("int")).cast("long").alias("n_in_bucket"),
+    )
+    return rerank_agg.join(ceiling_agg, "query_id").select(
+        "query_id",
+        "n_reachable",
+        "n_hits",
+        F.expr("n_hits * 10000 div n_reachable").alias("rerank_recall_bp"),
+        "n_global",
+        "n_in_bucket",
+        F.expr("n_in_bucket * 10000 div n_global").alias("ceiling_bp"),
+    )

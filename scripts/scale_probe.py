@@ -491,6 +491,7 @@ PROBES = [
     "source_python_datasource_declarative",  # live-PG declarative write+reflect+split read
     "knn_rerank_crossfeatures",  # LSH recall + candidate-bounded lexical rerank
     "sample_corpus_assembly",    # temperature budgets + greedy admission + packing
+    "knn_rerank_recall_audit",   # composed two-stage eval, broadcast exact side
 ]
 
 
