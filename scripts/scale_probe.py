@@ -492,6 +492,7 @@ PROBES = [
     "knn_rerank_crossfeatures",  # LSH recall + candidate-bounded lexical rerank
     "sample_corpus_assembly",    # temperature budgets + greedy admission + packing
     "knn_rerank_recall_audit",   # composed two-stage eval, broadcast exact side
+    "knn_lsh_multiprobe",        # generated probe keys, bucket equi-join
 ]
 
 
