@@ -289,6 +289,13 @@ def _stage_arrow_batches(conninfo, table, schema, iterator) -> _StageCommit:
     def _stage_error() -> RuntimeError:
         errf.seek(0)
         detail = errf.read().decode(errors="replace").strip()
+        # A task that dies mid-write produces NO commit message, so the
+        # driver's abort() can never reference this staging table — drop
+        # it here (best-effort) or it leaks until a manual sweep.
+        try:
+            run_psql(conninfo, f"DROP TABLE IF EXISTS {_q_ident(stage)}")
+        except RuntimeError:
+            pass
         return RuntimeError(f"COPY stage failed: {detail or 'psql exited'}")
 
     try:

@@ -554,6 +554,32 @@ def test_streaming_sink_ledger_migrates_from_batchid_only(spark, conninfo):
     assert rows.split() == ["40"]
 
 
+def test_stage_failure_surfaces_psql_error_and_drops_staging(conninfo):
+    """A mid-COPY psql death must (a) raise with psql's real error, never
+    a bare BrokenPipeError, and (b) drop its own staging table — a failed
+    task produces no commit message, so driver-side abort() could never
+    clean it up (ADVICE r12 follow-on)."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from data_preparation_plugin_spark.sources.python_datasource import (
+        _stage_arrow_batches,
+    )
+
+    table = "dpp_pyds_stage_err"
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    bad = pa.record_batch({"id": pa.array(["not a number"], pa.string())})
+    with pytest.raises(RuntimeError, match="invalid input syntax"):
+        _stage_arrow_batches(conninfo, table, schema, iter([bad]))
+    leftovers = pgc.run_psql(
+        conninfo,
+        "SELECT count(*) FROM information_schema.tables "
+        f"WHERE table_name LIKE '{table}__stage_%'",
+    ).strip()
+    assert leftovers == "0"
+
+
 def test_reflection_scoped_to_current_schema(conninfo):
     """A same-named table in another schema must not merge its columns
     into the reflected DDL (ADVICE r12)."""
