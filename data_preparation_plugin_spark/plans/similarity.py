@@ -2482,6 +2482,27 @@ def embedding_random_projection_jl(
     )
 
 
+def _flip_sql(expr: str, i: int) -> str:
+    """DuckDB: the bucket string with bit position i (1-based) flipped."""
+    return (
+        f"substr({expr}, 1, {i - 1}) || "
+        f"(CASE WHEN substr({expr}, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr({expr}, {i + 1}, {N_HYPERPLANES - i})"
+    )
+
+
+def _flip_col(col: Column, i: int) -> Column:
+    """Spark twin of :func:`_flip_sql`: bucket with bit i flipped."""
+    flipped = F.when(F.substring(col, i, 1) == "1", F.lit("0")).otherwise(
+        F.lit("1")
+    )
+    return F.concat(
+        F.substring(col, 1, i - 1),
+        flipped,
+        F.substring(col, i + 1, N_HYPERPLANES - i),
+    )
+
+
 #: Two-stage retrieval: the ANN index proposes RERANK_SHORTLIST
 #: candidates per query (recall stage); a cross-feature scorer re-orders
 #: just those rows (precision stage). The fusion weight mixes vector
@@ -2500,8 +2521,10 @@ RERANK_SHORTLIST = 20
                {{bucket_sql}} AS bucket
         FROM embeddings
     ), q AS (
-        SELECT vec_id AS query_id, v AS qv, bucket FROM e
+        SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e
         WHERE vec_id < {N_QUERY_VECS}
+    ), probes AS (
+        SELECT query_id, qv, qbucket AS pbucket FROM q{{probe_unions}}
     ), shortlist AS (
         SELECT query_id, neighbor_id, cosine6 FROM (
             SELECT query_id,
@@ -2511,7 +2534,8 @@ RERANK_SHORTLIST = 20
                        PARTITION BY query_id
                        ORDER BY round(list_cosine_similarity(qv, e.v), 6)
                                 DESC, e.vec_id) AS arn
-            FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
+            FROM probes p
+            JOIN e ON e.bucket = p.pbucket AND e.vec_id <> p.query_id
         ) WHERE arn <= {RERANK_SHORTLIST}
     ), toks AS (
         SELECT doc_id,
@@ -2540,34 +2564,44 @@ RERANK_SHORTLIST = 20
               ORDER BY score6 DESC, neighbor_id) AS rn
           FROM fused)
     WHERE rn <= {TOP_K}
-    """.replace("{bucket_sql}", _bucket_sql("embedding::DOUBLE[]")),
+    """.replace("{bucket_sql}", _bucket_sql("embedding::DOUBLE[]")).replace(
+        "{probe_unions}",
+        "".join(
+            f" UNION ALL SELECT query_id, qv, {_flip_sql('qbucket', i)} FROM q"
+            for i in range(1, N_HYPERPLANES + 1)
+        ),
+    ),
 )
 def knn_rerank_crossfeatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval: ANN recall, then a cross-feature rerank.
 
     The deployed-RAG pipeline shape the single-stage queries stop short
-    of: a cheap index proposes a per-query SHORTLIST (here the
-    ``knn_lsh_cosine`` bucket join ranked by rounded cosine, the recall
-    stage), and only those ``queries x RERANK_SHORTLIST`` pairs are
-    re-scored by an expensive PAIRWISE scorer that sees BOTH sides'
-    content — a cross-encoder in production, here its deterministic
-    stand-in: 50/50 fusion of vector cosine and lexical token Jaccard
-    between the query document's text and the candidate's
+    of: a cheap index proposes a per-query SHORTLIST — the MULTI-PROBE
+    LSH fetch (the query's bucket plus every Hamming-1 flip as generated
+    probe keys, see ``knn_lsh_multiprobe``) ranked by rounded cosine,
+    the recall stage — and only those ``queries x RERANK_SHORTLIST``
+    pairs are re-scored by an expensive PAIRWISE scorer that sees BOTH
+    sides' content — a cross-encoder in production, here its
+    deterministic stand-in: 50/50 fusion of vector cosine and lexical
+    token Jaccard between the query document's text and the candidate's
     (``doc_id``/``vec_id`` align 1:1 in the fixture). Fusing vector and
     lexical evidence is what repairs ANN's characteristic misses —
     paraphrases the embedding collapses and keyword matches it
-    underweights.
+    underweights; multi-probe recall is what keeps the fused winners
+    reachable (single-bucket recall left ``knn_rerank_recall_audit``'s
+    ceiling near zero, the r13 diagnosis that motivated both operators).
 
-    Scale shape: stage 1 is the LSH equi-join (each query touches
-    ~corpus/2^planes candidates, never the corpus) plus a bounded
-    per-query top-R window. Stage 2 touches text for exactly the
-    shortlist keys: the (query_id, neighbor_id) pairs broadcast to join
-    ``documents`` twice — query side and candidate side — so document
-    text NEVER shuffles and the expensive scorer runs on
-    queries x R rows, a vanishing fraction of the corpus. Swapping the
-    fused expression for a model-scoring Pandas UDF changes nothing in
-    the plan: the rerank cost stays candidate-bounded, which is the
-    entire point of retrieve-then-rerank.
+    Scale shape: stage 1 stays an LSH EQUI-join — the 9 probe keys per
+    query are generated and exploded on the (tiny, broadcast) probe
+    side, so each query touches ~9 x corpus/2^planes candidates, never
+    the corpus — plus a bounded per-query top-R window. Stage 2 touches
+    text for exactly the shortlist keys: the (query_id, neighbor_id)
+    pairs broadcast to join ``documents`` twice — query side and
+    candidate side — so document text NEVER shuffles and the expensive
+    scorer runs on queries x R rows, a vanishing fraction of the corpus.
+    Swapping the fused expression for a model-scoring Pandas UDF changes
+    nothing in the plan: the rerank cost stays candidate-bounded, which
+    is the entire point of retrieve-then-rerank.
     """
     from data_preparation_plugin_spark.functions.text import tokens as _toks
 
@@ -2579,7 +2613,15 @@ def knn_rerank_crossfeatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    _flip_col(F.col("bucket"), i)
+                    for i in range(1, N_HYPERPLANES + 1)
+                ],
+            )
+        ).alias("pbucket"),
     )
     arn_win = Window.partitionBy("query_id").orderBy(
         F.col("cosine6").desc(), F.col("vec_id")
@@ -2587,7 +2629,7 @@ def knn_rerank_crossfeatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = (
         emb.join(
             F.broadcast(queries),
-            (F.col("bucket") == F.col("qbucket"))
+            (F.col("bucket") == F.col("pbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
@@ -2661,7 +2703,7 @@ _RERANK_AUDIT_ORACLE = """
     ), fused_all AS (
         SELECT q.query_id,
                e.vec_id AS neighbor_id,
-               (e.bucket = q.qbucket) AS in_bucket,
+               ({hamming} <= 1) AS in_probed,
                round(0.5 * round(list_cosine_similarity(qv, e.v), 6)
                      + 0.5 * (len(list_intersect(qt.tk, ct.tk)) * 1.0
                               / len(list_distinct(list_concat(qt.tk, ct.tk)))),
@@ -2675,10 +2717,10 @@ _RERANK_AUDIT_ORACLE = """
             SELECT *, row_number() OVER (
                 PARTITION BY query_id
                 ORDER BY score6 DESC, neighbor_id) AS rn
-            FROM fused_all WHERE in_bucket)
+            FROM fused_all WHERE in_probed)
         WHERE rn <= {k}
     ), global_top AS (
-        SELECT query_id, in_bucket FROM (
+        SELECT query_id, in_probed FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id
                 ORDER BY score6 DESC, neighbor_id) AS rn
@@ -2696,7 +2738,7 @@ _RERANK_AUDIT_ORACLE = """
     ), ceiling_agg AS (
         SELECT query_id,
                count(*) AS n_global,
-               sum(CASE WHEN in_bucket THEN 1 ELSE 0 END) AS n_in_bucket
+               sum(CASE WHEN in_probed THEN 1 ELSE 0 END) AS n_in_probed
         FROM global_top GROUP BY query_id
     )
     SELECT r.query_id,
@@ -2705,8 +2747,8 @@ _RERANK_AUDIT_ORACLE = """
            CAST((r.n_hits * 10000) // r.n_reachable AS BIGINT)
                AS rerank_recall_bp,
            CAST(c.n_global AS BIGINT) AS n_global,
-           CAST(c.n_in_bucket AS BIGINT) AS n_in_bucket,
-           CAST((c.n_in_bucket * 10000) // c.n_global AS BIGINT)
+           CAST(c.n_in_probed AS BIGINT) AS n_in_probed,
+           CAST((c.n_in_probed * 10000) // c.n_global AS BIGINT)
                AS ceiling_bp
     FROM rerank_agg r JOIN ceiling_agg c ON r.query_id = c.query_id
 """
@@ -2718,6 +2760,11 @@ _RERANK_AUDIT_ORACLE = """
     oracle=_RERANK_AUDIT_ORACLE.format(
         rerank=_registered_oracle("knn_rerank_crossfeatures"),
         bucket=_bucket_sql("embedding::DOUBLE[]"),
+        hamming=" + ".join(
+            f"(CASE WHEN substr(e.bucket, {i}, 1) <> "
+            f"substr(q.qbucket, {i}, 1) THEN 1 ELSE 0 END)"
+            for i in range(1, N_HYPERPLANES + 1)
+        ),
         nq=N_QUERY_VECS,
         k=TOP_K,
     ),
@@ -2727,20 +2774,22 @@ def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank recall over REACHABLE candidates + the index-geometry ceiling.
 
     Two axes, each blaming exactly one stage. ``rerank_recall_bp``: of
-    the exact fused-score top-k AMONG the query's own-bucket candidates
-    (the best ANY rerank over this index could return), how many did the
+    the exact fused-score top-k AMONG the candidates the pipeline's
+    multi-probe fetch can reach (Hamming ≤ 1 from the query's bucket —
+    the best ANY rerank over this index could return), how many did the
     shortlist-capped pipeline (``knn_rerank_crossfeatures``) actually
     return? A shortfall here blames the R-candidate cap or the fusion
     weights — the recall stage is held fixed. ``ceiling_bp``: of the
-    GLOBAL exact fused top-k (no index at all), how many even share the
-    query's bucket? A shortfall here blames index geometry (the fixture
-    measures it honestly: random 64-dim embeddings give 256 fine buckets
-    no locality, so lexical winners live cross-bucket and the ceiling is
-    near zero — the signal that a fused objective needs multi-probe or
-    more bands, which no rerank tuning can recover). Composes the
-    REGISTERED rerank builder directly and splices its oracle text as a
-    CTE, the ``knn_ivf_recall_audit`` no-drift pattern. All ratios are
-    integer basis points over varying per-query reachable counts.
+    GLOBAL exact fused top-k (no index at all), how many are reachable
+    at all? A shortfall here blames index geometry — the r13 loop in
+    action: the single-bucket ceiling measured near ZERO on this
+    structureless fixture, which motivated ``knn_lsh_multiprobe``, the
+    pipeline adopted it, and this audit's reachability predicate tracks
+    the pipeline's own probe rule (no rerank tuning can recover what
+    the probes never fetch). Composes the REGISTERED rerank builder
+    directly and splices its oracle text as a CTE, the
+    ``knn_ivf_recall_audit`` no-drift pattern. All ratios are integer
+    basis points over varying per-query reachable counts.
 
     Scale shape: the exact side is a broadcast nested-loop over the
     bounded query set (the same shape as ``knn_bruteforce_cosine`` —
@@ -2778,7 +2827,16 @@ def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (F.col("bucket") == F.col("qbucket")).alias("in_bucket"),
+            (
+                sum(
+                    (
+                        F.substring("bucket", i, 1)
+                        != F.substring("qbucket", i, 1)
+                    ).cast("int")
+                    for i in range(1, N_HYPERPLANES + 1)
+                )
+                <= 1
+            ).alias("in_probed"),
             F.round(
                 0.5 * F.round(cosine_similarity("qv", "v"), 6)
                 + 0.5
@@ -2795,7 +2853,7 @@ def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score6").desc(), F.col("neighbor_id")
     )
     reachable_top = (
-        fused_all.filter("in_bucket")
+        fused_all.filter("in_probed")
         .withColumn("rn", F.row_number().over(top_win))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id")
@@ -2803,7 +2861,7 @@ def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_top = (
         fused_all.withColumn("rn", F.row_number().over(top_win))
         .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "in_bucket")
+        .select("query_id", "in_probed")
     )
     pipeline = knn_rerank_crossfeatures(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
@@ -2822,7 +2880,7 @@ def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ceiling_agg = global_top.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_global"),
-        F.sum(F.col("in_bucket").cast("int")).cast("long").alias("n_in_bucket"),
+        F.sum(F.col("in_probed").cast("int")).cast("long").alias("n_in_probed"),
     )
     return rerank_agg.join(ceiling_agg, "query_id").select(
         "query_id",
@@ -2830,17 +2888,8 @@ def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.expr("n_hits * 10000 div n_reachable").alias("rerank_recall_bp"),
         "n_global",
-        "n_in_bucket",
-        F.expr("n_in_bucket * 10000 div n_global").alias("ceiling_bp"),
-    )
-
-
-def _flip_sql(expr: str, i: int) -> str:
-    """DuckDB: the bucket string with bit position i (1-based) flipped."""
-    return (
-        f"substr({expr}, 1, {i - 1}) || "
-        f"(CASE WHEN substr({expr}, {i}, 1) = '1' THEN '0' ELSE '1' END)"
-        f" || substr({expr}, {i + 1}, {N_HYPERPLANES - i})"
+        "n_in_probed",
+        F.expr("n_in_probed * 10000 div n_global").alias("ceiling_bp"),
     )
 
 
@@ -2909,23 +2958,16 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", _bucket_col(F.col("v")))
     )
 
-    def flip(col: Column, i: int) -> Column:
-        flipped = F.when(
-            F.substring(col, i, 1) == "1", F.lit("0")
-        ).otherwise(F.lit("1"))
-        return F.concat(
-            F.substring(col, 1, i - 1),
-            flipped,
-            F.substring(col, i + 1, N_HYPERPLANES - i),
-        )
-
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.explode(
             F.array(
                 F.col("bucket"),
-                *[flip(F.col("bucket"), i) for i in range(1, N_HYPERPLANES + 1)],
+                *[
+                    _flip_col(F.col("bucket"), i)
+                    for i in range(1, N_HYPERPLANES + 1)
+                ],
             )
         ).alias("pbucket"),
     )
