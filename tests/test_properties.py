@@ -1517,3 +1517,58 @@ def test_multipatch_parse_invariants(parts):
         verts = [v.strip() for v in ring.split(",")]
         assert verts[0] == verts[-1]  # closed
         assert all(len(v.split()) == 3 for v in verts)  # 3-D
+
+
+@given(
+    st.text(alphabet="01", min_size=8, max_size=8),
+    st.integers(min_value=1, max_value=8),
+)
+def test_multiprobe_flip_is_involutive_hamming_one(bucket, i):
+    """The Spark and DuckDB bit-flip expressions both multi-probe LSH and
+    the rerank audit's reachability rule depend on: flipping bit i is a
+    Hamming-1 involution, and the two engines produce the same string."""
+    import duckdb
+
+    from data_preparation_plugin_spark.plans.similarity import _flip_sql
+
+    con = duckdb.connect()
+    flipped = con.execute(
+        f"SELECT {_flip_sql('b', i)} FROM (SELECT ? AS b)", [bucket]
+    ).fetchone()[0]
+    assert len(flipped) == 8
+    assert sum(a != c for a, c in zip(bucket, flipped)) == 1
+    assert flipped[i - 1] != bucket[i - 1]
+    back = con.execute(
+        f"SELECT {_flip_sql('b', i)} FROM (SELECT ? AS b)", [flipped]
+    ).fetchone()[0]
+    assert back == bucket
+
+
+def test_flip_col_matches_flip_sql(spark):
+    """One Spark evaluation of _flip_col per position, value-compared to
+    the DuckDB _flip_sql twin over every 8-bit bucket pattern prefix."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_preparation_plugin_spark.plans.similarity import (
+        N_HYPERPLANES,
+        _flip_col,
+        _flip_sql,
+    )
+
+    buckets = ["00000000", "11111111", "10110010", "01001101"]
+    df = spark.createDataFrame([(b,) for b in buckets], "b string").select(
+        "b",
+        *[
+            _flip_col(F.col("b"), i).alias(f"f{i}")
+            for i in range(1, N_HYPERPLANES + 1)
+        ],
+    )
+    con = duckdb.connect()
+    for row in df.collect():
+        for i in range(1, N_HYPERPLANES + 1):
+            expect = con.execute(
+                f"SELECT {_flip_sql('b', i)} FROM (SELECT ? AS b)", [row.b]
+            ).fetchone()[0]
+            assert row[f"f{i}"] == expect
