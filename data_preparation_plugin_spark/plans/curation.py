@@ -860,3 +860,106 @@ def curation_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("bigint").alias("queue_pos"),
         F.col("n_chars").cast("bigint").alias("n_chars"),
     )
+
+
+@register(
+    "curation_filter_funnel",
+    category="curation",
+    oracle=f"""
+    WITH verdict AS (
+        SELECT * FROM ({_CURATION_ORACLE}) v
+    ), massed AS (
+        SELECT v.status, d.n_chars
+        FROM verdict v JOIN documents d ON v.doc_id = d.doc_id
+    ), staged AS (
+        SELECT CASE status WHEN 'quality'   THEN 1
+                           WHEN 'language'  THEN 2
+                           WHEN 'exact_dup' THEN 3
+                           WHEN 'near_dup'  THEN 4
+                           ELSE 5 END AS stage_idx,
+               status AS stage,
+               CAST(count(*) AS BIGINT)      AS n_docs,
+               CAST(sum(n_chars) AS BIGINT)  AS n_chars
+        FROM massed
+        GROUP BY status
+    )
+    SELECT stage_idx, stage, n_docs, n_chars,
+           CAST(sum(sum(CASE WHEN stage <> 'kept' THEN n_docs ELSE 0 END))
+                    OVER () -
+                sum(sum(CASE WHEN stage <> 'kept' THEN n_docs ELSE 0 END))
+                    OVER (ORDER BY stage_idx)
+              + sum(sum(CASE WHEN stage = 'kept' THEN n_docs ELSE 0 END))
+                    OVER () AS BIGINT)  AS docs_after,
+           CAST(sum(sum(CASE WHEN stage <> 'kept' THEN n_chars ELSE 0 END))
+                    OVER () -
+                sum(sum(CASE WHEN stage <> 'kept' THEN n_chars ELSE 0 END))
+                    OVER (ORDER BY stage_idx)
+              + sum(sum(CASE WHEN stage = 'kept' THEN n_chars ELSE 0 END))
+                    OVER () AS BIGINT)  AS chars_after
+    FROM staged
+    GROUP BY stage_idx, stage, n_docs, n_chars
+    """,
+)
+def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ablation dashboard: per-stage attrition of the curation funnel.
+
+    Every corpus release ships this table — for each gate in pipeline
+    order (quality → language → exact dedup → near dedup → kept), how
+    many documents and how much character mass the stage removed, and
+    what survives *after* it. Survivorship is a running difference over
+    the stage-ordered drop counts, so the rows compose: ``docs_after``
+    of the last drop stage equals the kept count. The verdict is the
+    exact per-document status of ``curation_corpus_status`` (called, not
+    re-implemented), proving the funnel report can never disagree with
+    the row-level audit it summarizes.
+
+    Scale shape: everything heavy is inside the status pipeline (one text
+    scan + the MinHash machinery it already bounds); this adds a join
+    keyed on doc_id to pick up character mass, a 5-group aggregate, and
+    windows over ≤5 rows — free at any corpus size.
+    """
+    status = curation_corpus_status(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    staged = (
+        status.join(docs, "doc_id")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            F.when(F.col("status") == "quality", 1)
+            .when(F.col("status") == "language", 2)
+            .when(F.col("status") == "exact_dup", 3)
+            .when(F.col("status") == "near_dup", 4)
+            .otherwise(5)
+            .alias("stage_idx"),
+            F.col("status").alias("stage"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    dropped_docs = F.when(F.col("stage") != "kept", F.col("n_docs")).otherwise(0)
+    dropped_chars = F.when(F.col("stage") != "kept", F.col("n_chars")).otherwise(0)
+    kept_docs = F.when(F.col("stage") == "kept", F.col("n_docs")).otherwise(0)
+    kept_chars = F.when(F.col("stage") == "kept", F.col("n_chars")).otherwise(0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("stage_idx")
+    return staged.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        "n_chars",
+        (
+            F.sum(dropped_docs).over(w_all)
+            - F.sum(dropped_docs).over(w_cum)
+            + F.sum(kept_docs).over(w_all)
+        ).cast("bigint").alias("docs_after"),
+        (
+            F.sum(dropped_chars).over(w_all)
+            - F.sum(dropped_chars).over(w_cum)
+            + F.sum(kept_chars).over(w_all)
+        ).cast("bigint").alias("chars_after"),
+    )

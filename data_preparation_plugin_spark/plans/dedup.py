@@ -24,6 +24,10 @@ from data_preparation_plugin_spark.functions.text import exploded_shingles
 from data_preparation_plugin_spark.functions.text import shingles as _shingles
 from data_preparation_plugin_spark.functions.text import tokens as tokens_col
 from data_preparation_plugin_spark.plans.registry import load_table, register
+from data_preparation_plugin_spark.plans.text import (
+    URL_CANON_SQL,
+    URL_SYNTH_SQL,
+)
 
 #: MinHash parameters: 8 hash functions in 4 bands of 2 rows.
 #: P(candidate | J) = 1 - (1 - J^2)^4 — ~0.9 at J=0.7, ~0.04 at J=0.1.
@@ -3121,4 +3125,77 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("precision_bp"),
         )
+    )
+
+
+@register(
+    "dedup_url_keep_best",
+    category="dedup",
+    oracle=f"""
+    WITH urls AS ({URL_SYNTH_SQL}
+    ), canon AS (
+        SELECT u.doc_id, d.n_chars,
+               {URL_CANON_SQL}
+        FROM urls u JOIN documents d ON u.doc_id = d.doc_id
+    ), ranked AS (
+        SELECT canonical_url, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY canonical_url
+                   ORDER BY n_chars DESC, doc_id) AS rn
+        FROM canon
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT)                       AS n_docs,
+           max(CASE WHEN rn = 1 THEN doc_id END)          AS kept_doc_id,
+           max(CASE WHEN rn = 1 THEN n_chars END)         AS kept_chars,
+           CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END)
+                AS BIGINT)                                AS chars_dropped
+    FROM ranked
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup with best-document election (the FineWeb recipe).
+
+    Web crawls re-fetch the same page across snapshots; the cheapest
+    high-yield dedup pass groups by *canonical* URL (scheme, ``www.``,
+    tracking query and trailing slash stripped — the exact chain of
+    ``text_url_canonicalize``, imported so the stages cannot drift) and
+    keeps one representative per page: the longest capture, ties broken
+    on doc_id so the election is total and cluster-size-independent.
+    The report carries the dropped character mass per page — the saving
+    a crawl-dedup dashboard shows.
+
+    Scale shape: URL synthesis and canonicalization are projections; the
+    only shuffle keys on canonical_url (bounded skew — a page has at most
+    a few hundred captures; a pathological hot URL is exactly what the
+    ``row_number`` window tolerates since only (doc_id, n_chars) rows
+    move, never text). The window and the final group-by share the same
+    exchange, so Spark plans ONE shuffle total.
+    """
+    from data_preparation_plugin_spark.plans.text import (
+        canonical_url_col,
+        synth_url_col,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        "n_chars",
+        canonical_url_col(synth_url_col()).alias("canonical_url"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("canonical_url").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+    )
+    ranked = canon.withColumn("rn", rn)
+    return ranked.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("kept_chars"),
+        F.sum(
+            F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)
+        ).alias("chars_dropped"),
     )

@@ -1705,3 +1705,101 @@ def sample_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 0 END) + {ASSEMBLY_SEQ_LEN} - 1) div {ASSEMBLY_SEQ_LEN}"
         ).alias("n_sequences"),
     )
+
+
+#: DSIR hashed-feature space: buckets for the n-gram hashing trick. Small
+#: enough that the per-bucket weight table always broadcasts; at 100 TB a
+#: deployment raises it to ~10^4 (the paper's setting) and the plan shape
+#: is unchanged — the weight side stays kilobytes.
+DSIR_BUCKETS = 64
+#: Additive (Laplace) smoothing mass per bucket.
+DSIR_ALPHA = 0.5
+
+
+@register(
+    "sample_dsir_importance",
+    category="sampling",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(unnest(
+                   string_split_regex(trim(lower(text)), '\\s+'))), 1, 8)
+               )::BIGINT % {DSIR_BUCKETS} AS bucket
+        FROM documents
+    ), counts AS (
+        SELECT bucket,
+               count(*) AS cr,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        FROM tok GROUP BY bucket
+    ), totals AS (
+        SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts
+    ), weights AS (
+        SELECT c.bucket,
+               ln((c.ct + {DSIR_ALPHA}) / (t.tt + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+             - ln((c.cr + {DSIR_ALPHA}) / (t.tr + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                   AS w
+        FROM counts c CROSS JOIN totals t
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT)          AS n_tokens,
+           round(sum(weights.w), 4)          AS dsir_logweight,
+           CASE WHEN sum(weights.w) > 0 THEN 1 ELSE 0 END AS selected
+    FROM tok JOIN weights ON tok.bucket = weights.bucket
+    GROUP BY tok.doc_id
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: data selection via importance resampling (Xie et al., 2023).
+
+    The published recipe for steering a raw web corpus toward a target
+    domain without training a classifier: hash every token into a small
+    feature space (the hashing trick), fit bag-of-buckets unigram models
+    for the target slice (here ``lang = 'en'`` — the fixture's stand-in
+    for "looks like Wikipedia") and the raw corpus, and score each
+    document by its log importance weight ``Σ_tokens ln p_target(b) −
+    ln p_raw(b)`` under Laplace smoothing. ``selected`` marks documents
+    whose weight says "more target-like than raw" — the resampling step
+    keeps these (optionally with Gumbel noise; omitted so the score is
+    exactly reproducible).
+
+    Scale shape: one token explode (linear, no text shuffled — only
+    (doc_id, lang, bucket) rows move); ONE map-side-combinable aggregate
+    on {DSIR_BUCKETS} keys computes raw and target counts together
+    (target is a filtered count inside the same pass, not a second scan);
+    the weight table is {DSIR_BUCKETS} rows cross-joined with a 1-row
+    total and broadcast back onto the token stream; the per-doc sum
+    re-uses the doc_id partitioning. Nothing in the plan depends on
+    corpus size except the embarrassingly-parallel map side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from data_preparation_plugin_spark.functions.text import tokens as _toks
+
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(_toks(F.col("text"))).alias("token"),
+    ).select("doc_id", "lang", hash_bucket("token", DSIR_BUCKETS))
+    counts = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    a, b = float(DSIR_ALPHA), DSIR_ALPHA * DSIR_BUCKETS
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + a) / (F.col("tt") + b))
+            - F.log((F.col("cr") + a) / (F.col("tr") + b))
+        ).alias("w"),
+    )
+    return (
+        tok.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("w"), 4).alias("dsir_logweight"),
+            F.when(F.sum("w") > 0, 1).otherwise(0).alias("selected"),
+        )
+    )

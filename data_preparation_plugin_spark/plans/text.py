@@ -679,11 +679,10 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_url_canonicalize",
-    category="text",
-    oracle=r"""
-    WITH urls AS (
+#: Deterministic URL synthesis + canonicalization, shared between
+#: ``text_url_canonicalize`` and ``dedup_url_keep_best`` (plans/dedup.py)
+#: so the two stages can never drift. SQL and Column forms are twins.
+URL_SYNTH_SQL = """
         SELECT doc_id,
                'https://'
                || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
@@ -694,8 +693,9 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ELSE '' END
                || CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END AS url
         FROM documents
-    ), canon AS (
-        SELECT doc_id,
+"""
+
+URL_CANON_SQL = r"""
                regexp_replace(
                    regexp_replace(
                        regexp_replace(
@@ -703,6 +703,51 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                            '^www\.', ''),
                        '\?.*$', ''),
                    '/$', '') AS canonical_url
+"""
+
+
+def synth_url_col() -> Column:
+    """The closed-form fake URL per document (Spark twin of URL_SYNTH_SQL)."""
+    k = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.when(k % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("-"),
+        (k % 7).cast("string"),
+        F.lit(".example.org/page/"),
+        (k % 40).cast("string"),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="), k.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Scheme/www/query/trailing-slash strip (Spark twin of URL_CANON_SQL)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(url, r"^https?://", ""), r"^www\.", ""
+            ),
+            r"\?.*$",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+
+
+@register(
+    "text_url_canonicalize",
+    category="text",
+    oracle=f"""
+    WITH urls AS ({URL_SYNTH_SQL}
+    ), canon AS (
+        SELECT doc_id,
+               {URL_CANON_SQL}
         FROM urls
     )
     SELECT regexp_extract(canonical_url, '^([^/]+)', 1) AS host,
@@ -725,33 +770,9 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly the duplicate mass an URL-level dedup would remove.
     """
     docs = load_table(spark, sf_dir, "documents")
-    k = F.col("doc_id")
-    url = F.concat(
-        F.lit("https://"),
-        F.when(k % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
-        F.col("source"),
-        F.lit("-"),
-        (k % 7).cast("string"),
-        F.lit(".example.org/page/"),
-        (k % 40).cast("string"),
-        F.when(
-            k % 5 == 0,
-            F.concat(F.lit("?utm_source=feed&ref="), k.cast("string")),
-        ).otherwise(F.lit("")),
-        F.when(k % 11 == 0, F.lit("/")).otherwise(F.lit("")),
+    canon = docs.select(
+        canonical_url_col(synth_url_col()).alias("canonical_url")
     )
-    canonical = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(url, r"^https?://", ""), r"^www\.", ""
-            ),
-            r"\?.*$",
-            "",
-        ),
-        r"/$",
-        "",
-    )
-    canon = docs.select(canonical.alias("canonical_url"))
     return (
         canon.groupBy(
             F.regexp_extract("canonical_url", r"^([^/]+)", 1).alias("host")
