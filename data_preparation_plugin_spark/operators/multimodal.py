@@ -553,3 +553,70 @@ def decode_bmp(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     )
     return selected.mapInPandas(_decode_bmp_batches, schema=BMP_META_SCHEMA)
+
+
+#: Schema of :func:`image_entropy_ppm`: dims + histogram entropy signal.
+PPM_ENTROPY_SCHEMA = (
+    "doc_id long, width int, height int, n_bins int, "
+    "n_bins_occupied int, entropy_bits double"
+)
+
+
+def _entropy_ppm_batches(bins: int):
+    """Arrow-batched REAL pixel-histogram entropy over decoded PPMs."""
+
+    def inner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        shift = 8 - (bins.bit_length() - 1)  # 256 values -> `bins` buckets
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, c, px = _parse_ppm(bytes(payload))
+                counts = np.bincount(px >> shift, minlength=bins)
+                n = counts.sum()
+                p = counts[counts > 0] / n
+                entropy = float(-(p * np.log2(p)).sum())
+                rows.append(
+                    (doc_id, w, h, bins, int((counts > 0).sum()), entropy)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_bins",
+                    "n_bins_occupied",
+                    "entropy_bits",
+                ],
+            )
+
+    return inner
+
+
+def image_entropy_ppm(
+    df: DataFrame,
+    bins: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Pixel-histogram entropy of a binary PPM column.
+
+    The cheap blank/flat-image detector a vision-language curation
+    pipeline runs right after decode: bucket the 8-bit pixel values into
+    ``bins`` equal-width bins and report the histogram's Shannon entropy
+    in bits. Near-zero entropy = a solid-color or near-constant capture
+    (dropped before captioning/training); ``bins`` must be a power of
+    two so bucketing is a shift, not a divide.
+    """
+    if bins & (bins - 1) or not 2 <= bins <= 256:
+        raise ValueError(f"bins must be a power of two in [2, 256]: {bins}")
+    from pyspark.sql import functions as F
+
+    selected = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+    return selected.mapInPandas(
+        _entropy_ppm_batches(bins), schema=PPM_ENTROPY_SCHEMA
+    )

@@ -963,3 +963,107 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.sum(kept_chars).over(w_all)
         ).cast("bigint").alias("chars_after"),
     )
+
+
+#: Rater B's lexical-diversity keep gate: distinct-token ratio at least this.
+AGREEMENT_DIVERSITY_MIN = 0.5
+
+
+@register(
+    "curation_annotation_agreement",
+    category="curation",
+    oracle=rf"""
+    WITH rated AS (
+        SELECT doc_id,
+               CASE WHEN len(tokens) BETWEEN 5 AND 1000
+                     AND len(list_filter(tokens, t -> t IN ('the','a','of','and')))
+                         * 1.0 / len(tokens) BETWEEN 0.001 AND 0.5
+                    THEN 1 ELSE 0 END AS rater_a,
+               CASE WHEN len(list_distinct(tokens)) * 1.0 / len(tokens)
+                         >= {AGREEMENT_DIVERSITY_MIN}
+                    THEN 1 ELSE 0 END AS rater_b
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS tokens
+            FROM documents
+        )
+    ), conf AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(rater_a * rater_b) AS BIGINT)             AS n_both_keep,
+               CAST(sum(rater_a * (1 - rater_b)) AS BIGINT)       AS n_a_only,
+               CAST(sum((1 - rater_a) * rater_b) AS BIGINT)       AS n_b_only,
+               CAST(sum((1 - rater_a) * (1 - rater_b)) AS BIGINT) AS n_both_drop,
+               CAST(sum(rater_a) AS BIGINT) AS na,
+               CAST(sum(rater_b) AS BIGINT) AS nb
+        FROM rated
+    )
+    SELECT n_docs, n_both_keep, n_a_only, n_b_only, n_both_drop,
+           (n_both_keep + n_both_drop) * 1.0 / n_docs AS p_observed,
+           (na * nb + (n_docs - na) * (n_docs - nb)) * 1.0
+               / (n_docs * n_docs)                    AS p_expected,
+           ((n_both_keep + n_both_drop) * 1.0 / n_docs
+            - (na * nb + (n_docs - na) * (n_docs - nb)) * 1.0
+                  / (n_docs * n_docs))
+           / (1.0 - (na * nb + (n_docs - na) * (n_docs - nb)) * 1.0
+                  / (n_docs * n_docs))                AS cohens_kappa
+    FROM conf
+    """,
+)
+def curation_annotation_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between two keep gates.
+
+    Before trusting any quality filter, a curation team measures how two
+    independent raters agree beyond chance. Raters here are two
+    deterministic heuristics every corpus already has — rater A is the
+    Gopher-style quality gate (``quality_pass_col``, shared with
+    ``text_quality_score``), rater B a lexical-diversity gate
+    (distinct-token ratio >= ``AGREEMENT_DIVERSITY_MIN``). The output is
+    the full 2x2 confusion plus observed/expected agreement and kappa —
+    the exact report an annotation-QA dashboard renders. Swapping a
+    rater for a human label column leaves the plan untouched.
+
+    Scale shape: both gates are projections over one text scan; the
+    confusion matrix is ONE map-side-combinable aggregate to a single
+    row. Kappa's divisions happen on that one row — identical IEEE ops
+    on identical integers in both engines, so no rounding is needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    diversity = (
+        F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+    )
+    rated = docs.select(
+        quality_pass_col(toks).alias("rater_a"),
+        F.when(diversity >= AGREEMENT_DIVERSITY_MIN, 1)
+        .otherwise(0)
+        .alias("rater_b"),
+    )
+    conf = rated.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("rater_a") * F.col("rater_b")).alias("n_both_keep"),
+        F.sum(F.col("rater_a") * (1 - F.col("rater_b"))).alias("n_a_only"),
+        F.sum((1 - F.col("rater_a")) * F.col("rater_b")).alias("n_b_only"),
+        F.sum((1 - F.col("rater_a")) * (1 - F.col("rater_b"))).alias(
+            "n_both_drop"
+        ),
+        F.sum("rater_a").alias("na"),
+        F.sum("rater_b").alias("nb"),
+    )
+    n = F.col("n_docs")
+    po = (F.col("n_both_keep") + F.col("n_both_drop")) * F.lit(1.0) / n
+    pe = (
+        F.col("na") * F.col("nb")
+        + (n - F.col("na")) * (n - F.col("nb"))
+    ) * F.lit(1.0) / (n * n)
+    return conf.select(
+        "n_docs",
+        "n_both_keep",
+        "n_a_only",
+        "n_b_only",
+        "n_both_drop",
+        po.alias("p_observed"),
+        pe.alias("p_expected"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("cohens_kappa"),
+    )

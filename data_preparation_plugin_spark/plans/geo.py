@@ -598,3 +598,93 @@ def geo_bbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_area_e6"),
         )
     )
+
+
+#: Web-mercator zoom levels the rollup aggregates at (coarse -> fine).
+TILE_ZOOMS = (2, 4, 6)
+#: Mercator latitude clamp (the slippy-map projection's domain edge).
+TILE_MAX_LAT = 85.05112878
+
+
+@register(
+    "geo_tile_rollup",
+    category="geo",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey % 360) - 180
+                   + ((c_custkey * 7919) % 1000) / 1000.0  AS x,
+               ((c_custkey * 31) % 180) - 90
+                   + ((c_custkey * 104729) % 1000) / 1000.0 AS y
+        FROM customer
+    ), zoomed AS (
+        SELECT c_custkey, x,
+               least(greatest(y, -{TILE_MAX_LAT}), {TILE_MAX_LAT}) AS yc,
+               unnest([{", ".join(str(z) for z in TILE_ZOOMS)}]) AS zoom
+        FROM pts
+    )
+    SELECT zoom,
+           CAST(floor((x + 180.0) / 360.0 * (1 << zoom)) AS BIGINT) AS tile_x,
+           CAST(floor((1.0 - ln(tan(radians(yc)) + 1.0 / cos(radians(yc)))
+                           / pi()) / 2.0 * (1 << zoom)) AS BIGINT)  AS tile_y,
+           CAST(count(*) AS BIGINT)      AS n_points,
+           CAST(sum(c_custkey) AS BIGINT) AS custkey_checksum
+    FROM zoomed
+    GROUP BY zoom, tile_x, tile_y
+    """,
+)
+def geo_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map (web-mercator) tile aggregation at multiple zooms.
+
+    The standard spatial rollup behind every map dashboard and geo-tiled
+    dataset layout: project each point to its z/x/y tile at zooms
+    ``TILE_ZOOMS`` and aggregate per tile. The mercator y uses the exact
+    OSM formula ``(1 - ln(tan(lat) + sec(lat))/pi) / 2 * 2^z`` with the
+    projection's +/-85.05° latitude clamp; both engines evaluate the
+    identical transcendental chain, so the floor is deterministic. The
+    integer checksum pins membership — one point in a wrong tile fails
+    the driver hash even if counts collide.
+
+    Scale shape: the zoom fan-out is a bounded in-row explode (x3), tile
+    assignment is a projection, and the aggregate is map-side-combinable
+    on naturally well-spread keys (tiles). At 100 TB this is exactly the
+    pre-aggregation layer a tile server reads; finer zooms only widen
+    the key space, never the shuffle width per key.
+    """
+    k = F.col("c_custkey")
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((k % 360) - 180 + ((k * 7919) % 1000) / 1000.0).alias("x"),
+        (((k * 31) % 180) - 90 + ((k * 104729) % 1000) / 1000.0).alias("y"),
+    )
+    zoomed = pts.select(
+        "c_custkey",
+        "x",
+        F.least(
+            F.greatest(F.col("y"), F.lit(-TILE_MAX_LAT)), F.lit(TILE_MAX_LAT)
+        ).alias("yc"),
+        F.explode(F.array(*[F.lit(z) for z in TILE_ZOOMS])).alias("zoom"),
+    )
+    # pow(2, z) is exact in doubles for these exponents, matching the
+    # oracle's integer (1 << zoom) after implicit double promotion.
+    n_tiles = F.pow(F.lit(2.0), F.col("zoom"))
+    lat = F.radians(F.col("yc"))
+    tile_x = F.floor((F.col("x") + 180.0) / 360.0 * n_tiles)
+    tile_y = F.floor(
+        (1.0 - F.log(F.tan(lat) + 1.0 / F.cos(lat)) / F.lit(3.141592653589793))
+        / 2.0
+        * n_tiles
+    )
+    return (
+        zoomed.select(
+            "c_custkey",
+            F.col("zoom").cast("bigint").alias("zoom"),
+            tile_x.cast("bigint").alias("tile_x"),
+            tile_y.cast("bigint").alias("tile_y"),
+        )
+        .groupBy("zoom", "tile_x", "tile_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("c_custkey").alias("custkey_checksum"),
+        )
+    )

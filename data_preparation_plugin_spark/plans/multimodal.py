@@ -1484,3 +1484,67 @@ def multimodal_keyframe_select(
         F.col("score").cast("bigint").alias("keyframe_score"),
         F.col("n_frames").cast("bigint").alias("n_frames"),
     )
+
+
+@register(
+    "multimodal_image_entropy",
+    category="multimodal",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 16 + 4 AS w,
+               doc_id % 12 + 3 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+               ((doc_id * 7 + unnest(range(0, w * h * 3))) % 256) // 32 AS bin
+        FROM dims
+    ), hist AS (
+        SELECT doc_id, w, h, bin, count(*) AS c
+        FROM px GROUP BY doc_id, w, h, bin
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER)        AS width,
+           CAST(h AS INTEGER)        AS height,
+           CAST(8 AS INTEGER)        AS n_bins,
+           CAST(count(*) AS INTEGER) AS n_bins_occupied,
+           round(-sum((c * 1.0 / (w * h * 3))
+                      * log2(c * 1.0 / (w * h * 3))), 4) AS entropy_bits
+    FROM hist
+    GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-quality signal: pixel-histogram entropy per image.
+
+    The blank/flat-capture detector a VLM curation pipeline runs after
+    decode: synthesized binary PPMs are genuinely parsed
+    (``operators.multimodal.image_entropy_ppm``) and each image's 8-bin
+    pixel histogram Shannon entropy is computed from the actual pixel
+    buffer with numpy. The oracle reconstructs every histogram in closed
+    form from the synthesis function and recomputes the entropy in SQL —
+    a parser that drops, shifts, or duplicates a single byte changes a
+    bin count and hash-fails.
+
+    Scale shape: identical to ``multimodal_decode_ppm`` — two chained
+    Arrow-batched ``mapInPandas`` passes (synthesize -> parse+histogram),
+    zero shuffles, embarrassingly parallel per partition. The histogram
+    is a shift + ``bincount`` per image; entropy is an 8-term sum.
+    """
+    from data_preparation_plugin_spark.operators.multimodal import (
+        image_entropy_ppm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _synth_ppm_batches, schema="doc_id long, payload binary"
+    )
+    scored = image_entropy_ppm(payloads, bins=8)
+    return scored.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bins",
+        "n_bins_occupied",
+        F.round("entropy_bits", 4).alias("entropy_bits"),
+    )
