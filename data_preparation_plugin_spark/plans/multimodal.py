@@ -1489,6 +1489,11 @@ def multimodal_keyframe_select(
 @register(
     "multimodal_image_entropy",
     category="multimodal",
+    scale_note=(
+        "x3.02 at x8 on a 0.57s denominator — zero-shuffle chained Arrow "
+        "map passes; wall tracks decoded pixel bytes sub-linearly vs the "
+        "x8 input (same family as the other sub-second multimodal probes)"
+    ),
     oracle="""
     WITH dims AS (
         SELECT doc_id,

@@ -1779,10 +1779,15 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(_toks(F.col("text"))).alias("token"),
     ).select("doc_id", "lang", hash_bucket("token", DSIR_BUCKETS))
+    # counts feeds BOTH the weight table and the totals scalar; without a
+    # materialization each consumer re-runs the corpus token aggregate —
+    # two full explode+shuffle passes over the corpus for a 64-row
+    # result. The checkpoint is DSIR_BUCKETS rows, never the corpus
+    # (sf0.1 best-of-3 A/B: 1.404s -> 1.076s, bucket exchanges 2 -> 1).
     counts = tok.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
-    )
+    ).localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     )

@@ -493,6 +493,13 @@ PROBES = [
     "sample_corpus_assembly",    # temperature budgets + greedy admission + packing
     "knn_rerank_recall_audit",   # composed two-stage eval, broadcast exact side
     "knn_lsh_multiprobe",        # generated probe keys, bucket equi-join
+    # --- registered r13, second slate ---
+    "sample_dsir_importance",    # token explode + 64-key combined agg + broadcast weights
+    "dedup_url_keep_best",       # canonical-URL window + rollup, one exchange
+    "curation_filter_funnel",    # status pipeline + doc_id join + 5-row windows
+    "curation_annotation_agreement",  # two gate projections, 1-row aggregate
+    "geo_tile_rollup",           # x3 zoom explode + tile-key map-side agg
+    "multimodal_image_entropy",  # chained Arrow synth + bincount entropy
 ]
 
 

@@ -1698,3 +1698,69 @@ def test_profile_columns_expand_agg_stays_hash(spark):
     plan = plan_of(spark, "profile_table_columns")
     assert count(r"\+- Sort ", plan) == 0
     assert count(r"HashAggregate", plan) >= 4
+
+
+def test_dsir_single_corpus_count_pass(spark):
+    """DSIR's 64-row bucket-count aggregate feeds both the weight table
+    and the totals scalar; the checkpoint means the FINAL plan carries
+    zero bucket-keyed exchanges (the scoring pass joins the broadcast
+    weight table and aggregates straight to doc_id — the r13 1.40s ->
+    1.08s fix). Both remaining corpus passes are map-side."""
+    plan = plan_of(spark, "sample_dsir_importance")
+    assert count(r"hashpartitioning\(bucket", plan) == 0
+    assert count(r"CartesianProduct", plan) == 0
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) >= 1
+    assert count(r"Exchange hashpartitioning\(doc_id", plan) == 1
+
+
+def test_url_keep_best_single_exchange_no_text(spark):
+    """The URL dedup plans ONE shuffle (canonical_url, shared by the
+    ranking window and the rollup) and never ships the text column."""
+    plan = plan_of(spark, "dedup_url_keep_best")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"SortMergeJoin|BroadcastHashJoin|CartesianProduct", plan) == 0
+    fmt = plan_of(spark, "dedup_url_keep_best", mode="formatted")
+    exchange_args = [
+        line
+        for line in fmt.splitlines()
+        if line.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert exchange_args and all("text" not in a for a in exchange_args)
+
+
+def test_tile_rollup_single_mapside_agg(spark):
+    """Tile assignment is a projection; the only exchange is the final
+    (zoom, tile_x, tile_y) aggregate with a map-side partial."""
+    plan = plan_of(spark, "geo_tile_rollup")
+    assert count(r"Exchange hashpartitioning", plan) == 1
+    assert count(r"SortMergeJoin|BroadcastHashJoin|CartesianProduct", plan) == 0
+    assert count(r"HashAggregate", plan) >= 2  # partial + final
+
+
+def test_annotation_agreement_single_row_no_wide_exchange(spark):
+    """Both raters are projections over ONE text scan; the confusion
+    matrix collapses through a partial aggregate straight to a single
+    row — no hash-keyed exchange anywhere."""
+    plan = plan_of(spark, "curation_annotation_agreement")
+    assert count(r"Exchange hashpartitioning", plan) == 0
+    assert count(r"Exchange SinglePartition", plan) == 1
+
+
+def test_image_entropy_zero_shuffle_arrow(spark):
+    """Synthesize -> parse+histogram is two chained Arrow map passes;
+    the plan must carry no exchange at all."""
+    plan = plan_of(spark, "multimodal_image_entropy")
+    assert count(r"Exchange", plan) == 0
+    assert count(r"MapInPandas", plan) == 2
+
+
+def test_filter_funnel_composes_status_oracle():
+    """The funnel's oracle embeds the registered per-document verdict's
+    oracle text so the attrition report can never disagree with the
+    row-level audit it summarizes."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.curation import _CURATION_ORACLE
+
+    assert _CURATION_ORACLE.strip() in QUERIES["curation_filter_funnel"].oracle
+    assert _CURATION_ORACLE.strip() in QUERIES["curation_corpus_status"].oracle
