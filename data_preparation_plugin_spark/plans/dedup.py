@@ -3199,3 +3199,121 @@ def dedup_url_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)
         ).alias("chars_dropped"),
     )
+
+
+#: Build-side predicate for the bloom-prefiltered join demo: urgent orders.
+BLOOM_JOIN_PRIORITY = "1-URGENT"
+
+
+@register(
+    "join_bloom_prefilter",
+    category="join",
+    oracle=f"""
+    WITH build AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '{BLOOM_JOIN_PRIORITY}'
+    ), build_bits AS (
+        SELECT DISTINCT p FROM (
+            SELECT unnest([
+                ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT,
+                ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 5, 4))::BIGINT,
+                ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 4))::BIGINT,
+                ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 4))::BIGINT
+            ]) AS p FROM build
+        )
+    ), cand AS (
+        SELECT l_orderkey, l_linestatus,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem
+        WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4))::BIGINT
+                  IN (SELECT p FROM build_bits)
+          AND ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 5, 4))::BIGINT
+                  IN (SELECT p FROM build_bits)
+          AND ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 9, 4))::BIGINT
+                  IN (SELECT p FROM build_bits)
+          AND ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 13, 4))::BIGINT
+                  IN (SELECT p FROM build_bits)
+    ), flagged AS (
+        SELECT c.l_linestatus, c.revenue,
+               EXISTS (SELECT 1 FROM build b
+                       WHERE b.o_orderkey = c.l_orderkey) AS matched
+        FROM cand c
+    )
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_candidate_rows,
+           CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched_rows,
+           round(sum(CASE WHEN matched THEN revenue ELSE 0 END), 2)
+               AS matched_revenue
+    FROM flagged
+    GROUP BY l_linestatus
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction, made explicit.
+
+    The fact-fact join killer at 100 TB is shuffling the probe side
+    before the join discards most of it. The standard repair — what
+    Spark's ``runtime.bloomFilter`` injects when statistics allow — is
+    built here explicitly so the plan is pinned, not optimizer-dependent:
+    the build side's keys are compressed to a fixed 8 KiB bitset
+    (``BLOOM_BITS`` bits, 4 md5-derived positions — the exact machinery
+    of ``dedup_bloom_decontaminate``), the probe scan drops non-members
+    in the map stage, and the exact join runs only over the bloom
+    survivors, removing false positives. The report keeps candidates and
+    matches side by side, so the filter's measured selectivity (and its
+    FP mass = candidates − matches) is part of the checked answer.
+
+    Scale shape: collecting the bitset is bounded by the bit-POSITION
+    space (≤ 2^16 distinct positions no matter how many build keys), so
+    the driver step never grows with data; the probe side sheds
+    non-matching rows before the only key exchange; the exact join then
+    moves candidates only. At production scale m grows to ~10 bits/key
+    (constant per-executor memory either way) and the bitset rides a
+    broadcast variable instead of a literal — same plan shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.filter(
+        F.col("o_orderpriority") == BLOOM_JOIN_PRIORITY
+    ).select("o_orderkey")
+    pcols = [f"p{i}" for i in range(BLOOM_HASHES)]
+    positions = [
+        r.p
+        for r in build.select(
+            *_bloom_position_cols(F.col("o_orderkey").cast("string"))
+        )
+        .select(F.explode(F.array(*pcols)).alias("p"))
+        .distinct()
+        .collect()
+    ]
+    words = [0] * (BLOOM_BITS >> 6)
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linestatus",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        *_bloom_position_cols(F.col("l_orderkey").cast("string")),
+    ).withColumn("bits", F.lit(words))
+    hit = None
+    for c in pcols:
+        bit = F.expr(
+            f"(shiftright(element_at(bits, CAST(({c} div 64) + 1 AS INT)),"
+            f" CAST({c} % 64 AS INT)) & 1) = 1"
+        )
+        hit = bit if hit is None else hit & bit
+    cand = li.filter(hit).select("l_orderkey", "l_linestatus", "revenue")
+    flagged = cand.join(
+        build.withColumn("__hit", F.lit(1)), cand.l_orderkey == build.o_orderkey, "left"
+    )
+    matched = F.col("__hit").isNotNull()
+    return flagged.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_candidate_rows"),
+        F.sum(F.when(matched, 1).otherwise(0)).alias("n_matched_rows"),
+        F.round(
+            F.sum(F.when(matched, F.col("revenue")).otherwise(0.0)), 2
+        ).alias("matched_revenue"),
+    )

@@ -4556,3 +4556,160 @@ def agg_hll_intersection_ie(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.03 * n_union_exact
         ).alias("hll_ie_within_tol"),
     )
+
+
+#: t-closeness threshold: a released QI group's sensitive-value
+#: distribution may differ from the global one by at most this total
+#: variation distance.
+T_CLOSENESS = 0.2
+
+
+@register(
+    "transform_t_closeness",
+    category="transform",
+    oracle=f"""
+    WITH banded AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / {L_DIV_BAND}) AS INT) AS bal_band
+        FROM customer
+    ), cells AS (
+        SELECT c_nationkey, bal_band, c_mktsegment, count(*) AS c_gs
+        FROM banded GROUP BY c_nationkey, bal_band, c_mktsegment
+    ), groups AS (
+        SELECT c_nationkey, bal_band, sum(c_gs) AS n_g
+        FROM cells GROUP BY c_nationkey, bal_band
+    ), seg AS (
+        SELECT c_mktsegment, count(*) AS c_s FROM banded GROUP BY c_mktsegment
+    ), total AS (
+        SELECT count(*) AS n FROM banded
+    ), grid AS (
+        SELECT g.c_nationkey, g.bal_band, g.n_g, s.c_mktsegment, s.c_s, t.n,
+               coalesce(c.c_gs, 0) AS c_gs
+        FROM groups g
+        CROSS JOIN seg s
+        CROSS JOIN total t
+        LEFT JOIN cells c
+          ON c.c_nationkey = g.c_nationkey AND c.bal_band = g.bal_band
+         AND c.c_mktsegment = s.c_mktsegment
+    )
+    SELECT c_nationkey, bal_band,
+           CAST(min(n_g) AS BIGINT)                 AS group_size,
+           CAST(sum(abs(c_gs * n - c_s * n_g)) AS BIGINT) AS tvd_numerator,
+           sum(abs(c_gs * n - c_s * n_g)) / (2.0 * min(n_g) * min(n))
+               AS t_closeness,
+           5 * sum(abs(c_gs * n - c_s * n_g))
+               > 2 * min(n_g) * min(n)              AS breached
+    FROM grid
+    GROUP BY c_nationkey, bal_band
+    """,
+)
+def transform_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit: QI-group sensitive distributions vs the global.
+
+    The attack l-diversity misses: a group can carry l distinct sensitive
+    values yet still leak if its *distribution* is skewed far from the
+    population's (Li et al., ICDE 2007). For the categorical sensitive
+    attribute the prescribed distance is total variation: t(group) =
+    ½ Σ_s |p_group(s) − p_global(s)|. Everything before the final ratio
+    is integer — the per-cell term is |c_gs·N − C_s·n_g| and the breach
+    gate ``5·Σ > 2·n_g·N`` is the exact T=0.2 comparison with no float
+    boundary — so 1000 executors, DuckDB and a laptop agree bit-for-bit.
+    Completes the de-identification quartet (pseudonymize / k-anonymize /
+    l-diversity / this).
+
+    Scale shape: the cells/groups/segment histograms all have
+    QI-domain-bounded cardinality and aggregate map-side; the grid is
+    (bounded groups) x (bounded segments) with two 1-row/5-row broadcast
+    cross joins; the released table itself never shuffles. The integer
+    products stay exact while n_g·N < 2^63 (N ≈ 3·10^9 at worst-case
+    group sizes); past that, cast the term to DECIMAL(38,0) in both
+    engines — same plan, exactness preserved (the pattern
+    ``agg_decimal_exact_revenue`` demonstrates).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    banded = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / L_DIV_BAND).cast("int").alias("bal_band"),
+    )
+    cells = banded.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("c_gs")
+    )
+    groups = cells.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("c_gs").alias("n_g")
+    )
+    seg = banded.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("c_s"))
+    total = banded.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        groups.crossJoin(F.broadcast(seg))
+        .crossJoin(F.broadcast(total))
+        .join(
+            cells,
+            ["c_nationkey", "bal_band", "c_mktsegment"],
+            "left",
+        )
+        .withColumn("c_gs", F.coalesce(F.col("c_gs"), F.lit(0)))
+    )
+    term = F.abs(F.col("c_gs") * F.col("n") - F.col("c_s") * F.col("n_g"))
+    return grid.groupBy("c_nationkey", "bal_band").agg(
+        F.min("n_g").cast("bigint").alias("group_size"),
+        F.sum(term).cast("bigint").alias("tvd_numerator"),
+        (
+            F.sum(term) / (2.0 * F.min("n_g") * F.min("n"))
+        ).alias("t_closeness"),
+        (
+            5 * F.sum(term) > 2 * F.min("n_g") * F.min("n")
+        ).alias("breached"),
+    )
+
+
+@register(
+    "setop_symmetric_diff_all",
+    category="setop",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ), u AS (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), only_f AS (
+        SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM u
+    ), only_u AS (
+        SELECT o_custkey FROM u EXCEPT ALL SELECT o_custkey FROM f
+    ), tagged AS (
+        SELECT o_custkey, 'left_only' AS side FROM only_f
+        UNION ALL
+        SELECT o_custkey, 'right_only' AS side FROM only_u
+    )
+    SELECT o_custkey, side, CAST(count(*) AS BIGINT) AS n
+    FROM tagged
+    GROUP BY o_custkey, side
+    """,
+)
+def setop_symmetric_diff_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag symmetric difference: occurrence-level divergence of two sides.
+
+    The reconciliation primitive table-diff tools are built on: which
+    rows (WITH multiplicity) exist only on one side. ``exceptAll`` in
+    each direction subtracts occurrences, not membership — a customer
+    with 3 fulfilled and 1 urgent order contributes 2 ``left_only``
+    rows — then both residues are tagged and re-counted. Completes the
+    multiset algebra next to ``setop_intersect_all`` (bag ∩) and
+    ``set_ops_multiset`` (one-sided bag −).
+
+    Scale shape: Spark plans each ``exceptAll`` as a count-tagged
+    aggregation + generate (no join, one shuffle on the key), the union
+    is free, and the final rollup reuses the same key partitioning.
+    Both inputs arrive column-pruned from the same scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    u = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    tagged = f.exceptAll(u).withColumn("side", F.lit("left_only")).unionByName(
+        u.exceptAll(f).withColumn("side", F.lit("right_only"))
+    )
+    return tagged.groupBy("o_custkey", "side").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -500,6 +500,9 @@ PROBES = [
     "curation_annotation_agreement",  # two gate projections, 1-row aggregate
     "geo_tile_rollup",           # x3 zoom explode + tile-key map-side agg
     "multimodal_image_entropy",  # chained Arrow synth + bincount entropy
+    "transform_t_closeness",     # bounded QI/segment histograms + grid
+    "join_bloom_prefilter",      # 8KiB bitset map filter + exact join
+    "setop_symmetric_diff_all",  # two count-tagged exceptAll, one key
 ]
 
 

@@ -1764,3 +1764,26 @@ def test_filter_funnel_composes_status_oracle():
 
     assert _CURATION_ORACLE.strip() in QUERIES["curation_filter_funnel"].oracle
     assert _CURATION_ORACLE.strip() in QUERIES["curation_corpus_status"].oracle
+
+
+def test_bloom_prefilter_sheds_before_exchange(spark):
+    """The bloom prefilter must run in the probe scan's map stage: the
+    candidate filter (bitset bit tests) sits below the join, the exact
+    join consumes candidates only, and nothing is cartesian. The bitset
+    rides as a literal, so the filter is visible as shiftright exprs."""
+    plan = plan_of(spark, "join_bloom_prefilter")
+    assert count(r"CartesianProduct", plan) == 0
+    assert count(r"shiftright", plan) >= 4  # all four bit probes map-side
+    # Exactly one aggregation exchange (l_linestatus rollup) plus at most
+    # the join's own requirement — never a full-fact exchange before the
+    # bloom filter.
+    assert count(r"Exchange hashpartitioning", plan) <= 3
+
+
+def test_t_closeness_histograms_broadcast(spark):
+    """All histograms are QI-domain-bounded: the grid joins broadcast
+    (segment 5 rows, total 1 row) and the released table never rides a
+    SortMergeJoin."""
+    plan = plan_of(spark, "transform_t_closeness")
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"BroadcastNestedLoopJoin|BroadcastHashJoin", plan) >= 2
