@@ -877,3 +877,40 @@ def tws_session_finalize(
             timeMode="EventTime",
         )
     )
+
+
+def cms_cell_counts(
+    stream: DataFrame,
+    depth_params: tuple[tuple[int, int], ...],
+    prime: int,
+    width: int,
+    key: str = "user_id",
+) -> DataFrame:
+    """Streaming count-min sketch as a BOUNDED-key aggregation.
+
+    The deployment shape for streaming frequency over an unbounded key
+    space (the per-user stateful processors are flagged ``didactic`` for
+    exactly this reason — their state grows with active keys): each event
+    increments ``depth`` counters chosen by modular hashes, so the whole
+    sketch is a plain streaming group-by over depth x width cells —
+    state bounded by construction, map-side combinable, mergeable across
+    partitions and restarts by addition. No watermark is needed: cells
+    never expire; complete-mode emission returns the current sketch.
+    """
+    dims = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b")
+            )
+            for i, (a, b) in enumerate(depth_params)
+        ]
+    )
+    cells = stream.select(
+        F.explode(dims).alias("d"), F.col(key).alias("k")
+    ).select(
+        F.col("d.i").alias("i"),
+        (
+            (F.col("d.a") * F.col("k") + F.col("d.b")) % prime % width
+        ).alias("bucket"),
+    )
+    return cells.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))

@@ -503,6 +503,7 @@ PROBES = [
     "transform_t_closeness",     # bounded QI/segment histograms + grid
     "join_bloom_prefilter",      # 8KiB bitset map filter + exact join
     "setop_symmetric_diff_all",  # two count-tagged exceptAll, one key
+    "events_stream_cms_topk",    # 384-cell streaming sketch + batch probe
 ]
 
 

@@ -1572,3 +1572,64 @@ def test_flip_col_matches_flip_sql(spark):
                 f"SELECT {_flip_sql('b', i)} FROM (SELECT ? AS b)", [row.b]
             ).fetchone()[0]
             assert row[f"f{i}"] == expect
+
+
+# URL-ish strings for the canonicalization property: structured URLs plus
+# printable-ASCII junk. Newlines are excluded BY CONTRACT: Java's default
+# `$` matches before a final line terminator while RE2's matches only at
+# end-of-text, so a trailing-newline "URL" is outside the domain the two
+# engines can agree on (and outside any real URL column).
+_url_host = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789.-", min_size=1, max_size=12
+)
+_url_structured = st.builds(
+    lambda scheme, www, host, path, query, slash: (
+        scheme + www + host + path + query + slash
+    ),
+    st.sampled_from(["", "http://", "https://", "ftp://"]),
+    st.sampled_from(["", "www.", "www.www.", "wwww."]),
+    _url_host,
+    st.text(alphabet="abc/0?", max_size=10).map(lambda p: "/" + p if p else ""),
+    st.sampled_from(["", "?", "?a=1", "?a=1&b=2?c", "??"]),
+    st.sampled_from(["", "/", "//"]),
+)
+_url_junk = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126
+    ),
+    max_size=24,
+)
+_urls = st.lists(
+    st.one_of(_url_structured, _url_junk), min_size=1, max_size=24
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_urls)
+def test_url_canonicalization_engines_agree(spark, urls):
+    """`dedup_url_keep_best` / `text_url_canonicalize` share one
+    canonicalization chain with SQL and Column twins; both engines must
+    rewrite ANY newline-free string identically (scheme, www., query,
+    trailing slash — including pathological stacks like `www.www.`,
+    `??`, and junk that is not a URL at all)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_preparation_plugin_spark.plans.text import (
+        URL_CANON_SQL,
+        canonical_url_col,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        canonical_url_col(F.col("url")).alias("c")
+    )
+    got = [r.c for r in df.collect()]
+    con = duckdb.connect()
+    expect = [
+        con.execute(
+            f"SELECT {URL_CANON_SQL} FROM (SELECT ? AS url)", [u]
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert got == expect
