@@ -1067,3 +1067,107 @@ def curation_annotation_agreement(
         pe.alias("p_expected"),
         ((po - pe) / (F.lit(1.0) - pe)).alias("cohens_kappa"),
     )
+
+
+#: Near-dup admission threshold for the incremental ingest: candidates at
+#: or above this signature-estimated Jaccard (basis points) are dropped.
+INCR_NEAR_BP = 5000
+
+
+def _incremental_ingest_oracle() -> str:
+    from data_preparation_plugin_spark.plans.dedup import INCR_MINHASH_MOD
+    from data_preparation_plugin_spark.plans.registry import QUERIES
+
+    return rf"""
+    WITH near AS (
+        SELECT DISTINCT new_doc_id AS doc_id
+        FROM ({QUERIES["dedup_minhash_incremental"].oracle}) m
+        WHERE est_jaccard_bp >= {INCR_NEAR_BP}
+    ), idx AS (
+        SELECT DISTINCT md5(text) AS fp
+        FROM documents WHERE doc_id % {INCR_MINHASH_MOD} <> 0
+    ), new AS (
+        SELECT doc_id, source, md5(text) AS fp,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM documents WHERE doc_id % {INCR_MINHASH_MOD} = 0
+    )
+    SELECT n.doc_id, n.source,
+           CASE WHEN NOT (len(n.tokens) BETWEEN 5 AND 1000
+                     AND len(list_filter(n.tokens,
+                                         t -> t IN ('the','a','of','and')))
+                         * 1.0 / len(n.tokens) BETWEEN 0.001 AND 0.5)
+                THEN 'quality'
+                WHEN i.fp IS NOT NULL THEN 'exact_dup_archive'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_dup_archive'
+                ELSE 'admitted' END AS status
+    FROM new n
+    LEFT JOIN idx i ON n.fp = i.fp
+    LEFT JOIN near nr ON n.doc_id = nr.doc_id
+    """
+
+
+@register(
+    "curation_incremental_ingest",
+    category="curation",
+    oracle=_incremental_ingest_oracle(),
+)
+def curation_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monthly production run: one crawl increment, end to end.
+
+    ``curation_corpus_status`` is the one-shot bootstrap funnel; this is
+    the shape every month AFTER that — only the new snapshot
+    (``doc_id % INCR_MINHASH_MOD == 0``, the registered incremental
+    split) is scored, against the standing archive's indexes: the
+    quality gate (cheapest first, shared column builder), the archive's
+    exact-fingerprint index (digest equi-join, the
+    ``dedup_incremental_new_docs`` shape), and the archive's LSH band
+    index — REUSED by calling ``dedup_minhash_incremental`` and gating
+    its signature-estimated Jaccard at INCR_NEAR_BP, so the fuzzy stage
+    can never drift from the registered probe (its oracle text is
+    embedded the same way). First failing gate names the drop reason;
+    survivors are ``admitted``.
+
+    Scale shape: cost is proportional to the NEW batch plus its
+    collision set — quality is a projection, the exact index join moves
+    16-byte digests, and the fuzzy probe inherits the incremental
+    query's batch-proportional band join. The archive text is read only
+    to build indexes that production would have materialized already.
+    """
+    from data_preparation_plugin_spark.plans.dedup import (
+        INCR_MINHASH_MOD,
+        dedup_minhash_incremental,
+    )
+
+    near = (
+        dedup_minhash_incremental(spark, sf_dir)
+        .filter(F.col("est_jaccard_bp") >= INCR_NEAR_BP)
+        .select(F.col("new_doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    is_new = F.col("doc_id") % INCR_MINHASH_MOD == 0
+    new = docs.filter(is_new).select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("fp"),
+        quality_pass_col(toks).alias("quality_pass"),
+    )
+    idx = (
+        docs.filter(~is_new)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .withColumn("__exact", F.lit(1))
+    )
+    status = (
+        F.when(F.col("quality_pass") == 0, "quality")
+        .when(F.col("__exact").isNotNull(), "exact_dup_archive")
+        .when(F.col("__near").isNotNull(), "near_dup_archive")
+        .otherwise("admitted")
+    )
+    return (
+        new.join(idx, "fp", "left")
+        .join(near, "doc_id", "left")
+        .select("doc_id", "source", status.alias("status"))
+    )

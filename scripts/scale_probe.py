@@ -504,6 +504,7 @@ PROBES = [
     "join_bloom_prefilter",      # 8KiB bitset map filter + exact join
     "setop_symmetric_diff_all",  # two count-tagged exceptAll, one key
     "events_stream_cms_topk",    # 384-cell streaming sketch + batch probe
+    "curation_incremental_ingest",  # batch-proportional monthly increment
 ]
 
 

@@ -1787,3 +1787,13 @@ def test_t_closeness_histograms_broadcast(spark):
     plan = plan_of(spark, "transform_t_closeness")
     assert count(r"SortMergeJoin", plan) == 0
     assert count(r"BroadcastNestedLoopJoin|BroadcastHashJoin", plan) >= 2
+
+
+def test_incremental_ingest_composes_registered_probe():
+    """The monthly-increment pipeline's fuzzy stage must BE the
+    registered incremental LSH probe: builder composition is by call,
+    oracle composition by text embedding — neither can drift."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    ingest = QUERIES["curation_incremental_ingest"].oracle
+    assert QUERIES["dedup_minhash_incremental"].oracle.strip() in ingest
