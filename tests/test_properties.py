@@ -1633,3 +1633,99 @@ def test_url_canonicalization_engines_agree(spark, urls):
         for u in urls
     ]
     assert got == expect
+
+
+def test_dsir_importance_invariants(spark):
+    """DSIR's score is a log likelihood ratio: `selected` must equal
+    sign(logweight) exactly, and the target slice (lang='en') must score
+    higher on average than the rest — the separation the resampling
+    step exists to exploit."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.registry import load_table
+
+    from conftest import SF_DIR
+
+    scored = {
+        r.doc_id: r
+        for r in QUERIES["sample_dsir_importance"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert set(scored) == set(langs)
+    for r in scored.values():
+        assert (r.selected == 1) == (r.dsir_logweight > 0), r
+    en = [r.dsir_logweight for d, r in scored.items() if langs[d] == "en"]
+    rest = [r.dsir_logweight for d, r in scored.items() if langs[d] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_t_closeness_bounds_and_global_consistency(spark):
+    """Total variation distance is in [0, 1]; the breach flag must agree
+    with the exact integer gate; and group sizes must sum to the table."""
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.registry import load_table
+
+    from conftest import SF_DIR
+
+    rows = QUERIES["transform_t_closeness"].builder(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r.group_size for r in rows) == n
+    for r in rows:
+        assert 0.0 <= r.t_closeness <= 1.0, r
+        assert r.breached == (5 * r.tvd_numerator > 2 * r.group_size * n), r
+
+
+def test_bloom_prefilter_candidates_superset_of_matches(spark):
+    """The bloom filter's error is one-sided: candidates >= matches per
+    group, and the matched side must equal the plain semi-join answer."""
+    from pyspark.sql import functions as F
+
+    from data_preparation_plugin_spark.plans import QUERIES
+    from data_preparation_plugin_spark.plans.dedup import (
+        BLOOM_JOIN_PRIORITY,
+    )
+    from data_preparation_plugin_spark.plans.registry import load_table
+
+    from conftest import SF_DIR
+
+    rows = QUERIES["join_bloom_prefilter"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_candidate_rows >= r.n_matched_rows, r
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == BLOOM_JOIN_PRIORITY
+    )
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        (r.l_linestatus, r.n): None
+        for r in li.join(
+            orders, li.l_orderkey == orders.o_orderkey, "left_semi"
+        )
+        .groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r.l_linestatus, r.n_matched_rows) for r in rows}
+    assert got == set(exact)
+
+
+def test_stream_cms_estimate_one_sided_and_tight(spark):
+    """CMS error is one-sided (estimate >= exact) and bounded by the
+    sketch's collision mass; on this fixture the top-K overcounts stay
+    small relative to the exact counts."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    from conftest import SF_DIR
+
+    rows = QUERIES["events_stream_cms_topk"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.overcount >= 0, r
+        assert r.cms_estimate == r.exact_count + r.overcount, r
