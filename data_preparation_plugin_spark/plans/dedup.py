@@ -3317,3 +3317,134 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(matched, F.col("revenue")).otherwise(0.0)), 2
         ).alias("matched_revenue"),
     )
+
+
+#: Content-defined chunking: hash window (bytes of text hashed per
+#: position) and the boundary modulus (expected chunk length ~CDC_MOD).
+CDC_WINDOW = 8
+CDC_MOD = 16
+
+
+@register(
+    "dedup_cdc_chunks",
+    category="dedup",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lower(text) AS s, length(lower(text)) AS n
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, s, n,
+               list_prepend(1, CASE WHEN n - {CDC_WINDOW} + 1 >= 2 THEN
+                   list_filter(
+                       range(2, n - {CDC_WINDOW} + 2),
+                       i -> ('0x' || substr(md5(substr(s, i, {CDC_WINDOW})),
+                                            1, 4))::BIGINT % {CDC_MOD} = 0)
+                   ELSE [] END) AS st
+        FROM base
+    ), chunks AS (
+        SELECT doc_id, n,
+               unnest(list_transform(
+                   range(1, len(st) + 1),
+                   k -> md5(substr(s, st[k],
+                            (CASE WHEN k < len(st) THEN st[k + 1]
+                                  ELSE n + 1 END) - st[k])))) AS chunk_digest,
+               unnest(list_transform(
+                   range(1, len(st) + 1),
+                   k -> (CASE WHEN k < len(st) THEN st[k + 1]
+                              ELSE n + 1 END) - st[k])) AS chunk_len
+        FROM starts
+    ), spread AS (
+        SELECT chunk_digest, count(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY chunk_digest
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN sp.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(sum(CASE WHEN sp.n_docs >= 2 THEN c.chunk_len ELSE 0 END)
+               AS BIGINT) AS dup_chars
+    FROM chunks c JOIN spread sp ON c.chunk_digest = sp.chunk_digest
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: insertion-robust duplicated-chunk mass.
+
+    The storage-dedup primitive (LBFS, Muthitacharoen et al. 2001) the
+    fixed-shingle families can't replicate: chunk boundaries are placed
+    where a rolling content hash hits ``0 mod CDC_MOD``, so inserting a
+    sentence shifts ONE chunk's digest while every other chunk re-aligns
+    — unlike fixed-width blocks, where one insertion re-keys the whole
+    tail. Each document is cut at its content-defined boundaries, chunks
+    are digest-hashed, and the cross-document spread of each digest
+    yields the duplicated-chunk mass per doc (the bytes a chunk-level
+    store would dedupe away). md5-per-position stands in for the gear /
+    Rabin rolling hash (engine-identical, so the WHOLE construction is
+    oracle-checked); production swaps in an O(1)-per-byte rolling hash
+    inside the same plan.
+
+    Scale shape: boundary detection and chunking are in-row HOFs over
+    one text scan — zero shuffle until (doc_id, 16-byte digest, len)
+    rows; the spread aggregate is map-side combinable on well-spread
+    digest keys and joins back digest-keyed. Text never rides an
+    exchange. Cost is per-byte on the map side — the honest price of
+    CDC anywhere — and embarrassingly parallel.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.lower(F.col("text")).alias("s"),
+        F.length(F.lower(F.col("text"))).alias("n"),
+    )
+    starts = base.withColumn(
+        "st",
+        F.expr(
+            f"""
+            concat(array(1), CASE WHEN n - {CDC_WINDOW} + 1 >= 2 THEN
+                filter(
+                    transform(sequence(2, n - {CDC_WINDOW} + 1),
+                              i -> CASE WHEN
+                                   conv(substring(md5(substring(s, i,
+                                        {CDC_WINDOW})), 1, 4), 16, 10)
+                                       % {CDC_MOD} = 0
+                                   THEN i END),
+                    x -> x IS NOT NULL)
+                ELSE array() END)
+            """
+        ),
+    )
+    chunks = starts.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                transform(sequence(1, size(st)),
+                          k -> struct(
+                              md5(substring(s, element_at(st, k),
+                                  (CASE WHEN k < size(st)
+                                        THEN element_at(st, k + 1)
+                                        ELSE n + 1 END)
+                                  - element_at(st, k))) AS chunk_digest,
+                              (CASE WHEN k < size(st)
+                                    THEN element_at(st, k + 1)
+                                    ELSE n + 1 END)
+                              - element_at(st, k) AS chunk_len))
+                """
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_digest", "c.chunk_len")
+    spread = chunks.groupBy("chunk_digest").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = F.col("n_docs") >= 2
+    return (
+        chunks.join(spread, "chunk_digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("chunk_len")).otherwise(0)).alias(
+                "dup_chars"
+            ),
+        )
+    )

@@ -505,6 +505,7 @@ PROBES = [
     "setop_symmetric_diff_all",  # two count-tagged exceptAll, one key
     "events_stream_cms_topk",    # 384-cell streaming sketch + batch probe
     "curation_incremental_ingest",  # batch-proportional monthly increment
+    "dedup_cdc_chunks",          # in-row CDC boundaries + digest spread
 ]
 
 
