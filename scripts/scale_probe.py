@@ -506,6 +506,7 @@ PROBES = [
     "events_stream_cms_topk",    # 384-cell streaming sketch + batch probe
     "curation_incremental_ingest",  # batch-proportional monthly increment
     "dedup_cdc_chunks",          # in-row CDC boundaries + digest spread
+    "text_template_cluster",     # in-codegen skeleton mask + digest agg
 ]
 
 
