@@ -2197,11 +2197,13 @@ _ROCKSDB_PROVIDER = (
 # point ops stay per-active-user — hence tws_bucketed's ×3.0 floor.
 #
 # DEFAULTS, loudest first (each registered, same oracle family):
-#   0. If the per-key answer tolerates a one-sided sketch error, don't
-#      key state by user at all: a mergeable sketch turns the problem
-#      into a BOUNDED-key streaming aggregate (``events_stream_cms_topk``,
-#      r13: 3x128 cells whatever the user cardinality, ×1.16 probe —
-#      both cost terms vanish because B and A are the constant cell count).
+#   0. If the per-key answer tolerates sketch-bounded error, don't key
+#      state by user at all: a mergeable sketch turns the problem into a
+#      BOUNDED-key streaming aggregate (``events_stream_cms_topk``, r13:
+#      3x128 CMS cells whatever the user cardinality, ×1.16 probe;
+#      ``events_stream_quantile_sketch``, r13: 5x32 histogram cells for
+#      percentile dashboards, ×0.85 — both cost terms vanish because B
+#      and A are the constant cell count).
 #   1. Built-in windowed/tumbling agg — ×1.0 flat probe
 #      (``events_stream_windowed_rollup`` 2.8s@×1 → 2.8s@×8), ~12×
 #      cheaper than per-user v2 at ×8. Use unless per-key logic is
@@ -4844,4 +4846,109 @@ def events_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cms_estimate"), "user_id")
         .limit(STREAM_CMS_TOP_K)
+    )
+
+
+#: Streaming histogram-quantile geometry: bin width x bin count covers the
+#: fixture's value range (0, 500]; state is 5 event types x 32 bins.
+HIST_BIN_W = 16.0
+HIST_BINS = 32
+#: Percentiles the dashboard reports (basis: per-type event counts).
+HIST_PCTS = (50, 95, 99)
+
+
+@register(
+    "events_stream_quantile_sketch",
+    category="streaming",
+    oracle=f"""
+    WITH hist AS (
+        SELECT event_type,
+               least(CAST(floor(value / {HIST_BIN_W}) AS BIGINT),
+                     {HIST_BINS - 1}) AS bin,
+               count(*) AS c
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type, bin
+    ), cum AS (
+        SELECT event_type, bin, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS total
+        FROM hist
+    )
+    SELECT event_type,
+           CAST(max(total) AS BIGINT) AS n_events,
+           min(CASE WHEN cum * 100 >= 50 * total
+                    THEN CAST((bin + 1) * {HIST_BIN_W} AS DOUBLE)
+               END) AS p50_edge,
+           min(CASE WHEN cum * 100 >= 95 * total
+                    THEN CAST((bin + 1) * {HIST_BIN_W} AS DOUBLE)
+               END) AS p95_edge,
+           min(CASE WHEN cum * 100 >= 99 * total
+                    THEN CAST((bin + 1) * {HIST_BIN_W} AS DOUBLE)
+               END) AS p99_edge
+    FROM cum
+    GROUP BY event_type
+    """,
+)
+def events_stream_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming percentile dashboard from mergeable histogram state.
+
+    The quantile member of the bounded-sketch-state family
+    (``events_stream_cms_topk`` is the frequency member): per-(type, bin)
+    counts are the ONLY streaming state — 5x32 cells whatever the event
+    volume, mergeable by addition, no per-key value buffering, no
+    watermark. The replayed histogram yields upper-bin-edge estimates
+    for p50/p95/p99 via an integer cumulative gate (``cum·100 ≥ q·total``
+    — no float quantile boundary), so the whole dashboard is
+    hash-checked against the batch histogram the oracle builds from the
+    same rows. Estimates are exact to bin resolution by construction —
+    the error bound a histogram sketch PROMISES — so both engines agree
+    bit-for-bit.
+
+    Scale shape: the stream side shuffles at most types x bins cells per
+    micro-batch; the batch-side quantile walk is a window over ≤160 rows.
+    At production scale, bins grow to ~100-1000 (t-digest territory) and
+    the state stays kilobytes.
+    """
+    from data_preparation_plugin_spark.streaming import (
+        events_stream,
+        histogram_cell_counts,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    hist = _replay(
+        spark,
+        "events_stream_quantile_sketch",
+        histogram_cell_counts(
+            events_stream(spark, staged, max_files_per_trigger=2),
+            HIST_BIN_W,
+            HIST_BINS,
+        ),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    def edge(q: int):
+        return F.min(
+            F.when(
+                F.col("cum") * 100 >= q * F.col("total"),
+                (F.col("bin") + 1) * HIST_BIN_W,
+            )
+        )
+    return cum.groupBy("event_type").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        edge(50).alias("p50_edge"),
+        edge(95).alias("p95_edge"),
+        edge(99).alias("p99_edge"),
     )

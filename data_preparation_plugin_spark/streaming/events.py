@@ -914,3 +914,31 @@ def cms_cell_counts(
         ).alias("bucket"),
     )
     return cells.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def histogram_cell_counts(
+    stream: DataFrame,
+    bin_width: float,
+    n_bins: int,
+    key: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """Streaming value histogram as a BOUNDED-key aggregation.
+
+    The quantile twin of :func:`cms_cell_counts`: per-(key, bin) counts
+    are mergeable across partitions, micro-batches and restarts by
+    addition, so streaming percentile dashboards need no per-key value
+    state at all — state is ``keys x n_bins`` cells whatever the event
+    volume. NULL values are dropped explicitly (the two engines order
+    NULL bins differently; a real pipeline routes them to a quarantine
+    metric instead).
+    """
+    bin_col = F.least(
+        F.floor(F.col(value) / bin_width), F.lit(n_bins - 1)
+    ).cast("long")
+    return (
+        stream.filter(F.col(value).isNotNull())
+        .select(F.col(key), bin_col.alias("bin"))
+        .groupBy(key, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

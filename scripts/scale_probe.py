@@ -507,6 +507,7 @@ PROBES = [
     "curation_incremental_ingest",  # batch-proportional monthly increment
     "dedup_cdc_chunks",          # in-row CDC boundaries + digest spread
     "text_template_cluster",     # in-codegen skeleton mask + digest agg
+    "events_stream_quantile_sketch",  # 5x32-cell histogram state + walk
 ]
 
 
