@@ -366,3 +366,38 @@ def test_tws_gate_reports_cleanly_without_protobuf(spark, events_dir):
     )
     with pytest.raises(Exception, match="protobuf|STREAM|crashed"):
         run_to_memory(stream, "t_tws_gate", spark, output_mode="update")
+
+
+def test_sketch_cells_merge_across_micro_batch_sizes(spark, events_dir):
+    """The sketch-state contract: CMS and histogram cells must be
+    mergeable by addition, so replaying the same data in 1-file vs
+    4-file micro-batches (4 merges vs 1) yields IDENTICAL cells — the
+    property that makes restart/scale-out safe by construction."""
+    from data_preparation_plugin_spark.plans.events import (
+        HIST_BIN_W,
+        HIST_BINS,
+        STREAM_CMS_PARAMS,
+        STREAM_CMS_PRIME,
+        STREAM_CMS_WIDTH,
+    )
+    from data_preparation_plugin_spark.streaming import (
+        cms_cell_counts,
+        histogram_cell_counts,
+    )
+
+    def replay(builder, name, n_files):
+        stream = builder(
+            events_stream(spark, events_dir, max_files_per_trigger=n_files)
+        )
+        got = run_to_memory(
+            stream, f"t_sketch_{name}_{n_files}", spark,
+            output_mode="complete",
+        )
+        return sorted(tuple(r) for r in got.collect())
+
+    cms = lambda s: cms_cell_counts(
+        s, STREAM_CMS_PARAMS, STREAM_CMS_PRIME, STREAM_CMS_WIDTH
+    )
+    hist = lambda s: histogram_cell_counts(s, HIST_BIN_W, HIST_BINS)
+    assert replay(cms, "cms", 1) == replay(cms, "cms", 4)
+    assert replay(hist, "hist", 1) == replay(hist, "hist", 4)
