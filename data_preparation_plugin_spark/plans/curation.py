@@ -42,6 +42,7 @@ from data_preparation_plugin_spark.plans.dedup import (
 from data_preparation_plugin_spark.plans.registry import load_table, register
 from data_preparation_plugin_spark.plans.text import (
     LANG_MARKERS,
+    QUALITY_GATE_SQL,
     predicted_lang_col,
     quality_pass_col,
 )
@@ -93,9 +94,7 @@ _CURATION_ORACLE = (
     ),
     gates AS (
         SELECT doc_id, fingerprint,
-               CASE WHEN len(tokens) BETWEEN 5 AND 1000
-                     AND len(list_filter(tokens, t -> t IN ('the','a','of','and')))
-                         * 1.0 / len(tokens) BETWEEN 0.001 AND 0.5
+               CASE WHEN {QUALITY_GATE_SQL}
                     THEN 1 ELSE 0 END AS quality_pass,
                {_scores_sql()}
         FROM feat
@@ -884,20 +883,13 @@ def curation_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY status
     )
     SELECT stage_idx, stage, n_docs, n_chars,
-           CAST(sum(sum(CASE WHEN stage <> 'kept' THEN n_docs ELSE 0 END))
-                    OVER () -
-                sum(sum(CASE WHEN stage <> 'kept' THEN n_docs ELSE 0 END))
-                    OVER (ORDER BY stage_idx)
-              + sum(sum(CASE WHEN stage = 'kept' THEN n_docs ELSE 0 END))
-                    OVER () AS BIGINT)  AS docs_after,
-           CAST(sum(sum(CASE WHEN stage <> 'kept' THEN n_chars ELSE 0 END))
-                    OVER () -
-                sum(sum(CASE WHEN stage <> 'kept' THEN n_chars ELSE 0 END))
-                    OVER (ORDER BY stage_idx)
-              + sum(sum(CASE WHEN stage = 'kept' THEN n_chars ELSE 0 END))
-                    OVER () AS BIGINT)  AS chars_after
+           CAST(sum(n_docs) OVER () -
+                sum(CASE WHEN stage <> 'kept' THEN n_docs ELSE 0 END)
+                    OVER (ORDER BY stage_idx) AS BIGINT)  AS docs_after,
+           CAST(sum(n_chars) OVER () -
+                sum(CASE WHEN stage <> 'kept' THEN n_chars ELSE 0 END)
+                    OVER (ORDER BY stage_idx) AS BIGINT)  AS chars_after
     FROM staged
-    GROUP BY stage_idx, stage, n_docs, n_chars
     """,
 )
 def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,10 +931,10 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("bigint").alias("n_chars"),
         )
     )
+    # Survivorship after stage i = total − cumulative drops through i
+    # (the kept row drops nothing, so its "after" is the kept count).
     dropped_docs = F.when(F.col("stage") != "kept", F.col("n_docs")).otherwise(0)
     dropped_chars = F.when(F.col("stage") != "kept", F.col("n_chars")).otherwise(0)
-    kept_docs = F.when(F.col("stage") == "kept", F.col("n_docs")).otherwise(0)
-    kept_chars = F.when(F.col("stage") == "kept", F.col("n_chars")).otherwise(0)
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -953,14 +945,10 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_chars",
         (
-            F.sum(dropped_docs).over(w_all)
-            - F.sum(dropped_docs).over(w_cum)
-            + F.sum(kept_docs).over(w_all)
+            F.sum("n_docs").over(w_all) - F.sum(dropped_docs).over(w_cum)
         ).cast("bigint").alias("docs_after"),
         (
-            F.sum(dropped_chars).over(w_all)
-            - F.sum(dropped_chars).over(w_cum)
-            + F.sum(kept_chars).over(w_all)
+            F.sum("n_chars").over(w_all) - F.sum(dropped_chars).over(w_cum)
         ).cast("bigint").alias("chars_after"),
     )
 
@@ -975,9 +963,7 @@ AGREEMENT_DIVERSITY_MIN = 0.5
     oracle=rf"""
     WITH rated AS (
         SELECT doc_id,
-               CASE WHEN len(tokens) BETWEEN 5 AND 1000
-                     AND len(list_filter(tokens, t -> t IN ('the','a','of','and')))
-                         * 1.0 / len(tokens) BETWEEN 0.001 AND 0.5
+               CASE WHEN {QUALITY_GATE_SQL}
                     THEN 1 ELSE 0 END AS rater_a,
                CASE WHEN len(list_distinct(tokens)) * 1.0 / len(tokens)
                          >= {AGREEMENT_DIVERSITY_MIN}
@@ -1092,10 +1078,7 @@ def _incremental_ingest_oracle() -> str:
         FROM documents WHERE doc_id % {INCR_MINHASH_MOD} = 0
     )
     SELECT n.doc_id, n.source,
-           CASE WHEN NOT (len(n.tokens) BETWEEN 5 AND 1000
-                     AND len(list_filter(n.tokens,
-                                         t -> t IN ('the','a','of','and')))
-                         * 1.0 / len(n.tokens) BETWEEN 0.001 AND 0.5)
+           CASE WHEN NOT ({QUALITY_GATE_SQL.replace('tokens', 'n.tokens')})
                 THEN 'quality'
                 WHEN i.fp IS NOT NULL THEN 'exact_dup_archive'
                 WHEN nr.doc_id IS NOT NULL THEN 'near_dup_archive'

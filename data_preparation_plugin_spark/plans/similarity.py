@@ -2503,6 +2503,52 @@ def _flip_col(col: Column, i: int) -> Column:
     )
 
 
+#: Oracle-side probe fan-out shared by ``knn_lsh_multiprobe`` and the
+#: rerank pipeline's recall stage: the query's own bucket plus every
+#: Hamming-1 flip, as a UNION over the ``q`` CTE. ONE definition (r13
+#: review) so a probe-rule change cannot desynchronize the pipeline
+#: from the standalone index query; :func:`_multiprobe_scored` is the
+#: Spark twin.
+_PROBE_UNIONS_SQL = "".join(
+    f" UNION ALL SELECT query_id, qv, {_flip_sql('qbucket', i)} FROM q"
+    for i in range(1, N_HYPERPLANES + 1)
+)
+
+
+def _multiprobe_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared multi-probe recall stage (Spark side of _PROBE_UNIONS_SQL).
+
+    Bucketed corpus; per query the bucket plus every Hamming-1 flip is
+    GENERATED as 1 + N_HYPERPLANES probe keys and exploded on the (tiny,
+    broadcast) probe side, so the candidate fetch stays a bucket
+    EQUI-join; each candidate carries its rounded cosine. Consumers add
+    their own ranking window (`knn_lsh_multiprobe`: top-K report; the
+    rerank pipeline: RERANK_SHORTLIST recall stage)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bucket", _bucket_col(F.col("v")))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    _flip_col(F.col("bucket"), i)
+                    for i in range(1, N_HYPERPLANES + 1)
+                ],
+            )
+        ).alias("pbucket"),
+    )
+    return emb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("pbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+
+
 #: Two-stage retrieval: the ANN index proposes RERANK_SHORTLIST
 #: candidates per query (recall stage); a cross-feature scorer re-orders
 #: just those rows (precision stage). The fusion weight mixes vector
@@ -2566,10 +2612,7 @@ RERANK_SHORTLIST = 20
     WHERE rn <= {TOP_K}
     """.replace("{bucket_sql}", _bucket_sql("embedding::DOUBLE[]")).replace(
         "{probe_unions}",
-        "".join(
-            f" UNION ALL SELECT query_id, qv, {_flip_sql('qbucket', i)} FROM q"
-            for i in range(1, N_HYPERPLANES + 1)
-        ),
+        _PROBE_UNIONS_SQL,
     ),
 )
 def knn_rerank_crossfeatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2605,34 +2648,11 @@ def knn_rerank_crossfeatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_preparation_plugin_spark.functions.text import tokens as _toks
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn("bucket", _bucket_col(F.col("v")))
-    )
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    _flip_col(F.col("bucket"), i)
-                    for i in range(1, N_HYPERPLANES + 1)
-                ],
-            )
-        ).alias("pbucket"),
-    )
     arn_win = Window.partitionBy("query_id").orderBy(
         F.col("cosine6").desc(), F.col("vec_id")
     )
     shortlist = (
-        emb.join(
-            F.broadcast(queries),
-            (F.col("bucket") == F.col("pbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+        _multiprobe_scored(spark, sf_dir)
         .withColumn("arn", F.row_number().over(arn_win))
         .filter(F.col("arn") <= RERANK_SHORTLIST)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine6")
@@ -2906,10 +2926,7 @@ def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE vec_id < {N_QUERY_VECS}
     ), probes AS (
         SELECT query_id, qv, qbucket AS pbucket FROM q
-        {"".join(
-            f" UNION ALL SELECT query_id, qv, {_flip_sql('qbucket', i)} FROM q"
-            for i in range(1, N_HYPERPLANES + 1)
-        )}
+        {_PROBE_UNIONS_SQL}
     ), scored AS (
         SELECT query_id,
                e.vec_id AS neighbor_id,
@@ -2952,35 +2969,11 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-query cost scales with the probed cells' occupancy, never the
     corpus.
     """
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn("bucket", _bucket_col(F.col("v")))
-    )
-
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    _flip_col(F.col("bucket"), i)
-                    for i in range(1, N_HYPERPLANES + 1)
-                ],
-            )
-        ).alias("pbucket"),
-    )
     win = Window.partitionBy("query_id").orderBy(
         F.col("cosine6").desc(), F.col("vec_id")
     )
     return (
-        emb.join(
-            F.broadcast(queries),
-            (F.col("bucket") == F.col("pbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+        _multiprobe_scored(spark, sf_dir)
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= TOP_K)
         .select(

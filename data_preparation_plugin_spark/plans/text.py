@@ -30,6 +30,16 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "zh": ("de5", "shi4", "le5", "he2"),
 }
 
+#: DuckDB twin of :func:`quality_pass_col`'s gate, over a list column
+#: named ``tokens`` — ONE definition for every oracle that embeds the
+#: quality gate (text_quality_score, the curation funnel family), so a
+#: gate change is one edit on each engine side (r13 review).
+QUALITY_GATE_SQL = (
+    "len(tokens) BETWEEN 5 AND 1000 AND len(list_filter(tokens, t -> t IN ("
+    + ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    + "))) * 1.0 / len(tokens) BETWEEN 0.001 AND 0.5"
+)
+
 
 @register(
     "text_token_count",
@@ -57,7 +67,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_score",
     category="text",
-    oracle=r"""
+    oracle=rf"""
     WITH toks AS (
         SELECT doc_id,
                text,
@@ -71,9 +81,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(tokens), 4)                                      AS stopword_ratio,
            round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0
                  / length(text), 4)                                     AS punct_ratio,
-           CASE WHEN len(tokens) BETWEEN 5 AND 1000
-                 AND len(list_filter(tokens, t -> t IN ('the', 'a', 'of', 'and')))
-                     * 1.0 / len(tokens) BETWEEN 0.001 AND 0.5
+           CASE WHEN {QUALITY_GATE_SQL}
                 THEN 1 ELSE 0 END                                       AS quality_pass
     FROM toks
     """,

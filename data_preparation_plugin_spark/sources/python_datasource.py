@@ -289,13 +289,6 @@ def _stage_arrow_batches(conninfo, table, schema, iterator) -> _StageCommit:
     def _stage_error() -> RuntimeError:
         errf.seek(0)
         detail = errf.read().decode(errors="replace").strip()
-        # A task that dies mid-write produces NO commit message, so the
-        # driver's abort() can never reference this staging table — drop
-        # it here (best-effort) or it leaks until a manual sweep.
-        try:
-            run_psql(conninfo, f"DROP TABLE IF EXISTS {_q_ident(stage)}")
-        except RuntimeError:
-            pass
         return RuntimeError(f"COPY stage failed: {detail or 'psql exited'}")
 
     try:
@@ -337,6 +330,26 @@ def _stage_arrow_batches(conninfo, table, schema, iterator) -> _StageCommit:
         if proc.wait() != 0:
             raise _stage_error()
         return _StageCommit(stage_table=stage, n_rows=n)
+    except BaseException:
+        # ANY failure once the staging table exists — psql death (the
+        # paths above), but equally an upstream iterator error, a
+        # write_csv failure, or a task kill on the PYTHON side — must
+        # not leak the stage: a task that dies mid-write produces NO
+        # commit message, so the driver's abort() can never reference
+        # this staging table (r13 review). Kill psql first so closing
+        # stdin can't read as clean EOF and commit a partial stage,
+        # then drop the table best-effort.
+        if proc is not None:
+            if proc.poll() is None:
+                proc.kill()
+            proc.wait()
+            try:
+                run_psql(
+                    conninfo, f"DROP TABLE IF EXISTS {_q_ident(stage)}"
+                )
+            except RuntimeError:
+                pass
+        raise
     finally:
         if errf is not None:
             errf.close()

@@ -620,3 +620,34 @@ def test_reflection_rejects_unknown_types(conninfo):
     pgc.run_psql(conninfo, f'CREATE TABLE "{table}" (pt point)')
     with pytest.raises(TypeError, match="point"):
         _reflect_schema(conninfo, table)
+
+
+def test_stage_python_side_failure_drops_staging_and_kills_psql(conninfo):
+    """The OTHER leak path (r13 review): when the failure originates on
+    the PYTHON side mid-COPY — upstream iterator error, task kill — the
+    staging table must still be dropped and the psql child terminated
+    (so EOF can't commit a partial stage). The psql-death path is
+    covered above; this pins the symmetric one."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from data_preparation_plugin_spark.sources.python_datasource import (
+        _stage_arrow_batches,
+    )
+
+    table = "dpp_pyds_pyerr"
+    schema = T.StructType([T.StructField("id", T.LongType())])
+
+    def batches():
+        yield pa.record_batch({"id": pa.array([1, 2], pa.int64())})
+        raise ValueError("upstream task failure")
+
+    with pytest.raises(ValueError, match="upstream task failure"):
+        _stage_arrow_batches(conninfo, table, schema, batches())
+    leftovers = pgc.run_psql(
+        conninfo,
+        "SELECT count(*) FROM information_schema.tables "
+        f"WHERE table_name LIKE '{table}__stage_%'",
+    ).strip()
+    assert leftovers == "0"
