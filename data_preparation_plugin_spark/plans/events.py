@@ -4746,9 +4746,10 @@ STREAM_CMS_TOP_K = 12
                ((d.a * user_id + d.b) % {STREAM_CMS_PRIME})
                    % {STREAM_CMS_WIDTH} AS bucket
         FROM events
-        CROSS JOIN (VALUES (0, 1000003, 12345),
-                           (1, 999983, 54321),
-                           (2, 1000033, 777)) AS d(i, a, b)
+        CROSS JOIN (VALUES {", ".join(
+            f"({i}, {a}, {b})"
+            for i, (a, b) in enumerate(STREAM_CMS_PARAMS)
+        )}) AS d(i, a, b)
     ), counters AS (
         SELECT i, bucket, count(*) AS c FROM hashes GROUP BY i, bucket
     ), keys AS (

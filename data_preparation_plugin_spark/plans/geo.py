@@ -625,8 +625,9 @@ TILE_MAX_LAT = 85.05112878
     )
     SELECT zoom,
            CAST(floor((x + 180.0) / 360.0 * (1 << zoom)) AS BIGINT) AS tile_x,
-           CAST(floor((1.0 - ln(tan(radians(yc)) + 1.0 / cos(radians(yc)))
-                           / pi()) / 2.0 * (1 << zoom)) AS BIGINT)  AS tile_y,
+           CAST(floor(round(
+               (1.0 - ln(tan(radians(yc)) + 1.0 / cos(radians(yc)))
+                    / pi()) / 2.0 * (1 << zoom), 9)) AS BIGINT)     AS tile_y,
            CAST(count(*) AS BIGINT)      AS n_points,
            CAST(sum(c_custkey) AS BIGINT) AS custkey_checksum
     FROM zoomed
@@ -640,8 +641,10 @@ def geo_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset layout: project each point to its z/x/y tile at zooms
     ``TILE_ZOOMS`` and aggregate per tile. The mercator y uses the exact
     OSM formula ``(1 - ln(tan(lat) + sec(lat))/pi) / 2 * 2^z`` with the
-    projection's +/-85.05° latitude clamp; both engines evaluate the
-    identical transcendental chain, so the floor is deterministic. The
+    projection's +/-85.05° latitude clamp; because ln/tan/cos are not
+    correctly-rounded IEEE ops, the value is quantized to 1e-9 before
+    floor in BOTH engines so an ulp-level libm divergence at a tile
+    boundary cannot flip the tile (ADVICE r13). The
     integer checksum pins membership — one point in a wrong tile fails
     the driver hash even if counts collide.
 
@@ -670,10 +673,23 @@ def geo_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tiles = F.pow(F.lit(2.0), F.col("zoom"))
     lat = F.radians(F.col("yc"))
     tile_x = F.floor((F.col("x") + 180.0) / 360.0 * n_tiles)
+    # Quantize the mercator value to 1e-9 BEFORE floor, identically in
+    # the oracle: Java Math and DuckDB libm are not bit-identical for
+    # transcendentals (only +,-,*,/ are correctly rounded IEEE), so a
+    # point within an ulp of a tile boundary could otherwise floor to
+    # different tiles in the two engines (ADVICE r13). 1e-9 of a tile is
+    # ~40 µm of ground truth at zoom 6 — far below any data precision.
     tile_y = F.floor(
-        (1.0 - F.log(F.tan(lat) + 1.0 / F.cos(lat)) / F.lit(3.141592653589793))
-        / 2.0
-        * n_tiles
+        F.round(
+            (
+                1.0
+                - F.log(F.tan(lat) + 1.0 / F.cos(lat))
+                / F.lit(3.141592653589793)
+            )
+            / 2.0
+            * n_tiles,
+            9,
+        )
     )
     return (
         zoomed.select(

@@ -1743,7 +1743,8 @@ DSIR_ALPHA = 0.5
     SELECT tok.doc_id,
            CAST(count(*) AS BIGINT)          AS n_tokens,
            round(sum(weights.w), 4)          AS dsir_logweight,
-           CASE WHEN sum(weights.w) > 0 THEN 1 ELSE 0 END AS selected
+           CASE WHEN round(sum(weights.w), 4) > 0 THEN 1 ELSE 0 END
+               AS selected
     FROM tok JOIN weights ON tok.bucket = weights.bucket
     GROUP BY tok.doc_id
     """,
@@ -1805,6 +1806,13 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.sum("w"), 4).alias("dsir_logweight"),
-            F.when(F.sum("w") > 0, 1).otherwise(0).alias("selected"),
+            # Gate on the ROUNDED sum, identically to the oracle: the
+            # per-bucket weights come from ln (last-ulp engine-dependent)
+            # and summation order differs between engines, so a raw-float
+            # `> 0` on a weight-sum within noise of zero could flip the
+            # checked integer between engines (ADVICE r13).
+            F.when(F.round(F.sum("w"), 4) > 0, 1)
+            .otherwise(0)
+            .alias("selected"),
         )
     )

@@ -279,6 +279,11 @@ def _stage_arrow_batches(conninfo, table, schema, iterator) -> _StageCommit:
 
     stage = f"{table}__stage_{uuid.uuid4().hex[:12]}_{os.getpid()}"
     proc = None
+    # True the instant the staging DDL has run. The cleanup path gates on
+    # THIS, not on ``proc``: TemporaryFile()/Popen run after the DDL, so
+    # an EMFILE/ENOMEM/exec failure between them would otherwise leak a
+    # freshly created stage table (ADVICE r13).
+    staged = False
     # stderr goes to an unbuffered temp FILE, never a PIPE: an undrained
     # stderr pipe fills and deadlocks both processes mid-COPY, and the
     # file survives an early psql death so the real error is reportable
@@ -295,6 +300,7 @@ def _stage_arrow_batches(conninfo, table, schema, iterator) -> _StageCommit:
         for batch in iterator:
             if proc is None:
                 run_psql(conninfo, pg_ddl(schema, stage))
+                staged = True
                 columns = ", ".join(_q_ident(f.name) for f in schema.fields)
                 copy_sql = (
                     f"\\copy {_q_ident(stage)} ({columns}) FROM STDIN "
@@ -338,11 +344,15 @@ def _stage_arrow_batches(conninfo, table, schema, iterator) -> _StageCommit:
         # commit message, so the driver's abort() can never reference
         # this staging table (r13 review). Kill psql first so closing
         # stdin can't read as clean EOF and commit a partial stage,
-        # then drop the table best-effort.
+        # then drop the table best-effort. The drop gates on ``staged``
+        # (DDL ran), not on ``proc``: TemporaryFile/Popen can fail
+        # between the two and the stage must still be cleaned (ADVICE
+        # r13).
         if proc is not None:
             if proc.poll() is None:
                 proc.kill()
             proc.wait()
+        if staged:
             try:
                 run_psql(
                     conninfo, f"DROP TABLE IF EXISTS {_q_ident(stage)}"

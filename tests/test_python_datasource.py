@@ -651,3 +651,40 @@ def test_stage_python_side_failure_drops_staging_and_kills_psql(conninfo):
         f"WHERE table_name LIKE '{table}__stage_%'",
     ).strip()
     assert leftovers == "0"
+
+
+def test_stage_ddl_then_spawn_failure_drops_staging(conninfo, monkeypatch):
+    """The THIRD leak path (ADVICE r13): the staging DDL runs BEFORE
+    TemporaryFile()/Popen, so a spawn failure (EMFILE, ENOMEM, exec
+    failure) between them leaves ``proc is None`` with a freshly created
+    stage table. The cleanup must gate on the DDL having run, not on the
+    child existing. Simulated at ``tempfile.TemporaryFile`` (between the
+    DDL and Popen) because ``run_psql``'s own ``subprocess.run`` calls
+    ``Popen`` internally — patching Popen would break the DDL too."""
+    import tempfile as _tempfile
+
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from data_preparation_plugin_spark.sources.python_datasource import (
+        _stage_arrow_batches,
+    )
+
+    table = "dpp_pyds_spawnerr"
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    batch = pa.record_batch({"id": pa.array([1], pa.int64())})
+
+    def no_fd(*args, **kwargs):
+        raise OSError("too many open files")
+
+    monkeypatch.setattr(_tempfile, "TemporaryFile", no_fd)
+    with pytest.raises(OSError, match="too many open files"):
+        _stage_arrow_batches(conninfo, table, schema, iter([batch]))
+    monkeypatch.undo()
+    leftovers = pgc.run_psql(
+        conninfo,
+        "SELECT count(*) FROM information_schema.tables "
+        f"WHERE table_name LIKE '{table}__stage_%'",
+    ).strip()
+    assert leftovers == "0"
