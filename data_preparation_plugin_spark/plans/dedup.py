@@ -128,6 +128,32 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     return digests.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) posting rows from signature columns.
+
+    One in-row explode of ``MINHASH_BANDS`` structs — the LSH banding
+    step shared by the one-shot pair generator, the incremental probe,
+    and the persisted band index (``curation_incremental_ingest_indexed``
+    writes exactly these rows as the standing archive's index table).
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias(
+                    "band_val"
+                ),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+
+
 def _minhash_sql(select: str) -> str:
     """Build the shared CTE prefix of the MinHash oracle queries."""
     mins = ",\n               ".join(
@@ -193,19 +219,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never |docs|^2. This is the scale path for fuzzy dedup at 100 TB.
     """
     sigs = _minhash_signatures(load_table(spark, sf_dir, "documents"))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band_val"),
-            )
-            for b in range(MINHASH_BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", F.col("band.band_idx").alias("band_idx"),
-        F.col("band.band_val").alias("band_val")
-    )
+    bands = minhash_band_rows(sigs)
     # Pairs are generated *inside* each bucket from a sorted doc_id array —
     # a single shuffle on the band key — instead of a bands⋈bands self-join,
     # which would shuffle both sides AND recompute the whole signature
@@ -2309,24 +2323,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sigs = _minhash_signatures(docs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias(
-                    "band_val"
-                ),
-            )
-            for b in range(MINHASH_BANDS)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id", F.explode(band_structs).alias("band")
-    ).select(
-        "doc_id",
-        F.col("band.band_idx").alias("band_idx"),
-        F.col("band.band_val").alias("band_val"),
-    )
+    bands = minhash_band_rows(sigs)
     is_new = F.col("doc_id") % INCR_MINHASH_MOD == 0
     new_bands = bands.filter(is_new).select(
         F.col("doc_id").alias("new_doc_id"), "band_idx", "band_val"

@@ -508,6 +508,8 @@ PROBES = [
     "dedup_cdc_chunks",          # in-row CDC boundaries + digest spread
     "text_template_cluster",     # in-codegen skeleton mask + digest agg
     "events_stream_quantile_sketch",  # 5x32-cell histogram state + walk
+    # --- registered r14 ---
+    "curation_incremental_ingest_indexed",  # persisted-index probe, all-broadcast
 ]
 
 
@@ -542,6 +544,11 @@ TELEMETRY = {
 }
 
 
+#: Queries whose builder materializes per-fixture standing state on first
+#: call (cached behind _SUCCESS): the timed run must hit the cache.
+WARM_EACH_FACTOR = {"curation_incremental_ingest_indexed"}
+
+
 def main() -> None:
     max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     factors = [f for f in (1, 2, 4, 8) if f <= max_factor]
@@ -560,6 +567,12 @@ def main() -> None:
     for name in PROBES:
         builder = QUERIES[name].builder
         run(builder(spark, dirs[factors[0]]))  # warm codegen/JVM
+        if name in WARM_EACH_FACTOR:
+            # Queries probing PERSISTED state build it lazily per fixture
+            # dir; the probe measures the steady state, so pay the
+            # one-time build outside the timed run at every factor.
+            for f in factors[1:]:
+                run(builder(spark, dirs[f]))
         results[name] = {}
         for f in factors:
             t0 = time.perf_counter()

@@ -1797,3 +1797,42 @@ def test_incremental_ingest_composes_registered_probe():
 
     ingest = QUERIES["curation_incremental_ingest"].oracle
     assert QUERIES["dedup_minhash_incremental"].oracle.strip() in ingest
+
+
+def test_indexed_ingest_shares_rebuild_oracle():
+    """The persisted-index twin must answer EXACTLY like the rebuild
+    shape — an index changes where bytes are read, never the answer —
+    so both register the identical oracle text."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    assert (
+        QUERIES["curation_incremental_ingest_indexed"].oracle
+        == QUERIES["curation_incremental_ingest"].oracle
+    )
+
+
+def test_indexed_ingest_probe_all_broadcast(spark):
+    """Every index join must broadcast the BATCH-derived side: the
+    persisted fingerprint/signature/band tables are archive-sized and
+    may only be scanned map-side — no sort-merge, no shuffled-hash, no
+    cartesian anywhere in the probe plan."""
+    plan = plan_of(spark, "curation_incremental_ingest_indexed")
+    assert count(r"SortMergeJoin|ShuffledHashJoin|CartesianProduct", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) >= 5
+
+
+def test_archive_index_build_cached_per_fixture(spark):
+    """The second build call must be a no-op (the steady state the
+    registered probe measures): _SUCCESS markers gate the rebuild, and
+    the parquet files' mtimes prove nothing was rewritten."""
+    import os
+
+    from data_preparation_plugin_spark.plans.curation import (
+        build_archive_indexes,
+    )
+
+    base = build_archive_indexes(spark, SF_DIR)
+    marker = os.path.join(base, "bands", "_SUCCESS")
+    before = os.path.getmtime(marker)
+    assert build_archive_indexes(spark, SF_DIR) == base
+    assert os.path.getmtime(marker) == before
