@@ -510,6 +510,7 @@ PROBES = [
     "events_stream_quantile_sketch",  # 5x32-cell histogram state + walk
     # --- registered r14 ---
     "curation_incremental_ingest_indexed",  # persisted-index probe, all-broadcast
+    "dedup_cdc_chunks_gear",     # O(1)/byte gear fold + digest spread
 ]
 
 

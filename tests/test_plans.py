@@ -1836,3 +1836,28 @@ def test_archive_index_build_cached_per_fixture(spark):
     before = os.path.getmtime(marker)
     assert build_archive_indexes(spark, SF_DIR) == base
     assert os.path.getmtime(marker) == before
+
+
+def test_cdc_gear_mapside_fold_no_text_exchange(spark):
+    """Gear boundary detection is an in-row fold: the only exchanges are
+    the digest-keyed spread aggregate and its join back — the text
+    column must never appear in an exchange's partitioning args, and
+    there is no cartesian or sort-merge join anywhere."""
+    plan = plan_of(spark, "dedup_cdc_chunks_gear")
+    assert count(r"CartesianProduct|SortMergeJoin", plan) == 0
+    fmt = plan_of(spark, "dedup_cdc_chunks_gear", mode="formatted")
+    exchange_args = [
+        line
+        for line in fmt.splitlines()
+        if line.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert all(" s#" not in a and "text" not in a for a in exchange_args)
+
+
+def test_cdc_gear_boundary_modulus_not_power_of_two():
+    """h mod 2^k reads only the register's low k bits, shrinking the
+    effective window to k bytes — the boundary modulus must stay
+    non-power-of-two so the full 16-bit register decides."""
+    from data_preparation_plugin_spark.plans.dedup import CDC_GEAR_MOD
+
+    assert CDC_GEAR_MOD & (CDC_GEAR_MOD - 1) != 0
