@@ -688,3 +688,42 @@ def test_stage_ddl_then_spawn_failure_drops_staging(conninfo, monkeypatch):
         f"WHERE table_name LIKE '{table}__stage_%'",
     ).strip()
     assert leftovers == "0"
+
+
+def test_stream_sketch_sink_exactly_once_cells(spark, conninfo):
+    """The sketch-dashboard round trip (r13 verdict item 5): after the
+    registered query replays the histogram stream through the streaming
+    COPY sink, the PG serving table must hold every (window, type, bin)
+    cell EXACTLY once — append mode emits each finalized window in one
+    epoch, and the (query_id, batch_id) ledger must show one committed
+    row per epoch with no duplicates even though emission spans several
+    micro-batches."""
+    from data_preparation_plugin_spark.plans.events import (
+        sink_stream_quantile_pg,
+    )
+
+    sink_stream_quantile_pg(spark, "/root/testdata/sf0.001")
+    table = "dpp_stream_quantile_cells"
+    dup_cells = pgc.run_psql(
+        conninfo,
+        f'SELECT count(*) FROM (SELECT window_start, event_type, bin '
+        f'FROM "{table}" GROUP BY 1, 2, 3 HAVING count(*) > 1) d',
+    ).strip()
+    assert dup_cells == "0"
+    ledger_dups = pgc.run_psql(
+        conninfo,
+        f'SELECT count(*) FROM (SELECT batch_id, query_id '
+        f'FROM "{table}__epochs" GROUP BY 1, 2 HAVING count(*) > 1) d',
+    ).strip()
+    assert ledger_dups == "0"
+    epochs = int(
+        pgc.run_psql(
+            conninfo, f'SELECT count(*) FROM "{table}__epochs"'
+        ).strip()
+    )
+    assert epochs >= 1
+    qid = pgc.run_psql(
+        conninfo,
+        f'SELECT DISTINCT query_id FROM "{table}__epochs"',
+    ).strip()
+    assert qid == "sink_stream_quantile_pg"
