@@ -3575,3 +3575,202 @@ def dedup_cdc_chunks_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _cdc_chunk_rollup(starts)
+
+
+#: Exact-substring dedup by prefix doubling: base gram length and the
+#: doubling ladder's cap. Levels are SUBSTR_BASE_LEN * 2^k up to the cap.
+SUBSTR_BASE_LEN = 16
+SUBSTR_MAX_LEN = 256
+SUBSTR_LEVELS = tuple(
+    SUBSTR_BASE_LEN * (1 << k)
+    for k in range((SUBSTR_MAX_LEN // SUBSTR_BASE_LEN).bit_length())
+    if SUBSTR_BASE_LEN * (1 << k) <= SUBSTR_MAX_LEN
+)
+
+
+def _substr_doubling_oracle() -> str:
+    """Unrolled DuckDB ladder generated from SUBSTR_LEVELS (no drift)."""
+    ctes = [
+        "base AS (SELECT doc_id, lower(text) AS s, length(lower(text)) AS n"
+        " FROM documents)",
+        f"""p0 AS (
+        SELECT doc_id, s, n,
+               unnest(range(1, greatest(n - {SUBSTR_BASE_LEN} + 2, 1)))
+                   AS p
+        FROM base
+    )""",
+    ]
+    for idx, lvl in enumerate(SUBSTR_LEVELS):
+        if idx > 0:
+            ctes.append(
+                f"""p{idx} AS (
+        SELECT sv.doc_id, b.s, b.n, sv.p
+        FROM s{idx - 1} sv JOIN base b USING (doc_id)
+        WHERE sv.p + {lvl} <= b.n + 1
+    )"""
+            )
+        ctes.append(
+            f"""e{idx} AS (
+        SELECT doc_id, p,
+               ('0x' || substr(md5(substr(s, p, {lvl})), 1, 15))::BIGINT
+                   AS dg
+        FROM p{idx}
+    )"""
+        )
+        ctes.append(
+            f"""d{idx} AS (
+        SELECT dg FROM e{idx} GROUP BY dg
+        HAVING min(doc_id) < max(doc_id)
+    )"""
+        )
+        ctes.append(
+            f"""s{idx} AS (
+        SELECT e{idx}.doc_id, e{idx}.p FROM e{idx} JOIN d{idx} USING (dg)
+    )"""
+        )
+    levels_union = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {lvl} AS lvl, count(*) AS n_pos"
+        f" FROM s{idx} GROUP BY doc_id"
+        for idx, lvl in enumerate(SUBSTR_LEVELS)
+    )
+    ctes.append(f"lv AS (\n        {levels_union}\n    )")
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT doc_id,
+           CAST(sum(CASE WHEN lvl = {SUBSTR_BASE_LEN} THEN n_pos ELSE 0 END)
+               AS BIGINT) AS n_dup_grams,
+           CAST(max(lvl) AS BIGINT) AS max_dup_len,
+           CAST(arg_max(n_pos, lvl) AS BIGINT) AS n_pos_at_max
+    FROM lv GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_substr_doubling",
+    category="dedup",
+    oracle=_substr_doubling_oracle(),
+    scale_note=(
+        "output-bound: the x8 replica fixture appends ' replicaN' to "
+        "otherwise-identical texts, so ~every position is a TRUE "
+        "cross-replica duplicate and no ladder level can decay — cost "
+        "tracks duplicated mass (x8 here by construction), which is the "
+        "quantity the operator exists to measure; organic corpora decay "
+        "geometrically after level 0"
+    ),
+)
+def dedup_substr_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest duplicated substring per doc via candidate prefix doubling.
+
+    The suffix-array member of the Lee et al. 2022 exact-substring
+    family (r13 verdict item 6), beyond what fixed n-grams
+    (``dedup_duplicate_spans`` merges fixed-k hits into intervals — a
+    chain of hits can glue overlaps with DIFFERENT partners) and CDC
+    chunks (boundary-aligned) can certify: rank doubling. A substring of
+    length 2L at position p is cross-document duplicated iff its digest
+    ``md5(substr(s, p, 2L))`` collides across docs, and duplication at
+    2L implies duplication at L at the same position — so each level
+    re-digests ONLY the previous level's surviving positions (the
+    candidate-restricted extension the verdict sketched), climbing
+    16 → 256 chars in ``log`` levels. Per doc: the base-level duplicated
+    gram count, the largest certified duplicated length (a power-of-two
+    lower bound within 2x of the true maximum — what the dedup decision
+    needs), and the survivor count at that length.
+
+    Scale shape: NO all-pairs stage at any level — each level is one
+    digest-keyed count (map-side combinable, 16-byte keys) plus one
+    digest semi-join back to (doc_id, pos) pairs; text never leaves its
+    row (digests are computed in-row from the doc's own string). Level 0
+    touches every position once (the honest suffix-array price); every
+    later level touches only survivors, which collapse geometrically —
+    exactly the candidate decay that makes the paper's suffix-automaton
+    affordable. Survivor frames are checkpointed per level so the plan
+    depth stays O(1) per level, and the ladder stops early when a level
+    has no survivors.
+
+    Measured: 9.7s at sf0.1 (best-of-1 noop, warm). The ×8 replica
+    probe runs ×7.9 — linear in DUPLICATED MASS, not super-linear in
+    input: the replica fixture is ~100% cross-replica duplicated so no
+    level decays (see ``scale_note``); on organic corpora survivors
+    collapse geometrically after level 0 and the ladder costs ~level 0
+    alone.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.lower(F.col("text")).alias("s"),
+        F.length(F.lower(F.col("text"))).alias("n"),
+    )
+    cand = base.withColumn(
+        "ps",
+        F.expr(
+            f"CASE WHEN n >= {SUBSTR_BASE_LEN}"
+            f" THEN sequence(1, n - {SUBSTR_BASE_LEN} + 1)"
+            " ELSE array() END"
+        ),
+    )
+    per_level = []
+    for lvl in SUBSTR_LEVELS:
+        cand = cand.withColumn(
+            "ps", F.expr(f"filter(ps, p -> p + {lvl} <= n + 1)")
+        )
+        exploded = (
+            cand.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(ps, p -> struct(p AS p,"
+                        " CAST(conv(substr("
+                        f"md5(substr(s, p, {lvl})), 1, 15), 16, 10)"
+                        " AS BIGINT) AS dg))"
+                    )
+                ).alias("x"),
+            )
+            .select("doc_id", "x.p", "x.dg")
+            # Feeds the digest count AND the survivor join: without the
+            # checkpoint the explode+md5 lineage runs twice per level
+            # (measured 14.9s vs 9.7s at sf0.1, 108s vs 65s at x8).
+            .localCheckpoint(eager=True)
+        )
+        # Cross-doc duplication as min<max on the digest group — same
+        # predicate as count(DISTINCT doc_id) >= 2 without the distinct
+        # aggregate's extra pass; digests shuffle as 8-byte longs (60
+        # md5 bits — collisions ~(positions^2)/2^61, mirrored exactly in
+        # the oracle either way).
+        dup = (
+            exploded.groupBy("dg")
+            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .filter(F.col("mn") < F.col("mx"))
+            .select("dg")
+        )
+        surv = (
+            exploded.join(dup, "dg")
+            .select("doc_id", "p")
+            .localCheckpoint(eager=True)
+        )
+        per_level.append(
+            surv.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_pos"))
+            .withColumn("lvl", F.lit(lvl))
+        )
+        if surv.isEmpty():
+            break
+        cand = base.join(
+            surv.groupBy("doc_id").agg(
+                F.sort_array(F.collect_list("p")).alias("ps")
+            ),
+            "doc_id",
+        )
+    lv = per_level[0]
+    for frame in per_level[1:]:
+        lv = lv.unionByName(frame)
+    return lv.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("lvl") == SUBSTR_BASE_LEN, F.col("n_pos")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_dup_grams"),
+        F.max("lvl").cast("bigint").alias("max_dup_len"),
+        F.max_by("n_pos", "lvl").cast("bigint").alias("n_pos_at_max"),
+    )

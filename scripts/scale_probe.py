@@ -512,6 +512,7 @@ PROBES = [
     "curation_incremental_ingest_indexed",  # persisted-index probe, all-broadcast
     "dedup_cdc_chunks_gear",     # O(1)/byte gear fold + digest spread
     "sink_stream_quantile_pg",   # windowed sketch cells -> exactly-once PG
+    "dedup_substr_doubling",     # rank-doubling ladder, survivor-restricted
 ]
 
 
