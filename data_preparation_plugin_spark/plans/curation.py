@@ -1353,3 +1353,146 @@ def curation_incremental_ingest_indexed(
         .join(F.broadcast(near), "doc_id", "left")
         .select("doc_id", "source", status.alias("status"))
     )
+
+
+def _index_refresh_oracle() -> str:
+    from data_preparation_plugin_spark.plans.dedup import (
+        INCR_MINHASH_MOD,
+        _minhash_sql,
+    )
+
+    return _minhash_sql(
+        f"""
+    , adm AS (
+        SELECT doc_id FROM ({_incremental_ingest_oracle()}) ing
+        WHERE ing.status = 'admitted'
+    ), member AS (
+        SELECT doc_id FROM documents WHERE doc_id % {INCR_MINHASH_MOD} <> 0
+        UNION
+        SELECT doc_id FROM adm
+    ), fps AS (
+        SELECT DISTINCT md5(text) AS fp
+        FROM documents JOIN member USING (doc_id)
+    ), msigs AS (
+        SELECT s.* FROM sigs s JOIN member USING (doc_id)
+    ), mbands AS (
+        SELECT b.* FROM bands b JOIN member USING (doc_id)
+    )
+    SELECT 'fingerprints' AS part,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(0 AS BIGINT)        AS docs_checksum
+    FROM fps
+    UNION ALL
+    SELECT 'signatures',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT doc_id) AS BIGINT),
+           CAST(sum(doc_id) AS BIGINT)
+    FROM msigs
+    UNION ALL
+    SELECT 'bands',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT band_idx || ':' || band_val) AS BIGINT),
+           CAST(sum(doc_id) AS BIGINT)
+    FROM mbands
+    """
+    )
+
+
+@register(
+    "curation_archive_index_refresh",
+    category="curation",
+    oracle=_index_refresh_oracle(),
+)
+def curation_archive_index_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index REFRESH after an admission cycle: an append, not a rebuild.
+
+    Closes the loop ``build_archive_indexes`` promises ("refresh after
+    an admission cycle is an append of the admitted docs' digests/
+    signatures/postings"): the monthly run's ``admitted`` set — computed
+    by calling the registered ``curation_incremental_ingest_indexed``,
+    so the refresh can never disagree with the gate — is turned into
+    DELTA tables (anti-joined new fingerprints, batch signatures, their
+    band postings) written next to the standing index, and the refreshed
+    index is the UNION of standing + delta. The report audits that
+    refreshed index part by part (row counts, key cardinalities, an
+    integer doc_id checksum pinning membership); the oracle recomputes
+    the same audit from first principles over archive ∪ admitted — a
+    doc lost, duplicated, or mis-signed anywhere in the delta path
+    hash-fails.
+
+    Scale shape: every delta is batch-proportional — admitted text is
+    shingled once, the fingerprint anti-join probes the standing fp
+    index with a broadcast batch side, and the standing signature/band
+    tables are only READ by the audit (production appends the delta
+    files and touches nothing else; the audit is the verification
+    harness). Next month's batch then probes the refreshed index —
+    the steady-state cycle at 100 TB.
+    """
+    from data_preparation_plugin_spark.plans.dedup import (
+        _minhash_signatures,
+        minhash_band_rows,
+    )
+    from data_preparation_plugin_spark.layout import write_partitioned
+
+    base = build_archive_indexes(spark, sf_dir)
+    admitted = (
+        curation_incremental_ingest_indexed(spark, sf_dir)
+        .filter(F.col("status") == "admitted")
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    adm_docs = docs.join(F.broadcast(admitted), "doc_id")
+    fp_idx = spark.read.parquet(os.path.join(base, "fingerprints"))
+    new_fps = (
+        adm_docs.select(F.md5("text").alias("fp"))
+        .distinct()
+        .join(fp_idx, "fp", "left_anti")
+    )
+    new_fps.write.mode("overwrite").parquet(
+        os.path.join(base, "fingerprints_delta")
+    )
+    _minhash_signatures(adm_docs).write.mode("overwrite").parquet(
+        os.path.join(base, "signatures_delta")
+    )
+    sig_delta = spark.read.parquet(os.path.join(base, "signatures_delta"))
+    write_partitioned(
+        minhash_band_rows(sig_delta),
+        os.path.join(base, "bands_delta"),
+        ["band_idx"],
+    )
+    fps = fp_idx.unionByName(
+        spark.read.parquet(os.path.join(base, "fingerprints_delta"))
+    )
+    sigs = spark.read.parquet(os.path.join(base, "signatures")).unionByName(
+        sig_delta
+    )
+    bands = spark.read.parquet(os.path.join(base, "bands")).unionByName(
+        spark.read.parquet(os.path.join(base, "bands_delta"))
+    )
+    part_fp = fps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("fp").cast("bigint").alias("n_keys"),
+        F.lit(0).cast("bigint").alias("docs_checksum"),
+    ).withColumn("part", F.lit("fingerprints"))
+    part_sig = sigs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_keys"),
+        F.sum("doc_id").cast("bigint").alias("docs_checksum"),
+    ).withColumn("part", F.lit("signatures"))
+    part_band = bands.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct(
+            F.concat_ws(":", F.col("band_idx"), F.col("band_val"))
+        )
+        .cast("bigint")
+        .alias("n_keys"),
+        F.sum("doc_id").cast("bigint").alias("docs_checksum"),
+    ).withColumn("part", F.lit("bands"))
+    return (
+        part_fp.unionByName(part_sig)
+        .unionByName(part_band)
+        .select("part", "n_rows", "n_keys", "docs_checksum")
+    )

@@ -513,6 +513,7 @@ PROBES = [
     "dedup_cdc_chunks_gear",     # O(1)/byte gear fold + digest spread
     "sink_stream_quantile_pg",   # windowed sketch cells -> exactly-once PG
     "dedup_substr_doubling",     # rank-doubling ladder, survivor-restricted
+    "curation_archive_index_refresh",  # batch-proportional index deltas
 ]
 
 
@@ -549,7 +550,10 @@ TELEMETRY = {
 
 #: Queries whose builder materializes per-fixture standing state on first
 #: call (cached behind _SUCCESS): the timed run must hit the cache.
-WARM_EACH_FACTOR = {"curation_incremental_ingest_indexed"}
+WARM_EACH_FACTOR = {
+    "curation_incremental_ingest_indexed",
+    "curation_archive_index_refresh",
+}
 
 
 def main() -> None:
