@@ -1457,20 +1457,36 @@ def curation_archive_index_refresh(
     _minhash_signatures(adm_docs).write.mode("overwrite").parquet(
         os.path.join(base, "signatures_delta")
     )
-    sig_delta = spark.read.parquet(os.path.join(base, "signatures_delta"))
+    # Delta reads declare their schemas: a month where NOTHING is
+    # admitted (every new doc a dup — the ×N replica probe produces
+    # exactly this) writes a delta dir with no part files, and schema
+    # inference has nothing to read. The audit must still run and agree
+    # with the oracle's empty-admission answer.
+    from data_preparation_plugin_spark.plans.dedup import MINHASH_SEEDS as _MS
+
+    sig_schema = "doc_id BIGINT, " + ", ".join(
+        f"h{s} STRING" for s in range(_MS)
+    )
+    sig_delta = spark.read.schema(sig_schema).parquet(
+        os.path.join(base, "signatures_delta")
+    )
     write_partitioned(
         minhash_band_rows(sig_delta),
         os.path.join(base, "bands_delta"),
         ["band_idx"],
     )
     fps = fp_idx.unionByName(
-        spark.read.parquet(os.path.join(base, "fingerprints_delta"))
+        spark.read.schema("fp STRING").parquet(
+            os.path.join(base, "fingerprints_delta")
+        )
     )
     sigs = spark.read.parquet(os.path.join(base, "signatures")).unionByName(
         sig_delta
     )
     bands = spark.read.parquet(os.path.join(base, "bands")).unionByName(
-        spark.read.parquet(os.path.join(base, "bands_delta"))
+        spark.read.schema(
+            "doc_id BIGINT, band_val STRING, band_idx INT"
+        ).parquet(os.path.join(base, "bands_delta"))
     )
     part_fp = fps.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
