@@ -2983,3 +2983,137 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+def ivf_index_dir(sf_dir: str) -> str:
+    """Per-fixture directory for the persisted IVF index (md5-stable)."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    return os.path.join(
+        tempfile.gettempdir(), "dpp-ivf-index", f"{base}-{digest}"
+    )
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the IVF index once: centroids + cell-partitioned lists.
+
+    The similarity-family twin of ``curation.build_archive_indexes``
+    (same r14 materialized-standing-state theme): the coarse codebook
+    (``IVF_N_CELLS`` rows) and the corpus assignments — each vector with
+    its cell id — are written as tables, the assignments laid out via
+    ``layout.write_partitioned`` ON THE CELL so a query that probes 2 of
+    8 cells reads 2/8 of the index bytes (directory partition pruning,
+    the inverted-list property made physical). Cached per fixture behind
+    ``_SUCCESS``; production refreshes by re-assigning only new vectors.
+    """
+    import os
+
+    from data_preparation_plugin_spark.layout import write_partitioned
+
+    base = ivf_index_dir(sf_dir)
+    done = [
+        os.path.join(base, part, "_SUCCESS")
+        for part in ("centroids", "assignments")
+    ]
+    if all(os.path.exists(p) for p in done):
+        return base
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
+    assign_win = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine_similarity("v", "cv"), 6))
+        .withColumn("crn", F.row_number().over(assign_win))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cell"))
+    )
+    write_partitioned(assigned, os.path.join(base, "assignments"), ["cell"])
+    return base
+
+
+@register(
+    "knn_ivf_persisted",
+    category="similarity",
+    oracle=None,  # set below: identical answer to knn_ivf_cosine
+)
+def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving against the PERSISTED index — pruned, never rebuilt.
+
+    ``knn_ivf_cosine`` concedes its codebook/assignment pass runs per
+    query ("swap in persisted trained centroids in production"); this is
+    that production shape: ``build_ivf_index`` writes the codebook and
+    the cell-PARTITIONED inverted lists once, and query time (1) reads
+    the 8-row codebook, (2) picks each query's ``IVF_NPROBE`` cells
+    broadcast-side, and (3) joins the probe set against the assignment
+    table so Spark's dynamic partition pruning drops the un-probed cell
+    directories from the scan (asserted in
+    ``tests/test_plans.py::test_ivf_persisted_dpp``) — query cost tracks
+    probed-list bytes, not corpus bytes, FAISS's inverted-list property
+    expressed as table layout. The oracle is ``knn_ivf_cosine``'s
+    verbatim: a persisted index changes where bytes are read, never the
+    neighbors.
+
+    Scale shape: nothing corpus-sized shuffles — the codebook and probe
+    set are broadcast, the pruned scan streams only probed cells, and
+    the top-k window partitions by query over candidate rows.
+    """
+    import os
+
+    base = build_ivf_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(base, "centroids"))
+    assigned = spark.read.parquet(os.path.join(base, "assignments"))
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    probe_win = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("cent_id")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("pcos", F.round(cosine_similarity("qv", "cv"), 6))
+        .withColumn("prn", F.row_number().over(probe_win))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "qv", F.col("cent_id").alias("qcell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), F.col("cell") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+    )
+    topk_win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine6").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(topk_win))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine6", 4).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+# The persisted twin must answer EXACTLY like the per-query-rebuild
+# form — same oracle text, same no-drift discipline as
+# curation_incremental_ingest_indexed.
+from data_preparation_plugin_spark.plans.registry import QUERIES as _Q
+
+_Q["knn_ivf_persisted"].oracle = _Q["knn_ivf_cosine"].oracle

@@ -514,6 +514,7 @@ PROBES = [
     "sink_stream_quantile_pg",   # windowed sketch cells -> exactly-once PG
     "dedup_substr_doubling",     # rank-doubling ladder, survivor-restricted
     "curation_archive_index_refresh",  # batch-proportional index deltas
+    "knn_ivf_persisted",         # DPP-pruned persisted inverted lists
 ]
 
 
@@ -553,6 +554,7 @@ TELEMETRY = {
 WARM_EACH_FACTOR = {
     "curation_incremental_ingest_indexed",
     "curation_archive_index_refresh",
+    "knn_ivf_persisted",
 }
 
 

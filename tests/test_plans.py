@@ -1861,3 +1861,24 @@ def test_cdc_gear_boundary_modulus_not_power_of_two():
     from data_preparation_plugin_spark.plans.dedup import CDC_GEAR_MOD
 
     assert CDC_GEAR_MOD & (CDC_GEAR_MOD - 1) != 0
+
+
+def test_ivf_persisted_dpp(spark):
+    """The probe set must drive dynamic partition pruning on the
+    cell-partitioned assignment scan — un-probed inverted lists are
+    never read — and the probe/codebook joins broadcast; nothing
+    corpus-sized rides a sort-merge join."""
+    plan = plan_of(spark, "knn_ivf_persisted")
+    m = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert any("dynamicpruning" in f for f in m), m
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_ivf_persisted_shares_rebuild_oracle():
+    """Persisted-index twin answers exactly like the rebuild form."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    assert (
+        QUERIES["knn_ivf_persisted"].oracle
+        == QUERIES["knn_ivf_cosine"].oracle
+    )
