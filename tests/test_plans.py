@@ -1882,3 +1882,20 @@ def test_ivf_persisted_shares_rebuild_oracle():
         QUERIES["knn_ivf_persisted"].oracle
         == QUERIES["knn_ivf_cosine"].oracle
     )
+
+
+def test_archive_index_force_rebuild(spark):
+    """force=True must rewrite the standing index even when the cache
+    markers exist — the manual-rebuild escape hatch for a corrupted or
+    re-fixtured archive."""
+    import os
+
+    from data_preparation_plugin_spark.plans.curation import (
+        build_archive_indexes,
+    )
+
+    base = build_archive_indexes(spark, SF_DIR)
+    marker = os.path.join(base, "fingerprints", "_SUCCESS")
+    before = os.path.getmtime(marker)
+    build_archive_indexes(spark, SF_DIR, force=True)
+    assert os.path.getmtime(marker) > before
