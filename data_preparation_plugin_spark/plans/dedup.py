@@ -3745,6 +3745,11 @@ def dedup_substr_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv = (
             exploded.join(dup, "dg")
             .select("doc_id", "p")
+            # Checkpointed for BOTH reasons: it feeds two consumers (the
+            # level count and the next level's candidate arrays), and it
+            # gives AQE the TRUE size — without it the x8 replica run
+            # picks a broadcast for the survivor join and dies with
+            # "Not enough memory to build and broadcast" (measured).
             .localCheckpoint(eager=True)
         )
         per_level.append(
