@@ -727,3 +727,88 @@ def test_stream_sketch_sink_exactly_once_cells(spark, conninfo):
         f'SELECT DISTINCT query_id FROM "{table}__epochs"',
     ).strip()
     assert qid == "sink_stream_quantile_pg"
+
+
+def test_stream_pg_sink_restart_processes_only_the_delta(
+    spark, conninfo, tmp_path
+):
+    """Exactly-once ACROSS RESTART for the ledgered COPY sink: a stopped
+    streaming query restarted from the same checkpoint (same query_id)
+    must ingest only files that arrived during downtime — the PG target
+    holds every event exactly once and the ledger holds both runs'
+    epochs without collisions."""
+    from data_preparation_plugin_spark.plans.registry import load_table
+    from data_preparation_plugin_spark.streaming import events_stream
+
+    spark.dataSource.register(PgCopyDataSource)
+    src = tmp_path / "src"
+    src.mkdir()
+    full = load_table(
+        spark, "/root/testdata/sf0.001", "events"
+    ).select("event_id", "user_id", "event_type")
+    half1 = full.where("user_id % 2 = 0")
+    half2 = full.where("user_id % 2 = 1")
+    half1.coalesce(2).write.mode("append").parquet(str(src))
+
+    table = "dpp_pyds_stream_restart"
+    pgc.run_psql(
+        conninfo,
+        f'DROP TABLE IF EXISTS "{table}"; '
+        f'DROP TABLE IF EXISTS "{table}__epochs"',
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            events_stream(
+                spark,
+                str(src),
+                schema="event_id LONG, user_id LONG, event_type STRING",
+                max_files_per_trigger=1,
+            )
+            .writeStream.format("dpp_pg_copy")
+            .option("conninfo", conninfo)
+            .option("table", table)
+            .option("query_id", "restart-test")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = int(
+        pgc.run_psql(conninfo, f'SELECT count(*) FROM "{table}"').strip()
+    )
+    assert n1 == half1.count()
+    epochs1 = int(
+        pgc.run_psql(
+            conninfo, f'SELECT count(*) FROM "{table}__epochs"'
+        ).strip()
+    )
+    # Downtime: the other half lands, then the SAME query restarts.
+    half2.coalesce(2).write.mode("append").parquet(str(src))
+    run_once()
+    total = full.count()
+    got = int(
+        pgc.run_psql(conninfo, f'SELECT count(*) FROM "{table}"').strip()
+    )
+    distinct = int(
+        pgc.run_psql(
+            conninfo, f'SELECT count(DISTINCT event_id) FROM "{table}"'
+        ).strip()
+    )
+    assert got == total and distinct == total  # no loss, no replay
+    epochs2 = int(
+        pgc.run_psql(
+            conninfo, f'SELECT count(*) FROM "{table}__epochs"'
+        ).strip()
+    )
+    assert epochs2 > epochs1  # the restart committed NEW epochs
+    ledger_dups = pgc.run_psql(
+        conninfo,
+        f'SELECT count(*) FROM (SELECT batch_id, query_id FROM '
+        f'"{table}__epochs" GROUP BY 1, 2 HAVING count(*) > 1) d',
+    ).strip()
+    assert ledger_dups == "0"
