@@ -1729,3 +1729,99 @@ def test_stream_cms_estimate_one_sided_and_tight(spark):
     for r in rows:
         assert r.overcount >= 0, r
         assert r.cms_estimate == r.exact_count + r.overcount, r
+
+
+# --- r14: properties oracle parity CANNOT check (both engines share the
+# construction, so a conceptual bug would pass the hash check in both) ---
+
+from data_preparation_plugin_spark.plans.dedup import (  # noqa: E402
+    CDC_GEAR_BITS,
+    CDC_GEAR_MOD,
+    CDC_GEAR_MULT,
+)
+
+_GEAR_REG = 1 << CDC_GEAR_BITS
+
+
+def _gear_boundaries(s: str) -> set[int]:
+    """Pure-Python model of the Spark gear fold: positions i (1-based)
+    after which a chunk boundary falls (i < len(s) guard included)."""
+    h, out, n = 0, set(), len(s)
+    for i, c in enumerate(s, start=1):
+        h = (2 * h + (ord(c) * CDC_GEAR_MULT) % _GEAR_REG) % _GEAR_REG
+        if h % CDC_GEAR_MOD == 0 and i < n:
+            out.add(i)
+    return out
+
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=200,
+)
+
+
+@given(ascii_text, ascii_text, st.integers(min_value=0, max_value=200))
+def test_gear_cdc_boundaries_realign_after_insertion(s, ins, pos):
+    """THE content-defined-chunking contract: inserting text shifts only
+    boundaries within one hash window of the edit — every boundary at
+    least CDC_GEAR_BITS characters past the insertion point re-aligns
+    exactly (shifted by the insertion length), because the register mod
+    2^CDC_GEAR_BITS depends on only the last CDC_GEAR_BITS characters.
+    Fixed-width chunking has no such property (one insertion re-keys
+    the whole tail). Oracle parity cannot test this: it needs TWO
+    corpus versions."""
+    pos = min(pos, len(s))
+    s2 = s[:pos] + ins + s[pos:]
+    b1, b2 = _gear_boundaries(s), _gear_boundaries(s2)
+    L = len(ins)
+    w = CDC_GEAR_BITS
+    assert {b + L for b in b1 if b >= pos + w} == {
+        b for b in b2 if b >= pos + L + w
+    }
+
+
+def _dup_positions(docs, lvl, candidates=None):
+    """Positions whose lvl-substring occurs in >= 2 distinct docs.
+
+    ``candidates=None`` scans every position (brute force); otherwise
+    only the supplied (doc, pos) set is considered — the ladder's
+    survivor restriction. Duplication evidence (the substring index) is
+    always built from the SAME candidate set, mirroring the registered
+    plan where each level digests only surviving positions."""
+    from collections import defaultdict
+
+    occs = defaultdict(set)
+    pool = []
+    for di, s in enumerate(docs):
+        for p in range(len(s) - lvl + 1):
+            if candidates is not None and (di, p) not in candidates:
+                continue
+            pool.append((di, p, s[p : p + lvl]))
+            occs[s[p : p + lvl]].add(di)
+    return {(di, p) for di, p, sub in pool if len(occs[sub]) >= 2}
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_substr_ladder_restriction_is_lossless(docs):
+    """The rank-doubling ladder's candidate restriction must lose
+    nothing: duplication at 2L implies duplication at L at the same
+    position, so re-digesting ONLY the previous level's survivors finds
+    exactly the positions a from-scratch scan finds, at every level.
+    This is the one claim the DuckDB oracle cannot falsify — both
+    engines implement the same restriction."""
+    levels = (4, 8, 16)
+    surv = None
+    for lvl in levels:
+        brute = _dup_positions(docs, lvl)
+        if surv is not None:
+            surv = {(di, p) for di, p in surv if p + lvl <= len(docs[di])}
+        ladder = _dup_positions(docs, lvl, candidates=surv)
+        assert ladder == brute, (lvl, ladder ^ brute)
+        surv = ladder
