@@ -32,6 +32,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from data_preparation_plugin_spark import get_spark, plans  # noqa: E402
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — window-quality signal.
+
+    SCALE.md §0's recurring finding is that raw seconds are not
+    comparable across host windows; r14 caught a marathon running in a
+    16.9%-hypervisor-steal window that inflated 167 sub-second rows
+    uniformly 1.44x. Recording the steal fraction INSIDE every bench
+    record makes that hygiene check machine-readable after the fact.
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(v) for v in parts]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except OSError:  # non-Linux: no signal, not an error
+        return (0, 0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -59,6 +77,8 @@ def main() -> None:
         os.environ.get("BENCH_REPS", "3")
     )
 
+    steal0, total0 = _cpu_ticks()
+    load0 = os.getloadavg()[0]
     timings: dict[str, float] = {}
     singles: dict[str, float] = {}
     for name in names:
@@ -80,6 +100,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_single = round(sum(singles.values()), 3)
+    steal1, total1 = _cpu_ticks()
+    dt = total1 - total0
+    steal_pct = round(100.0 * (steal1 - steal0) / dt, 2) if dt > 0 else None
     print(
         json.dumps(
             {
@@ -90,6 +113,10 @@ def main() -> None:
                 "sf": sf,
                 "value_single": total_single,
                 "queries_single": singles,
+                # Hypervisor-steal % over the run: >~3% means the window
+                # is dirty and raw seconds are not comparable (SCALE.md §0).
+                "steal_pct": steal_pct,
+                "loadavg_start": load0,
             }
         )
     )
