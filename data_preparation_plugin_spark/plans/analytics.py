@@ -1051,9 +1051,10 @@ CMS_TOP_K = 10
         SELECT user_id, d.i,
                ((d.a * user_id + d.b) % {CMS_PRIME}) % {CMS_WIDTH} AS bucket
         FROM events
-        CROSS JOIN (VALUES (0, 1000003, 12345),
-                           (1, 999983, 54321),
-                           (2, 1000033, 777)) AS d(i, a, b)
+        CROSS JOIN (VALUES {", ".join(
+            f"({i}, {a}, {b})"
+            for i, (a, b) in enumerate(CMS_DEPTH_PARAMS)
+        )}) AS d(i, a, b)
     ), counters AS (
         SELECT i, bucket, count(*) AS c
         FROM hashes GROUP BY i, bucket
@@ -1061,9 +1062,10 @@ CMS_TOP_K = 10
         SELECT DISTINCT user_id, i,
                ((d.a * user_id + d.b) % {CMS_PRIME}) % {CMS_WIDTH} AS bucket
         FROM events
-        CROSS JOIN (VALUES (0, 1000003, 12345),
-                           (1, 999983, 54321),
-                           (2, 1000033, 777)) AS d(i, a, b)
+        CROSS JOIN (VALUES {", ".join(
+            f"({i}, {a}, {b})"
+            for i, (a, b) in enumerate(CMS_DEPTH_PARAMS)
+        )}) AS d(i, a, b)
     ), est AS (
         SELECT k.user_id, min(c.c) AS cms_estimate
         FROM keys k JOIN counters c ON k.i = c.i AND k.bucket = c.bucket

@@ -613,17 +613,27 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Price bands for the range join — ONE constant feeds builder and
+#: oracle so the band edges cannot drift between engines (the
+#: STREAM_CMS_PARAMS lesson, ADVICE r13).
+RANGE_BANDS = (
+    ("small", 0.0, 100000.0),
+    ("medium", 100000.0, 300000.0),
+    ("large", 300000.0, 1e18),
+)
+
+
 @register(
     "join_range_band",
     category="join",
-    oracle="""
+    oracle=f"""
     SELECT band_name,
            count(*)                    AS n_orders,
            round(sum(o_totalprice), 2) AS total_price
     FROM orders
-    JOIN (VALUES ('small', 0.0, 100000.0),
-                 ('medium', 100000.0, 300000.0),
-                 ('large', 300000.0, 1e18)) AS bands(band_name, lo, hi)
+    JOIN (VALUES {", ".join(
+        f"('{n}', {lo}, {hi})" for n, lo, hi in RANGE_BANDS
+    )}) AS bands(band_name, lo, hi)
       ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band_name
     """,
@@ -637,9 +647,7 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     bands = spark.createDataFrame(
-        [("small", 0.0, 100000.0), ("medium", 100000.0, 300000.0),
-         ("large", 300000.0, 1e18)],
-        ["band_name", "lo", "hi"],
+        list(RANGE_BANDS), ["band_name", "lo", "hi"]
     )
     return (
         orders.join(
