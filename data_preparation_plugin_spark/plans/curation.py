@@ -43,6 +43,7 @@ from data_preparation_plugin_spark.plans.registry import load_table, register
 from data_preparation_plugin_spark.plans.text import (
     LANG_MARKERS,
     QUALITY_GATE_SQL,
+    cls_score_sql,
     predicted_lang_col,
     quality_pass_col,
 )
@@ -202,7 +203,7 @@ ADAPTIVE_KEEP_FRAC = 0.6
         GROUP BY doc_id, lang
     ), scored AS (
         SELECT doc_id, lang,
-               round(num * 1.0 / (64 * n_tokens), 4) AS score
+               {cls_score_sql("//")} AS score
         FROM weighted
     )
     SELECT doc_id, lang, score,

@@ -1159,6 +1159,27 @@ def cls_weight_int(bucket: Column) -> Column:
     )
 
 
+#: Classifier score = round(num / (CLS_BUCKETS * n_tokens), 4), computed
+#: in EXACT INTEGER arithmetic (half away from zero) because the rational
+#: can land exactly on a decimal half where Spark's decimal HALF_UP and
+#: DuckDB's binary-double round diverge — caught by the r14 sf0.1
+#: full-registry drive (doc 2440: 0.0863 vs 0.0862). The one float op is
+#: the final /10000 of the SAME integer in both engines. ``div`` is the
+#: engine's integer-division token (Spark ``div``, DuckDB ``//``); both
+#: floor, and the CASE keeps numerators non-negative so floor == truncate.
+CLS_SCORE_TEMPLATE = (
+    "CAST(CASE WHEN num >= 0"
+    " THEN (num * 20000 + {d}) {div} (2 * {d})"
+    " ELSE -((-num * 20000 + {d}) {div} (2 * {d})) END"
+    " AS DOUBLE) / 10000"
+)
+
+
+def cls_score_sql(div: str, n: str = "n_tokens") -> str:
+    """The shared score expression for one engine's integer-div token."""
+    return CLS_SCORE_TEMPLATE.format(div=div, d=f"({CLS_BUCKETS} * {n})")
+
+
 def classifier_scored(docs: DataFrame, *carry: str) -> DataFrame:
     """doc_id [+ carry cols] -> n_tokens + linear classifier score.
 
@@ -1181,10 +1202,7 @@ def classifier_scored(docs: DataFrame, *carry: str) -> DataFrame:
         *keys,
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("num").alias("num"),
-        F.round(
-            F.col("num") * F.lit(1.0) / (F.lit(CLS_BUCKETS) * F.col("n_tokens")),
-            4,
-        ).alias("score"),
+        F.expr(cls_score_sql("div")).alias("score"),
     )
 
 
@@ -1212,7 +1230,7 @@ def classifier_scored(docs: DataFrame, *carry: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           round(num * 1.0 / ({CLS_BUCKETS} * n_tokens), 4) AS score,
+           {cls_score_sql("//")} AS score,
            CASE WHEN num > 0 THEN 1 ELSE 0 END AS keep_label
     FROM weighted
     """,
@@ -1231,9 +1249,12 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: weights are integers in [-32, 31] divided by 64, so the
     per-document accumulator sum(cnt * w_int) is INTEGER arithmetic —
-    exact, order-immune, engine-agnostic — with a single float division
-    at the end. No FP-associativity hazard despite the two-level
-    aggregation.
+    exact, order-immune, engine-agnostic — and the 4-decimal score
+    rounding is ALSO integer arithmetic (``cls_score_sql``): the
+    rational num/(64·n) can land exactly on a decimal half, where
+    Spark's decimal HALF_UP and DuckDB's binary-double round diverge
+    (found by the r14 sf0.1 full-registry drive). The only float op is
+    the final /10000 of the same integer in both engines.
 
     Scale shape: explode → two-level hash aggregation, both
     map-side-combinable; only (doc_id, bucket_int, count) rows shuffle
