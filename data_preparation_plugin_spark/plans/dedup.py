@@ -23,7 +23,11 @@ from data_preparation_plugin_spark.functions.hashing import minhash_hex
 from data_preparation_plugin_spark.functions.text import exploded_shingles
 from data_preparation_plugin_spark.functions.text import shingles as _shingles
 from data_preparation_plugin_spark.functions.text import tokens as tokens_col
-from data_preparation_plugin_spark.plans.registry import load_table, register
+from data_preparation_plugin_spark.plans.registry import (
+    int_ratio_round_sql,
+    load_table,
+    register,
+)
 from data_preparation_plugin_spark.plans.text import (
     URL_CANON_SQL,
     URL_SYNTH_SQL,
@@ -273,7 +277,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_a,
            doc_b,
-           round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common), 4)
+           {int_ratio_round_sql(
+               "n_common",
+               "sa.n_shingles + sb.n_shingles - n_common", 4, "//")}
                AS jaccard
     FROM overlap
     JOIN sizes sa ON doc_a = sa.doc_id
@@ -354,9 +360,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.col("n_common") * 1.0 / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        overlap.filter(jaccard >= 0.5)
-        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+    # The >= 0.5 gate is float-safe (c/u == 0.5 is binary-exact in both
+    # engines); the 4-decimal report uses the exact-integer rounding
+    # (registry.int_ratio_round_sql) because an integer-rational can
+    # land on a decimal half where the engines' round() diverge.
+    return overlap.filter(jaccard >= 0.5).select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            int_ratio_round_sql("n_common", "na + nb - n_common", 4, "div")
+        ).alias("jaccard"),
     )
 
 
@@ -708,7 +721,9 @@ SEGMENT_TOKENS = 4
            count(*) AS n_chunks,
            CAST(sum(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_dup_chunks,
-           round(sum(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+           {int_ratio_round_sql(
+               "sum(CASE WHEN k.nd > 1 THEN 1 ELSE 0 END)",
+               "count(*)", 4, "//")}
                AS dup_ratio
     FROM chunks c
     JOIN counts k USING (digest)
@@ -773,9 +788,12 @@ def dedup_segments_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").cast("long").alias("n_chunks"),
             F.sum(dup_chunks).cast("long").alias("n_dup_chunks"),
-            F.round(F.sum(dup_chunks) * 1.0 / F.sum("c"), 4).alias(
-                "dup_ratio"
-            ),
+        )
+        # Integer counts: round the ratio in exact integer arithmetic
+        # (decimal-half ties diverge between engines' round()).
+        .withColumn(
+            "dup_ratio",
+            F.expr(int_ratio_round_sql("n_dup_chunks", "n_chunks", 4, "div")),
         )
     )
 
@@ -1441,7 +1459,8 @@ _SPAN_K = SPAN_GRAM_TOKENS
            coalesce(p.n_dup_spans, 0)     AS n_dup_spans,
            coalesce(p.dup_tokens, 0)      AS dup_tokens,
            coalesce(p.max_span_tokens, 0) AS max_span_tokens,
-           round(coalesce(p.dup_tokens, 0) * 1.0 / len(t.toks), 4)
+           {int_ratio_round_sql(
+               "coalesce(p.dup_tokens, 0)", "len(t.toks)", 4, "//")}
                AS dup_token_ratio
     FROM tok t LEFT JOIN per_doc p USING (doc_id)
     """,
@@ -1538,9 +1557,12 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("max_span_tokens", F.lit(0))
         .cast("long")
         .alias("max_span_tokens"),
-        F.round(
-            F.coalesce("dup_tokens", F.lit(0)) * F.lit(1.0) / F.col("n_tokens"),
-            4,
+        # Integer token counts: exact-integer rounding (half ties
+        # diverge between engines' round(); registry helper).
+        F.expr(
+            int_ratio_round_sql(
+                "coalesce(dup_tokens, 0)", "n_tokens", 4, "div"
+            )
         ).alias("dup_token_ratio"),
     )
 
@@ -2006,10 +2028,13 @@ _CALIBRATION_ORACLE = _minhash_sql(
     )
     SELECT m.doc_a, m.doc_b,
            round(m.n_match / {MINHASH_SEEDS}.0, 4) AS est_jaccard,
-           round(c.n_common * 1.0 / (sa.n + sb.n - c.n_common), 4)
+           {int_ratio_round_sql(
+               "c.n_common", "sa.n + sb.n - c.n_common", 4, "//")}
                AS exact_jaccard,
-           round(abs(m.n_match / {MINHASH_SEEDS}.0
-                     - c.n_common * 1.0 / (sa.n + sb.n - c.n_common)), 4)
+           {int_ratio_round_sql(
+               f"abs(m.n_match * (sa.n + sb.n - c.n_common)"
+               f" - {MINHASH_SEEDS} * c.n_common)",
+               f"{MINHASH_SEEDS} * (sa.n + sb.n - c.n_common)", 4, "//")}
                AS abs_err
     FROM matches m
     JOIN common c ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
@@ -2073,8 +2098,12 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    exact = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # est = k/8 is binary-exact (power-of-two denominator) so its round
+    # is engine-safe; exact and abs_err are integer rationals with
+    # arbitrary denominators — both engines round them through the
+    # shared exact-integer form (|k/8 - c/u| = |k*u - 8c| / (8u)).
     est_j = F.col("n_match") / float(MINHASH_SEEDS)
+    u = "na + nb - n_common"
     return (
         est.join(common, ["doc_a", "doc_b"])
         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
@@ -2083,8 +2112,17 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.round(est_j, 4).alias("est_jaccard"),
-            F.round(exact, 4).alias("exact_jaccard"),
-            F.round(F.abs(est_j - exact), 4).alias("abs_err"),
+            F.expr(
+                int_ratio_round_sql("n_common", u, 4, "div")
+            ).alias("exact_jaccard"),
+            F.expr(
+                int_ratio_round_sql(
+                    f"abs(n_match * ({u}) - {MINHASH_SEEDS} * n_common)",
+                    f"{MINHASH_SEEDS} * ({u})",
+                    4,
+                    "div",
+                )
+            ).alias("abs_err"),
         )
     )
 
@@ -2681,7 +2719,7 @@ WJ_WEIGHT_NUM = 1_000_000
     )
     SELECT doc_a, doc_b,
            CAST(n_common AS BIGINT) AS n_common,
-           round(common_w * 1.0 / (wa + wb - common_w), 4)
+           {int_ratio_round_sql("common_w", "wa + wb - common_w", 4, "//")}
                AS weighted_jaccard
     FROM overlap
     WHERE 2 * common_w >= wa + wb - common_w
@@ -2755,13 +2793,16 @@ def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     union_w = F.col("wa") + F.col("wb") - F.col("common_w")
+    # Integer-exact admission gate AND integer-exact 4-decimal report:
+    # the weights are integers, so the rational can land on a decimal
+    # half where the engines' round() diverge (registry helper).
     return overlap.filter(2 * F.col("common_w") >= union_w).select(
         "doc_a",
         "doc_b",
         F.col("n_common").cast("bigint").alias("n_common"),
-        F.round(F.col("common_w") * 1.0 / union_w, 4).alias(
-            "weighted_jaccard"
-        ),
+        F.expr(
+            int_ratio_round_sql("common_w", "wa + wb - common_w", 4, "div")
+        ).alias("weighted_jaccard"),
     )
 
 

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_preparation_plugin_spark.plans.registry import load_table, register
+from data_preparation_plugin_spark.plans.registry import (
+    int_ratio_round_sql,
+    load_table,
+    register,
+)
 
 
 def ntz_hour(col_name: str):
@@ -2626,8 +2630,10 @@ _CUPED_CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
     )
     SELECT a.variant,
            CAST(a.n_users AS BIGINT) AS n_users,
-           round(CAST(a.s_pre AS DOUBLE) / a.n_users, 4) AS pre_mean_cents,
-           round(CAST(a.s_post AS DOUBLE) / a.n_users, 4) AS post_mean_cents,
+           {int_ratio_round_sql("a.s_pre", "a.n_users", 4, "//")}
+               AS pre_mean_cents,
+           {int_ratio_round_sql("a.s_post", "a.n_users", 4, "//")}
+               AS post_mean_cents,
            round(th.theta, 6) AS theta,
            round(CAST(a.s_post AS DOUBLE) / a.n_users
                  - th.theta * (CAST(a.s_pre AS DOUBLE) / a.n_users
@@ -2703,11 +2709,15 @@ def events_ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "variant",
             "n_users",
-            F.round(
-                F.col("s_pre").cast("double") / F.col("n_users"), 4
+            # Integer-cents sums over integer user counts: round via the
+            # exact-integer form (decimal-half ties diverge between the
+            # engines' round(); registry helper). theta/adjusted stay
+            # float-chain (measure-zero tie risk).
+            F.expr(
+                int_ratio_round_sql("s_pre", "n_users", 4, "div")
             ).alias("pre_mean_cents"),
-            F.round(
-                F.col("s_post").cast("double") / F.col("n_users"), 4
+            F.expr(
+                int_ratio_round_sql("s_post", "n_users", 4, "div")
             ).alias("post_mean_cents"),
             F.round("theta", 6).alias("theta"),
             F.round(

@@ -88,6 +88,28 @@ def register(
     return wrap
 
 
+def int_ratio_round_sql(num: str, den: str, decimals: int, div: str) -> str:
+    """``round(num/den, decimals)`` in EXACT integer arithmetic.
+
+    ``num``/``den`` are integer SQL expressions (``den`` > 0); ``div``
+    is the engine's integer-division token (Spark ``div``, DuckDB
+    ``//`` — both floor, and the CASE keeps numerators non-negative so
+    floor == truncate). Rationale: a rational of integers can land
+    exactly on a decimal half, where Spark's decimal HALF_UP and
+    DuckDB's binary-double rounding diverge — the r14 sf0.1 drive
+    caught ``text_quality_classifier`` flipping 0.0863/0.0862 this way.
+    Here the tie resolves half-away-from-zero in BOTH engines and the
+    only float op is the final division of the same integer.
+    """
+    scale = 10**decimals
+    return (
+        f"CAST(CASE WHEN ({num}) >= 0"
+        f" THEN (({num}) * {2 * scale} + ({den})) {div} (2 * ({den}))"
+        f" ELSE -(((-({num})) * {2 * scale} + ({den})) {div} (2 * ({den})))"
+        f" END AS DOUBLE) / {scale}"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one test table (TESTDATA.md layout).
 

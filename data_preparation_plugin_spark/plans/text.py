@@ -17,7 +17,11 @@ from pyspark.sql.window import Window
 
 from data_preparation_plugin_spark.functions.text import exploded_shingles
 from data_preparation_plugin_spark.functions.text import tokens as tokens_col
-from data_preparation_plugin_spark.plans.registry import load_table, register
+from data_preparation_plugin_spark.plans.registry import (
+    int_ratio_round_sql,
+    load_table,
+    register,
+)
 
 #: Tiny per-language marker lexicons for the heuristic language-ID.
 #: Deliberately simple (the reference has no NLP stack at all); the point is
@@ -76,11 +80,14 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            len(tokens)                                                  AS n_tokens,
-           round(length(text) * 1.0 / len(tokens), 4)                   AS avg_token_len,
-           round(len(list_filter(tokens, t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
-                 / len(tokens), 4)                                      AS stopword_ratio,
-           round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0
-                 / length(text), 4)                                     AS punct_ratio,
+           {int_ratio_round_sql("length(text)", "len(tokens)", 4, "//")}
+               AS avg_token_len,
+           {int_ratio_round_sql(
+               "len(list_filter(tokens, t -> t IN ('the', 'a', 'of', 'and')))",
+               "len(tokens)", 4, "//")}                                 AS stopword_ratio,
+           {int_ratio_round_sql(
+               "len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))",
+               "length(text)", 4, "//")}                                AS punct_ratio,
            CASE WHEN {QUALITY_GATE_SQL}
                 THEN 1 ELSE 0 END                                       AS quality_pass
     FROM toks
@@ -98,15 +105,32 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.size(
         F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
     )
-    stop_ratio = stop * F.lit(1.0) / n_tokens
     punct = F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), F.lit(0)))
-    return docs.select(
+    # All three ratios are rationals of INTEGER counts; round them in
+    # exact integer arithmetic (registry.int_ratio_round_sql) — a
+    # decimal-half value diverges between the engines' round() (the
+    # classifier-score lesson, r14 sf0.1 drive).
+    counted = docs.select(
         "doc_id",
+        F.length("text").alias("n_text_chars"),
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(F.length("text") * 1.0 / n_tokens, 4).alias("avg_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(punct * F.lit(1.0) / F.length("text"), 4).alias("punct_ratio"),
+        stop.alias("n_stop"),
+        punct.alias("n_punct"),
         quality_pass_col(toks).alias("quality_pass"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            int_ratio_round_sql("n_text_chars", "n_tokens", 4, "div")
+        ).alias("avg_token_len"),
+        F.expr(
+            int_ratio_round_sql("n_stop", "n_tokens", 4, "div")
+        ).alias("stopword_ratio"),
+        F.expr(
+            int_ratio_round_sql("n_punct", "n_text_chars", 4, "div")
+        ).alias("punct_ratio"),
+        "quality_pass",
     )
 
 
@@ -468,7 +492,7 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_repetition_ratio",
     category="text",
-    oracle=r"""
+    oracle=rf"""
     WITH tok AS (
         SELECT doc_id,
                unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
@@ -481,8 +505,10 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(sum(c) AS BIGINT)                   AS n_tokens,
            count(*)                                 AS n_distinct_tokens,
-           round(count(*) * 1.0 / sum(c), 4)        AS type_token_ratio,
-           round(max(c) * 1.0 / sum(c), 4)          AS top_token_share
+           {int_ratio_round_sql("count(*)", "sum(c)", 4, "//")}
+               AS type_token_ratio,
+           {int_ratio_round_sql("max(c)", "sum(c)", 4, "//")}
+               AS top_token_share
     FROM counts
     GROUP BY doc_id
     """,
@@ -504,11 +530,26 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
     total = F.sum("c")
     distinct = F.count(F.lit(1))
-    return counts.groupBy("doc_id").agg(
-        total.cast("long").alias("n_tokens"),
-        distinct.alias("n_distinct_tokens"),
-        F.round(distinct * F.lit(1.0) / total, 4).alias("type_token_ratio"),
-        F.round(F.max("c") * F.lit(1.0) / total, 4).alias("top_token_share"),
+    # Integer counts: exact-integer 4-decimal rounding (half ties
+    # diverge between engines' round(); registry helper).
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            total.cast("long").alias("n_tokens"),
+            distinct.alias("n_distinct_tokens"),
+            F.max("c").alias("__top_c"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.expr(
+                int_ratio_round_sql("n_distinct_tokens", "n_tokens", 4, "div")
+            ).alias("type_token_ratio"),
+            F.expr(
+                int_ratio_round_sql("__top_c", "n_tokens", 4, "div")
+            ).alias("top_token_share"),
+        )
     )
 
 
@@ -1167,17 +1208,13 @@ def cls_weight_int(bucket: Column) -> Column:
 #: the final /10000 of the SAME integer in both engines. ``div`` is the
 #: engine's integer-division token (Spark ``div``, DuckDB ``//``); both
 #: floor, and the CASE keeps numerators non-negative so floor == truncate.
-CLS_SCORE_TEMPLATE = (
-    "CAST(CASE WHEN num >= 0"
-    " THEN (num * 20000 + {d}) {div} (2 * {d})"
-    " ELSE -((-num * 20000 + {d}) {div} (2 * {d})) END"
-    " AS DOUBLE) / 10000"
-)
-
-
 def cls_score_sql(div: str, n: str = "n_tokens") -> str:
     """The shared score expression for one engine's integer-div token."""
-    return CLS_SCORE_TEMPLATE.format(div=div, d=f"({CLS_BUCKETS} * {n})")
+    from data_preparation_plugin_spark.plans.registry import (
+        int_ratio_round_sql,
+    )
+
+    return int_ratio_round_sql("num", f"{CLS_BUCKETS} * {n}", 4, div)
 
 
 def classifier_scored(docs: DataFrame, *carry: str) -> DataFrame:
@@ -1781,7 +1818,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_langid_confusion",
     category="text",
-    oracle=r"""
+    oracle=fr"""
     WITH toks AS (
         SELECT doc_id, lang,
                string_split_regex(trim(lower(text)), '\s+') AS tokens
@@ -1808,8 +1845,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, predicted_lang,
            count(*) AS n_docs,
-           round(count(*) * 1.0
-                 / sum(count(*)) OVER (PARTITION BY lang), 4) AS class_share
+           {int_ratio_round_sql(
+               "count(*)",
+               "sum(count(*)) OVER (PARTITION BY lang)", 4, "//")}
+               AS class_share
     FROM pred GROUP BY lang, predicted_lang
     """,
 )
@@ -1832,13 +1871,17 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs")
     )
     w = Window.partitionBy("lang")
-    return cells.select(
+    # Integer cell counts: exact-integer 4-decimal rounding (half
+    # ties diverge between engines' round(); registry helper).
+    return cells.withColumn(
+        "__lang_total", F.sum("n_docs").over(w)
+    ).select(
         "lang",
         "predicted_lang",
         "n_docs",
-        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 4).alias(
-            "class_share"
-        ),
+        F.expr(
+            int_ratio_round_sql("n_docs", "__lang_total", 4, "div")
+        ).alias("class_share"),
     )
 
 
