@@ -1825,3 +1825,31 @@ def test_substr_ladder_restriction_is_lossless(docs):
         ladder = _dup_positions(docs, lvl, candidates=surv)
         assert ladder == brute, (lvl, ladder ^ brute)
         surv = ladder
+
+
+@given(
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=0, max_value=6),
+)
+def test_int_ratio_round_formula_is_exact_decimal_half_away(num, den, dec):
+    """registry.int_ratio_round_sql's integer formula must equal TRUE
+    decimal rounding (half away from zero) of the rational num/den —
+    verified against Fraction arithmetic, which float round() cannot
+    do. This is the invariant that makes the hardened ratio columns
+    engine-agnostic: both engines evaluate the same integer expression,
+    and that expression is the mathematically correct decimal round."""
+    from fractions import Fraction
+
+    scale = 10**dec
+    # Pure-Python mirror of the SQL formula (floor division on the
+    # non-negative branch, mirrored for negatives).
+    if num >= 0:
+        got = (num * 2 * scale + den) // (2 * den)
+    else:
+        got = -(((-num) * 2 * scale + den) // (2 * den))
+    x = Fraction(num, den) * scale
+    trunc = int(x)  # toward zero
+    away = 1 if x >= 0 else -1
+    want = trunc + away if abs(x - trunc) >= Fraction(1, 2) else trunc
+    assert got == want, (num, den, dec, got, want)
