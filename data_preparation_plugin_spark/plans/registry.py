@@ -100,12 +100,21 @@ def int_ratio_round_sql(num: str, den: str, decimals: int, div: str) -> str:
     caught ``text_quality_classifier`` flipping 0.0863/0.0862 this way.
     Here the tie resolves half-away-from-zero in BOTH engines and the
     only float op is the final division of the same integer.
+
+    Both operands are widened to BIGINT *inside* the helper: Spark
+    callers often pass IntegerType expressions (``F.length``,
+    ``F.size``), and INT*INT stays 32-bit in Spark — ``(num) * 20000``
+    silently wraps (ANSI off) past ~107k-char texts while DuckDB's
+    ``len()`` is already BIGINT, breaking the exact-integer contract
+    (r14 ADVICE, medium).
     """
     scale = 10**decimals
+    num64 = f"CAST(({num}) AS BIGINT)"
+    den64 = f"CAST(({den}) AS BIGINT)"
     return (
-        f"CAST(CASE WHEN ({num}) >= 0"
-        f" THEN (({num}) * {2 * scale} + ({den})) {div} (2 * ({den}))"
-        f" ELSE -(((-({num})) * {2 * scale} + ({den})) {div} (2 * ({den})))"
+        f"CAST(CASE WHEN {num64} >= 0"
+        f" THEN ({num64} * {2 * scale} + {den64}) {div} (2 * {den64})"
+        f" ELSE -((-{num64} * {2 * scale} + {den64}) {div} (2 * {den64}))"
         f" END AS DOUBLE) / {scale}"
     )
 

@@ -1899,3 +1899,31 @@ def test_archive_index_force_rebuild(spark):
     before = os.path.getmtime(marker)
     build_archive_indexes(spark, SF_DIR, force=True)
     assert os.path.getmtime(marker) > before
+
+
+def test_int_ratio_round_widens_int32_operands(spark):
+    """int_ratio_round_sql must widen operands to BIGINT internally:
+    Spark callers pass IntegerType expressions (F.length/F.size), and
+    INT*INT stays 32-bit — `num * 20000` silently wraps for texts past
+    ~107k chars while DuckDB's len() is BIGINT (r15 ADVICE, medium).
+    Pin a value past the 32-bit wrap point in both engines."""
+    import duckdb
+
+    from data_preparation_plugin_spark.plans.registry import (
+        int_ratio_round_sql,
+    )
+
+    num, den = 200_000, 3  # 200_000 * 20_000 > 2**31 - 1
+    got = (
+        spark.createDataFrame([(num, den)], "num int, den int")
+        .selectExpr(
+            int_ratio_round_sql("num", "den", 4, "div") + " AS r"
+        )
+        .collect()[0]["r"]
+    )
+    want = duckdb.sql(
+        "SELECT "
+        + int_ratio_round_sql(f"CAST({num} AS INT)", str(den), 4, "//")
+        + " AS r"
+    ).fetchone()[0]
+    assert got == want == 66666.6667, (got, want)
