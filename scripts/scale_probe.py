@@ -515,6 +515,8 @@ PROBES = [
     "dedup_substr_doubling",     # rank-doubling ladder, survivor-restricted
     "curation_archive_index_refresh",  # batch-proportional index deltas
     "knn_ivf_persisted",         # DPP-pruned persisted inverted lists
+    # --- registered r15 ---
+    "curation_two_cycle_ingest",  # two batch-proportional probes + cycle delta
 ]
 
 
@@ -554,6 +556,7 @@ TELEMETRY = {
 WARM_EACH_FACTOR = {
     "curation_incremental_ingest_indexed",
     "curation_archive_index_refresh",
+    "curation_two_cycle_ingest",
     "knn_ivf_persisted",
 }
 

@@ -96,3 +96,56 @@ def test_minhash_clusters_cover_all_pairs(spark):
     # Representatives are the component minimum.
     for doc, rep in label.items():
         assert rep <= doc
+
+
+def test_two_cycle_detects_prior_admission(spark, tmp_path):
+    """Lifecycle regression the single-cycle shape could not express: a
+    document ADMITTED in cycle 1 and re-crawled in cycle 2 must be caught
+    by cycle 2's probe (via the cycle-1 delta dirs), while the
+    standing-index-only probe — blind to intra-batch history — admits it.
+    Synthetic fixture because the real one has no cross-month dups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_preparation_plugin_spark import plans
+
+    t_arch = "the river flows and the mountain stands of old"
+    t_new = "a quick brown fox jumps over the lazy dog today"
+    t_uniq = "completely different words entirely here about seven of them"
+    rows = [
+        (1, t_arch),  # archive (doc_id % 3 != 0)
+        (6, t_new),  # month 1 (doc_id % 6 == 0) -> admitted
+        (9, t_new),  # month 2 (doc_id % 6 == 3) -> dup of month-1 admission
+        (15, t_uniq),  # month 2, genuinely new -> admitted
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["web"] * len(rows),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+    two = {
+        (r["cycle"], r["doc_id"]): r["status"]
+        for r in plans.QUERIES["curation_two_cycle_ingest"]
+        .builder(spark, sf)
+        .collect()
+    }
+    assert two[(1, 6)] == "admitted"
+    assert two[(2, 9)] == "exact_dup_archive", two
+    assert two[(2, 15)] == "admitted"
+    single = {
+        r["doc_id"]: r["status"]
+        for r in plans.QUERIES["curation_incremental_ingest_indexed"]
+        .builder(spark, sf)
+        .collect()
+    }
+    assert single[9] == "admitted"  # the gap the two-cycle shape closes
