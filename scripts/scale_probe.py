@@ -517,6 +517,7 @@ PROBES = [
     "knn_ivf_persisted",         # DPP-pruned persisted inverted lists
     # --- registered r15 ---
     "curation_two_cycle_ingest",  # two batch-proportional probes + cycle delta
+    "knn_ivf_admitted",          # frozen-codebook append, DPP-pruned serving
 ]
 
 
@@ -558,6 +559,7 @@ WARM_EACH_FACTOR = {
     "curation_archive_index_refresh",
     "curation_two_cycle_ingest",
     "knn_ivf_persisted",
+    "knn_ivf_admitted",
 }
 
 

@@ -1927,3 +1927,98 @@ def test_int_ratio_round_widens_int32_operands(spark):
         + " AS r"
     ).fetchone()[0]
     assert got == want == 66666.6667, (got, want)
+
+
+def test_ivf_admitted_dpp(spark):
+    """Post-admission serving keeps the inverted-list property: dynamic
+    partition pruning on the grown assignment scan, no sort-merge join."""
+    plan = plan_of(spark, "knn_ivf_admitted")
+    m = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert any("dynamicpruning" in f for f in m), m
+    assert count(r"SortMergeJoin", plan) == 0
+
+
+def test_ivf_admitted_shares_full_rebuild_oracle():
+    """Append ≡ rebuild: the admitted index answers exactly like the
+    full-corpus form."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    assert (
+        QUERIES["knn_ivf_admitted"].oracle
+        == QUERIES["knn_ivf_cosine"].oracle
+    )
+
+
+def test_ivf_admit_is_idempotent(spark):
+    """A second admit call must be a no-op (the _ADMITTED marker): a
+    double append would duplicate candidates and poison every top-k."""
+    import os
+
+    from data_preparation_plugin_spark.plans.similarity import (
+        admit_ivf_batch,
+        build_ivf_base_index,
+    )
+
+    base = build_ivf_base_index(spark, SF_DIR)
+    admit_ivf_batch(spark, SF_DIR, base)
+    n0 = spark.read.parquet(os.path.join(base, "assignments")).count()
+    admit_ivf_batch(spark, SF_DIR, base)
+    n1 = spark.read.parquet(os.path.join(base, "assignments")).count()
+    assert n0 == n1
+
+
+def test_ivf_cell_skew_drift_guard(spark, tmp_path):
+    """The retrain trigger fires on skewed inverted lists and stays quiet
+    on balanced ones."""
+    from data_preparation_plugin_spark.layout import write_partitioned
+    from data_preparation_plugin_spark.plans.similarity import (
+        IVF_SKEW_RETRAIN_RATIO,
+        ivf_cell_skew,
+    )
+
+    balanced = spark.range(80).selectExpr(
+        "id AS vec_id", "array(1.0d) AS v", "CAST(id % 8 AS INT) AS cell"
+    )
+    write_partitioned(
+        balanced, str(tmp_path / "bal" / "assignments"), ["cell"]
+    )
+    ok = ivf_cell_skew(spark, str(tmp_path / "bal"))
+    assert not ok["retrain"] and ok["skew"] == 1.0
+    skewed = spark.range(80).selectExpr(
+        "id AS vec_id",
+        "array(1.0d) AS v",
+        "CAST(CASE WHEN id < 73 THEN 0 ELSE id % 8 END AS INT) AS cell",
+    )
+    write_partitioned(
+        skewed, str(tmp_path / "skew" / "assignments"), ["cell"]
+    )
+    bad = ivf_cell_skew(spark, str(tmp_path / "skew"))
+    assert bad["retrain"] and bad["skew"] > IVF_SKEW_RETRAIN_RATIO
+
+
+def test_ivf_index_cache_keys_on_fixture_content(spark, tmp_path):
+    """Regenerating fixture bytes at the same path must yield a NEW index
+    cache directory (content fingerprint in the key) — the r15 ADVICE
+    stale-index hazard — and force=True must rewrite in place."""
+    import os
+    import shutil
+    import time
+
+    from data_preparation_plugin_spark.plans.similarity import (
+        build_ivf_index,
+        ivf_index_dir,
+    )
+
+    sf = str(tmp_path)
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", f"{sf}/embeddings.parquet")
+    d0 = ivf_index_dir(sf)
+    base = build_ivf_index(spark, sf)
+    marker = os.path.join(base, "assignments", "_SUCCESS")
+    before = os.path.getmtime(marker)
+    time.sleep(0.05)
+    assert build_ivf_index(spark, sf) == base  # cached
+    assert os.path.getmtime(marker) == before
+    build_ivf_index(spark, sf, force=True)
+    assert os.path.getmtime(marker) > before
+    os.utime(f"{sf}/embeddings.parquet")  # "regenerated" fixture
+    assert ivf_index_dir(sf) != d0
