@@ -4965,6 +4965,26 @@ def events_stream_quantile_sketch(
     )
 
 
+def quantile_sink_table(sf_dir: str) -> str:
+    """Fixture-derived PG serving-table name for the quantile sink.
+
+    The serving table and its epoch ledger are per-fixture (md5 of the
+    path + the events table's content fingerprint), so concurrent runs
+    against different fixtures on one PG instance never clobber each
+    other's DROP/recreate; a single fixture's runs remain single-writer,
+    the same contract as ``curation.write_cycle_delta`` (r15 ADVICE).
+    """
+    import hashlib
+
+    from data_preparation_plugin_spark.plans.curation import (
+        fixture_fingerprint,
+    )
+
+    key = f"{sf_dir}|{fixture_fingerprint(sf_dir, 'events')}"
+    digest = hashlib.md5(key.encode("utf-8")).hexdigest()[:12]
+    return f"dpp_stream_quantile_cells_{digest}"
+
+
 #: Watermark delay for the PG-sinked daily quantile dashboard; only
 #: watermark-finalized windows are appended (the emission rule the
 #: oracle models, as in ``events_stream_windowed_rollup``).
@@ -5035,6 +5055,7 @@ def sink_stream_quantile_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per (day, type, bin): the dashboard query is a window walk over
     ≤ types × bins rows per day, the shape a Grafana panel polls.
     """
+    import shutil as _sh
     import tempfile as _tf
 
     from data_preparation_plugin_spark.sources import postgres_copy as pgc
@@ -5045,7 +5066,7 @@ def sink_stream_quantile_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     conninfo = pgc.ensure_postgres()
     spark.dataSource.register(PgCopyDataSource)
-    table = "dpp_stream_quantile_cells"
+    table = quantile_sink_table(sf_dir)
     staged = _stage_events(spark, sf_dir)
     saved_tz = spark.conf.get("spark.sql.session.timeZone")
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -5053,6 +5074,7 @@ def sink_stream_quantile_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(REPLAY_STATE_PARTITIONS)
     )
+    ckpt_dir = _tf.mkdtemp(prefix="dpp-quantile-pg-ckpt-")
     try:
         # Fresh serving table + ledger per run: the registered query is a
         # deterministic end-to-end proof, not an accumulating deployment.
@@ -5088,10 +5110,7 @@ def sink_stream_quantile_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("conninfo", conninfo)
             .option("table", table)
             .option("query_id", "sink_stream_quantile_pg")
-            .option(
-                "checkpointLocation",
-                _tf.mkdtemp(prefix="dpp-quantile-pg-ckpt-"),
-            )
+            .option("checkpointLocation", ckpt_dir)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
@@ -5133,5 +5152,10 @@ def sink_stream_quantile_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return result.localCheckpoint(eager=True)
     finally:
+        # The returned frame is eagerly checkpointed from the PG read, so
+        # the finished stream's checkpoint dir is disposable — removing it
+        # here is what keeps repeated runs from accumulating /tmp state
+        # (r15 ADVICE).
+        _sh.rmtree(ckpt_dir, ignore_errors=True)
         spark.conf.set("spark.sql.session.timeZone", saved_tz)
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)

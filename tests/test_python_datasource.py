@@ -702,8 +702,12 @@ def test_stream_sketch_sink_exactly_once_cells(spark, conninfo):
         sink_stream_quantile_pg,
     )
 
+    from data_preparation_plugin_spark.plans.events import (
+        quantile_sink_table,
+    )
+
     sink_stream_quantile_pg(spark, "/root/testdata/sf0.001")
-    table = "dpp_stream_quantile_cells"
+    table = quantile_sink_table("/root/testdata/sf0.001")
     dup_cells = pgc.run_psql(
         conninfo,
         f'SELECT count(*) FROM (SELECT window_start, event_type, bin '
@@ -727,6 +731,26 @@ def test_stream_sketch_sink_exactly_once_cells(spark, conninfo):
         f'SELECT DISTINCT query_id FROM "{table}__epochs"',
     ).strip()
     assert qid == "sink_stream_quantile_pg"
+
+
+def test_quantile_sink_cleans_checkpoint_and_isolates_fixtures(spark):
+    """The sink must not accumulate /tmp checkpoint dirs across runs, and
+    its PG table name must differ per fixture so concurrent runs on one
+    PG instance cannot clobber each other (r15 ADVICE)."""
+    import glob
+
+    from data_preparation_plugin_spark.plans.events import (
+        quantile_sink_table,
+        sink_stream_quantile_pg,
+    )
+
+    before = set(glob.glob("/tmp/dpp-quantile-pg-ckpt-*"))
+    sink_stream_quantile_pg(spark, "/root/testdata/sf0.001").collect()
+    leaked = set(glob.glob("/tmp/dpp-quantile-pg-ckpt-*")) - before
+    assert leaked == set(), leaked
+    assert quantile_sink_table("/root/testdata/sf0.001") != quantile_sink_table(
+        "/root/testdata/sf0.01"
+    )
 
 
 def test_stream_pg_sink_restart_processes_only_the_delta(
