@@ -3483,6 +3483,13 @@ def _cdc_chunk_rollup(starts: DataFrame) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", "c.chunk_digest", "c.chunk_len")
+    # Two consumers (the spread aggregate and the per-doc join-back) would
+    # otherwise recompute the boundary fold + digest pass twice;
+    # checkpointing the narrow (doc_id, digest, len) rows halved the md5
+    # twin 6.8s -> 3.3s and the utf-8 gear form 9.8s -> 4.8s at sf0.1.
+    # Scale-safe: ~40 bytes/chunk, a small fraction of the text it
+    # summarizes — and the materialized size feeds AQE true stats.
+    chunks = chunks.localCheckpoint(eager=True)
     spread = chunks.groupBy("chunk_digest").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
@@ -3582,9 +3589,10 @@ def dedup_cdc_chunks_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-entry byte table instead.
 
     Measured vs the md5 twin at sf0.1 (local[32], best-of-3, noop sink,
-    in-session): gear boundaries 2.98s vs md5-per-position 5.35s —
-    0.56x, with identical plan shape after the fold (digest-only
-    shuffle, map-side-combinable spread aggregate; see
+    one interleaved session, r15 after the shared rollup gained its
+    two-consumer checkpoint): gear boundaries 2.69s vs md5-per-position
+    3.60s — 0.75x, with identical plan shape after the fold
+    (digest-only shuffle, map-side-combinable spread aggregate; see
     ``dedup_cdc_chunks``). The remaining cost is the per-char split +
     fold itself; a native byte-table pass would shave the constant
     further, not the shape.
@@ -3616,6 +3624,180 @@ def dedup_cdc_chunks_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _cdc_chunk_rollup(starts)
+
+
+#: The gear BYTE table: gear value per byte 0..255, filled by the Knuth
+#: multiplicative hash. Production swaps in any fixed random 256-entry
+#: table; the lookup shape (element_at on a byte value) is what the
+#: utf-8 variant exercises. Property-pinned table[b] == formula(b).
+GEAR_BYTE_TABLE = tuple(
+    (b * CDC_GEAR_MULT) % _GEAR_REG for b in range(256)
+)
+
+_GEAR_TABLE_SQL = "array(" + ", ".join(
+    f"{v}L" for v in GEAR_BYTE_TABLE
+) + ")"
+
+
+@register(
+    "dedup_cdc_chunks_gear_utf8",
+    category="dedup",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, hex(encode(lower(text))) AS hx,
+               octet_length(encode(lower(text))) AS nb
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, hx, nb,
+               list_prepend(1, list_transform(
+                   list_filter(range(1, nb), i ->
+                       (list_sum(list_transform(
+                            range(greatest(1, i - {CDC_GEAR_BITS - 1}), i + 1),
+                            j -> ((('0x' || substr(hx, 2*j - 1, 2))::BIGINT
+                                       * {CDC_GEAR_MULT})
+                                      % {_GEAR_REG}) * (1 << (i - j))))
+                        % {_GEAR_REG}) % {CDC_GEAR_MOD} = 0),
+                   i -> i + 1)) AS st
+        FROM base
+    ), chunks AS (
+        SELECT doc_id, nb,
+               unnest(list_transform(
+                   range(1, len(st) + 1),
+                   k -> md5(substr(hx, 2*st[k] - 1,
+                            2*((CASE WHEN k < len(st) THEN st[k + 1]
+                                     ELSE nb + 1 END) - st[k]))))) AS chunk_digest,
+               unnest(list_transform(
+                   range(1, len(st) + 1),
+                   k -> (CASE WHEN k < len(st) THEN st[k + 1]
+                              ELSE nb + 1 END) - st[k])) AS chunk_len
+        FROM starts
+    ), spread AS (
+        SELECT chunk_digest, count(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY chunk_digest
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN sp.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(sum(CASE WHEN sp.n_docs >= 2 THEN c.chunk_len ELSE 0 END)
+               AS BIGINT) AS dup_bytes
+    FROM chunks c JOIN spread sp ON c.chunk_digest = sp.chunk_digest
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_cdc_chunks_gear_utf8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gear CDC over UTF-8 BYTES with the 256-entry table — production form.
+
+    ``dedup_cdc_chunks_gear`` concedes its ``ascii(c)`` code-point gear
+    only coincides with byte-level CDC on ASCII fixtures; this is the
+    form a content-defined store actually runs: ``encode(text, 'utf-8')``
+    once, then the rolling register folds over BYTES with
+    ``GEAR_BYTE_TABLE`` — a literal 256-entry lookup
+    (``element_at(table, byte + 1)``), the swap-in point for any random
+    gear table — so boundaries are byte-offsets and multi-byte
+    characters contribute each byte, exactly like LBFS/FastCDC. The byte
+    stream rides ONE ``hex()`` projection (two hex chars per byte);
+    chunk identity is md5 over the hex slice, engine-identical. The
+    DuckDB oracle evaluates the same telescoped 16-byte windowed closed
+    form over the same hex bytes (gear by formula — the table's
+    generating function; ``tests/test_properties.py`` pins table[b] ==
+    formula(b) for all 256 bytes), and
+    ``tests/test_queries_parity.py::test_gear_utf8_equals_ascii_form_on_ascii``
+    pins (n_chunks, n_dup_chunks, dup mass) equal to the ASCII form on
+    the pure-ASCII fixture, where byte == code point.
+
+    Scale shape: identical to the ASCII twin — the fold is in-row
+    (zero shuffle for boundary detection), only 16-byte digests and
+    lengths leave the scan, and the spread aggregate is map-side
+    combinable. Measured at sf0.1 (local[32], best-of-3, noop sink, one
+    interleaved session, r15): utf8-byte form 5.56s vs ascii form 2.69s
+    — x2.1, the per-byte hex decode (conv + substring) running in
+    Spark's interpreted HOF lambdas; vs the md5-per-position stand-in
+    (3.60s) it is x1.5 here, although per-byte it does strictly less
+    work — the md5 twin rides JVM-native digest code while the gear
+    fold pays interpreter overhead per byte. On a native-execution
+    engine the gear form wins outright (that is its point); in Spark
+    the honest recommendation is the ascii form for ASCII corpora
+    (0.75x the md5 twin) and this form where multibyte byte-exactness
+    is required.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr("hex(encode(lower(text), 'utf-8'))").alias("hx"),
+        F.expr("octet_length(encode(lower(text), 'utf-8'))").alias("nb"),
+    )
+    # Decode + table-lookup ONCE per byte into an int array, then fold
+    # over ints: the rolling lambda references the register twice (h and
+    # the cut test), and inlining the hex decode there evaluated it twice
+    # per byte — measured 17.5s vs 5.5s for this split at sf0.1.
+    gs = base.withColumn(
+        "gs",
+        F.expr(
+            f"transform(sequence(1, greatest(nb, 1)), i -> "
+            f"element_at({_GEAR_TABLE_SQL}, "
+            f"CAST(conv(substring(hx, 2*i - 1, 2), 16, 10) AS INT) + 1))"
+        ),
+    )
+    roll = f"pmod(acc.h * 2 + element_at(gs, i), {_GEAR_REG})"
+    starts = gs.withColumn(
+        "st",
+        F.expr(
+            f"""
+            IF(nb = 0, array(1),
+               aggregate(
+                   sequence(1, nb),
+                   struct(CAST(0 AS BIGINT) AS h, array(1) AS st),
+                   (acc, i) -> struct(
+                       {roll} AS h,
+                       IF(pmod({roll}, {CDC_GEAR_MOD}) = 0 AND i < nb,
+                          concat(acc.st, array(i + 1)),
+                          acc.st) AS st),
+                   acc -> acc.st))
+            """
+        ),
+    )
+    # Drop the gear array before the generator: explode materializes
+    # every child column per output row, and carrying an nb-entry long
+    # array per chunk row measured +4s at sf0.1.
+    chunks = starts.select("doc_id", "hx", "nb", "st").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                transform(sequence(1, size(st)),
+                          k -> struct(
+                              md5(substring(hx, 2 * element_at(st, k) - 1,
+                                  2 * ((CASE WHEN k < size(st)
+                                             THEN element_at(st, k + 1)
+                                             ELSE nb + 1 END)
+                                       - element_at(st, k)))) AS chunk_digest,
+                              (CASE WHEN k < size(st)
+                                    THEN element_at(st, k + 1)
+                                    ELSE nb + 1 END)
+                              - element_at(st, k) AS chunk_len))
+                """
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_digest", "c.chunk_len")
+    # Same two-consumer checkpoint as _cdc_chunk_rollup: without it the
+    # gear-array decode + fold ran twice (9.8s vs 4.8s at sf0.1).
+    chunks = chunks.localCheckpoint(eager=True)
+    spread = chunks.groupBy("chunk_digest").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = F.col("n_docs") >= 2
+    return (
+        chunks.join(spread, "chunk_digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("chunk_len")).otherwise(0)).alias(
+                "dup_bytes"
+            ),
+        )
+    )
 
 
 #: Exact-substring dedup by prefix doubling: base gram length and the

@@ -518,6 +518,7 @@ PROBES = [
     # --- registered r15 ---
     "curation_two_cycle_ingest",  # two batch-proportional probes + cycle delta
     "knn_ivf_admitted",          # frozen-codebook append, DPP-pruned serving
+    "dedup_cdc_chunks_gear_utf8",  # byte-table gear fold over utf-8 hex
 ]
 
 

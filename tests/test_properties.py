@@ -1853,3 +1853,18 @@ def test_int_ratio_round_formula_is_exact_decimal_half_away(num, den, dec):
     away = 1 if x >= 0 else -1
     want = trunc + away if abs(x - trunc) >= Fraction(1, 2) else trunc
     assert got == want, (num, den, dec, got, want)
+
+
+def test_gear_byte_table_matches_generating_formula():
+    """The literal 256-entry gear table the Spark side looks up must be
+    exactly the formula the DuckDB oracle evaluates inline — one
+    divergent entry silently shifts every downstream boundary."""
+    from data_preparation_plugin_spark.plans.dedup import (
+        CDC_GEAR_MULT,
+        GEAR_BYTE_TABLE,
+        _GEAR_REG,
+    )
+
+    assert len(GEAR_BYTE_TABLE) == 256
+    for b in range(256):
+        assert GEAR_BYTE_TABLE[b] == (b * CDC_GEAR_MULT) % _GEAR_REG

@@ -149,3 +149,75 @@ def test_two_cycle_detects_prior_admission(spark, tmp_path):
         .collect()
     }
     assert single[9] == "admitted"  # the gap the two-cycle shape closes
+
+
+def test_gear_utf8_equals_ascii_form_on_ascii(spark):
+    """On the pure-ASCII fixture byte == code point, so the utf-8 byte
+    form must produce the same chunk structure as the ascii() form —
+    same n_chunks / n_dup_chunks and the same duplicated mass."""
+    a = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_chars"])
+        for r in plans.QUERIES["dedup_cdc_chunks_gear"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_bytes"])
+        for r in plans.QUERIES["dedup_cdc_chunks_gear_utf8"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert a == b
+
+
+def test_gear_utf8_multibyte_boundaries_match_reference(spark, tmp_path):
+    """Byte-level CDC on NON-ASCII text: Spark's fold must reproduce a
+    pure-Python reference of the recurrence h=(2h+gear(byte)) mod 2^16
+    over the utf-8 bytes — the case the ascii() form cannot express."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_preparation_plugin_spark import plans
+    from data_preparation_plugin_spark.plans.dedup import (
+        CDC_GEAR_MOD,
+        GEAR_BYTE_TABLE,
+        _GEAR_REG,
+    )
+
+    texts = [
+        "héllo wörld " * 40 + "ünïcode tàil",
+        "日本語のテキストと güter Zeichen " * 25,
+        "plain ascii filler text " * 30,
+    ]
+
+    def ref_chunks(t: str) -> int:
+        bs = t.lower().encode("utf-8")
+        h, starts = 0, [1]
+        for i, byte in enumerate(bs, start=1):
+            h = (2 * h + GEAR_BYTE_TABLE[byte]) % _GEAR_REG
+            if h % CDC_GEAR_MOD == 0 and i < len(bs):
+                starts.append(i + 1)
+        return len(starts)
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": texts,
+                "lang": ["xx"] * len(texts),
+                "source": ["web"] * len(texts),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: r["n_chunks"]
+        for r in plans.QUERIES["dedup_cdc_chunks_gear_utf8"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    want = {i + 1: ref_chunks(t) for i, t in enumerate(texts)}
+    assert got == want
