@@ -564,6 +564,84 @@ WARM_EACH_FACTOR = {
 }
 
 
+ORGANIC_DUP_MOD = 7  # ~14% of docs carry a TRUE cross-replica duplicate
+
+
+def build_organic(spark, factor: int) -> str:
+    """Partial-duplication fixture for the exact-substring family.
+
+    The standard replica fixture appends ' replicaN' as a SUFFIX, so
+    every 16-char gram except the tail is a true cross-replica duplicate
+    — the output-bound worst case for ``dedup_substr_doubling``. This
+    fixture models an ORGANIC corpus instead: docs with
+    ``doc_id % ORGANIC_DUP_MOD == 0`` (pre-offset) keep their text
+    verbatim in every copy (true duplicated mass, a constant ~14%
+    fraction), while every other doc gets a DOC-ID-tagged marker spliced
+    in every 12 characters — any 16-char window then contains its own
+    doc's marker, so no gram can match across docs (the raw synthetic
+    corpus is template-heavy: 72% of its 16-grams appear in >=2 docs,
+    which would drown the decay signal without this). Measures the
+    docstring's geometric-decay claim: the ladder's level-0 survivors
+    are ~the dup slice, not ~the corpus.
+    """
+    out = f"{WORK}/organic14-x{factor}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    base = load_table(spark, BASE_SF, "documents")
+    parts = []
+    for i in range(factor):
+        part = (
+            base.withColumn(
+                "__dup", F.col("doc_id") % ORGANIC_DUP_MOD == 0
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_STRIDE))
+            .withColumn(
+                "text",
+                F.when(F.col("__dup"), F.col("text")).otherwise(
+                    F.expr(
+                        "regexp_replace(text, '(.{12})', "
+                        "concat('$1 d', CAST(doc_id AS STRING), 'x '))"
+                    )
+                ),
+            )
+            .drop("__dup")
+        )
+        parts.append(part)
+    df = parts[0]
+    for p_ in parts[1:]:
+        df = df.unionByName(p_)
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    Path(f"{out}/_DONE").touch()
+    return out
+
+
+def _substr_decay_telemetry(spark, sf_dir: str) -> dict:
+    """Measured decay: level-0 survivor positions vs total gram
+    positions — the number the geometric-decay claim rests on."""
+    out = QUERIES["dedup_substr_doubling"].builder(spark, sf_dir)
+    row = out.agg(
+        F.sum("n_dup_grams").alias("lvl0"),
+    ).collect()[0]
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.greatest(
+                F.length(F.lower(F.col("text"))) - F.lit(15), F.lit(0)
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    lvl0 = int(row["lvl0"] or 0)
+    return {
+        "lvl0_survivors": lvl0,
+        "total_grams": int(total),
+        "lvl0_frac": round(lvl0 / max(int(total), 1), 4),
+    }
+
+
 def main() -> None:
     max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     factors = [f for f in (1, 2, 4, 8) if f <= max_factor]
@@ -598,6 +676,39 @@ def main() -> None:
             if name in TELEMETRY:
                 row.update(TELEMETRY[name](spark, dirs[f]))
             print(json.dumps(row))
+    # Organic partial-dup series for the exact-substring ladder (r14
+    # verdict item 4): same query, ~14%-dup fixture, decay telemetry.
+    if not only or "dedup_substr_doubling" in PROBES:
+        builder = QUERIES["dedup_substr_doubling"].builder
+        odirs = {f: build_organic(spark, f) for f in factors}
+        run(builder(spark, odirs[factors[0]]))
+        otimes = {}
+        for f in factors:
+            t0 = time.perf_counter()
+            run(builder(spark, odirs[f]))
+            dt = round(time.perf_counter() - t0, 3)
+            otimes[f] = dt
+            row = {
+                "query": "dedup_substr_doubling",
+                "fixture": "organic14",
+                "scale": f,
+                "sec": dt,
+            }
+            row.update(_substr_decay_telemetry(spark, odirs[f]))
+            print(json.dumps(row))
+        print(
+            json.dumps(
+                {
+                    "summary_organic_x{}_over_x1".format(factors[-1]): {
+                        "dedup_substr_doubling": round(
+                            otimes[factors[-1]]
+                            / max(otimes[factors[0]], 1e-9),
+                            2,
+                        )
+                    }
+                }
+            )
+        )
     summary = {
         name: round(times[factors[-1]] / max(times[factors[0]], 1e-9), 2)
         for name, times in results.items()
