@@ -1570,8 +1570,12 @@ def curation_archive_index_refresh(
     by calling the registered ``curation_incremental_ingest_indexed``,
     so the refresh can never disagree with the gate — is turned into
     DELTA tables (anti-joined new fingerprints, batch signatures, their
-    band postings) written next to the standing index, and the refreshed
-    index is the UNION of standing + delta. The report audits that
+    band postings) written through :func:`write_cycle_delta` into a
+    locked, cycle-addressed dir under ``cycles/`` (r15: no shared-dir
+    overwrite, single-writer enforced), and the refreshed index is the
+    UNION of standing + delta via :func:`read_archive_indexes`. The
+    multi-cycle steady state — month N+1 probing month N's delta — is
+    the registered ``curation_two_cycle_ingest``. The report audits that
     refreshed index part by part (row counts, key cardinalities, an
     integer doc_id checksum pinning membership); the oracle recomputes
     the same audit from first principles over archive ∪ admitted — a

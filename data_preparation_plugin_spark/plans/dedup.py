@@ -3877,8 +3877,11 @@ def _substr_doubling_oracle() -> str:
         "otherwise-identical texts, so ~every position is a TRUE "
         "cross-replica duplicate and no ladder level can decay — cost "
         "tracks duplicated mass (x8 here by construction), which is the "
-        "quantity the operator exists to measure; organic corpora decay "
-        "geometrically after level 0"
+        "quantity the operator exists to measure; MEASURED on the r15 "
+        "organic fixture (~14% true-dup mass, doc-hash markers killing "
+        "template grams): level-0 survivors are a flat 7.7% of grams at "
+        "every factor and wall is x3.37 at x8 vs the worst case's x6.27 "
+        "— the decay claim as numbers (SCALE_PROBE_r15, both series)"
     ),
 )
 def dedup_substr_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3911,11 +3914,14 @@ def dedup_substr_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no survivors.
 
     Measured: 9.7s at sf0.1 (best-of-1 noop, warm). The ×8 replica
-    probe runs ×7.9 — linear in DUPLICATED MASS, not super-linear in
-    input: the replica fixture is ~100% cross-replica duplicated so no
-    level decays (see ``scale_note``); on organic corpora survivors
-    collapse geometrically after level 0 and the ladder costs ~level 0
-    alone.
+    probe runs ×6.3–7.9 — linear in DUPLICATED MASS, not super-linear
+    in input: the replica fixture is ~100% cross-replica duplicated so
+    no level decays (see ``scale_note``). The decay claim is now a
+    NUMBER (r15, SCALE_PROBE_r15 ``fixture: organic14``): on a fixture
+    with ~14% true-dup mass and doc-hash markers killing template grams,
+    level-0 survivors are a flat 7.7% of positions at ×2–×8 and the ×8
+    wall ratio is ×3.37 on 9.6× the grams — the ladder above level 0
+    costs ~the surviving slice, not the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(

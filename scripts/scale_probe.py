@@ -576,15 +576,17 @@ def build_organic(spark, factor: int) -> str:
     fixture models an ORGANIC corpus instead: docs with
     ``doc_id % ORGANIC_DUP_MOD == 0`` (pre-offset) keep their text
     verbatim in every copy (true duplicated mass, a constant ~14%
-    fraction), while every other doc gets a DOC-ID-tagged marker spliced
-    in every 12 characters — any 16-char window then contains its own
-    doc's marker, so no gram can match across docs (the raw synthetic
-    corpus is template-heavy: 72% of its 16-grams appear in >=2 docs,
-    which would drown the decay signal without this). Measures the
+    fraction), while every other doc gets an 8-hex doc-hash marker
+    spliced in every 10 characters — any 16-char gram then contains >=5
+    hash chars of its own doc, so cross-doc gram matches are ~16^-5
+    accidents (the raw synthetic corpus is template-heavy — 72% of its
+    16-grams appear in >=2 docs — and replica copies of a doc share all
+    but one DIGIT of their ids, so a plain doc-id marker still matched;
+    both drown the decay signal without the hash). Measures the
     docstring's geometric-decay claim: the ladder's level-0 survivors
     are ~the dup slice, not ~the corpus.
     """
-    out = f"{WORK}/organic14-x{factor}"
+    out = f"{WORK}/organic14v2-x{factor}"
     if os.path.exists(f"{out}/_DONE"):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -601,8 +603,9 @@ def build_organic(spark, factor: int) -> str:
                 "text",
                 F.when(F.col("__dup"), F.col("text")).otherwise(
                     F.expr(
-                        "regexp_replace(text, '(.{12})', "
-                        "concat('$1 d', CAST(doc_id AS STRING), 'x '))"
+                        "regexp_replace(text, '(.{10})', concat('$1 ', "
+                        "substring(md5(CAST(doc_id AS STRING)), 1, 8), "
+                        "' '))"
                     )
                 ),
             )
