@@ -1755,3 +1755,139 @@ def curation_two_cycle_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s2.withColumn("cycle", F.lit(2).cast("int")))
         .select("cycle", "doc_id", "source", "status")
     )
+
+
+def compact_archive_indexes(
+    spark: SparkSession, base: str, cycle_dirs: list, out_name: str
+) -> str:
+    """Merge the standing index with cycle deltas into a NEW standing set.
+
+    The periodic job that bounds ``cycles/`` growth: standing ∪ deltas
+    is rewritten as one table set under ``base/<out_name>/`` (fps and
+    sigs as plain parquet, bands re-laid-out via
+    ``layout.write_partitioned`` on band_idx), after which production
+    retires the merged cycle dirs and the next ingest probes the
+    compacted tables alone. A plain union never changes membership, so
+    the audit of the compacted index must equal the audit of
+    standing ∪ delta — the registered ``curation_index_compaction``
+    pins exactly that against ``curation_archive_index_refresh``'s
+    first-principles oracle. Locked and cached like every index writer
+    here (single-writer per fixture+out_name, concurrent callers wait
+    on markers).
+
+    Scale shape: one read + one write of index bytes (~1% of corpus),
+    no shuffle for fps/sigs (union is map-side), and the band rewrite
+    rides partitionBy directory routing. Cost is standing-index-
+    proportional — which is why production runs it PERIODICALLY (every
+    N cycles), amortizing it against N batch-proportional refreshes.
+    """
+    import time
+
+    from data_preparation_plugin_spark.layout import write_partitioned
+
+    odir = os.path.join(base, out_name)
+    done = [
+        os.path.join(odir, part, "_SUCCESS")
+        for part in ("fingerprints", "signatures", "bands")
+    ]
+    if all(os.path.exists(p) for p in done):
+        return odir
+    os.makedirs(odir, exist_ok=True)
+    lock = os.path.join(odir, ".writer.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        deadline = time.monotonic() + 300.0
+        while not all(os.path.exists(p) for p in done):
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"compaction writer lock {lock} held >300s with no "
+                    "_SUCCESS markers; if the writer crashed, remove the "
+                    "lockfile to retry"
+                )
+            time.sleep(0.2)
+        return odir
+    try:
+        fps, sigs, bands = read_archive_indexes(
+            spark, base, cycles=cycle_dirs
+        )
+        fps.write.mode("overwrite").parquet(
+            os.path.join(odir, "fingerprints")
+        )
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(odir, "signatures")
+        )
+        write_partitioned(bands, os.path.join(odir, "bands"), ["band_idx"])
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+    return odir
+
+
+@register(
+    "curation_index_compaction",
+    category="curation",
+    oracle=_index_refresh_oracle(),
+)
+def curation_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta→standing COMPACTION — the job that bounds cycle-dir growth.
+
+    Completes the index lifecycle: ingest probes (standing ∪ deltas),
+    refresh appends cycle deltas, and this periodic step folds the
+    deltas back into one standing table set so ``read_archive_indexes``
+    never unions an unbounded dir list. The admitted set comes from the
+    registered ``curation_incremental_ingest_indexed`` (same gate, no
+    drift), its delta from the locked :func:`write_cycle_delta`, and
+    :func:`compact_archive_indexes` rewrites standing ∪ delta under
+    ``compacted-full-batch/``. The report audits the COMPACTED tables —
+    re-read from disk, so lost part files or a clobbered rewrite
+    hash-fail — and the oracle is ``curation_archive_index_refresh``'s
+    verbatim first-principles audit over archive ∪ admitted: compaction
+    must be invisible to every number (row counts, key cardinalities,
+    the doc_id membership checksum).
+
+    Scale shape: see :func:`compact_archive_indexes` — one index-sized
+    read+write, amortized across the N batch-proportional cycles it
+    retires; nothing corpus-sized, nothing crosses an exchange except
+    the bounded audit aggregates.
+    """
+    base = build_archive_indexes(spark, sf_dir)
+    admitted = (
+        curation_incremental_ingest_indexed(spark, sf_dir)
+        .filter(F.col("status") == "admitted")
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    adm_docs = docs.join(F.broadcast(admitted), "doc_id")
+    fp_idx = spark.read.parquet(os.path.join(base, "fingerprints"))
+    cdir = write_cycle_delta(spark, base, adm_docs, "full-batch", fp_idx)
+    odir = compact_archive_indexes(
+        spark, base, [cdir], "compacted-full-batch"
+    )
+    fps = spark.read.parquet(os.path.join(odir, "fingerprints"))
+    sigs = spark.read.parquet(os.path.join(odir, "signatures"))
+    bands = spark.read.parquet(os.path.join(odir, "bands"))
+    part_fp = fps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("fp").cast("bigint").alias("n_keys"),
+        F.lit(0).cast("bigint").alias("docs_checksum"),
+    ).withColumn("part", F.lit("fingerprints"))
+    part_sig = sigs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_keys"),
+        F.sum("doc_id").cast("bigint").alias("docs_checksum"),
+    ).withColumn("part", F.lit("signatures"))
+    part_band = bands.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct(
+            F.concat_ws(":", F.col("band_idx"), F.col("band_val"))
+        )
+        .cast("bigint")
+        .alias("n_keys"),
+        F.sum("doc_id").cast("bigint").alias("docs_checksum"),
+    ).withColumn("part", F.lit("bands"))
+    return (
+        part_fp.unionByName(part_sig)
+        .unionByName(part_band)
+        .select("part", "n_rows", "n_keys", "docs_checksum")
+    )

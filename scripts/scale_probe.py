@@ -519,6 +519,7 @@ PROBES = [
     "curation_two_cycle_ingest",  # two batch-proportional probes + cycle delta
     "knn_ivf_admitted",          # frozen-codebook append, DPP-pruned serving
     "dedup_cdc_chunks_gear_utf8",  # byte-table gear fold over utf-8 hex
+    "curation_index_compaction",  # delta->standing fold, index-sized I/O
 ]
 
 
@@ -559,6 +560,7 @@ WARM_EACH_FACTOR = {
     "curation_incremental_ingest_indexed",
     "curation_archive_index_refresh",
     "curation_two_cycle_ingest",
+    "curation_index_compaction",
     "knn_ivf_persisted",
     "knn_ivf_admitted",
 }

@@ -2022,3 +2022,49 @@ def test_ivf_index_cache_keys_on_fixture_content(spark, tmp_path):
     assert os.path.getmtime(marker) > before
     os.utime(f"{sf}/embeddings.parquet")  # "regenerated" fixture
     assert ivf_index_dir(sf) != d0
+
+
+def test_compacted_index_is_invisible_to_the_probe(spark):
+    """A compaction is a pure re-layout: the ingest probe must label the
+    batch identically against (standing ∪ delta) and against the
+    compacted table set."""
+    import os
+
+    from data_preparation_plugin_spark.plans.curation import (
+        _probe_batch_against_index,
+        build_archive_indexes,
+        compact_archive_indexes,
+        curation_incremental_ingest_indexed,
+        read_archive_indexes,
+        write_cycle_delta,
+    )
+    from data_preparation_plugin_spark.plans.dedup import INCR_MINHASH_MOD
+    from data_preparation_plugin_spark.plans.registry import load_table
+    from pyspark.sql import functions as F
+
+    base = build_archive_indexes(spark, SF_DIR)
+    admitted = (
+        curation_incremental_ingest_indexed(spark, SF_DIR)
+        .filter(F.col("status") == "admitted")
+        .select("doc_id")
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    adm_docs = docs.join(F.broadcast(admitted), "doc_id")
+    fp_idx = spark.read.parquet(os.path.join(base, "fingerprints"))
+    cdir = write_cycle_delta(spark, base, adm_docs, "full-batch", fp_idx)
+    odir = compact_archive_indexes(
+        spark, base, [cdir], "compacted-full-batch"
+    )
+    batch = docs.filter(F.col("doc_id") % INCR_MINHASH_MOD == 0)
+    via_union = _probe_batch_against_index(
+        batch, *read_archive_indexes(spark, base, cycles=[cdir])
+    )
+    via_compacted = _probe_batch_against_index(
+        batch,
+        spark.read.parquet(os.path.join(odir, "fingerprints")),
+        spark.read.parquet(os.path.join(odir, "signatures")),
+        spark.read.parquet(os.path.join(odir, "bands")),
+    )
+    a = sorted(map(tuple, via_union.collect()))
+    b = sorted(map(tuple, via_compacted.collect()))
+    assert a == b
