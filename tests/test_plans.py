@@ -2068,3 +2068,12 @@ def test_compacted_index_is_invisible_to_the_probe(spark):
     a = sorted(map(tuple, via_union.collect()))
     b = sorted(map(tuple, via_compacted.collect()))
     assert a == b
+
+
+def test_two_cycle_probe_all_broadcast(spark):
+    """Both months' probes must broadcast only batch-derived sides —
+    standing AND cycle-delta index tables are scanned map-side in every
+    cycle; nothing archive-sized crosses an exchange."""
+    plan = plan_of(spark, "curation_two_cycle_ingest")
+    assert count(r"SortMergeJoin|ShuffledHashJoin|CartesianProduct", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) >= 10
