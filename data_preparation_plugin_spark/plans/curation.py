@@ -1159,6 +1159,12 @@ def curation_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARCHIVE_IDX_ROOT = os.path.join(tempfile.gettempdir(), "dpp-archive-index")
 
+#: How long a concurrent caller waits on another session's index write
+#: before concluding the writer crashed. Module-level so tests can
+#: shrink it; production single-writer discipline means it only fires
+#: on a genuinely dead writer holding a stale lockfile.
+WRITER_LOCK_TIMEOUT_S = 300.0
+
 
 def fixture_fingerprint(sf_dir: str, table: str) -> str:
     """Content fingerprint of one fixture table file (size + mtime_ns).
@@ -1476,7 +1482,7 @@ def write_cycle_delta(
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        deadline = time.monotonic() + 300.0
+        deadline = time.monotonic() + WRITER_LOCK_TIMEOUT_S
         while not all(os.path.exists(p) for p in done):
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -1797,7 +1803,7 @@ def compact_archive_indexes(
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        deadline = time.monotonic() + 300.0
+        deadline = time.monotonic() + WRITER_LOCK_TIMEOUT_S
         while not all(os.path.exists(p) for p in done):
             if time.monotonic() > deadline:
                 raise TimeoutError(

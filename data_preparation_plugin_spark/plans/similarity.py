@@ -3242,7 +3242,11 @@ def admit_ivf_batch(spark: SparkSession, sf_dir: str, base: str) -> None:
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        deadline = time.monotonic() + 300.0
+        from data_preparation_plugin_spark.plans.curation import (
+            WRITER_LOCK_TIMEOUT_S,
+        )
+
+        deadline = time.monotonic() + WRITER_LOCK_TIMEOUT_S
         while not os.path.exists(marker):
             if time.monotonic() > deadline:
                 raise TimeoutError(

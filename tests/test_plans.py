@@ -2077,3 +2077,45 @@ def test_two_cycle_probe_all_broadcast(spark):
     plan = plan_of(spark, "curation_two_cycle_ingest")
     assert count(r"SortMergeJoin|ShuffledHashJoin|CartesianProduct", plan) == 0
     assert count(r"BroadcastHashJoin", plan) >= 10
+
+
+def test_cycle_delta_waiter_and_stale_lock(spark, tmp_path, monkeypatch):
+    """The single-writer protocol's two concurrent-caller paths: a
+    waiter returns once the writer's _SUCCESS markers land, and a stale
+    lock with no markers times out with an actionable error instead of
+    hanging forever."""
+    import os
+    import threading
+    import time as _time
+
+    import pytest as _pytest
+
+    from data_preparation_plugin_spark.plans import curation
+
+    cdir = tmp_path / "cycles" / "c1"
+    cdir.mkdir(parents=True)
+    lock = cdir / ".writer.lock"
+    lock.touch()  # another session "holds" the lock
+
+    def finish_write():
+        _time.sleep(0.4)
+        for part in ("fingerprints", "signatures", "bands"):
+            d = cdir / part
+            d.mkdir()
+            (d / "_SUCCESS").touch()
+
+    t = threading.Thread(target=finish_write)
+    t.start()
+    got = curation.write_cycle_delta(
+        spark, str(tmp_path), None, "c1", None  # waiter never touches dfs
+    )
+    t.join()
+    assert got == str(cdir)
+
+    # Stale lock, writer dead, markers never appear -> bounded TimeoutError.
+    monkeypatch.setattr(curation, "WRITER_LOCK_TIMEOUT_S", 0.6)
+    stale = tmp_path / "cycles" / "c2"
+    stale.mkdir(parents=True)
+    (stale / ".writer.lock").touch()
+    with _pytest.raises(TimeoutError, match="remove the lockfile"):
+        curation.write_cycle_delta(spark, str(tmp_path), None, "c2", None)
