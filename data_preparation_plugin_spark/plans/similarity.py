@@ -3151,12 +3151,15 @@ from data_preparation_plugin_spark.plans.registry import QUERIES as _Q
 _Q["knn_ivf_persisted"].oracle = _Q["knn_ivf_cosine"].oracle
 
 
-#: Admission-batch split for the incremental-ANN query: held-out batch =
-#: vec_id % MOD == RESIDUE. RESIDUE > IVF_N_CELLS - 1 guarantees no
-#: centroid vector is held out, so the base index's codebook is
-#: byte-identical to the full build's.
+#: Admission-batch split for the incremental-ANN query: TWO held-out
+#: crawl batches, vec_id % MOD == residue for each residue in turn —
+#: the registered query admits both sequentially, so the steady state
+#: of REPEATED appends (not a single lucky one) is what the oracle
+#: checks. Every residue >= IVF_N_CELLS guarantees no centroid vector
+#: is held out, so the base index's codebook is byte-identical to the
+#: full build's.
 IVF_ADMIT_MOD = 10
-IVF_ADMIT_RESIDUE = 9
+IVF_ADMIT_RESIDUES = (8, 9)
 
 #: Cell-size skew (max/mean) beyond which the drift guard demands a
 #: codebook re-train instead of further appends.
@@ -3169,29 +3172,34 @@ def build_ivf_base_index(
     """The IVF index over the corpus MINUS the admission batch.
 
     Same layout as :func:`build_ivf_index` (codebook + cell-partitioned
-    assignments) built from ``vec_id % IVF_ADMIT_MOD != IVF_ADMIT_RESIDUE``
-    — the standing state a production index is in before a crawl batch
-    arrives. ``force=True`` rebuilds and clears the admission marker.
+    assignments) built minus EVERY admission residue
+    (``vec_id % IVF_ADMIT_MOD not in IVF_ADMIT_RESIDUES``) — the
+    standing state a production index is in before the crawl batches
+    arrive. ``force=True`` rebuilds and clears the admission markers.
     """
     import os
 
     from data_preparation_plugin_spark.layout import write_partitioned
 
-    base = ivf_index_dir(sf_dir, variant="base")
+    variant = "base-" + "-".join(map(str, IVF_ADMIT_RESIDUES))
+    base = ivf_index_dir(sf_dir, variant=variant)
     done = [
         os.path.join(base, part, "_SUCCESS")
         for part in ("centroids", "assignments")
     ]
     if force:
-        try:
-            os.unlink(os.path.join(base, "_ADMITTED"))
-        except OSError:
-            pass
+        for r in IVF_ADMIT_RESIDUES:
+            try:
+                os.unlink(os.path.join(base, f"_ADMITTED_r{r}"))
+            except OSError:
+                pass
     elif all(os.path.exists(p) for p in done):
         return base
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % IVF_ADMIT_MOD != IVF_ADMIT_RESIDUE)
+        .filter(
+            ~(F.col("vec_id") % IVF_ADMIT_MOD).isin(*IVF_ADMIT_RESIDUES)
+        )
         .select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
@@ -3208,11 +3216,13 @@ def build_ivf_base_index(
     return base
 
 
-def admit_ivf_batch(spark: SparkSession, sf_dir: str, base: str) -> None:
-    """APPEND the admission batch into its assigned cell partitions.
+def admit_ivf_batch(
+    spark: SparkSession, sf_dir: str, base: str, residue: int
+) -> None:
+    """APPEND one admission batch into its assigned cell partitions.
 
     The incremental-ANN lifecycle step (r14 verdict item 3): the batch
-    (``vec_id % IVF_ADMIT_MOD == IVF_ADMIT_RESIDUE``) is assigned with
+    (``vec_id % IVF_ADMIT_MOD == residue``) is assigned with
     the PERSISTED codebook — never re-trained — and appended directly
     into the standing ``assignments/cell=N/`` directories via
     ``layout.write_partitioned(mode="append")``; cost is
@@ -3222,9 +3232,9 @@ def admit_ivf_batch(spark: SparkSession, sf_dir: str, base: str) -> None:
     the registered query's oracle (full-corpus ``knn_ivf_cosine``)
     checks exactly that.
 
-    Locked and idempotent like ``curation.write_cycle_delta``: one
-    writer appends, concurrent callers wait on the ``_ADMITTED``
-    marker, completed admissions never re-append (a double append
+    Locked and idempotent PER BATCH like ``curation.write_cycle_delta``
+    (marker ``_ADMITTED_r<residue>``): one writer appends, concurrent
+    callers wait, completed admissions never re-append (a double append
     would duplicate candidates). After admitting, check
     :func:`ivf_cell_skew` — repeated appends drift cell sizes, and past
     ``IVF_SKEW_RETRAIN_RATIO`` the answer is a re-train
@@ -3235,10 +3245,10 @@ def admit_ivf_batch(spark: SparkSession, sf_dir: str, base: str) -> None:
 
     from data_preparation_plugin_spark.layout import write_partitioned
 
-    marker = os.path.join(base, "_ADMITTED")
+    marker = os.path.join(base, f"_ADMITTED_r{residue}")
     if os.path.exists(marker):
         return
-    lock = os.path.join(base, ".admit.lock")
+    lock = os.path.join(base, f".admit-r{residue}.lock")
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -3259,7 +3269,7 @@ def admit_ivf_batch(spark: SparkSession, sf_dir: str, base: str) -> None:
     try:
         batch = (
             load_table(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") % IVF_ADMIT_MOD == IVF_ADMIT_RESIDUE)
+            .filter(F.col("vec_id") % IVF_ADMIT_MOD == residue)
             .select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("v")
             )
@@ -3315,10 +3325,12 @@ def knn_ivf_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF serving AFTER an incremental admission — index grew, not rebuilt.
 
     The ANN twin of ``curation_two_cycle_ingest``'s lifecycle closure:
-    ``build_ivf_base_index`` stands up the index minus the admission
-    batch, :func:`admit_ivf_batch` appends the batch's assignments into
-    the standing cell partitions with the frozen codebook, and serving
-    is ``knn_ivf_persisted``'s verbatim plan over the grown index —
+    ``build_ivf_base_index`` stands up the index minus TWO crawl
+    batches, :func:`admit_ivf_batch` appends each batch's assignments
+    in turn — two sequential admission cycles, each locked and
+    idempotent, the REPEATED-append steady state rather than a single
+    lucky one — and serving is ``knn_ivf_persisted``'s verbatim plan
+    over the grown index —
     dynamic partition pruning still drops un-probed cell directories
     (same plan assertion), and the top-k now includes admitted vectors.
 
@@ -3335,7 +3347,8 @@ def knn_ivf_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves.
     """
     base = build_ivf_base_index(spark, sf_dir)
-    admit_ivf_batch(spark, sf_dir, base)
+    for residue in IVF_ADMIT_RESIDUES:
+        admit_ivf_batch(spark, sf_dir, base, residue)
     return _ivf_serve(spark, sf_dir, base)
 
 

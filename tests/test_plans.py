@@ -1949,22 +1949,40 @@ def test_ivf_admitted_shares_full_rebuild_oracle():
     )
 
 
-def test_ivf_admit_is_idempotent(spark):
-    """A second admit call must be a no-op (the _ADMITTED marker): a
-    double append would duplicate candidates and poison every top-k."""
+def test_ivf_admit_is_idempotent_and_batches_accumulate(spark):
+    """Each admission cycle grows the index by exactly its batch, and a
+    repeated admit of the same batch is a no-op (the per-residue
+    marker): a double append would duplicate candidates and poison
+    every top-k."""
     import os
 
+    from data_preparation_plugin_spark.plans.registry import load_table
     from data_preparation_plugin_spark.plans.similarity import (
+        IVF_ADMIT_MOD,
+        IVF_ADMIT_RESIDUES,
         admit_ivf_batch,
         build_ivf_base_index,
     )
+    from pyspark.sql import functions as F
 
-    base = build_ivf_base_index(spark, SF_DIR)
-    admit_ivf_batch(spark, SF_DIR, base)
-    n0 = spark.read.parquet(os.path.join(base, "assignments")).count()
-    admit_ivf_batch(spark, SF_DIR, base)
-    n1 = spark.read.parquet(os.path.join(base, "assignments")).count()
-    assert n0 == n1
+    emb = load_table(spark, SF_DIR, "embeddings")
+    batch_sizes = {
+        r: emb.filter(F.col("vec_id") % IVF_ADMIT_MOD == r).count()
+        for r in IVF_ADMIT_RESIDUES
+    }
+    base = build_ivf_base_index(spark, SF_DIR, force=True)
+    n = spark.read.parquet(os.path.join(base, "assignments")).count()
+    for r in IVF_ADMIT_RESIDUES:
+        admit_ivf_batch(spark, SF_DIR, base, r)
+        n2 = spark.read.parquet(os.path.join(base, "assignments")).count()
+        assert n2 == n + batch_sizes[r], (r, n, n2)
+        admit_ivf_batch(spark, SF_DIR, base, r)  # idempotent re-admit
+        assert (
+            spark.read.parquet(os.path.join(base, "assignments")).count()
+            == n2
+        )
+        n = n2
+    assert n == emb.count()
 
 
 def test_ivf_cell_skew_drift_guard(spark, tmp_path):
