@@ -2137,3 +2137,138 @@ def test_cycle_delta_waiter_and_stale_lock(spark, tmp_path, monkeypatch):
     (stale / ".writer.lock").touch()
     with _pytest.raises(TimeoutError, match="remove the lockfile"):
         curation.write_cycle_delta(spark, str(tmp_path), None, "c2", None)
+
+
+def test_ivf_drift_guard_retrain_end_to_end(spark, tmp_path):
+    """The full drift arc at the PRODUCTION threshold: skewed crawl
+    batches push the persisted cells past IVF_SKEW_RETRAIN_RATIO, the
+    guard inside ivf_admit_with_drift_guard fires, the codebook is
+    force-rebuilt, both batches re-admit, and serving over the retrained
+    index equals the one-shot full build — retrain is answer-invisible.
+
+    Fixture geometry: 8 near-orthogonal centroid directions in R^4; the
+    base corpus sends ~44% of vectors to cell 0 (skew ~3.4, guard
+    quiet), while BOTH admission batches (vec_id % 10 in {8, 9}) land
+    entirely in cell 0, pushing post-admission skew to ~4.4."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_preparation_plugin_spark.plans.similarity import (
+        IVF_ADMIT_MOD,
+        IVF_ADMIT_RESIDUES,
+        IVF_N_CELLS,
+        IVF_SKEW_RETRAIN_RATIO,
+        _ivf_serve,
+        build_ivf_base_index,
+        build_ivf_index,
+        ivf_admit_with_drift_guard,
+        ivf_cell_skew,
+    )
+
+    cents = [
+        [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1],
+        [1, 1, 0, 0], [0, 1, 1, 0], [0, 0, 1, 1], [1, 0, 0, 1],
+    ]
+
+    def vec(cell: int, vid: int) -> list:
+        eps = 0.01 * ((vid % 7) + 1) / 7.0
+        other = cents[(cell + 2) % IVF_N_CELLS]
+        return [
+            float(b) + eps * float(o) for b, o in zip(cents[cell], other)
+        ]
+
+    rows = []
+    for vid in range(400):
+        if vid < IVF_N_CELLS:
+            v = [float(x) for x in cents[vid]]
+        elif vid % IVF_ADMIT_MOD in IVF_ADMIT_RESIDUES:
+            v = vec(0, vid)  # every admitted vector crowds cell 0
+        else:
+            v = vec(0 if (vid % 20) < 7 else (vid % 7) + 1, vid)
+        rows.append((vid, v))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    sf = str(tmp_path)
+
+    pre = ivf_cell_skew(spark, build_ivf_base_index(spark, sf))
+    assert not pre["retrain"], pre  # base alone is inside the ratio
+
+    base, retrained, guard = ivf_admit_with_drift_guard(spark, sf)
+    assert retrained, (pre, guard)  # admissions pushed it past 4.0
+    assert guard["skew"] > IVF_SKEW_RETRAIN_RATIO
+    for r in IVF_ADMIT_RESIDUES:  # re-admission completed post-retrain
+        assert os.path.exists(os.path.join(base, f"_ADMITTED_r{r}"))
+
+    got = sorted(map(tuple, _ivf_serve(spark, sf, base).collect()))
+    full = build_ivf_index(spark, sf)
+    want = sorted(map(tuple, _ivf_serve(spark, sf, full).collect()))
+    assert got == want
+
+
+def test_ivf_admit_crash_retry_is_idempotent(spark, tmp_path):
+    """Crash-path idempotency (r16 ADVICE): part files job-committed by
+    an admission whose writer died before the _ADMITTED marker landed
+    must NOT survive the retry as doubled vectors — the retry cleans
+    everything not in the pre-append snapshot, then appends exactly
+    once."""
+    import json
+    import os
+    import shutil
+
+    from data_preparation_plugin_spark.plans.registry import load_table
+    from data_preparation_plugin_spark.plans.similarity import (
+        IVF_ADMIT_MOD,
+        IVF_ADMIT_RESIDUES,
+        admit_ivf_batch,
+        build_ivf_base_index,
+    )
+    from pyspark.sql import functions as F
+
+    shutil.copy(
+        f"{SF_DIR}/embeddings.parquet", str(tmp_path / "embeddings.parquet")
+    )
+    sf = str(tmp_path)
+    r = IVF_ADMIT_RESIDUES[0]
+    base = build_ivf_base_index(spark, sf)
+    adir = os.path.join(base, "assignments")
+
+    def listing() -> list:
+        out = []
+        for root, _dirs, files in os.walk(adir):
+            for fn in files:
+                out.append(os.path.relpath(os.path.join(root, fn), adir))
+        return sorted(out)
+
+    pre_files = listing()  # exactly what the writer snapshots pre-append
+    n_base = spark.read.parquet(adir).count()
+    batch_n = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") % IVF_ADMIT_MOD == r)
+        .count()
+    )
+
+    # Simulate the crash: a full append happened (files on disk) but the
+    # writer died before _ADMITTED landed — marker gone, its pre-append
+    # snapshot manifest still in place.
+    admit_ivf_batch(spark, sf, base, r)
+    marker = os.path.join(base, f"_ADMITTED_r{r}")
+    pre = os.path.join(base, f"_PRE_ADMIT_r{r}.json")
+    os.unlink(marker)
+    with open(pre, "w") as f:
+        json.dump(pre_files, f)
+    assert spark.read.parquet(adir).count() == n_base + batch_n
+
+    admit_ivf_batch(spark, sf, base, r)  # the retry
+    assert spark.read.parquet(adir).count() == n_base + batch_n
+    assert os.path.exists(marker) and not os.path.exists(pre)

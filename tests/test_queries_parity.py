@@ -221,3 +221,48 @@ def test_gear_utf8_multibyte_boundaries_match_reference(spark, tmp_path):
     }
     want = {i + 1: ref_chunks(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+def test_post_compaction_detects_prior_admission(spark, tmp_path):
+    """The switch-over regression: after compaction retires the cycle-1
+    delta, the cycle-2 probe reads the COMPACTED tables alone — a doc
+    admitted in cycle 1 and re-crawled in cycle 2 must still be caught,
+    and a genuinely new doc must still be admitted. Same synthetic
+    fixture as the two-cycle test (the real fixture has no cross-month
+    dups)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_preparation_plugin_spark import plans
+
+    t_arch = "the river flows and the mountain stands of old"
+    t_new = "a quick brown fox jumps over the lazy dog today"
+    t_uniq = "completely different words entirely here about seven of them"
+    rows = [
+        (1, t_arch),  # archive (doc_id % 3 != 0)
+        (6, t_new),  # cycle 1 (doc_id % 6 == 0) -> admitted
+        (9, t_new),  # cycle 2 (doc_id % 6 == 3) -> dup of cycle-1 admission
+        (15, t_uniq),  # cycle 2, genuinely new -> admitted
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["web"] * len(rows),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in plans.QUERIES["curation_post_compaction_ingest"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert got[9] == "exact_dup_archive", got
+    assert got[15] == "admitted", got
