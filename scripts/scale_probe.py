@@ -520,6 +520,11 @@ PROBES = [
     "knn_ivf_admitted",          # frozen-codebook append, DPP-pruned serving
     "dedup_cdc_chunks_gear_utf8",  # byte-table gear fold over utf-8 hex
     "curation_index_compaction",  # delta->standing fold, index-sized I/O
+    # --- registered r16 ---
+    "curation_post_compaction_ingest",  # switch-over probe, compacted-only
+    "ivf_admission_drift_guard",  # persisted-cell balance, 8-row agg
+    "knn_ivf_retrain_drill",     # forced retrain: rebuild + re-admit + serve
+    "dedup_cdc_chunks_gear_vec",  # Arrow-vectorized gear fold
 ]
 
 
@@ -561,8 +566,12 @@ WARM_EACH_FACTOR = {
     "curation_archive_index_refresh",
     "curation_two_cycle_ingest",
     "curation_index_compaction",
+    "curation_post_compaction_ingest",
     "knn_ivf_persisted",
     "knn_ivf_admitted",
+    "ivf_admission_drift_guard",
+    # NOT knn_ivf_retrain_drill: the drill force-rebuilds by design, so
+    # its timed run is the honest (corpus-proportional) cost.
 }
 
 

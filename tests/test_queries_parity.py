@@ -266,3 +266,48 @@ def test_post_compaction_detects_prior_admission(spark, tmp_path):
     }
     assert got[9] == "exact_dup_archive", got
     assert got[15] == "admitted", got
+
+
+def test_gear_vec_equals_expression_form(spark, tmp_path):
+    """The Arrow-vectorized gear kernel must be row-identical to the
+    interpreted expression fold — on the real (ASCII) fixture AND on
+    multibyte text where byte-level cuts differ from code-point ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_preparation_plugin_spark import plans
+
+    def rows(name, sf):
+        return sorted(
+            map(
+                tuple,
+                plans.QUERIES[name].builder(spark, sf).collect(),
+            )
+        )
+
+    assert rows("dedup_cdc_chunks_gear_vec", SF_DIR) == rows(
+        "dedup_cdc_chunks_gear_utf8", SF_DIR
+    )
+
+    texts = [
+        "héllo wörld " * 40 + "ünïcode tàil",
+        "日本語のテキストと güter Zeichen " * 25,
+        "plain ascii filler text " * 30,
+        "",  # empty doc: one zero-length chunk in both forms
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": texts,
+                "lang": ["xx"] * len(texts),
+                "source": ["web"] * len(texts),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+    assert rows("dedup_cdc_chunks_gear_vec", sf) == rows(
+        "dedup_cdc_chunks_gear_utf8", sf
+    )
