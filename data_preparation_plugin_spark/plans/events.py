@@ -160,22 +160,42 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     both defeated the ``_SUCCESS`` cache across runs and risked two sf
     dirs colliding onto one staged dir that would then be silently
     replayed as the wrong fixture. md5 of the path plus the basename is
-    deterministic and collision-safe.
+    deterministic and collision-safe. r16 sweep of the index-writer
+    ADVICE classes: the key now folds in the events table's CONTENT
+    fingerprint (a regenerated fixture stages fresh, stale epochs are
+    removed via the ``_KEY`` protocol) and the write runs under
+    ``curation.single_writer`` (two sessions racing the overwrite could
+    hand one of them a half-written replay source).
     """
     import hashlib
     import os
     import tempfile
 
-    digest = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
-    base = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    staged = os.path.join(
-        tempfile.gettempdir(),
-        f"dpp-events-replay-{base}-{digest}",
+    from data_preparation_plugin_spark.plans.curation import (
+        cleanup_stale_cache_dirs,
+        fixture_fingerprint,
+        single_writer,
+        write_cache_key,
     )
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(staged)
+
+    key = f"{sf_dir}|{fixture_fingerprint(sf_dir, 'events')}"
+    digest = hashlib.md5(key.encode("utf-8")).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    root = os.path.join(tempfile.gettempdir(), "dpp-events-replay")
+    cache = os.path.join(root, f"{base}-{digest}")
+    # The parquet table lives in a SUBdir: a mode("overwrite") write to
+    # the locked dir itself would delete the lockfile mid-hold.
+    staged = os.path.join(cache, "events")
+    done = [os.path.join(staged, "_SUCCESS")]
+    if all(os.path.exists(p) for p in done):
+        return staged
+    with single_writer(cache, done, "events replay stage") as acquired:
+        if acquired and not all(os.path.exists(p) for p in done):
+            cleanup_stale_cache_dirs(root, sf_dir, keep=cache)
+            load_table(spark, sf_dir, "events").repartition(4).write.mode(
+                "overwrite"
+            ).parquet(staged)
+            write_cache_key(cache, sf_dir)
     return staged
 
 
@@ -603,27 +623,44 @@ def _stage_events_duplicated(spark: SparkSession, sf_dir: str) -> str:
     which is exactly the cross-batch duplicate stream
     ``dropDuplicatesWithinWatermark`` exists to clean. A dedicated
     ``_STAGED_OK`` marker (written only after BOTH writes land) gates the
-    cache, because each append also drops its own ``_SUCCESS``.
+    cache, because each append also drops its own ``_SUCCESS``. Locked
+    and content-keyed like ``_stage_events`` (r16 sweep): the two-write
+    staging is exactly the shape where an unlocked concurrent reader
+    sees the single-copy intermediate state and its dedup replay
+    silently degenerates.
     """
     import hashlib
     import os
     import tempfile
     from pathlib import Path
 
-    digest = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
-    base = os.path.basename(os.path.normpath(sf_dir)) or "root"
-    staged = os.path.join(
-        tempfile.gettempdir(), f"dpp-events-dupreplay-{base}-{digest}"
+    from data_preparation_plugin_spark.plans.curation import (
+        cleanup_stale_cache_dirs,
+        fixture_fingerprint,
+        single_writer,
+        write_cache_key,
     )
-    marker = Path(staged) / "_STAGED_OK"
-    if not marker.exists():
-        import shutil
 
-        shutil.rmtree(staged, ignore_errors=True)
-        events = load_table(spark, sf_dir, "events")
-        events.repartition(4).write.mode("overwrite").parquet(staged)
-        events.repartition(2).write.mode("append").parquet(staged)
-        marker.touch()
+    key = f"{sf_dir}|{fixture_fingerprint(sf_dir, 'events')}"
+    digest = hashlib.md5(key.encode("utf-8")).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir)) or "root"
+    root = os.path.join(tempfile.gettempdir(), "dpp-events-dupreplay")
+    cache = os.path.join(root, f"{base}-{digest}")
+    staged = os.path.join(cache, "events")
+    marker = Path(cache) / "_STAGED_OK"
+    if marker.exists():
+        return staged
+    with single_writer(cache, [str(marker)], "dup-replay stage") as acquired:
+        if acquired and not marker.exists():
+            import shutil
+
+            cleanup_stale_cache_dirs(root, sf_dir, keep=cache)
+            shutil.rmtree(staged, ignore_errors=True)
+            events = load_table(spark, sf_dir, "events")
+            events.repartition(4).write.mode("overwrite").parquet(staged)
+            events.repartition(2).write.mode("append").parquet(staged)
+            write_cache_key(cache, sf_dir)
+            marker.touch()
     return staged
 
 

@@ -2272,3 +2272,12 @@ def test_ivf_admit_crash_retry_is_idempotent(spark, tmp_path):
     admit_ivf_batch(spark, sf, base, r)  # the retry
     assert spark.read.parquet(adir).count() == n_base + batch_n
     assert os.path.exists(marker) and not os.path.exists(pre)
+
+
+def test_post_compaction_probe_all_broadcast(spark):
+    """The switch-over probe keeps the probe kernel's scale discipline:
+    only batch-derived sides broadcast, the compacted index tables are
+    scanned map-side — same guarantee as the standing∪delta path."""
+    plan = plan_of(spark, "curation_post_compaction_ingest")
+    assert count(r"SortMergeJoin|ShuffledHashJoin|CartesianProduct", plan) == 0
+    assert count(r"BroadcastHashJoin", plan) >= 5
