@@ -2281,3 +2281,136 @@ def test_post_compaction_probe_all_broadcast(spark):
     plan = plan_of(spark, "curation_post_compaction_ingest")
     assert count(r"SortMergeJoin|ShuffledHashJoin|CartesianProduct", plan) == 0
     assert count(r"BroadcastHashJoin", plan) >= 5
+
+
+def test_stale_cache_epochs_are_removed(spark, tmp_path):
+    """cleanup_stale_cache_dirs: regenerating a fixture must not leak the
+    previous fingerprint epoch's /tmp tree (r16 ADVICE) — the next build
+    removes superseded dirs carrying the same _KEY identity, and never
+    touches other fixtures' dirs."""
+    import os
+    import shutil
+    import time
+
+    from data_preparation_plugin_spark.plans.curation import (
+        _ARCHIVE_IDX_ROOT,
+        archive_index_dir,
+        build_archive_indexes,
+    )
+
+    sf = str(tmp_path)
+    shutil.copy(
+        f"{SF_DIR}/documents.parquet", f"{sf}/documents.parquet"
+    )
+    d0 = build_archive_indexes(spark, sf)
+    assert os.path.exists(os.path.join(d0, "_KEY"))
+
+    # Unrelated dir with a DIFFERENT _KEY must survive the cleanup.
+    other = os.path.join(_ARCHIVE_IDX_ROOT, "other-fixture-dir")
+    os.makedirs(other, exist_ok=True)
+    with open(os.path.join(other, "_KEY"), "w") as f:
+        f.write("/some/other/sf_dir")
+
+    time.sleep(0.05)
+    os.utime(f"{sf}/documents.parquet")  # "regenerated" fixture
+    d1 = archive_index_dir(sf)
+    assert d1 != d0
+    build_archive_indexes(spark, sf)
+    assert not os.path.exists(d0), "stale epoch should be removed"
+    assert os.path.exists(other), "foreign cache dirs must be untouched"
+    shutil.rmtree(other, ignore_errors=True)
+    shutil.rmtree(d1, ignore_errors=True)
+
+
+def test_events_stage_keys_on_fixture_content(spark, tmp_path):
+    """The streaming replay stage must invalidate when the events fixture
+    is regenerated at the same path (same class as the r15 index-cache
+    ADVICE), and retire the stale epoch."""
+    import os
+    import shutil
+    import time
+
+    from data_preparation_plugin_spark.plans.events import _stage_events
+
+    sf = str(tmp_path)
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{sf}/events.parquet")
+    s0 = _stage_events(spark, sf)
+    assert os.path.exists(os.path.join(s0, "_SUCCESS"))
+    time.sleep(0.05)
+    os.utime(f"{sf}/events.parquet")
+    s1 = _stage_events(spark, sf)
+    assert s1 != s0
+    assert not os.path.exists(os.path.dirname(s0)), "stale stage retired"
+    shutil.rmtree(os.path.dirname(s1), ignore_errors=True)
+
+
+def test_gear_vec_edge_cases_match_python_reference(spark, tmp_path):
+    """The vectorized kernel's chunk structure against a pure-Python
+    implementation of the recurrence on adversarial inputs: all 256 byte
+    values, 1-byte and exactly-16-byte texts, a long self-similar
+    repeat, and a boundary-dense string."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_preparation_plugin_spark import plans
+    from data_preparation_plugin_spark.plans.dedup import (
+        CDC_GEAR_MOD,
+        GEAR_BYTE_TABLE,
+        _GEAR_REG,
+    )
+
+    texts = [
+        "".join(chr(c) for c in range(1, 256)),  # dense byte coverage
+        "a",
+        "0123456789abcdef",  # exactly one register window
+        "ab" * 5000,  # long self-similar repeat
+        "é" * 17,  # 2-byte char crossing the window repeatedly
+    ]
+
+    def ref(t: str):
+        bs = t.lower().encode("utf-8")
+        if not bs:
+            return [(hashlib.md5(b"").hexdigest(), 0)]
+        h, starts = 0, [0]
+        for i, byte in enumerate(bs, start=1):
+            h = (2 * h + GEAR_BYTE_TABLE[byte]) % _GEAR_REG
+            if h % CDC_GEAR_MOD == 0 and i < len(bs):
+                starts.append(i)
+        ends = starts[1:] + [len(bs)]
+        hx = bs.hex().upper().encode("ascii")
+        return [
+            (hashlib.md5(hx[2 * s : 2 * e]).hexdigest(), e - s)
+            for s, e in zip(starts, ends)
+        ]
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": texts,
+                "lang": ["xx"] * len(texts),
+                "source": ["web"] * len(texts),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_bytes"])
+        for r in plans.QUERIES["dedup_cdc_chunks_gear_vec"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    # Recompute the expected rollup from the reference chunker.
+    all_chunks = {i + 1: ref(t) for i, t in enumerate(texts)}
+    spread = {}
+    for doc, chs in all_chunks.items():
+        for dig, _ln in chs:
+            spread.setdefault(dig, set()).add(doc)
+    want = {}
+    for doc, chs in all_chunks.items():
+        dup = [(d, ln) for d, ln in chs if len(spread[d]) >= 2]
+        want[doc] = (len(chs), len(dup), sum(ln for _d, ln in dup))
+    assert got == want
