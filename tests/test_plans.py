@@ -2414,3 +2414,19 @@ def test_gear_vec_edge_cases_match_python_reference(spark, tmp_path):
         dup = [(d, ln) for d, ln in chs if len(spread[d]) >= 2]
         want[doc] = (len(chs), len(dup), sum(ln for _d, ln in dup))
     assert got == want
+
+
+def test_ivf_retrain_drill_dpp_and_oracle(spark):
+    """Serving after the forced retrain keeps the inverted-list property
+    (DPP on the rebuilt assignment scan) and shares the full-rebuild
+    oracle verbatim."""
+    from data_preparation_plugin_spark.plans import QUERIES
+
+    plan = plan_of(spark, "knn_ivf_retrain_drill")
+    m = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert any("dynamicpruning" in f for f in m), m
+    assert count(r"SortMergeJoin", plan) == 0
+    assert (
+        QUERIES["knn_ivf_retrain_drill"].oracle
+        == QUERIES["knn_ivf_cosine"].oracle
+    )
