@@ -2430,3 +2430,57 @@ def test_ivf_retrain_drill_dpp_and_oracle(spark):
         QUERIES["knn_ivf_retrain_drill"].oracle
         == QUERIES["knn_ivf_cosine"].oracle
     )
+
+
+def test_ivf_admit_partial_crash_cleanup(spark, tmp_path):
+    """The other crash shape: the writer died mid-job-commit, leaving
+    SOME committed part files (here simulated by an orphan copy of a
+    base file inside a cell dir) plus its manifest. The retry must
+    remove the orphan before appending — otherwise serving returns
+    duplicated base vectors."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from data_preparation_plugin_spark.plans.registry import load_table
+    from data_preparation_plugin_spark.plans.similarity import (
+        IVF_ADMIT_MOD,
+        IVF_ADMIT_RESIDUES,
+        admit_ivf_batch,
+        build_ivf_base_index,
+    )
+    from pyspark.sql import functions as F
+
+    shutil.copy(
+        f"{SF_DIR}/embeddings.parquet", str(tmp_path / "embeddings.parquet")
+    )
+    sf = str(tmp_path)
+    r = IVF_ADMIT_RESIDUES[0]
+    base = build_ivf_base_index(spark, sf)
+    adir = os.path.join(base, "assignments")
+
+    def listing() -> list:
+        out = []
+        for root, _dirs, files in os.walk(adir):
+            for fn in files:
+                out.append(os.path.relpath(os.path.join(root, fn), adir))
+        return sorted(out)
+
+    n_base = spark.read.parquet(adir).count()
+    batch_n = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") % IVF_ADMIT_MOD == r)
+        .count()
+    )
+    pre = os.path.join(base, f"_PRE_ADMIT_r{r}.json")
+    with open(pre, "w") as f:
+        json.dump(listing(), f)
+    a_part = glob.glob(os.path.join(adir, "cell=*", "part-*.parquet"))[0]
+    orphan = os.path.join(os.path.dirname(a_part), "part-orphan.parquet")
+    shutil.copy(a_part, orphan)  # the dead writer's partial commit
+    assert spark.read.parquet(adir).count() > n_base
+
+    admit_ivf_batch(spark, sf, base, r)  # the retry
+    assert not os.path.exists(orphan)
+    assert spark.read.parquet(adir).count() == n_base + batch_n
