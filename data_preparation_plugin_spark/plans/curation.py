@@ -2036,3 +2036,40 @@ def curation_post_compaction_ingest(
     return _probe_batch_against_index(month2, fp1, sig1, band1).select(
         "doc_id", "source", "status"
     )
+
+
+def retire_cycle_dirs(compacted: str, cycle_dirs: list) -> None:
+    """Remove merged cycle delta dirs AFTER a completed compaction.
+
+    The final step of the compaction lifecycle
+    (:func:`compact_archive_indexes` folds standing ∪ deltas,
+    ``curation_post_compaction_ingest`` switches the read path to the
+    compacted tables, and this retires the now-redundant delta dirs so
+    ``cycles/`` stays bounded on disk, not just on the read path).
+    Refuses unless every compacted part carries its ``_SUCCESS`` marker
+    — retiring deltas whose merge never committed would lose
+    admissions — and refuses paths that are not ``cycles/`` children
+    (a malformed caller must never rmtree standing tables).
+    ``tests/test_plans.py::test_retire_cycle_dirs`` pins both
+    refusals and that the post-switch-over probe is unaffected.
+    """
+    import shutil
+
+    done = [
+        os.path.join(compacted, part, "_SUCCESS")
+        for part in ("fingerprints", "signatures", "bands")
+    ]
+    missing = [p for p in done if not os.path.exists(p)]
+    if missing:
+        raise ValueError(
+            f"refusing to retire cycle dirs: compaction at {compacted} "
+            f"is incomplete (missing markers: {missing})"
+        )
+    for cdir in cycle_dirs:
+        parent = os.path.basename(os.path.dirname(os.path.normpath(cdir)))
+        if parent != "cycles":
+            raise ValueError(
+                f"refusing to retire non-cycle dir {cdir}: only "
+                "cycles/<name> children are retirable"
+            )
+        shutil.rmtree(cdir, ignore_errors=True)

@@ -2484,3 +2484,85 @@ def test_ivf_admit_partial_crash_cleanup(spark, tmp_path):
     admit_ivf_batch(spark, sf, base, r)  # the retry
     assert not os.path.exists(orphan)
     assert spark.read.parquet(adir).count() == n_base + batch_n
+
+
+def test_retire_cycle_dirs(spark, tmp_path):
+    """The compaction lifecycle's final step: merged delta dirs are
+    removed only after the compaction committed, never standing tables,
+    and the post-switch-over probe is unaffected by the retirement."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from data_preparation_plugin_spark import plans
+    from data_preparation_plugin_spark.plans.curation import (
+        archive_index_dir,
+        retire_cycle_dirs,
+    )
+
+    t_arch = "the river flows and the mountain stands of old"
+    t_new = "a quick brown fox jumps over the lazy dog today"
+    rows = [(1, t_arch), (6, t_new), (9, t_new)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["web"] * len(rows),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+
+    # Refusal 1: compaction not committed yet.
+    base = archive_index_dir(sf)
+    fake_cycle = os.path.join(base, "cycles", "c1")
+    with _pytest.raises(ValueError, match="incomplete"):
+        retire_cycle_dirs(os.path.join(base, "never-compacted"), [fake_cycle])
+
+    # Run the registered switch-over (builds index, delta, compaction).
+    before = {
+        r["doc_id"]: r["status"]
+        for r in plans.QUERIES["curation_post_compaction_ingest"]
+        .builder(spark, sf)
+        .collect()
+    }
+    assert before[9] == "exact_dup_archive"
+    compacted = os.path.join(base, "compacted-c1")
+    cdir = os.path.join(base, "cycles", "c1")
+    assert os.path.exists(cdir)
+
+    # Refusal 2: non-cycle paths are never removable.
+    with _pytest.raises(ValueError, match="non-cycle"):
+        retire_cycle_dirs(compacted, [os.path.join(base, "fingerprints")])
+    assert os.path.exists(os.path.join(base, "fingerprints"))
+
+    retire_cycle_dirs(compacted, [cdir])
+    assert not os.path.exists(cdir)
+    # The switch-over probe never reads cycles/, so re-probing the
+    # compacted tables still catches the cycle-1 admission. (The
+    # registered builder would lazily rebuild the delta; probing the
+    # compacted tables directly is the retired steady state.)
+    from data_preparation_plugin_spark.plans.curation import (
+        _probe_batch_against_index,
+        read_archive_indexes,
+    )
+    from data_preparation_plugin_spark.plans.registry import load_table
+    from pyspark.sql import functions as F
+
+    fp1, sig1, band1 = read_archive_indexes(spark, compacted)
+    month2 = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") == 9
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in _probe_batch_against_index(
+            month2, fp1, sig1, band1
+        ).collect()
+    }
+    assert got[9] == "exact_dup_archive"
