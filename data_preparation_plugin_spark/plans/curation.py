@@ -1994,7 +1994,12 @@ def curation_post_compaction_ingest(
     into ``compacted-c1/`` (:func:`compact_archive_indexes`), and cycle 2
     (``doc_id % 6 == 3``) probes the COMPACTED tables with an EMPTY cycle
     list — ``read_archive_indexes(spark, odir)`` — retiring the delta
-    dir from the read path entirely.
+    dir from the read path entirely. The ON-DISK retirement is
+    :func:`retire_cycle_dirs` (refusal-guarded, tested); it stays out
+    of this registered path only because the fixture's cycle dirs are a
+    cache shared with ``curation_two_cycle_ingest`` — production, which
+    has one lifecycle per index, retires immediately after the
+    switch-over.
 
     Oracle: cycle 2 of ``curation_two_cycle_ingest``'s first-principles
     recomputation, verbatim — the switch-over must be invisible: a doc
