@@ -216,9 +216,17 @@ def main() -> None:
         # before comparing across rounds.
         "calibration": calibration,
     }
+    # Mode-specific default: a BENCH_ALL run must never silently
+    # overwrite the committed headline detail with a 400-row record of
+    # a different methodology.
+    default_detail = (
+        "BENCH_ALL_DETAIL.json"
+        if os.environ.get("BENCH_ALL") == "1"
+        else "BENCH_DETAIL.json"
+    )
     detail_path = os.environ.get(
         "BENCH_DETAIL_PATH",
-        str(Path(__file__).resolve().parent / "BENCH_DETAIL.json"),
+        str(Path(__file__).resolve().parent / default_detail),
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)

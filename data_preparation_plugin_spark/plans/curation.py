@@ -1197,8 +1197,12 @@ def single_writer(target_dir: str, done: list, label: str):
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"{label} writer lock {lock} held "
-                    f">{WRITER_LOCK_TIMEOUT_S}s with no _SUCCESS markers; "
-                    "if the writer crashed, remove the lockfile to retry"
+                    f">{WRITER_LOCK_TIMEOUT_S}s with no _SUCCESS markers. "
+                    "A legitimately long write also triggers this — "
+                    "VERIFY the writing session is dead, then remove "
+                    "the lockfile to retry (removing a live writer's "
+                    "lock re-admits the clobber race this lock exists "
+                    "to prevent); otherwise raise WRITER_LOCK_TIMEOUT_S"
                 )
             time.sleep(0.2)
         yield False
@@ -1221,15 +1225,23 @@ def cleanup_stale_cache_dirs(root: str, key: str, keep: str) -> None:
     sibling under ``root`` carrying the same ``_KEY`` but a different
     dir name is a stale epoch of this same index and is removed. Dirs
     for other fixtures (even with the same basename) have different
-    ``_KEY`` contents and are never touched; dirs without a ``_KEY``
-    (pre-r16 or foreign) are left alone.
+    ``_KEY`` contents and are never touched. Dirs WITHOUT a ``_KEY``
+    are removed only when they match this index's exact legacy naming
+    (``<keep-basename-prefix>-<12-hex-digest>``) — pre-r16 epochs of
+    the same layout, which can never be identified by content and
+    would otherwise leak forever (r16 review).
     """
+    import re
     import shutil
 
     try:
         siblings = os.listdir(root)
     except OSError:
         return
+    keep_name = os.path.basename(os.path.normpath(keep))
+    legacy_pat = re.compile(
+        re.escape(keep_name.rsplit("-", 1)[0]) + r"-[0-9a-f]{12}$"
+    )
     for name in siblings:
         d = os.path.join(root, name)
         if d == keep or not os.path.isdir(d):
@@ -1239,6 +1251,8 @@ def cleanup_stale_cache_dirs(root: str, key: str, keep: str) -> None:
                 if f.read() == key:
                     shutil.rmtree(d, ignore_errors=True)
         except OSError:
+            if legacy_pat.match(name):
+                shutil.rmtree(d, ignore_errors=True)
             continue
 
 
@@ -1335,6 +1349,9 @@ def build_archive_indexes(
                 with contextlib.suppress(OSError):
                     os.unlink(p)
             cleanup_stale_cache_dirs(_ARCHIVE_IDX_ROOT, sf_dir, keep=base)
+            # _KEY FIRST: a build that dies mid-write must still leave
+            # an identifiable (hence cleanable) epoch (r16 review).
+            write_cache_key(base, sf_dir)
             docs = load_table(spark, sf_dir, "documents").filter(
                 F.col("doc_id") % INCR_MINHASH_MOD != 0
             )
@@ -1350,7 +1367,6 @@ def build_archive_indexes(
                 os.path.join(base, "bands"),
                 ["band_idx"],
             )
-            write_cache_key(base, sf_dir)
     return base
 
 
@@ -2053,10 +2069,12 @@ def retire_cycle_dirs(compacted: str, cycle_dirs: list) -> None:
     ``cycles/`` stays bounded on disk, not just on the read path).
     Refuses unless every compacted part carries its ``_SUCCESS`` marker
     — retiring deltas whose merge never committed would lose
-    admissions — and refuses paths that are not ``cycles/`` children
-    (a malformed caller must never rmtree standing tables).
-    ``tests/test_plans.py::test_retire_cycle_dirs`` pins both
-    refusals and that the post-switch-over probe is unaffected.
+    admissions — and refuses paths that are not ``cycles/`` children OF
+    THE SAME INDEX BASE as ``compacted`` (a malformed caller must never
+    rmtree standing tables, nor destroy un-merged deltas of a DIFFERENT
+    index while citing this one's completed markers — r16 review).
+    ``tests/test_plans.py::test_retire_cycle_dirs`` pins the refusals
+    and that the post-switch-over probe is unaffected.
     """
     import shutil
 
@@ -2070,11 +2088,17 @@ def retire_cycle_dirs(compacted: str, cycle_dirs: list) -> None:
             f"refusing to retire cycle dirs: compaction at {compacted} "
             f"is incomplete (missing markers: {missing})"
         )
+    base = os.path.dirname(os.path.normpath(compacted))
     for cdir in cycle_dirs:
-        parent = os.path.basename(os.path.dirname(os.path.normpath(cdir)))
-        if parent != "cycles":
+        norm = os.path.normpath(cdir)
+        parent = os.path.dirname(norm)
+        if (
+            os.path.basename(parent) != "cycles"
+            or os.path.dirname(parent) != base
+        ):
             raise ValueError(
                 f"refusing to retire non-cycle dir {cdir}: only "
-                "cycles/<name> children are retirable"
+                f"{base}/cycles/<name> children of the compacted "
+                "index's own base are retirable"
             )
-        shutil.rmtree(cdir, ignore_errors=True)
+        shutil.rmtree(norm, ignore_errors=True)

@@ -3867,7 +3867,11 @@ def dedup_cdc_chunks_gear_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 g = gear[np.frombuffer(buf, dtype=np.uint8)]
                 acc = np.zeros(n, dtype=np.int64)
-                for k in range(CDC_GEAR_BITS):
+                # k bounded by n: for n < CDC_GEAR_BITS, g[: n - k]'s
+                # NEGATIVE stop would yield a non-empty slice against an
+                # empty acc[k:] and raise a broadcast ValueError (docs of
+                # 2..15 utf-8 bytes; lags >= n contribute nothing anyway).
+                for k in range(min(n, CDC_GEAR_BITS)):
                     acc[k:] += g[: n - k] << k
                 h = acc & (_GEAR_REG - 1)
                 # Boundary after byte i (1-based, i < n): next chunk

@@ -152,6 +152,23 @@ _STREAM_RUN_COUNTER = 0
 REPLAY_STATE_PARTITIONS = 4
 
 
+def _retire_legacy_flat_stages(prefix: str) -> None:
+    """Remove pre-r16 FLAT staging dirs (``/tmp/<prefix>-<base>-<digest>``).
+
+    r16 moved the staging caches under ``/tmp/<prefix>/``; nothing can
+    read the old flat layout anymore, so any directory still matching it
+    is a dead epoch the new root's cleanup can never see (r16 review).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}-*")):
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events fixture as a multi-file dir for file-source replay.
 
@@ -192,10 +209,11 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     with single_writer(cache, done, "events replay stage") as acquired:
         if acquired and not all(os.path.exists(p) for p in done):
             cleanup_stale_cache_dirs(root, sf_dir, keep=cache)
+            _retire_legacy_flat_stages("dpp-events-replay")
+            write_cache_key(cache, sf_dir)  # pre-write: r16 review
             load_table(spark, sf_dir, "events").repartition(4).write.mode(
                 "overwrite"
             ).parquet(staged)
-            write_cache_key(cache, sf_dir)
     return staged
 
 
@@ -655,11 +673,12 @@ def _stage_events_duplicated(spark: SparkSession, sf_dir: str) -> str:
             import shutil
 
             cleanup_stale_cache_dirs(root, sf_dir, keep=cache)
+            _retire_legacy_flat_stages("dpp-events-dupreplay")
+            write_cache_key(cache, sf_dir)  # pre-write: r16 review
             shutil.rmtree(staged, ignore_errors=True)
             events = load_table(spark, sf_dir, "events")
             events.repartition(4).write.mode("overwrite").parquet(staged)
             events.repartition(2).write.mode("append").parquet(staged)
-            write_cache_key(cache, sf_dir)
             marker.touch()
     return staged
 

@@ -3045,7 +3045,12 @@ def build_ivf_index(
     # both see missing markers race overwrite-writes into the same dir,
     # and a waiter could read centroids whose assignments are still
     # being written. Markers are removed before a rebuild so waiters
-    # can never satisfy the all-markers check mid-write.
+    # ENTERING here can never satisfy the all-markers check mid-write.
+    # Scope: the guarantee covers build-time waiters, not a reader
+    # whose lazy plan is mid-scan when another session force-rebuilds
+    # the same dir in place — same-fixture force rebuilds are a
+    # single-operator action (fixture REGENERATION gets a fresh epoch
+    # dir via the content-fingerprint key and never collides).
     with single_writer(base, done, "IVF index") as acquired:
         if acquired and (force or not all(os.path.exists(p) for p in done)):
             for p in done:
@@ -3054,6 +3059,7 @@ def build_ivf_index(
             cleanup_stale_cache_dirs(
                 os.path.dirname(base), f"{sf_dir}|full", keep=base
             )
+            write_cache_key(base, f"{sf_dir}|full")  # pre-write: r16 review
             emb = load_table(spark, sf_dir, "embeddings").select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("v")
             )
@@ -3068,7 +3074,6 @@ def build_ivf_index(
                 os.path.join(base, "assignments"),
                 ["cell"],
             )
-            write_cache_key(base, f"{sf_dir}|full")
     return base
 
 
@@ -3226,9 +3231,14 @@ def build_ivf_base_index(
         return base
     # Single-writer (r16 ADVICE — the entry-point builder raced like the
     # appends did pre-r15): rebuilds clear the part markers first so a
-    # waiter can never read centroids paired with half-written
-    # assignments, then retire every admission artifact (markers AND
-    # crash-recovery manifests) so the rebuilt index starts un-admitted.
+    # waiter entering the lock path can never read centroids paired
+    # with half-written assignments, then retire every admission
+    # artifact (markers AND crash-recovery manifests) so the rebuilt
+    # index starts un-admitted. Same scope note as build_ivf_index:
+    # in-place force rebuilds assume no concurrent reader of the SAME
+    # dir (the drill's dedicated `variant` isolates it from the
+    # steady-state queries; concurrent bench/probe processes are a
+    # measurement-hygiene violation regardless).
     with single_writer(base, done, "IVF base index") as acquired:
         if acquired and (force or not all(os.path.exists(p) for p in done)):
             for p in done:
@@ -3241,6 +3251,7 @@ def build_ivf_base_index(
             cleanup_stale_cache_dirs(
                 os.path.dirname(base), f"{sf_dir}|{variant}", keep=base
             )
+            write_cache_key(base, f"{sf_dir}|{variant}")  # pre-write
             emb = (
                 load_table(spark, sf_dir, "embeddings")
                 .filter(
@@ -3264,7 +3275,6 @@ def build_ivf_base_index(
                 os.path.join(base, "assignments"),
                 ["cell"],
             )
-            write_cache_key(base, f"{sf_dir}|{variant}")
     return base
 
 
@@ -3335,8 +3345,12 @@ def admit_ivf_batch(
                 raise TimeoutError(
                     f"IVF admit lock {lock} held "
                     f">{curation.WRITER_LOCK_TIMEOUT_S}s with no "
-                    f"_ADMITTED_r{residue} marker; if the writer "
-                    "crashed, remove the lockfile to retry"
+                    f"_ADMITTED_r{residue} marker. A legitimately slow "
+                    "admission of ANOTHER residue also holds this "
+                    "index-global lock — VERIFY the writing session is "
+                    "dead, then remove the lockfile to retry "
+                    "(removing a live writer's lock interleaves "
+                    "appends); otherwise raise WRITER_LOCK_TIMEOUT_S"
                 )
             time.sleep(0.2)
     try:

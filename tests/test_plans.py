@@ -2367,6 +2367,11 @@ def test_gear_vec_edge_cases_match_python_reference(spark, tmp_path):
         "0123456789abcdef",  # exactly one register window
         "ab" * 5000,  # long self-similar repeat
         "é" * 17,  # 2-byte char crossing the window repeatedly
+    ] + [
+        # Every sub-window length 2..15: the r16 review found the
+        # vectorized fold's negative-stop slice crashed exactly here.
+        "xyzabcdefghijklm"[:ln]
+        for ln in range(2, 16)
     ]
 
     def ref(t: str):
@@ -2541,6 +2546,19 @@ def test_retire_cycle_dirs(spark, tmp_path):
     with _pytest.raises(ValueError, match="non-cycle"):
         retire_cycle_dirs(compacted, [os.path.join(base, "fingerprints")])
     assert os.path.exists(os.path.join(base, "fingerprints"))
+
+    # Refusal 3: another index's cycles/ children are never removable
+    # on the strength of THIS index's completed compaction (r16 review).
+    foreign = os.path.join(
+        os.path.dirname(base), "some-other-index", "cycles", "c1"
+    )
+    os.makedirs(foreign, exist_ok=True)
+    with _pytest.raises(ValueError, match="own base"):
+        retire_cycle_dirs(compacted, [foreign])
+    assert os.path.exists(foreign)
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.dirname(os.path.dirname(foreign)))
 
     retire_cycle_dirs(compacted, [cdir])
     assert not os.path.exists(cdir)
