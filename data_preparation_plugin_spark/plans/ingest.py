@@ -515,13 +515,27 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(path, "wb") as fh:
                 fh.write(row.text.encode("utf-8"))
 
-    (
+    # Never stage ZERO-BYTE payloads: Spark's binaryFile source silently
+    # skips empty files while DuckDB's read_blob returns them — a
+    # one-sided row that breaks the roundtrip check (r16 edge-fixture
+    # drive). Real blob pipelines don't emit 0-byte objects either.
+    base = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % _BINARY_STRIDE == 0)
         .select("doc_id", "text")
-        .foreachPartition(stage_partition)
+        .filter(F.length("text") > 0)
     )
-    assert glob.glob(f"{_BINARY_DIR}/*.bin")
+    sel = base.filter(F.col("doc_id") % _BINARY_STRIDE == 0)
+    if not sel.take(1):
+        # Corpus smaller than the stride (r16 edge-fixture drive): stage
+        # the smallest non-empty doc so the roundtrip still verifies one
+        # real payload — deterministic, unreachable at production sizes.
+        sel = base.orderBy("doc_id").limit(1)
+    sel.foreachPartition(stage_partition)
+    if not glob.glob(f"{_BINARY_DIR}/*.bin"):
+        raise ValueError(
+            "binaryfile roundtrip staged no payload files — no "
+            "non-empty documents to ingest"
+        )
     binary = spark.read.format("binaryFile").load(_BINARY_DIR)
     return binary.select(
         F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),

@@ -107,10 +107,16 @@ def int_ratio_round_sql(num: str, den: str, decimals: int, div: str) -> str:
     silently wraps (ANSI off) past ~107k-char texts while DuckDB's
     ``len()`` is already BIGINT, breaking the exact-integer contract
     (r14 ADVICE, medium).
+
+    A zero denominator yields NULL in BOTH engines (``NULLIF`` guard):
+    a ratio over an empty denominator is undefined, and without the
+    guard an empty document crashes the whole query under Spark's ANSI
+    division instead of degrading to a NULL signal (r16 edge-fixture
+    drive: ``text_quality_score`` on ``text=''``).
     """
     scale = 10**decimals
     num64 = f"CAST(({num}) AS BIGINT)"
-    den64 = f"CAST(({den}) AS BIGINT)"
+    den64 = f"NULLIF(CAST(({den}) AS BIGINT), 0)"
     return (
         f"CAST(CASE WHEN {num64} >= 0"
         f" THEN ({num64} * {2 * scale} + {den64}) {div} (2 * {den64})"

@@ -476,7 +476,7 @@ RESERVOIR_PER_SOURCE = 25
         SELECT doc_id, source, n_chars,
                ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                    + 0.5) / 4294967296.0) / n_chars AS k
-        FROM documents
+        FROM documents WHERE n_chars > 0
     )
     SELECT doc_id, source, n_chars, round(k, 6) AS res_key,
            row_number() OVER (PARTITION BY source
@@ -505,7 +505,13 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute identically; ``ln`` agrees to the last ulp on these inputs
     (probed: nearest boundary gap is orders of magnitude above ulp).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # Zero-weight items have inclusion probability zero in A-Res
+    # (key -> -inf); filtering them is semantically exact and keeps an
+    # empty document from crashing the key division under ANSI (r16
+    # edge-fixture drive).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
     h32 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")

@@ -2042,9 +2042,16 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_pca_whiten_audit",
     category="similarity",
     oracle=f"""
+    -- least(n, d): the whitening invariant promises one unit-variance
+    -- component per RANK of the second moment — d for any real corpus,
+    -- but a sample smaller than the dimension is rank-limited by its
+    -- row count (r16 edge-fixture drive; exact-duplicate-only corpora
+    -- remain outside the audit's domain).
     SELECT CAST(max(len(embedding)) AS INTEGER) AS d,
-           CAST(max(len(embedding)) AS BIGINT) AS n_components,
-           CAST(max(len(embedding)) AS BIGINT) AS n_unit_variance,
+           CAST(least(count(*), max(len(embedding))) AS BIGINT)
+               AS n_components,
+           CAST(least(count(*), max(len(embedding))) AS BIGINT)
+               AS n_unit_variance,
            CAST(0 AS BIGINT) AS n_offdiag_violations
     FROM embeddings
     """,

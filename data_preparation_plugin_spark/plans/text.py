@@ -2135,9 +2135,15 @@ _TAG_RE = r"<[^>]+>"
     SELECT doc_id,
            CAST(len(ps) AS BIGINT) AS n_para,
            CAST(len(ks) AS BIGINT) AS n_kept,
-           CAST(length(array_to_string(list_transform(ks, q -> q.c), ' '))
+           -- coalesce: DuckDB's array_to_string of an EMPTY list is
+           -- NULL where Spark's join gives '' — an every-block-
+           -- boilerplate page must hash as the empty string in both
+           -- engines (r16 edge-fixture drive).
+           CAST(length(coalesce(
+                array_to_string(list_transform(ks, q -> q.c), ' '), ''))
                 AS BIGINT) AS clean_len,
-           md5(array_to_string(list_transform(ks, q -> q.c), ' '))
+           md5(coalesce(
+                array_to_string(list_transform(ks, q -> q.c), ' '), ''))
                AS clean_md5
     FROM k
     """,

@@ -233,19 +233,28 @@ def udf_cogroup_views_before_purchase(
     "udtf_word_chunks",
     category="udf",
     oracle=r"""
-    WITH words AS (
+    WITH raw AS (
         SELECT doc_id,
-               unnest(string_split_regex(trim(text), '\s+')) AS w,
+               unnest(string_split_regex(text, '\s+')) AS w,
                generate_subscripts(
-                   string_split_regex(trim(text), '\s+'), 1) AS idx
+                   string_split_regex(text, '\s+'), 1) AS idx
         FROM documents
+    ), words AS (
+        -- Python str.split() semantics on every input: regex split
+        -- yields '' elements for empty/whitespace-only text and at a
+        -- leading separator; drop them and renumber, or empty docs
+        -- manufacture a phantom chunk (r16 edge-fixture drive).
+        SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+                   AS widx
+        FROM raw WHERE w <> ''
     )
     SELECT doc_id,
-           CAST((idx - 1) // 5 AS INTEGER)       AS chunk_idx,
-           string_agg(w, ' ' ORDER BY idx)       AS chunk,
+           CAST((widx - 1) // 5 AS INTEGER)      AS chunk_idx,
+           string_agg(w, ' ' ORDER BY widx)      AS chunk,
            CAST(count(*) AS INTEGER)             AS n_words
     FROM words
-    GROUP BY doc_id, (idx - 1) // 5
+    GROUP BY doc_id, (widx - 1) // 5
     """,
 )
 def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

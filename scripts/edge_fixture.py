@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Adversarial EDGE fixture: the degenerate inputs the sf fixtures never hit.
+
+The r16 edge-fixture drive (all 414 registered queries oracle-compared on
+this data) caught six real robustness defects the sf0.001/0.01/0.1 gates
+could not: a short-document crash class, two ANSI division-by-zero
+crashes on empty text, two oracle NULL-vs-empty divergences, and a
+rank-deficiency assumption. Keep this gate in the round workflow:
+
+    python scripts/edge_fixture.py /tmp/sf-edge
+    SPARK_GRAFT_TEST_SF_DIR=/tmp/sf-edge python scripts/drive.py
+
+Design: every table stays INSIDE the generator's value domains
+(``source`` = src0..src19, ``lang`` in {en,fr,de,es,zh} — several queries
+legitimately parse the trailing source integer per TESTDATA's contract);
+the adversarial axis is the OPEN domain, document text: empty,
+whitespace-only, every length 1..15 (sub-window lengths for byte-fold
+kernels), multibyte, degenerate repetition, and exact/near duplicates
+placed across the doc_id mod classes the curation/dedup splits use.
+TPC-H/events/embeddings are small slices of sf0.001 so joins stay
+non-degenerate while cardinalities (e.g. fewer embedding vectors than
+dimensions) stress rank/count assumptions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+SRC = "/root/testdata/sf0.001"
+
+SLICES = {
+    "region": None,
+    "nation": None,
+    "customer": 60,
+    "supplier": 40,
+    "part": 60,
+    "orders": 120,
+    "lineitem": 300,
+    "events": 600,
+    "embeddings": 12,  # fewer vectors than EMBEDDING_DIM — rank stress
+}
+
+LANGS = ["en", "fr", "de", "es", "zh"]
+
+
+def edge_documents() -> list:
+    rows = [(1, "")]  # empty
+    for ln in range(1, 16):  # every sub-window length 1..15
+        rows.append((1 + ln, "abcdefghijklmno"[:ln]))
+    rows += [
+        (17, "   \t  \n "),  # whitespace-only
+        (18, "é日本語ü " * 3),  # multibyte
+        (19, "the quick brown fox jumps over the lazy dog " * 40),
+        (20, "the quick brown fox jumps over the lazy dog " * 40),  # dup
+        (21, "word " * 200),  # degenerate repetition
+        (22, "singleword"),
+        (23, "a b"),
+        (24, "the quick brown fox jumps over the lazy dog " * 40 + "tail"),
+        (30, "completely different archive text about rivers and hills"),
+        (33, "completely different archive text about rivers and hills"),
+        (36, "another unique document with several plain words in it"),
+    ]
+    return sorted(rows)
+
+
+def build_edge_fixture(dst: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for t, n in SLICES.items():
+        tab = pq.read_table(f"{SRC}/{t}.parquet")
+        if n:
+            tab = tab.slice(0, n)
+        pq.write_table(tab, f"{dst}/{t}.parquet")
+    rows = edge_documents()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": [LANGS[i % len(LANGS)] for i in range(len(rows))],
+                "source": [f"src{i % 20}" for i in range(len(rows))],
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        f"{dst}/documents.parquet",
+    )
+    return dst
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf-edge"
+    print(build_edge_fixture(out))

@@ -311,3 +311,39 @@ def test_gear_vec_equals_expression_form(spark, tmp_path):
     assert rows("dedup_cdc_chunks_gear_vec", sf) == rows(
         "dedup_cdc_chunks_gear_utf8", sf
     )
+
+
+def test_edge_fixture_degenerate_documents(spark, tmp_path):
+    """The r16 edge-gate regression set: the six queries whose defects
+    the adversarial fixture exposed must stay oracle-green on it —
+    empty/short/whitespace-only documents, a sample smaller than the
+    embedding dimension, a corpus smaller than the binaryfile stride."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scripts.edge_fixture import build_edge_fixture
+    from tests.conftest import duckdb_result, spark_result
+
+    sf = build_edge_fixture(str(tmp_path / "edge"))
+    con = duckdb.connect()
+    for t in plans.registry.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    for name in (
+        "text_quality_score",
+        "sample_weighted_reservoir",
+        "udtf_word_chunks",
+        "text_html_boilerplate_strip",
+        "embedding_pca_whiten_audit",
+        "source_binaryfile_ingest",
+        "dedup_cdc_chunks_gear_vec",
+    ):
+        q = plans.QUERIES[name]
+        s_cols, s_rows = spark_result(q.builder(spark, sf))
+        d_cols, d_rows = duckdb_result(con, q.oracle)
+        assert s_cols == d_cols, (name, s_cols, d_cols)
+        assert s_rows == d_rows, (name, len(s_rows), len(d_rows))
