@@ -38,7 +38,7 @@ SLICES = {
     "part": 60,
     "orders": 120,
     "lineitem": 300,
-    "events": 600,
+    "events": 200,  # + edge_events() appended below
     "embeddings": 12,  # fewer vectors than EMBEDDING_DIM — rank stress
 }
 
@@ -65,6 +65,41 @@ def edge_documents() -> list:
     return sorted(rows)
 
 
+def edge_events(next_id: int) -> list:
+    """Adversarial but in-domain event rows: total same-timestamp ties,
+    single-event users, a 1-microsecond gap beside a 28-day one (the
+    case that exposed the third un-keyed staging cache AND the
+    trajectory-dependent session-close label), window-boundary hits."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 15, 12, 0, 0)  # exact hour boundary
+    for i, et in enumerate(
+        ["view", "click", "view", "purchase", "error", "signup"]
+    ):
+        rows.append((next_id + i, t0, 9001, et, 1.0 + i, '{"k": %d}' % i))
+    next_id += 6
+    rows.append(
+        (next_id, dt.datetime(2024, 1, 20), 9002, "signup", 0.03, '{"k": 0}')
+    )
+    next_id += 1
+    rows += [
+        (next_id, dt.datetime(2024, 1, 2, 3, 4, 5, 0), 9003, "view",
+         5.0, '{"k": 1}'),
+        (next_id + 1, dt.datetime(2024, 1, 2, 3, 4, 5, 1), 9003, "click",
+         5.0, '{"k": 2}'),
+        (next_id + 2, dt.datetime(2024, 1, 30, 23, 0), 9003, "purchase",
+         327.53, '{"k": 99}'),
+    ]
+    next_id += 3
+    for i in range(4):  # identical (ts, value) — pure tie-break stress
+        rows.append(
+            (next_id + i, dt.datetime(2024, 1, 10, 6, 30), 9004, "view",
+             7.77, '{"k": 7}')
+        )
+    return rows
+
+
 def build_edge_fixture(dst: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -75,6 +110,27 @@ def build_edge_fixture(dst: str) -> str:
         tab = pq.read_table(f"{SRC}/{t}.parquet")
         if n:
             tab = tab.slice(0, n)
+        if t == "events":
+            rows = edge_events(max(tab.column("event_id").to_pylist()) + 1)
+            adv = pa.table(
+                {
+                    "event_id": pa.array(
+                        [r[0] for r in rows], pa.int64()
+                    ),
+                    "ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array(
+                        [r[2] for r in rows], pa.int64()
+                    ),
+                    "event_type": [r[3] for r in rows],
+                    "value": pa.array(
+                        [r[4] for r in rows], pa.float64()
+                    ),
+                    "props": [r[5] for r in rows],
+                }
+            )
+            tab = pa.concat_tables([tab.cast(adv.schema), adv])
         pq.write_table(tab, f"{dst}/{t}.parquet")
     rows = edge_documents()
     pq.write_table(

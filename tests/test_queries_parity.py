@@ -341,6 +341,8 @@ def test_edge_fixture_degenerate_documents(spark, tmp_path):
         "embedding_pca_whiten_audit",
         "source_binaryfile_ingest",
         "dedup_cdc_chunks_gear_vec",
+        "events_stream_interval_join_left",
+        "events_stream_tws_timer_sessions",
     ):
         q = plans.QUERIES[name]
         s_cols, s_rows = spark_result(q.builder(spark, sf))
