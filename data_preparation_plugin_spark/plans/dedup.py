@@ -24,6 +24,7 @@ from data_preparation_plugin_spark.functions.text import exploded_shingles
 from data_preparation_plugin_spark.functions.text import shingles as _shingles
 from data_preparation_plugin_spark.functions.text import tokens as tokens_col
 from data_preparation_plugin_spark.plans.registry import (
+    NONZERO_VEC_SQL,
     QUERIES,
     int_ratio_round_sql,
     load_table,
@@ -455,6 +456,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, embedding::DOUBLE[] AS v
         FROM embeddings
         WHERE vec_id < {DEDUP_COSINE_SAMPLE}
+          AND {NONZERO_VEC_SQL}
     )
     SELECT a.vec_id AS vec_a,
            b.vec_id AS vec_b,
@@ -481,7 +483,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_norm = emb.withColumn(
         "n",
         F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
-    )
+    ).filter(F.col("n") > 0)  # registry.NONZERO_VEC_SQL contract
     a = with_norm.alias("a")
     b = with_norm.alias("b")
     # zip_with+aggregate, NOT a 64-term unrolled element_at sum: the

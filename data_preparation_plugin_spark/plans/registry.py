@@ -125,6 +125,35 @@ def int_ratio_round_sql(num: str, den: str, decimals: int, div: str) -> str:
     )
 
 
+#: Cosine similarity is undefined for the zero vector, so every
+#: cosine-family operator (scorers, LSH/IVF/PQ index builds, the
+#: admission lifecycle, the dedup cosine baseline) excludes zero-norm
+#: rows AT STAGING, on both engines — the contract faiss and sklearn
+#: enforce by erroring. Without the shared gate the engines silently
+#: diverge: Spark ANSI raises DIVIDE_BY_ZERO where DuckDB's double
+#: division yields NULL (and numpy yields NaN) — caught across 17
+#: registered queries by the r16 adversarial-embeddings edge axis.
+#: Evaluated on the DOUBLE-cast array on BOTH sides: float32 squares of
+#: subnormal components (1e-30 in the edge fixture) would underflow to
+#: a spurious zero norm if either engine squared before promoting.
+#: Hygiene queries (norm stats, standardize, scalar quantize) keep zero
+#: rows deliberately: zero is data to an auditor, poison to a cosine.
+#: Defined here (not in plans/similarity.py) so dedup.py shares the
+#: SAME literal without perturbing the plans/__init__ import order that
+#: fixes the registry — and therefore the driver slate — ordering.
+NONZERO_VEC_SQL = (
+    "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"
+)
+
+
+def nonzero_vec(v) -> "Column":
+    """Spark twin of :data:`NONZERO_VEC_SQL` — apply to the DOUBLE-cast
+    vector column (conventionally ``v``), never the raw float array."""
+    from pyspark.sql import functions as F
+
+    return F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x) > 0
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one test table (TESTDATA.md layout).
 

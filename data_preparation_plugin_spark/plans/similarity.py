@@ -27,7 +27,12 @@ from data_preparation_plugin_spark.functions.vector import (
     l2_norm,
     lit_vector,
 )
-from data_preparation_plugin_spark.plans.registry import load_table, register
+from data_preparation_plugin_spark.plans.registry import (
+    NONZERO_VEC_SQL,
+    load_table,
+    nonzero_vec,
+    register,
+)
 
 #: Query set: a fixed, small set of probe vectors.
 N_QUERY_VECS = 10
@@ -36,6 +41,11 @@ TOP_K = 5
 N_HYPERPLANES = 8
 EMBEDDING_DIM = 64
 _SEED = 42
+
+# Zero-norm exclusion contract: see registry.NONZERO_VEC_SQL (defined
+# there so dedup.py shares the same literal without perturbing the
+# registration order). Every cosine-family query below stages through
+# nonzero_vec / {NONZERO_VEC_SQL}; hygiene queries keep zero rows.
 
 
 def _hyperplanes() -> np.ndarray:
@@ -72,6 +82,7 @@ def _bucket_sql(vec_expr: str) -> str:
     oracle=f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), q AS (
         SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}
     ), scored AS (
@@ -99,7 +110,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).filter(nonzero_vec("v"))
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -153,6 +164,7 @@ def knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, embedding::DOUBLE[] AS v,
                {_bucket_sql("embedding::DOUBLE[]")} AS bucket
         FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), q AS (
         SELECT vec_id AS query_id, v AS qv, bucket FROM e
         WHERE vec_id < {N_QUERY_VECS}
@@ -180,7 +192,7 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("bucket", _bucket_col(F.col("v")))
+    ).filter(nonzero_vec("v")).withColumn("bucket", _bucket_col(F.col("v")))
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -220,6 +232,7 @@ IVF_NPROBE = 2
     oracle=f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), cents AS (
         SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {IVF_N_CELLS}
     ), assigned AS (
@@ -271,7 +284,7 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).filter(nonzero_vec("v"))
     cents = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -359,6 +372,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), q AS (
         SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}
     ), scored AS (
@@ -393,7 +407,7 @@ def knn_bruteforce_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).filter(nonzero_vec("v"))
     probes = emb.filter(F.col("vec_id") < N_QUERY_VECS).collect()
     q_ids = np.array([r.vec_id for r in probes])
     q_mat = np.array([r.v for r in probes])  # (Q, D)
@@ -465,7 +479,7 @@ KMEANS_QSCALE = 1000
                unnest(range(1, len(qv) + 1)) AS pos
         FROM q
     ), cent AS (
-        SELECT seed, pos, sum(val) * 1.0 / count(*) AS c
+        SELECT seed, pos, CAST(sum(val) AS DOUBLE) / count(*) AS c
         FROM dims GROUP BY seed, pos
     ), carr AS (
         SELECT seed, list(c ORDER BY pos) AS cv FROM cent GROUP BY seed
@@ -523,7 +537,7 @@ def knn_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dims = q.select("seed", F.posexplode("qv").alias("pos", "val"))
     cent = dims.groupBy("seed", "pos").agg(
-        (F.sum("val") * F.lit(1.0) / F.count(F.lit(1))).alias("c")
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("c")
     )
     carr = cent.groupBy("seed").agg(
         F.transform(
@@ -649,6 +663,7 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
         SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), q AS (
         SELECT vec_id AS query_id, label AS qlabel, v AS qv
         FROM e WHERE vec_id < {N_QUERY_VECS}
@@ -683,7 +698,7 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).filter(nonzero_vec("v"))
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
@@ -732,6 +747,7 @@ _PQ_SUBDIST = (
     oracle=f"""
     WITH raw AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), q AS (
         SELECT vec_id,
                list_transform(v,
@@ -807,7 +823,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's list_reduce, so quantized codes match exactly.
     normed = emb.select("vec_id", v.alias("v")).select(
         "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)
     qv = F.transform(
         F.col("v"),
         lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
@@ -923,6 +939,7 @@ _INT_DOT = (
     oracle=f"""
     WITH raw AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), q AS (
         SELECT vec_id,
                list_transform(v,
@@ -1053,7 +1070,7 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     normed = emb.select("vec_id", v.alias("v")).select(
         "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)
     qv = F.transform(
         F.col("v"),
         lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
@@ -1304,6 +1321,7 @@ def _sem_bits_case(n_expr: str) -> str:
     oracle=f"""
     WITH raw AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), q AS (
         SELECT vec_id,
                list_transform(v,
@@ -1385,7 +1403,7 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     normed = emb.select("vec_id", v.alias("v")).select(
         "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)
     qv = F.transform(
         F.col("v"),
         lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
@@ -1467,6 +1485,7 @@ RADIUS_TAU = 0.2
     oracle=f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), q AS (
         SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}
     )
@@ -1498,7 +1517,7 @@ def knn_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).filter(nonzero_vec("v"))
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1528,6 +1547,7 @@ MMR_LAMBDA = 0.7
     oracle=f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), q AS (
         SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {MMR_QUERIES}
     ), scored AS (
@@ -1606,7 +1626,7 @@ def knn_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).filter(nonzero_vec("v"))
     queries = emb.filter(F.col("vec_id") < MMR_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1675,6 +1695,7 @@ KCENTER_K = 3
     oracle=f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), s1 AS (
         SELECT vec_id, v FROM e
         QUALIFY row_number() OVER (ORDER BY vec_id) = 1
@@ -1727,7 +1748,7 @@ def knn_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).filter(nonzero_vec("v"))
     seed = emb.orderBy("vec_id").limit(1)
     seed_row = seed.collect()[0]  # 1 row: the deterministic seed
     picks = [(seed_row.vec_id, 1, 0.0)]
@@ -1963,9 +1984,25 @@ def knn_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Fixed-point scale for the exact Gram accumulation (|v| < 1: products
+#: Fixed-point scale for the exact Gram accumulation (|v| <= 1: products
 #: fit int64 with headroom through ~1e9 vectors at this scale).
 GRAM_SCALE = 10_000
+
+#: The |component| <= 1 precondition above, made an EXPLICIT shared gate
+#: (r16 adversarial-embeddings edge axis): a 1e15-component vector
+#: quantizes to 1e19, which DuckDB refuses to cast to BIGINT while
+#: numpy's ``astype("int64")`` silently WRAPS — the worst divergence
+#: class, an oracle error masking engine-side corruption. Out-of-domain
+#: vectors are excluded on both engines rather than clamped so the audit
+#: never reports a Gram of data it silently altered.
+GRAM_DOMAIN_SQL = (
+    "list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) <= 1.0"
+)
+
+
+def gram_domain(v: Column | str) -> Column:
+    """Spark twin of :data:`GRAM_DOMAIN_SQL` (on the DOUBLE-cast array)."""
+    return F.array_max(F.transform(v, F.abs)) <= 1.0
 
 
 @register(
@@ -1978,6 +2015,7 @@ GRAM_SCALE = 10_000
                CAST(round(unnest(embedding::DOUBLE[]) * {GRAM_SCALE}, 0)
                     AS BIGINT) AS q
         FROM embeddings
+        WHERE {GRAM_DOMAIN_SQL}
     )
     SELECT a.dim AS i,
            b.dim AS j,
@@ -2007,13 +2045,15 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order across partitions, batches, or engines. The oracle
     computes the identical integers via an (i ≤ j) self-join; the hash
     match proves the vectorized partial-aggregation path lossless.
+    Vectors outside the fixed-point domain (:data:`GRAM_DOMAIN_SQL`) are
+    excluded on both engines — see the constant's rationale.
     """
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).filter(gram_domain("v"))
 
     def partial_gram(batches):
         rows, cols = np.triu_indices(EMBEDDING_DIM)
@@ -2042,16 +2082,15 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_pca_whiten_audit",
     category="similarity",
     oracle=f"""
-    -- least(n, d): the whitening invariant promises one unit-variance
-    -- component per RANK of the second moment — d for any real corpus,
-    -- but a sample smaller than the dimension is rank-limited by its
-    -- row count (r16 edge-fixture drive; exact-duplicate-only corpora
-    -- remain outside the audit's domain).
+    -- The oracle pins the INVARIANTS, not the component count: the true
+    -- rank of an adversarial corpus (duplicates, collinear rows, the
+    -- zero vector — r16 edge axis) is not SQL-computable, but whitening
+    -- still PROMISES (a) rank bounded by the distinct nonzero quantized
+    -- rows, (b) unit variance on every kept component, (c) zero
+    -- off-diagonal covariance. Those three are checkable on any input.
     SELECT CAST(max(len(embedding)) AS INTEGER) AS d,
-           CAST(least(count(*), max(len(embedding))) AS BIGINT)
-               AS n_components,
-           CAST(least(count(*), max(len(embedding))) AS BIGINT)
-               AS n_unit_variance,
+           TRUE AS rank_bound_ok,
+           TRUE AS unit_variance_ok,
            CAST(0 AS BIGINT) AS n_offdiag_violations
     FROM embeddings
     """,
@@ -2066,13 +2105,21 @@ def embedding_pca_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     that rotates every vector, then re-accumulate the Gram of the
     WHITENED corpus the same partial-Gram way and check the definition:
     it must be the identity (unit variance per component, zero
-    off-diagonals) within 1e-6. The oracle pins the invariant — full
-    rank, every component unit variance, zero violations — the
-    tolerance-bit oracle style the HLL/approx sketches established
-    (DuckDB cannot eigendecompose; it CAN check what whitening promises).
+    off-diagonals) within 1e-6. The oracle pins the invariants — rank
+    bounded by the distinct nonzero quantized rows, every kept component
+    unit variance, zero violations — the tolerance-bit oracle style the
+    HLL/approx sketches established (DuckDB cannot eigendecompose; it
+    CAN check what whitening promises). Reported as booleans, not raw
+    counts: the true rank of an adversarial corpus (duplicates,
+    collinear rows, the zero vector — r16 edge axis) is not
+    SQL-computable, but the PROMISES hold for any input, so the audit's
+    contract survives rank-deficient corpora instead of predicting a
+    cardinality the oracle cannot know. The corpus is staged through the
+    same :func:`gram_domain` gate as the moment matrix on every pass.
 
-    Scale shape: the corpus is touched twice (moment pass + rotate/verify
-    pass), each a single Arrow stage with a d²-scalar shuffle; the eig
+    Scale shape: the corpus is touched thrice (moment pass, quantized
+    distinct-row rank bound, rotate/verify pass), each a single
+    Arrow/codegen stage with a d²- or scalar-sized shuffle; the eig
     is O(d³) on 64×64 — a driver triviality. Float tolerance absorbs the
     whitened Gram's summation-order ulps (deviations land ~1e-12,
     six orders below the gate).
@@ -2083,9 +2130,24 @@ def embedding_pca_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_rows = embedding_gram_matrix(spark, sf_dir).collect()
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).filter(gram_domain("v"))
     n_vecs = emb.count()
     d = EMBEDDING_DIM
+    # Rank can never exceed the number of DISTINCT nonzero rows of the
+    # quantized corpus the moment matrix was accumulated from — an
+    # oracle-checkable bound where the exact rank is not.
+    qarr = F.transform(
+        "v",
+        lambda e: (F.signum(e) * F.floor(F.abs(e) * GRAM_SCALE + 0.5))
+        .cast("long"),
+    )
+    rank_bound = min(
+        emb.select(qarr.alias("q"))
+        .filter(F.exists("q", lambda x: x != 0))
+        .distinct()
+        .count(),
+        d,
+    )
     g = np.zeros((d, d))
     for r in gram_rows:
         g[r.i - 1, r.j - 1] = r.gram
@@ -2123,14 +2185,17 @@ def embedding_pca_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gw.agg(
         F.lit(d).alias("d"),
-        F.lit(n_components).cast("bigint").alias("n_components"),
-        F.sum(
-            F.when(
-                (F.col("i") == F.col("j"))
-                & (F.abs(F.col("cov") - 1.0) < 1e-6),
-                1,
-            ).otherwise(0)
-        ).cast("bigint").alias("n_unit_variance"),
+        F.lit(bool(n_components <= rank_bound)).alias("rank_bound_ok"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("i") == F.col("j"))
+                    & (F.abs(F.col("cov") - 1.0) < 1e-6),
+                    1,
+                ).otherwise(0)
+            )
+            == F.lit(n_components)
+        ).alias("unit_variance_ok"),
         F.sum(
             F.when(
                 (F.col("i") != F.col("j"))
@@ -2153,6 +2218,9 @@ MATRYOSHKA_DIMS = 32
         SELECT vec_id, embedding::DOUBLE[] AS v,
                (embedding::DOUBLE[])[1:{MATRYOSHKA_DIMS}] AS tv
         FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
+          AND list_dot_product((embedding::DOUBLE[])[1:{MATRYOSHKA_DIMS}],
+                               (embedding::DOUBLE[])[1:{MATRYOSHKA_DIMS}]) > 0
     ), q AS (
         SELECT vec_id AS query_id, v AS qv, tv AS qtv FROM e
         WHERE vec_id < {N_QUERY_VECS}
@@ -2209,7 +2277,7 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
         F.slice(F.col("embedding").cast("array<double>"), 1, MATRYOSHKA_DIMS)
         .alias("tv"),
-    )
+    ).filter(nonzero_vec("v") & nonzero_vec("tv"))
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -2256,6 +2324,7 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), cents AS (
         SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {IVF_N_CELLS}
     ), assigned AS (
@@ -2297,7 +2366,7 @@ def knn_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).filter(nonzero_vec("v"))
     cents = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -2534,6 +2603,7 @@ def _multiprobe_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(nonzero_vec("v"))
         .withColumn("bucket", _bucket_col(F.col("v")))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
@@ -2573,6 +2643,7 @@ RERANK_SHORTLIST = 20
         SELECT vec_id, embedding::DOUBLE[] AS v,
                {{bucket_sql}} AS bucket
         FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), q AS (
         SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e
         WHERE vec_id < {N_QUERY_VECS}
@@ -2719,6 +2790,7 @@ _RERANK_AUDIT_ORACLE = """
         SELECT vec_id, embedding::DOUBLE[] AS v,
                {bucket} AS bucket
         FROM embeddings
+        WHERE {nonzero}
     ), toks AS (
         SELECT doc_id,
                list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
@@ -2787,6 +2859,7 @@ _RERANK_AUDIT_ORACLE = """
     oracle=_RERANK_AUDIT_ORACLE.format(
         rerank=_registered_oracle("knn_rerank_crossfeatures"),
         bucket=_bucket_sql("embedding::DOUBLE[]"),
+        nonzero=NONZERO_VEC_SQL,
         hamming=" + ".join(
             f"(CASE WHEN substr(e.bucket, {i}, 1) <> "
             f"substr(q.qbucket, {i}, 1) THEN 1 ELSE 0 END)"
@@ -2832,6 +2905,7 @@ def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(nonzero_vec("v"))
         .withColumn("bucket", _bucket_col(F.col("v")))
     )
     toks = load_table(spark, sf_dir, "documents").select(
@@ -2928,6 +3002,7 @@ def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, embedding::DOUBLE[] AS v,
                {_bucket_sql("embedding::DOUBLE[]")} AS bucket
         FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), q AS (
         SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e
         WHERE vec_id < {N_QUERY_VECS}
@@ -3069,7 +3144,7 @@ def build_ivf_index(
             write_cache_key(base, f"{sf_dir}|full")  # pre-write: r16 review
             emb = load_table(spark, sf_dir, "embeddings").select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("v")
-            )
+            ).filter(nonzero_vec("v"))
             cents = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
                 F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
             )
@@ -3146,6 +3221,7 @@ def _ivf_serve(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").cast("array<double>").alias("qv"),
         )
+        .filter(nonzero_vec("qv"))
     )
     probe_win = Window.partitionBy("query_id").orderBy(
         F.col("pcos").desc(), F.col("cent_id")
@@ -3270,6 +3346,7 @@ def build_ivf_base_index(
                     "vec_id",
                     F.col("embedding").cast("array<double>").alias("v"),
                 )
+                .filter(nonzero_vec("v"))
             )
             cents = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
                 F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
@@ -3383,6 +3460,7 @@ def admit_ivf_batch(
             .select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("v")
             )
+            .filter(nonzero_vec("v"))
         )
         cents = spark.read.parquet(os.path.join(base, "centroids"))
         write_partitioned(
@@ -3513,6 +3591,7 @@ def ivf_admit_with_drift_guard(
     oracle=f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {NONZERO_VEC_SQL}
     ), cents AS (
         SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {IVF_N_CELLS}
     ), assigned AS (

@@ -20,6 +20,17 @@ placed across the doc_id mod classes the curation/dedup splits use.
 TPC-H/events/embeddings are small slices of sf0.001 so joins stay
 non-degenerate while cardinalities (e.g. fewer embedding vectors than
 dimensions) stress rank/count assumptions.
+
+Third axis (EMBEDDINGS content): adversarial but storable vectors — the
+all-zero vector (cosine undefined; Spark ANSI raises DIVIDE_BY_ZERO where
+DuckDB's double division yields NULL), an exact duplicate INSIDE the probe
+set (vec_id < N_QUERY_VECS) plus a corpus duplicate pair (top-k ties at
+cosine exactly 1.0), an antipodal vector (cosine exactly -1), a subnormal
+1e-30 vector (squares underflow float32 — pins that both engines promote
+to double BEFORE multiplying), a 1e15 outlier, and an orthogonal one-hot.
+vec_id 8 and 9 land in IVF_ADMIT_RESIDUES (8, 9 mod 10), so the zero
+vector and the probe-duplicate also flow through the IVF admission
+lifecycle, not just the batch scorers.
 """
 
 from __future__ import annotations
@@ -39,7 +50,9 @@ SLICES = {
     "orders": 120,
     "lineitem": 300,
     "events": 200,  # + edge_events() appended below
-    "embeddings": 12,  # fewer vectors than EMBEDDING_DIM — rank stress
+    # 8 base vectors (< EMBEDDING_DIM — rank stress preserved) +
+    # edge_embeddings() appended below (ids 8, 9, 9001..9007).
+    "embeddings": 8,
 }
 
 LANGS = ["en", "fr", "de", "es", "zh"]
@@ -100,6 +113,31 @@ def edge_events(next_id: int) -> list:
     return rows
 
 
+def edge_embeddings(base_tab) -> list:
+    """Adversarial vector rows appended to the 8-row base slice.
+
+    ids 8 and 9 complete the probe set (vec_id < 10) AND fall in
+    IVF_ADMIT_RESIDUES, so the zero vector and the probe duplicate are
+    exercised by the admission lifecycle too. Labels stay in 0..9.
+    """
+    dim = len(base_tab.column("embedding")[0].as_py())
+    base0 = base_tab.column("embedding")[0].as_py()
+    base1 = base_tab.column("embedding")[1].as_py()
+    return [
+        (8, [0.0] * dim, 5),  # zero vector IN the probe set
+        (9, list(base0), 6),  # probe-set exact duplicate of vec 0
+        (9001, list(base0), 9),  # corpus duplicate of probe 0 ...
+        (9002, list(base0), 7),  # ... and its tie twin (9001 vs 9002)
+        (9003, [-x for x in base1], 0),  # antipodal to probe 1
+        (9004, [1e-30] * dim, 7),  # squares underflow float32
+        (9005, [1e15] * dim, 3),  # magnitude outlier
+        (9006, [1.0] + [0.0] * (dim - 1), 1),  # orthogonal one-hot
+        # nonzero FULL vector whose 32-dim matryoshka prefix is all
+        # zero — the prefix-norm gate's case (zero-norm gate passes it)
+        (9007, [0.0] * (dim - 1) + [1.0], 2),
+    ]
+
+
 def build_edge_fixture(dst: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -128,6 +166,18 @@ def build_edge_fixture(dst: str) -> str:
                         [r[4] for r in rows], pa.float64()
                     ),
                     "props": [r[5] for r in rows],
+                }
+            )
+            tab = pa.concat_tables([tab.cast(adv.schema), adv])
+        if t == "embeddings":
+            erows = edge_embeddings(tab)
+            adv = pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in erows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in erows], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([r[2] for r in erows], pa.int32()),
                 }
             )
             tab = pa.concat_tables([tab.cast(adv.schema), adv])

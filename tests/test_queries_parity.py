@@ -343,9 +343,38 @@ def test_edge_fixture_degenerate_documents(spark, tmp_path):
         "dedup_cdc_chunks_gear_vec",
         "events_stream_interval_join_left",
         "events_stream_tws_timer_sessions",
+        # Adversarial-EMBEDDINGS axis regressions (zero-norm exclusion,
+        # probe-duplicate ties, the DECIMAL-vs-double oracle mean, the
+        # fixed-point domain gate, the prefix-zero matryoshka gate, a
+        # zero vector riding an IVF admission residue):
+        "knn_bruteforce_cosine",
+        "knn_kmeans_step",
+        "embedding_gram_matrix",
+        "embedding_matryoshka_audit",
+        "knn_ivf_admitted",
     ):
         q = plans.QUERIES[name]
         s_cols, s_rows = spark_result(q.builder(spark, sf))
         d_cols, d_rows = duckdb_result(con, q.oracle)
         assert s_cols == d_cols, (name, s_cols, d_cols)
         assert s_rows == d_rows, (name, len(s_rows), len(d_rows))
+
+    # The zero-norm contract, pinned on the values themselves: the zero
+    # vector (vec_id 8 — a PROBE id, and an IVF admission residue) is
+    # excluded from cosine scoring entirely, while the 1e-30 vector
+    # (9004) survives the DOUBLE-evaluated gate; the probe-set duplicate
+    # (9) sees its twin (vec 0) at cosine exactly 1.0, and the corpus
+    # tie pair (9001, 9002) resolves by vec_id.
+    bf = {
+        (r.query_id, r.rn): (r.neighbor_id, r.cosine)
+        for r in plans.QUERIES["knn_bruteforce_cosine"]
+        .builder(spark, sf)
+        .collect()
+    }
+    ids_seen = {v[0] for v in bf.values()} | {q for q, _ in bf}
+    assert 8 not in ids_seen
+    assert 9004 in {v[0] for v in bf.values()}
+    assert bf[(9, 1)] == (0, 1.0)
+    assert bf[(0, 1)] == (9, 1.0)
+    assert bf[(0, 2)] == (9001, 1.0)
+    assert bf[(0, 3)] == (9002, 1.0)
