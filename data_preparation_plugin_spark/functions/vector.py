@@ -32,5 +32,11 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; compute in double for cross-engine determinism."""
+    """Cosine similarity; compute in double for cross-engine determinism.
+
+    Convenience form — it folds BOTH norms per evaluation. In a scoring
+    join (pairs >> rows) stage the norms once per row instead and divide
+    the dot by their product (``plans.similarity.staged_vectors`` /
+    ``paired_cosine``): same IEEE doubles, one fold per pair not three.
+    """
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))

@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_preparation_plugin_spark.functions.vector import (
-    cosine_similarity,
     dot_product,
     l2_norm,
     lit_vector,
@@ -46,6 +45,43 @@ _SEED = 42
 # there so dedup.py shares the same literal without perturbing the
 # registration order). Every cosine-family query below stages through
 # nonzero_vec / {NONZERO_VEC_SQL}; hygiene queries keep zero rows.
+
+
+def staged_vectors(
+    spark: SparkSession, sf_dir: str, *extra: str
+) -> DataFrame:
+    """Embeddings staged for cosine scoring: ``vec_id`` (+ ``extra``
+    columns), ``v`` (double), ``nrm`` — with zero-norm rows excluded.
+
+    The L2 norm is computed ONCE per corpus row here, so the quadratic
+    scoring stage pays only the dot product per pair —
+    ``dot / (qnrm * nrm)`` — instead of re-folding both norms inside
+    every pair (the ``dedup_embedding_cosine`` 3x-flops lesson, applied
+    family-wide; at 100 TB the broadcast nested-loop scan is the hot
+    loop and the norms are loop-invariant). The values are the
+    identical IEEE doubles ``functions.vector.cosine_similarity``
+    produces — same folds, same division structure, hoisted — so
+    oracle parity is untouched. ``nrm > 0`` doubles as the zero-norm
+    gate (sqrt is monotone: nrm > 0 iff the NONZERO_VEC_SQL dot > 0).
+    """
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            *extra,
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .filter(F.col("nrm") > 0)
+    )
+
+
+def paired_cosine(
+    qv: str = "qv", v: str = "v", qnrm: str = "qnrm", nrm: str = "nrm"
+) -> Column:
+    """``cosine_similarity`` with both norms precomputed (see
+    :func:`staged_vectors`) — per pair, one dot-product fold only."""
+    return dot_product(qv, v) / (F.col(qnrm) * F.col(nrm))
 
 
 def _hyperplanes() -> np.ndarray:
@@ -108,15 +144,15 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass, no shuffle of the big side; the per-query top-k is a
     bounded window.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).filter(nonzero_vec("v"))
+    emb = staged_vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+        .withColumn("cosine6", F.round(paired_cosine(), 6))
     )
     win = Window.partitionBy("query_id").orderBy(
         F.col("cosine6").desc(), F.col("vec_id")
@@ -189,13 +225,13 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_size / 2^planes per query), turning an O(N) scan per query into
     an equi-join on the bucket key that shuffles each side once.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).filter(nonzero_vec("v")).withColumn("bucket", _bucket_col(F.col("v")))
+    emb = staged_vectors(spark, sf_dir).withColumn(
+        "bucket", _bucket_col(F.col("v"))
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
     scored = (
@@ -204,7 +240,7 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+        .withColumn("cosine6", F.round(paired_cosine(), 6))
     )
     win = Window.partitionBy("query_id").orderBy(
         F.col("cosine6").desc(), F.col("vec_id")
@@ -282,39 +318,45 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast), the probe join keys on the cell id, and recall/cost tune
     via (n_cells, nprobe) exactly as in FAISS-style IVF indexes.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).filter(nonzero_vec("v"))
+    emb = staged_vectors(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
     )
     assign_win = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cent_id")
     )
     assigned = (
         emb.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", F.round(cosine_similarity("v", "cv"), 6))
+        .withColumn(
+            "ccos", F.round(paired_cosine("v", "cv", "nrm", "cnrm"), 6)
+        )
         .withColumn("crn", F.row_number().over(assign_win))
         .filter(F.col("crn") == 1)
-        .select("vec_id", "v", F.col("cent_id").alias("cell"))
+        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell"))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     probe_win = Window.partitionBy("query_id").orderBy(
         F.col("pcos").desc(), F.col("cent_id")
     )
     probed = (
         queries.crossJoin(F.broadcast(cents))
-        .withColumn("pcos", F.round(cosine_similarity("qv", "cv"), 6))
+        .withColumn(
+            "pcos", F.round(paired_cosine("qv", "cv", "qnrm", "cnrm"), 6)
+        )
         .withColumn("prn", F.row_number().over(probe_win))
         .filter(F.col("prn") <= IVF_NPROBE)
-        .select("query_id", "qv", F.col("cent_id").alias("qcell"))
+        .select("query_id", "qv", "qnrm", F.col("cent_id").alias("qcell"))
     )
     scored = (
         assigned.join(F.broadcast(probed), F.col("cell") == F.col("qcell"))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+        .withColumn("cosine6", F.round(paired_cosine(), 6))
     )
     topk_win = Window.partitionBy("query_id").orderBy(
         F.col("cosine6").desc(), F.col("vec_id")
@@ -696,17 +738,16 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap the brute-force pass for the LSH/IVF candidate generation, keep
     the label filter and per-anchor top-k.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).filter(nonzero_vec("v"))
+    emb = staged_vectors(spark, sf_dir, "label")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         emb.join(F.broadcast(queries), F.col("label") != F.col("qlabel"))
-        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+        .withColumn("cosine6", F.round(paired_cosine(), 6))
     )
     win = Window.partitionBy("query_id").orderBy(
         F.col("cosine6").desc(), F.col("vec_id")
@@ -1515,15 +1556,15 @@ def knn_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``knn_lsh_cosine``'s candidate join) with this exact scan as the
     in-bucket verifier.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).filter(nonzero_vec("v"))
+    emb = staged_vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     return (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+        .withColumn("cosine6", F.round(paired_cosine(), 6))
         .filter(F.col("cosine6") >= RADIUS_TAU)
         .select(
             "query_id",
@@ -1624,16 +1665,16 @@ def knn_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).filter(nonzero_vec("v"))
+    emb = staged_vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < MMR_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     win = Window.partitionBy("query_id").orderBy(F.col("rel6").desc(), "vec_id")
     cand = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("rel6", F.round(cosine_similarity("qv", "v"), 6))
+        .withColumn("rel6", F.round(paired_cosine(), 6))
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= MMR_CAND)
         .select("query_id", "vec_id", "v", "rel6")
@@ -1746,16 +1787,21 @@ def knn_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``knn_kmeans_step`` iterated; argmax is a map-side-combined 1-row
     aggregate per round. O(k * corpus), embarrassingly parallel.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).filter(nonzero_vec("v"))
+    emb = staged_vectors(spark, sf_dir)
     seed = emb.orderBy("vec_id").limit(1)
     seed_row = seed.collect()[0]  # 1 row: the deterministic seed
     picks = [(seed_row.vec_id, 1, 0.0)]
     centers = [(seed_row.vec_id, seed_row.v)]
+    # Per round the center is a LITERAL array, so its norm constant-folds;
+    # the corpus norm is the staged loop-invariant column.
     cur = emb.filter(F.col("vec_id") != seed_row.vec_id).withColumn(
         "dmin",
-        F.round(1.0 - cosine_similarity("v", F.lit(centers[0][1])), 6),
+        F.round(
+            1.0
+            - dot_product("v", F.lit(centers[0][1]))
+            / (F.col("nrm") * l2_norm(F.lit(centers[0][1]))),
+            6,
+        ),
     )
     for pick_no in range(2, KCENTER_K + 1):
         # argmax dmin (tie: smallest id) as an aggregate min over a
@@ -1780,7 +1826,12 @@ def knn_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dmin",
                 F.least(
                     F.col("dmin"),
-                    F.round(1.0 - cosine_similarity("v", F.lit(best.v)), 6),
+                    F.round(
+                        1.0
+                        - dot_product("v", F.lit(best.v))
+                        / (F.col("nrm") * l2_norm(F.lit(best.v))),
+                        6,
+                    ),
                 ),
             )
     return spark.createDataFrame(
@@ -2272,23 +2323,39 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline (and the truncated scan does {MATRYOSHKA_DIMS}/64ths of
     the flops — the point being audited).  No shuffle of the corpus.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        F.slice(F.col("embedding").cast("array<double>"), 1, MATRYOSHKA_DIMS)
-        .alias("tv"),
-    ).filter(nonzero_vec("v") & nonzero_vec("tv"))
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.slice(
+                F.col("embedding").cast("array<double>"), 1, MATRYOSHKA_DIMS
+            ).alias("tv"),
+        )
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .withColumn("tnrm", l2_norm(F.col("tv")))
+        .filter((F.col("nrm") > 0) & (F.col("tnrm") > 0))
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("tv").alias("qtv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("tnrm").alias("qtnrm"),
     )
 
     def top1(score_a: str, score_b: str, out_id: str, out_cos: str):
+        norms = {"qv": "qnrm", "tv": "tnrm", "v": "nrm", "qtv": "qtnrm"}
         scored = emb.join(
             F.broadcast(queries), F.col("vec_id") != F.col("query_id")
         ).withColumn(
-            "c6", F.round(cosine_similarity(score_a, score_b), 6)
+            "c6",
+            F.round(
+                paired_cosine(
+                    score_a, score_b, norms[score_a], norms[score_b]
+                ),
+                6,
+            ),
         )
         win = Window.partitionBy("query_id").orderBy(
             F.col("c6").desc(), F.col("vec_id")
@@ -2364,18 +2431,20 @@ def knn_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     as index build; the audit itself aggregates to {IVF_N_CELLS} rows
     — the windows run on a relation the size of the codebook.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).filter(nonzero_vec("v"))
+    emb = staged_vectors(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
     )
     assign_win = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cent_id")
     )
     assigned = (
         emb.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", F.round(cosine_similarity("v", "cv"), 6))
+        .withColumn(
+            "ccos", F.round(paired_cosine("v", "cv", "nrm", "cnrm"), 6)
+        )
         .withColumn("crn", F.row_number().over(assign_win))
         .filter(F.col("crn") == 1)
         .select("vec_id", F.col("cent_id").alias("cell"))
@@ -2600,15 +2669,13 @@ def _multiprobe_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUI-join; each candidate carries its rounded cosine. Consumers add
     their own ranking window (`knn_lsh_multiprobe`: top-K report; the
     rerank pipeline: RERANK_SHORTLIST recall stage)."""
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .filter(nonzero_vec("v"))
-        .withColumn("bucket", _bucket_col(F.col("v")))
+    emb = staged_vectors(spark, sf_dir).withColumn(
+        "bucket", _bucket_col(F.col("v"))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         F.explode(
             F.array(
                 F.col("bucket"),
@@ -2623,7 +2690,7 @@ def _multiprobe_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(queries),
         (F.col("bucket") == F.col("pbucket"))
         & (F.col("vec_id") != F.col("query_id")),
-    ).withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+    ).withColumn("cosine6", F.round(paired_cosine(), 6))
 
 
 #: Two-stage retrieval: the ANN index proposes RERANK_SHORTLIST
@@ -2902,11 +2969,8 @@ def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_preparation_plugin_spark.functions.text import tokens as _toks
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .filter(nonzero_vec("v"))
-        .withColumn("bucket", _bucket_col(F.col("v")))
+    emb = staged_vectors(spark, sf_dir).withColumn(
+        "bucket", _bucket_col(F.col("v"))
     )
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(_toks(F.col("text"))).alias("tk")
@@ -2914,6 +2978,7 @@ def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
     qt = toks.select(
@@ -2939,7 +3004,7 @@ def knn_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 1
             ).alias("in_probed"),
             F.round(
-                0.5 * F.round(cosine_similarity("qv", "v"), 6)
+                0.5 * F.round(paired_cosine(), 6)
                 + 0.5
                 * (
                     F.size(F.array_intersect("q_tk", "tk"))
@@ -3164,12 +3229,18 @@ def _assign_to_codebook(emb: DataFrame, cents: DataFrame) -> DataFrame:
     codebook broadcast; per-vector, independent of every other vector,
     which is what makes incremental admission exact (an appended batch
     lands in the same cells a full rebuild would give it)."""
+    if "nrm" not in emb.columns:
+        emb = emb.withColumn("nrm", l2_norm(F.col("v")))
+    if "cnrm" not in cents.columns:
+        cents = cents.withColumn("cnrm", l2_norm(F.col("cv")))
     assign_win = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cent_id")
     )
     return (
         emb.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", F.round(cosine_similarity("v", "cv"), 6))
+        .withColumn(
+            "ccos", F.round(paired_cosine("v", "cv", "nrm", "cnrm"), 6)
+        )
         .withColumn("crn", F.row_number().over(assign_win))
         .filter(F.col("crn") == 1)
         .select("vec_id", "v", F.col("cent_id").alias("cell"))
@@ -3212,8 +3283,15 @@ def _ivf_serve(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     top-k window. Shared by the frozen-index and post-admission twins."""
     import os
 
-    cents = spark.read.parquet(os.path.join(base, "centroids"))
-    assigned = spark.read.parquet(os.path.join(base, "assignments"))
+    # The persisted index stores (vec_id, v, cell) only — norms are
+    # recomputed ONCE per row on read (loop-invariant for the scoring
+    # join), keeping the on-disk schema stable across this change.
+    cents = spark.read.parquet(os.path.join(base, "centroids")).withColumn(
+        "cnrm", l2_norm(F.col("cv"))
+    )
+    assigned = spark.read.parquet(
+        os.path.join(base, "assignments")
+    ).withColumn("nrm", l2_norm(F.col("v")))
     queries = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < N_QUERY_VECS)
@@ -3221,22 +3299,25 @@ def _ivf_serve(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").cast("array<double>").alias("qv"),
         )
-        .filter(nonzero_vec("qv"))
+        .withColumn("qnrm", l2_norm(F.col("qv")))
+        .filter(F.col("qnrm") > 0)  # registry.NONZERO_VEC_SQL contract
     )
     probe_win = Window.partitionBy("query_id").orderBy(
         F.col("pcos").desc(), F.col("cent_id")
     )
     probed = (
         queries.crossJoin(F.broadcast(cents))
-        .withColumn("pcos", F.round(cosine_similarity("qv", "cv"), 6))
+        .withColumn(
+            "pcos", F.round(paired_cosine("qv", "cv", "qnrm", "cnrm"), 6)
+        )
         .withColumn("prn", F.row_number().over(probe_win))
         .filter(F.col("prn") <= IVF_NPROBE)
-        .select("query_id", "qv", F.col("cent_id").alias("qcell"))
+        .select("query_id", "qv", "qnrm", F.col("cent_id").alias("qcell"))
     )
     scored = (
         assigned.join(F.broadcast(probed), F.col("cell") == F.col("qcell"))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine6", F.round(cosine_similarity("qv", "v"), 6))
+        .withColumn("cosine6", F.round(paired_cosine(), 6))
     )
     topk_win = Window.partitionBy("query_id").orderBy(
         F.col("cosine6").desc(), F.col("vec_id")
