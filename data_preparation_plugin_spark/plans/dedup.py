@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_preparation_plugin_spark.functions.hashing import minhash_hex
+from data_preparation_plugin_spark.functions.vector import l2_norm
 from data_preparation_plugin_spark.functions.text import exploded_shingles
 from data_preparation_plugin_spark.functions.text import shingles as _shingles
 from data_preparation_plugin_spark.functions.text import tokens as tokens_col
@@ -481,10 +482,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < DEDUP_COSINE_SAMPLE
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    with_norm = emb.withColumn(
-        "n",
-        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
-    ).filter(nonzero_vec("v"))  # registry.NONZERO_VEC_SQL contract
+    with_norm = emb.withColumn("n", l2_norm(F.col("v"))).filter(
+        nonzero_vec("v")  # registry.NONZERO_VEC_SQL contract
+    )
     a = with_norm.alias("a")
     b = with_norm.alias("b")
     # zip_with+aggregate, NOT a 64-term unrolled element_at sum: the

@@ -591,8 +591,15 @@ def knn_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     dims = q.select("seed", F.posexplode("qv").alias("pos", "val"))
+    # Sum in DECIMAL(38,0) — the headroom twin of DuckDB's HUGEINT sum
+    # (LongType would ANSI-overflow past ~9 magnitude outliers per seed
+    # class where the oracle keeps going); ONE exact-integer-to-double
+    # conversion on each engine, then the identical IEEE division.
     cent = dims.groupBy("seed", "pos").agg(
-        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("c")
+        (
+            F.sum(F.col("val").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
     )
     carr = cent.groupBy("seed").agg(
         F.transform(
@@ -868,16 +875,12 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     All distances are exact integers, so ranking is order-immune and
     engine-agnostic with no rounding step.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
     # Unit-normalize BEFORE quantizing: on unit vectors L2 order equals
     # cosine order (||a-b||^2 = 2 - 2cos), so ADC ranking approximates
     # the same metric the brute-force baseline uses. The norm is an
     # ordered left fold (0.0 + x1^2 + x2^2...) — bit-identical to the
     # oracle's list_reduce, so quantized codes match exactly.
-    normed = emb.select("vec_id", v.alias("v")).select(
-        "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
-    ).filter(nonzero_vec("v"))
+    normed = staged_vectors(spark, sf_dir)
     qv = F.transform(
         F.col("v"),
         lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
@@ -1120,11 +1123,7 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest is a map-side-combinable integer sum and a per-query top-k.
     No float math ever touches a corpus vector at query time.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    normed = emb.select("vec_id", v.alias("v")).select(
-        "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
-    ).filter(nonzero_vec("v"))
+    normed = staged_vectors(spark, sf_dir)
     qv = F.transform(
         F.col("v"),
         lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
@@ -1453,11 +1452,7 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ~SEM_TARGET_BLOCK rows per key; the drop check is a semi-join.
     Nothing global, nothing quadratic in the corpus.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    normed = emb.select("vec_id", v.alias("v")).select(
-        "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
-    ).filter(nonzero_vec("v"))
+    normed = staged_vectors(spark, sf_dir)
     qv = F.transform(
         F.col("v"),
         lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
@@ -2212,6 +2207,20 @@ def embedding_pca_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count(),
         d,
     )
+    if n_vecs == 0 or rank_bound == 0:
+        # Degenerate-but-in-contract corpora (everything out of the
+        # fixed-point domain, or nothing quantizes to a nonzero row):
+        # the second moment is zero/undefined, zero components are
+        # kept, and every invariant holds vacuously — return the
+        # oracle's constants directly instead of dividing by n_vecs=0
+        # (NaN matrix -> eigh LinAlgError) or aggregating an empty
+        # whitened Gram (NULL booleans).
+        return spark.range(1).select(
+            F.lit(d).alias("d"),
+            F.lit(True).alias("rank_bound_ok"),
+            F.lit(True).alias("unit_variance_ok"),
+            F.lit(0).cast("bigint").alias("n_offdiag_violations"),
+        )
     g = np.zeros((d, d))
     for r in gram_rows:
         g[r.i - 1, r.j - 1] = r.gram
@@ -2221,6 +2230,17 @@ def embedding_pca_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = vals > 1e-12
     w_rot = vecs[:, keep] / np.sqrt(vals[keep])  # (d, k)
     n_components = int(keep.sum())
+    if n_components == 0:
+        # Nonzero quantized rows exist but every eigenvalue sits under
+        # the keep threshold (a single nonzero row diluted by a huge
+        # corpus): zero kept components, invariants vacuous — same
+        # closed form as above, not an empty-aggregate NULL.
+        return spark.range(1).select(
+            F.lit(d).alias("d"),
+            F.lit(True).alias("rank_bound_ok"),
+            F.lit(True).alias("unit_variance_ok"),
+            F.lit(0).cast("bigint").alias("n_offdiag_violations"),
+        )
 
     def whitened_gram(batches):
         rows, cols = np.triu_indices(n_components)

@@ -378,3 +378,68 @@ def test_edge_fixture_degenerate_documents(spark, tmp_path):
     assert bf[(0, 1)] == (9, 1.0)
     assert bf[(0, 2)] == (9001, 1.0)
     assert bf[(0, 3)] == (9002, 1.0)
+
+
+def test_degenerate_embedding_corpora(spark, tmp_path):
+    """The r16 review's reachable degenerate classes, oracle-compared:
+    (a) every vector outside the Gram fixed-point domain — the PCA
+    audit must emit its vacuous closed form, not divide by n_vecs=0;
+    (b) nothing quantizes to a nonzero row — closed form, not NULL
+    booleans from an empty aggregate; (c) enough magnitude outliers in
+    ONE kmeans seed class to overflow an int64 sum — the DECIMAL(38,0)
+    sum must keep going exactly where DuckDB's HUGEINT does."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import duckdb_result, spark_result
+
+    def write_emb(name, rows):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(
+                        [r[0] % 10 for r in rows], pa.int32()
+                    ),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        return str(d)
+
+    dim = 64
+    cases = {
+        # (a) all out of |x|<=1: gate empties the audit's corpus
+        "all_outlier": [(i, [2.0] * dim) for i in range(5)],
+        # (b) only zero + subnormal rows: every row quantizes to zero
+        "all_subzero": [(0, [0.0] * dim)]
+        + [(i, [1e-30] * dim) for i in range(1, 4)],
+        # (c) 12 outliers sharing seed class 5 (ids = 5 mod 8):
+        # sum(qv) = 12e18 > int64 max for every dimension
+        "kmeans_overflow": [(5 + 8 * i, [1e15] * dim) for i in range(12)]
+        + [(i, [0.5] * dim) for i in (0, 1, 2)],
+    }
+    checks = {
+        "all_outlier": ["embedding_pca_whiten_audit"],
+        "all_subzero": ["embedding_pca_whiten_audit"],
+        "kmeans_overflow": ["knn_kmeans_step"],
+    }
+    for case, rows in cases.items():
+        sf = write_emb(case, rows)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS"
+            f" SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        for name in checks[case]:
+            q = plans.QUERIES[name]
+            s_cols, s_rows = spark_result(q.builder(spark, sf))
+            d_cols, d_rows = duckdb_result(con, q.oracle)
+            assert s_cols == d_cols, (case, name, s_cols, d_cols)
+            assert s_rows == d_rows, (case, name, s_rows, d_rows)
