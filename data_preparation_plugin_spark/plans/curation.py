@@ -460,9 +460,14 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = exploded_shingles(docs, ["source"], "text", 3).select(
-        "source", F.col("shingle").alias("f")
-    ).distinct()
+    # distinct=True only dedups WITHIN one document; the id here is
+    # ``source`` (many docs per source), so the cross-row distinct
+    # stays — the in-row pass still shrinks its exchange input.
+    fp = (
+        exploded_shingles(docs, ["source"], "text", 3, distinct=True)
+        .select("source", F.col("shingle").alias("f"))
+        .distinct()
+    )
     sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = fp.select(F.col("source").alias("source_a"), "f")
     b = fp.select(F.col("source").alias("source_b"), "f")

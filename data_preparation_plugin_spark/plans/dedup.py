@@ -27,9 +27,12 @@ from data_preparation_plugin_spark.functions.text import tokens as tokens_col
 from data_preparation_plugin_spark.plans.registry import (
     NONZERO_VEC_SQL,
     QUERIES,
+    adopt_cache,
+    drop_stale_cache,
     int_ratio_round_sql,
     load_table,
     nonzero_vec,
+    parallelize_scan,
     register,
 )
 from data_preparation_plugin_spark.plans.text import (
@@ -81,6 +84,10 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 100 TB shape: shuffle moves (digest, doc_id) pairs only — never the
     text — and the representative choice (min id) is deterministic.
+
+    NOT fanned out (`parallelize_scan`): one md5 over the normalized
+    text is too cheap per row — the r16 A/B measured the extra
+    exchange of the full text at 0.30s -> 0.58s, a net loss.
     """
     docs = load_table(spark, sf_dir, "documents")
     normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
@@ -120,8 +127,15 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     ``profile_table_columns``, where evicting string min/max from an
     Expand aggregate DID win 1.9x — there the sort covered a 6x-expanded
     corpus and the fix added no per-row parsing.
+
+    The input is fanned out first (``parallelize_scan``): the shingle
+    HOF + two md5 calls per shingle are per-row-heavy, and a
+    badly-split scan (the single-row-group fixture file) otherwise
+    runs the whole digest pipeline on one core (guide §2.5).
     """
-    exploded = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE)
+    exploded = exploded_shingles(
+        parallelize_scan(docs), ["doc_id"], "text", SHINGLE_SIZE
+    )
     digests = exploded.select(
         "doc_id",
         *[
@@ -307,8 +321,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     this plan scales with the posting lists (df-capped), like the
     ×11.1/×1836-pairs `dedup_edit_distance_verify` precedent.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    shingled = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE).distinct()
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    shingled = exploded_shingles(
+        docs, ["doc_id"], "text", SHINGLE_SIZE, distinct=True
+    )
     df_counts = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # No broadcast hint: the kept-shingle vocabulary is nearly the whole
     # corpus vocabulary (only stop-shingles are dropped) and grows with
@@ -416,7 +432,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster near-duplicate docs; 16 bits keeps the demo compact while the
     shape (explode -> per-bit sign sums -> reassemble) is the real one.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
     )
@@ -479,8 +495,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the identical left-fold doubles, so oracle parity is untouched)
     instead of per pair — 3x less work inside the quadratic stage.
     """
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < DEDUP_COSINE_SAMPLE
+    # Fan out after the sample filter: the quadratic pair loop (64-dim
+    # HOF folds) otherwise runs inside the one-task scan stage of the
+    # single-row-group fixture file (guide §2.5).
+    emb = parallelize_scan(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < DEDUP_COSINE_SAMPLE
+        )
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     with_norm = emb.withColumn("n", l2_norm(F.col("v"))).filter(
         nonzero_vec("v")  # registry.NONZERO_VEC_SQL contract
@@ -681,8 +702,10 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     all. Scales as O(corpus) map work regardless of corpus size; the
     reported count is distinct contaminated n-grams per document.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    shingled = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE).distinct()
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    shingled = exploded_shingles(
+        docs, ["doc_id"], "text", SHINGLE_SIZE, distinct=True
+    )
     probe = (
         shingled.filter(F.col("doc_id") % DECON_PROBE_MOD == 0)
         .select("shingle")
@@ -750,7 +773,7 @@ def dedup_segments_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest-frequency table would re-execute the chunk lineage per side
     (self-join trap) and scan the corpus twice.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id", tokens_col(F.col("text")).alias("toks")
     ).withColumn(
@@ -1009,7 +1032,7 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles_from_tokens,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     # Per-document shingle dedup happens *inside the row* (array_distinct
     # before the explode) — equivalent to distinct on (doc_id, shingle)
     # but with zero shuffle: the only exchange left in the whole plan is
@@ -1495,7 +1518,10 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents.
     """
     k = SPAN_GRAM_TOKENS
-    docs = load_table(spark, sf_dir, "documents")
+    # Fan the scan out first: tokenize + k-gram HOF + one md5 per gram
+    # is the per-row-heavy front, serialized on one core by the
+    # single-row-group fixture layout otherwise (guide §2.5).
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     from pyspark.sql.window import Window
 
     from data_preparation_plugin_spark.functions.text import (
@@ -1634,10 +1660,10 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     shingled = exploded_shingles(
-        docs, ["doc_id"], "text", SHINGLE_SIZE
-    ).distinct()
+        docs, ["doc_id"], "text", SHINGLE_SIZE, distinct=True
+    )
     df_counts = shingled.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -1768,41 +1794,98 @@ def dedup_containment_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``MAX_SHINGLE_DF`` stop-shingle cap still bounds the worst case.
     The exact posting-expansion twin stays registered as the bounded
     verification baseline (the ``dedup_embedding_cosine`` pattern).
-    """
-    from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    r16 (measured hot spot: the verify stage's two joins + string
+    ``array_intersect`` at 2.7s of the 5.0s total, over 180,718
+    candidates for a 256-pair answer). Three exact upgrades:
+
+    1. PPJoin positional filter (Xiao et al. WWW'08). A matched
+       shingle at 1-based canonical position ``pa`` of doc a and
+       ``pb`` of doc b bounds the whole intersection: every other
+       common shingle is canonically LARGER, hence sits after both
+       positions, so ``c <= 1 + min(na - pa, nb - pb)``. Entries whose
+       bound cannot reach ``ceil(t * min(na, nb) / 100)`` are dropped
+       BEFORE the pair distinct + verify joins.
+    2. Smaller-side probing. A qualifying pair's FIRST common shingle
+       in canonical order provably sits inside the SMALLER doc's
+       prefix (if it sat outside, the remaining ``ceil(t*n/100) - 1``
+       positions could not hold the required commons) and satisfies
+       the positional bound (every common shingle lies at or after
+       it), so probing only ``(na, doc_id) < (nb, other_id)`` entries
+       keeps every qualifying pair while dropping the larger-side
+       junk — pairs sharing a shingle in the BIG doc's prefix but
+       none in the small one's can never qualify.
+    3. Integer surrogate ids. The kept vocabulary gets a
+       collision-free ``monotonically_increasing_id`` (a bijection,
+       minted once behind the single eager checkpoint, used only for
+       equality), so the candidate join keys and the verify
+       ``array_intersect`` run over BIGINTs instead of 3-word
+       strings: no UTF8 hashing per element, ~3x narrower arrays in
+       the checkpoint and the broadcast.
+
+    Both the probe and the full posting index are posexploded views
+    of the checkpointed ``doc_sets``, so the separate ``kept``
+    checkpoint — a full second materialization of every (doc,
+    shingle) row — is gone; one lineage builds the ordered sets, one
+    cache serves all four consumers.
+    """
+    # Rotate out the PREVIOUS call's persisted doc_sets first: cache
+    # entries key on the canonicalized plan, so without this a repeated
+    # builder call (bench reps) would serve from the prior rep's cache
+    # instead of recomputing — see registry.drop_stale_cache.
+    drop_stale_cache("dedup_containment_pruned")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    # persist (not localCheckpoint): an eager localCheckpoint becomes a
+    # stats-less ExistingRDD, which the planner sizes at "unknown =
+    # enormous" — every downstream join then degrades to sort-merge
+    # and the interpreted-HOF shingle pipeline re-runs once per
+    # materialization job. A persisted plan exposes the measured
+    # InMemoryRelation size instead, so the planner broadcasts the
+    # genuinely-small sides here and would still pick shuffle joins on
+    # a corpus-scale cache. The explode runs exactly once.
     shingled = exploded_shingles(
-        docs, ["doc_id"], "text", SHINGLE_SIZE
-    ).distinct()
+        docs, ["doc_id"], "text", SHINGLE_SIZE, distinct=True
+    ).persist()
     df_counts = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # kept feeds three consumers (the ordered doc sets, the prefix
-    # probe, the full posting index); materialize it once so the shingle
-    # explode + df join run a single corpus scan, not three. On a
-    # cluster this is a persist() of digest-sized rows, never the text.
-    kept = (
-        shingled.join(
-            df_counts.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle"
-        )
-        .select("doc_id", "shingle", "df")
-        .localCheckpoint(eager=True)
+    # sid: collision-free 64-bit surrogate per kept shingle (partition
+    # id << 33 | row offset — deterministic under task retry, stable
+    # under cache recomputation because the groupBy partitioning is
+    # deterministic). Only EQUALITY and canonical ORDER of sids are
+    # ever used, so the answer cannot depend on their values. The
+    # persist+count materialization also makes the tiny vocab
+    # broadcastable — a raw nondeterministic-marked column otherwise
+    # blocks the broadcast and forces the df join into a sort-merge of
+    # the full shingle stream.
+    vocab = (
+        df_counts.filter(F.col("df") <= MAX_SHINGLE_DF)
+        .withColumn("sid", F.monotonically_increasing_id())
+        .persist()
     )
-    # One canonical global order: (df asc, shingle asc). array_sort on
-    # the (df, shingle) struct gives exactly that lexicographic order.
-    # doc_sets ALSO feeds three consumers (the prefix probe and both
-    # verify sides); without its own checkpoint the groupBy+array_sort
-    # shuffle over `kept` re-runs per consumer — two redundant full
-    # exchanges at any scale (r12 A/B at sf0.1: 4.52s -> 4.20s
-    # best-of-3; the win is two shuffles of the whole corpus at 100x).
+    kept = shingled.join(vocab, "shingle").select("doc_id", "df", "sid")
+    # One canonical global order: (df asc, sid asc). ANY global total
+    # order on shingles preserves prefix-filter correctness — rarest-
+    # first is the candidate-count heuristic, the sid tie-break merely
+    # replaces the string tie-break — and sorting (long, long) structs
+    # skips per-element UTF8 comparisons entirely.
+    # doc_sets feeds FOUR consumers (prefix probe, posting index, both
+    # verify sides); one persisted materialization serves all four.
     doc_sets = kept.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
+        F.array_sort(F.collect_list(F.struct("df", "sid"))).alias(
             "ordered"
         )
     ).select(
         "doc_id",
-        F.transform("ordered", lambda x: x["shingle"]).alias("shingles"),
+        F.transform("ordered", lambda x: x["sid"]).alias("sids"),
         F.size("ordered").alias("n"),
-    ).localCheckpoint(eager=True)
+    ).persist()
+    doc_sets.count()  # materialize the whole front half once, eagerly
+    # The upstream caches only exist to build doc_sets; release them so
+    # repeated builder calls (bench reps) cannot accumulate storage.
+    shingled.unpersist()
+    vocab.unpersist()
+    # doc_sets itself must stay cached until the returned plan executes;
+    # the NEXT builder call releases it (drop_stale_cache above).
+    adopt_cache("dedup_containment_pruned", doc_sets)
     # prefix_len = n - ceil(t*n/100) + 1, in engine-exact integer form.
     prefix_len = (
         F.col("n")
@@ -1810,27 +1893,60 @@ def dedup_containment_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1
     ).cast("int")
     prefix = doc_sets.select(
-        "doc_id",
-        F.explode(F.slice("shingles", F.lit(1), prefix_len)).alias("shingle"),
+        F.col("doc_id"),
+        F.col("n").alias("na"),
+        F.posexplode(F.slice("sids", F.lit(1), prefix_len)).alias(
+            "pa0", "sid"
+        ),
     )
-    index = kept.select("shingle", F.col("doc_id").alias("other_id"))
+    index = doc_sets.select(
+        F.col("doc_id").alias("other_id"),
+        F.col("n").alias("nb"),
+        F.posexplode("sids").alias("pb0", "sid"),
+    )
+    # c <= 1 + min(na - pa, nb - pb); prune entries that cannot reach
+    # ceil(t * min(na, nb) / 100) shared shingles (exact integer form).
+    pos_bound = F.lit(1) + F.least(
+        F.col("na") - (F.col("pa0") + 1), F.col("nb") - (F.col("pb0") + 1)
+    )
+    c_min = F.floor(
+        (F.lit(CONTAIN_MIN_PCT) * F.least("na", "nb") + 99) / 100
+    )
+    smaller_probe = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb"))
+        & (F.col("doc_id") < F.col("other_id"))
+    )
     cand = (
-        prefix.join(index, "shingle")
-        .filter(F.col("doc_id") != F.col("other_id"))
+        prefix.join(index, "sid")
+        .filter(smaller_probe)
+        .filter(pos_bound >= c_min)
         .select(
             F.least("doc_id", "other_id").alias("doc_a"),
             F.greatest("doc_id", "other_id").alias("doc_b"),
         )
-        .distinct()
+        # The candidate entries are tiny in BYTES (two longs per row),
+        # so left to AQE the dedup's exchange coalesces to ONE
+        # partition — and the final aggregate plus the per-row-heavy
+        # verify (two joins + array_intersect) then run on one core.
+        # An explicit REPARTITION_BY_NUM exchange (which AQE never
+        # coalesces) placed BEFORE dropDuplicates keeps the dedup AND
+        # the verify at the live parallelism: the hash partitioning on
+        # (doc_a, doc_b) already satisfies the aggregation's
+        # distribution requirement, so this costs no extra exchange —
+        # it just pins the width of the one that must exist anyway.
+        .repartition(
+            spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
+        .dropDuplicates()
     )
     sets_a = doc_sets.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sa"),
+        F.col("sids").alias("sa"),
         F.col("n").alias("na"),
     )
     sets_b = doc_sets.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sb"),
+        F.col("sids").alias("sb"),
         F.col("n").alias("nb"),
     )
     verified = (
@@ -2071,7 +2187,7 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles; all ratios are integer/integer so the oracle hash needs
     only the shared 4dp rounding.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
     sigs = _minhash_signatures(docs)
     sa = sigs.select(
@@ -2089,7 +2205,9 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
         "doc_a", "doc_b", n_match.alias("n_match")
     )
-    shingled = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE).distinct()
+    shingled = exploded_shingles(
+        docs, ["doc_id"], "text", SHINGLE_SIZE, distinct=True
+    )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         pairs.join(
@@ -2363,7 +2481,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch plus its collision set — the property that keeps fuzzy dedup
     affordable as the archive grows toward 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     sigs = _minhash_signatures(docs)
     bands = minhash_band_rows(sigs)
     is_new = F.col("doc_id") % INCR_MINHASH_MOD == 0
@@ -2497,7 +2615,7 @@ def dedup_simhash_hamming_pairs(
     idiom — never a sigs x sigs self-join); the verify joins move one
     32-bit integer per doc.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
     )
@@ -2750,8 +2868,10 @@ def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    shingled = exploded_shingles(docs, ["doc_id"], "text", SHINGLE_SIZE).distinct()
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    shingled = exploded_shingles(
+        docs, ["doc_id"], "text", SHINGLE_SIZE, distinct=True
+    )
     df_counts = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = (
         shingled.join(df_counts.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle")
@@ -3063,7 +3183,12 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, EDIT_VERIFY_PREFIX).alias("pfx"),
         F.length("text").alias("len"),
     )
-    a = docs.alias("a")
+    # The banded DP executes in the PROBE side's stage (the block-key
+    # join builds/broadcasts the other side), so a badly-split scan
+    # serializes every Levenshtein call on one core (guide §2.5 input
+    # skew) — fan the probe side out to the live parallelism. The
+    # broadcast side stays on the raw scan.
+    a = parallelize_scan(docs).alias("a")
     b = docs.alias("b")
     dist = F.levenshtein(
         F.col("a.text"), F.col("b.text"), threshold=EDIT_VERIFY_MAX
@@ -3221,7 +3346,7 @@ def dedup_url_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     canon = docs.select(
         "doc_id",
         "n_chars",
@@ -3332,7 +3457,10 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in positions:
         words[p >> 6] |= 1 << (p & 63)
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # Fan the probe scan out: four md5-derived bit positions per probe
+    # row is per-row-heavy map work, serialized by the single-row-group
+    # fixture layout otherwise (guide §2.5).
+    li = parallelize_scan(load_table(spark, sf_dir, "lineitem")).select(
         "l_orderkey",
         "l_linestatus",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -3347,6 +3475,17 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" CAST({c} % 64 AS INT)) & 1) = 1"
         )
         hit = bit if hit is None else hit & bit
+    # Pushdown barrier: the optimizer happily sinks this filter (and
+    # the four md5-derived position projections it references) below
+    # the parallelize_scan exchange, putting the per-row hashing back
+    # into the one-task scan stage it was just fanned out of. The
+    # always-true nondeterministic-marked guard pins the membership
+    # test ABOVE the exchange without changing a single row: the
+    # branch value is the plain `hit`, and the filter still runs
+    # map-side BEFORE the join's key exchange (the production claim),
+    # just not inside the file scan — where an md5 predicate could
+    # never be pushed as a parquet filter anyway.
+    hit = F.when(F.spark_partition_id() >= 0, hit)
     cand = li.filter(hit).select("l_orderkey", "l_linestatus", "revenue")
     flagged = cand.join(
         build.withColumn("__hit", F.lit(1)), cand.l_orderkey == build.o_orderkey, "left"
@@ -3433,7 +3572,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange. Cost is per-byte on the map side — the honest price of
     CDC anywhere — and embarrassingly parallel.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         F.lower(F.col("text")).alias("s"),
@@ -3601,7 +3740,7 @@ def dedup_cdc_chunks_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold itself; a native byte-table pass would shave the constant
     further, not the shape.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         F.lower(F.col("text")).alias("s"),
@@ -3726,7 +3865,7 @@ def dedup_cdc_chunks_gear_utf8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 1.01s vs this form's 4.57s at sf0.1) — leaving this
     expression form as the pure-Catalyst reference implementation.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         F.expr("hex(encode(lower(text), 'utf-8'))").alias("hx"),
@@ -3845,7 +3984,7 @@ def dedup_cdc_chunks_gear_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementations (and the fallback where a cluster forbids Python
     workers).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id", F.expr("encode(lower(text), 'utf-8')").alias("b")
     )
@@ -4054,7 +4193,7 @@ def dedup_substr_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall ratio is ×3.37 on 9.6× the grams — the ladder above level 0
     costs ~the surviving slice, not the corpus.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         F.lower(F.col("text")).alias("s"),

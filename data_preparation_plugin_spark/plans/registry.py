@@ -201,6 +201,81 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_scan(df: DataFrame) -> DataFrame:
+    """Fan a badly-split scan out to the cluster before per-row-heavy work.
+
+    The optimization-guide "input skew" case (§2.5): a scan whose file
+    layout yields far fewer splits than the cluster has cores (here: the
+    single-row-group fixture parquet gives exactly ONE task) serializes
+    every downstream narrow operator — shingle explodes, banded
+    Levenshtein DP, vector folds all run on one core while the rest of
+    the machine idles. When the planned scan parallelism is below half
+    of ``defaultParallelism``, pay one round-robin exchange of the
+    input rows to spread the heavy per-row compute; otherwise return
+    the scan untouched. On a production layout (many files / row
+    groups) the guard makes this a no-op, so nothing here is tuned to
+    the local fixture — the repartition width itself follows the
+    live cluster via ``defaultParallelism``.
+
+    Apply ONLY where per-row work dominates the exchange cost (HOF
+    pipelines, DP verifies, digest fans) — for cheap columnar
+    aggregates the extra exchange is a net loss.
+
+    The guard is SIZE-based, not planned-partition-count based: Spark
+    happily plans a single-row-group file into N byte-range splits, but
+    only the split containing the row-group midpoint carries rows, so
+    the planned count over-reports real parallelism (observed: the
+    10.8 MB lineitem fixture "split" 32 ways, 1 task with all 600k
+    rows). When the whole input is smaller than one full wave of
+    maxPartitionBytes splits, the round-robin exchange is bounded by
+    that same small size — cheap by construction — while a
+    production-scale input skips the repartition entirely.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    # JVM accessor, not conf.get(): the string form is "128MB" under a
+    # vanilla session (only explicitly-set values round-trip as ints).
+    max_split = int(
+        df.sparkSession._jsparkSession.sessionState()
+        .conf()
+        .filesMaxPartitionBytes()
+    )
+    if size < target * max_split:
+        return df.repartition(target)
+    return df
+
+
+#: Live persist() handles per builder, rotated on re-entry. Spark's
+#: CacheManager keys cache entries on the CANONICALIZED plan, so a
+#: repeated builder call (bench best-of-N reps, back-to-back sessions
+#: in one process) would silently serve rep N's "computation" from rep
+#: 1's materialized cache — which both leaks storage across a
+#: 414-query marathon and turns a steady-state timing into a cache
+#: read (exactly the result-caching-across-runs gaming the round rules
+#: forbid). Builders that persist() an intermediate register it here
+#: and drop the PREVIOUS call's entries on entry, so every invocation
+#: recomputes from the parquet inputs while consumers within one
+#: invocation still share the single materialization.
+_LIVE_CACHES: dict[str, list[DataFrame]] = {}
+
+
+def drop_stale_cache(key: str) -> None:
+    """Unpersist the previous builder call's registered caches for ``key``."""
+    for df in _LIVE_CACHES.pop(key, []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning SparkSession already stopped — nothing to free
+
+
+def adopt_cache(key: str, *dfs: DataFrame) -> None:
+    """Register persisted frames to be dropped on the NEXT builder call."""
+    _LIVE_CACHES.setdefault(key, []).extend(dfs)
+
+
 def queries() -> dict[str, Builder]:
     """name -> builder, the shape ``__spark_entry__.queries`` returns."""
     return {name: q.builder for name, q in QUERIES.items()}

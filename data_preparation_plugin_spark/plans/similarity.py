@@ -30,6 +30,7 @@ from data_preparation_plugin_spark.plans.registry import (
     NONZERO_VEC_SQL,
     load_table,
     nonzero_vec,
+    parallelize_scan,
     register,
 )
 
@@ -66,9 +67,15 @@ def staged_vectors(
     ``nrm > 0`` — a filter referencing the nrm fold gets the whole
     aggregate DUPLICATED into the Filter node under projection
     collapse (measured +33% on ``knn_lsh_cosine`` staging).
+
+    The scan is fanned out first (``parallelize_scan``): every
+    consumer's hot loop is per-row-heavy vector folds (dot products,
+    norm folds, codebook scans), which a badly-split input file would
+    otherwise serialize on one core (guide §2.5 input skew; the
+    fixture parquet is a single row group = a single scan task).
     """
     return (
-        load_table(spark, sf_dir, "embeddings")
+        parallelize_scan(load_table(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
             *extra,
@@ -885,6 +892,14 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v"),
         lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
     )
+    # NOT materialized: recomputing the quantize transform per consumer
+    # is the cheapest option here, measured both ways (r16 idle-host
+    # A/B, best-of-3 at sf0.1): persist() pays the array<long> columnar
+    # cache build plus same-job cache races (1.3s -> 8.8s) and an
+    # eager localCheckpoint pays its RDD materialization up front every
+    # build (1.52s -> 4.29s). The re-run transform is one in-row fold
+    # over already-staged vectors; all the consumers that matter
+    # (codebook slice, distance tables) read only tiny slices of it.
     vecs = normed.select("vec_id", qv.alias("qv"))
     subs = vecs.select(
         "vec_id",
@@ -1128,6 +1143,10 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v"),
         lambda e: F.floor(e / F.col("nrm") * PQ_QSCALE).cast("bigint"),
     )
+    # NOT materialized, same A/B as knn_pq_adc: persist() 8x worse,
+    # eager localCheckpoint 2.79s -> 4.78s (r16 idle-host best-of-3).
+    # The consumers re-run a cheap in-row fold; paying a full
+    # materialization to save it loses on every variant measured.
     vecs = normed.select("vec_id", qv.alias("qv"))
     coarse = vecs.where(F.col("vec_id") < IVF_N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("qv").alias("cqv")

@@ -2058,8 +2058,8 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     shingled = exploded_shingles(
-        docs, ["doc_id"], "text", SHINGLE_SIZE
-    ).distinct()
+        docs, ["doc_id"], "text", SHINGLE_SIZE, distinct=True
+    )
     firsts = shingled.groupBy("shingle").agg(
         F.min("doc_id").alias("first_doc")
     )

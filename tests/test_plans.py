@@ -165,11 +165,14 @@ def test_merge_upsert_anti_join_no_extra_shuffle(spark):
 def test_segment_dedup_single_scan(spark):
     """Cross-doc segment profile: one corpus scan, digests-only shuffles,
     no join (a chunk↔frequency join would re-execute the chunk lineage
-    per side and scan the text twice)."""
+    per side and scan the text twice). r16 allows one extra exchange:
+    the guarded ``parallelize_scan`` round-robin that fans a badly-split
+    input out before the per-row-heavy chunk fold (a no-op on any input
+    bigger than one wave of splits, so at scale the bound is back to 3)."""
     plan = plan_of(spark, "dedup_segments_cross_doc")
     assert count(r"FileScan", plan) == 1
     assert count(r"Join", plan) == 0
-    assert count(r"Exchange", plan) <= 3
+    assert count(r"Exchange", plan) <= 4
 
 
 def test_partition_pruned_scan(spark):
@@ -491,12 +494,21 @@ def test_bm25_tokenizes_twice_not_thrice(spark):
 
 def test_containment_pruned_no_cartesian_single_index_scan(spark):
     """Prefix filtering must stay candidate-driven: no cartesian/BNLJ
-    anywhere, and the checkpointed kept-shingle relation means the
-    corpus text is scanned ONCE (the explode is not re-derived per
-    consumer)."""
+    anywhere. r16 shape: the ordered doc sets are persist()ed (not
+    localCheckpointed — real InMemoryRelation stats keep the planner
+    honest), so all four consumers (prefix probe, posting index, both
+    verify sides) must read InMemoryTableScan, every join must plan
+    hash-broadcast off the cache's measured size (a stats-less
+    checkpoint degraded them all to sort-merge), and the candidate
+    dedup must sit on the AQE-non-coalescable REPARTITION_BY_NUM that
+    keeps the verify at full width. FileScans still appear TEXTUALLY
+    inside the InMemoryRelation subtree dumps; the executed plan reads
+    the corpus once, at cache build."""
     plan = plan_of(spark, "dedup_containment_pruned")
     assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0
-    assert count(r"FileScan parquet", plan) == 0  # checkpoint absorbed it
+    assert count(r"InMemoryTableScan", plan) >= 4
+    assert count(r"SortMergeJoin", plan) == 0
+    assert count(r"REPARTITION_BY_NUM", plan) >= 1
 
 
 def test_markov_transitions_one_user_exchange(spark):
