@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_preparation_plugin_spark.plans.registry import load_table, register
+from data_preparation_plugin_spark.plans.registry import (
+    adopt_cache,
+    drop_stale_cache,
+    load_table,
+    register,
+)
 
 
 @register(
@@ -530,6 +535,7 @@ def resolve_hierarchy(
     guards against)."""
     # (node, anc, depth): anc = farthest known ancestor, depth = #edges to
     # it. Roots start resolved (anc = self).
+    drop_stale_cache("resolve_hierarchy")
     labels = nodes.select(
         "node",
         F.when(F.col("node") >= bound, (F.col("node") / 2).cast("long"))
@@ -541,6 +547,7 @@ def resolve_hierarchy(
         .alias("depth"),
     ).localCheckpoint(eager=True)
     round_idx = 0
+    prev_round = None
     while True:
         round_idx += 1
         hop = labels.select(
@@ -564,41 +571,50 @@ def resolve_hierarchy(
         )
         jump = F.least(jump_cap, steps_to_root)
         arith_anc = F.expr("shiftright(anc, CAST(__jump AS INT))")
+        new_anc = F.coalesce("__anc", arith_anc)
         doubled = (
             labels.join(hop, labels.anc == hop.__n, "left")
             .withColumn("__jump", jump)
             .select(
                 "node",
-                F.coalesce("__anc", arith_anc).alias("anc"),
+                new_anc.alias("anc"),
                 (F.col("depth") + F.coalesce("__d", F.col("__jump")))
                 .cast("long")
                 .alias("depth"),
+                # The previous ancestor is IN SCOPE here (labels.anc),
+                # so the did-anything-move flag rides the round's own
+                # join — the old per-round doubled-vs-labels
+                # convergence join re-keyed 150k rows just to recover
+                # a value the join already held.
+                (new_anc != labels.anc).alias("__moved"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        # Converged when no node's ancestor moved this round; the check
-        # rides the checkpointed result (one cheap job, no recompute).
-        moved = (
-            doubled.join(
-                labels.select(
-                    F.col("node").alias("node"),
-                    F.col("anc").alias("prev_anc"),
-                ),
-                "node",
-            )
-            .filter(F.col("anc") != F.col("prev_anc"))
-            .limit(1)
-            .count()
-        )
-        labels = doubled
-        if moved == 0:
+        # ONE job per round: the full-scan aggregate both populates the
+        # round's cache (every partition computed — limit(1) would
+        # leave the cache partial and let lineage regrow) and answers
+        # convergence. The old shape paid two jobs per round
+        # (checkpoint materialization + a doubled-vs-labels join).
+        moved = doubled.agg(
+            F.sum(F.col("__moved").cast("int"))
+        ).collect()[0][0]
+        if prev_round is not None:
+            prev_round.unpersist()
+        prev_round = doubled
+        labels = doubled.select("node", "anc", "depth")
+        if not moved:
             break
         if max_rounds is not None and round_idx >= max_rounds:
+            adopt_cache("resolve_hierarchy", prev_round)
             raise RuntimeError(
                 f"resolve_hierarchy did not converge in {max_rounds} "
                 "rounds — pointer doubling has regressed toward "
                 "per-level walking"
             )
+    # The returned plan reads the final round's cache; the NEXT call
+    # releases it (drop_stale_cache above).
+    if prev_round is not None:
+        adopt_cache("resolve_hierarchy", prev_round)
     return labels.select("node", F.col("anc").alias("root"), "depth")
 
 

@@ -233,14 +233,22 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ),
 )
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, *, sigs: DataFrame | None = None
+) -> DataFrame:
     """MinHash-LSH candidate pairs: band signatures, bucket-join, dedup.
 
     The join keys on (band_idx, band_val) — documents only meet inside a
     band bucket, so cost scales with bucket sizes (collision probability),
     never |docs|^2. This is the scale path for fuzzy dedup at 100 TB.
+
+    ``sigs``: a precomputed ``_minhash_signatures`` frame (e.g. a cached
+    one a composing audit also reads), so composition does not re-run
+    the signature front per consumer. The default builds it fresh —
+    the registered (spark, sf_dir) contract is unchanged.
     """
-    sigs = _minhash_signatures(load_table(spark, sf_dir, "documents"))
+    if sigs is None:
+        sigs = _minhash_signatures(load_table(spark, sf_dir, "documents"))
     bands = minhash_band_rows(sigs)
     # Pairs are generated *inside* each bucket from a sorted doc_id array —
     # a single shuffle on the band key — instead of a bands⋈bands self-join,
@@ -865,7 +873,21 @@ def connected_components_star(
     Returns (node, label) like :func:`connected_components`, label = the
     component's minimum node id.
     """
-    orig = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Cache the INPUT edge list first: nodes and the canonical edge set
+    # are two eager consumers, and without this each re-executed the
+    # caller's whole edge lineage (for the LSH callers that is the full
+    # shingle/md5 signature front — measured 22.6s + 14.3s of executor
+    # time on two redundant evaluations in dedup_minhash_clusters_star
+    # at sf0.1; at corpus scale that is two full scans for one).
+    # persist(), not localCheckpoint: the checkpoint's .rdd compilation
+    # bypasses AQE and its materialization added ~1.7s of fixed wall
+    # (in-window A/B 5.37s vs 7.05s); the cache keeps plan semantics
+    # and the rotation keeps repeated builder calls honest.
+    drop_stale_cache("connected_components_star")
+    orig = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).persist()
+    adopt_cache("connected_components_star", orig)
     nodes = (
         orig.select(F.col("u").alias("node"))
         .unionByName(orig.select(F.col("v").alias("node")))
@@ -904,10 +926,13 @@ def connected_components_star(
             pairs.select(F.col("x").alias("u"), F.col("y").alias("v"))
         ).localCheckpoint(eager=True)
         # Fixpoint: both rewrites left the edge set unchanged. Cheap on
-        # checkpointed inputs (two anti-join probes, limit-1 each).
+        # checkpointed inputs (two anti-join probes, limit-1 each,
+        # unioned so the whole test is ONE job per round — the loop's
+        # wall here is job-submission overhead, not data).
         changed = (
-            e2.exceptAll(e).limit(1).count()
-            + e.exceptAll(e2).limit(1).count()
+            e2.exceptAll(e).limit(1)
+            .unionAll(e.exceptAll(e2).limit(1))
+            .count()
         )
         e = e2
         if changed == 0:
@@ -1348,30 +1373,33 @@ def graph_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     apex-oriented vs 7.5-9.4s for the old id-oriented plan (BENCH_r8-r10
     records).
     """
-    li = (
+    # Per-order part sets via ONE exchange: collect_set gathers each
+    # order's distinct parts (state bounded by order size, ~4-7 items)
+    # and the ordered pairs are generated IN-ROW with a quadratic HOF
+    # over that tiny set. The previous shape — distinct() on (order,
+    # part) then a keyed self-join — paid three corpus exchanges
+    # (distinct + both join sides) for the same sum-of-squares pair
+    # stream; this pays one, plus the edge distinct both shapes need.
+    parts = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
     )
-    other = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    pair_expr = F.expr(
+        "flatten(transform(ps, x ->"
+        " transform(filter(ps, y -> y > x),"
+        " y -> struct(x AS u, y AS v))))"
     )
     # Materialize the edge list once (two longs per edge): the degree
     # aggregate and the orientation join both reference it, and without
-    # a checkpoint Spark would re-run the lineitem self-join per
-    # reference — the DataFrame analogue of DuckDB's once-materialized
-    # CTE (sf0.1 best-of-3, idle host, r12: 6.97s checkpointed vs
-    # 11.65s re-deriving; SCALE.md "triangle orientation").
+    # a checkpoint Spark would re-run the pair expansion per reference —
+    # the DataFrame analogue of DuckDB's once-materialized CTE (sf0.1
+    # best-of-3, idle host, r12: 6.97s checkpointed vs 11.65s
+    # re-deriving; SCALE.md "triangle orientation").
     edges = (
-        li.join(
-            other,
-            (F.col("l_orderkey") == F.col("o2"))
-            & (F.col("l_partkey") < F.col("p2")),
-        )
-        .select(
-            F.col("l_partkey").alias("u"),
-            F.col("p2").alias("v"),
-        )
+        parts.select(F.explode(pair_expr).alias("e"))
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1393,10 +1421,20 @@ def graph_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = with_deg.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=True)
+    # The wedge probe is compute-bound (each e1 row fans out against the
+    # broadcast hash relation), but the checkpointed edge list is only a
+    # few MB, so AQE coalesces it to a handful of partitions and the
+    # super-linear wedge stage runs on that handful of cores. Pin the
+    # probe side's width to the live parallelism — the exchange moves
+    # two longs per edge, nothing next to the wedge stream it widens.
+    oriented = (
+        with_deg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = oriented.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
     # Broadcast the oriented edge list into both probes: the wedge stream
@@ -2187,9 +2225,30 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles; all ratios are integer/integer so the oracle hash needs
     only the shared 4dp rounding.
     """
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
-    sigs = _minhash_signatures(docs)
+    # One signature front and one shingle set for the WHOLE query:
+    # without the caches the md5/shingle front evaluated twice more via
+    # sa/sb and the tokenize+explode three times via sizes + both
+    # common sides (measured 19.2s + 16.7s + 11.3s + 8.2s executor time
+    # across four near-identical 32-task stages at sf0.1). The pairs
+    # builder reads the SAME cached sigs through its optional
+    # parameter, so the whole calibration runs the signature front
+    # exactly once. Caches rotate on re-entry (registry discipline).
+    drop_stale_cache("dedup_lsh_calibration")
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_signatures(docs).persist()
+    shingled = exploded_shingles(
+        parallelize_scan(docs), ["doc_id"], "text", SHINGLE_SIZE,
+        distinct=True,
+    ).persist()
+    # One materialization job for BOTH caches (a column projection
+    # through a persisted frame still computes and caches whole
+    # partitions): sequential count()s would serialize two saturating
+    # fronts that overlap fine.
+    sigs.select("doc_id").unionAll(shingled.select("doc_id")).count()
+    adopt_cache("dedup_lsh_calibration", sigs, shingled)
+    pairs = dedup_minhash_lsh_pairs(
+        spark, sf_dir, sigs=sigs
+    ).localCheckpoint(eager=True)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{s}").alias(f"a{s}") for s in range(MINHASH_SEEDS)],
@@ -2204,9 +2263,6 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
         "doc_a", "doc_b", n_match.alias("n_match")
-    )
-    shingled = exploded_shingles(
-        docs, ["doc_id"], "text", SHINGLE_SIZE, distinct=True
     )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
@@ -3273,13 +3329,41 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification baseline — at 100 TB the audit runs on a sampled
     stratum, same plan.
     """
-    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    gt = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    hit = cand.join(gt, ["doc_a", "doc_b"])
+    # ONE full-outer join computes all three counts: the old shape
+    # (hit join + a count per member, crossJoined) consumed each
+    # member TWICE, so the LSH banding front and the exact posting
+    # expansion (1.22M rows) each evaluated twice per run — and
+    # caching them behind a materialization barrier just traded the
+    # duplicate CPU for serialization wall (both A/B'd; see
+    # OPTIMIZATION_r16.md). Both members emit DISTINCT pairs, so on
+    # the full outer join n_truth = rows with a gt side, n_candidates
+    # = rows with a cand side, n_hits = rows with both — one
+    # evaluation each, one exchange pair, one job.
+    cand = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("c", F.lit(1))
+    )
+    gt = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("g", F.lit(1))
+    )
+    # SHUFFLE_HASH: a full-outer join can't broadcast, and the default
+    # sort-merge pays two sorts of pair streams that hash fine.
+    both = cand.join(
+        gt.hint("SHUFFLE_HASH"), ["doc_a", "doc_b"], "full_outer"
+    )
     return (
-        gt.agg(F.count(F.lit(1)).alias("n_truth"))
-        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
-        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hits")))
+        both.agg(
+            # coalesce: an empty member must count 0 (as count(*) did),
+            # not NULL-poison the basis-point divisions downstream.
+            F.coalesce(F.sum("g"), F.lit(0)).alias("n_truth"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n_candidates"),
+            F.coalesce(F.sum(F.col("c") * F.col("g")), F.lit(0)).alias(
+                "n_hits"
+            ),
+        )
         .select(
             F.col("n_truth").cast("bigint"),
             F.col("n_candidates").cast("bigint"),
@@ -4193,6 +4277,8 @@ def dedup_substr_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall ratio is ×3.37 on 9.6× the grams — the ladder above level 0
     costs ~the surviving slice, not the corpus.
     """
+    from pyspark.sql.window import Window
+
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
@@ -4212,37 +4298,35 @@ def dedup_substr_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = cand.withColumn(
             "ps", F.expr(f"filter(ps, p -> p + {lvl} <= n + 1)")
         )
-        exploded = (
-            cand.select(
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        "transform(ps, p -> struct(p AS p,"
-                        " CAST(conv(substr("
-                        f"md5(substr(s, p, {lvl})), 1, 15), 16, 10)"
-                        " AS BIGINT) AS dg))"
-                    )
-                ).alias("x"),
-            )
-            .select("doc_id", "x.p", "x.dg")
-            # Feeds the digest count AND the survivor join: without the
-            # checkpoint the explode+md5 lineage runs twice per level
-            # (measured 14.9s vs 9.7s at sf0.1, 108s vs 65s at x8).
-            .localCheckpoint(eager=True)
-        )
-        # Cross-doc duplication as min<max on the digest group — same
+        exploded = cand.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(ps, p -> struct(p AS p,"
+                    " CAST(conv(substr("
+                    f"md5(substr(s, p, {lvl})), 1, 15), 16, 10)"
+                    " AS BIGINT) AS dg))"
+                )
+            ).alias("x"),
+        ).select("doc_id", "x.p", "x.dg")
+        # Cross-doc duplication as min<max over the digest window — same
         # predicate as count(DISTINCT doc_id) >= 2 without the distinct
         # aggregate's extra pass; digests shuffle as 8-byte longs (60
         # md5 bits — collisions ~(positions^2)/2^61, mirrored exactly in
-        # the oracle either way).
-        dup = (
-            exploded.groupBy("dg")
-            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-            .filter(F.col("mn") < F.col("mx"))
-            .select("dg")
-        )
+        # the oracle either way). r16: the window form replaces the old
+        # groupBy(dg) + semi-join-back, which needed the exploded frame
+        # TWICE and therefore a full eager checkpoint of every (doc, p,
+        # dg) row per level; min/max windows over the one digest
+        # exchange consume the explode exactly once with constant state
+        # per group (a collect-based rebuild would OOM on boilerplate
+        # grams), so the per-level cost drops from materialize +
+        # aggregate exchange + join to the single exchange that is
+        # fundamentally required (A/B in OPTIMIZATION_r16.md).
+        w_dg = Window.partitionBy("dg")
         surv = (
-            exploded.join(dup, "dg")
+            exploded.withColumn("mn", F.min("doc_id").over(w_dg))
+            .withColumn("mx", F.max("doc_id").over(w_dg))
+            .where(F.col("mn") < F.col("mx"))
             .select("doc_id", "p")
             # Checkpointed for BOTH reasons: it feeds two consumers (the
             # level count and the next level's candidate arrays), and it

@@ -219,9 +219,19 @@ def udf_cogroup_views_before_purchase(
             }
         )
 
+    # Pin the cogroup's width: the two key exchanges are tiny in BYTES,
+    # so AQE coalesces them to ONE partition and every per-user pandas
+    # invocation (the real cost — ~0.7 ms of Arrow protocol per group)
+    # runs serially on one core (measured: the whole 4.0s of executor
+    # time in a single task). An explicit REPARTITION_BY_NUM on the
+    # grouping key satisfies the cogroup's distribution requirement —
+    # same exchange count, AQE just may not collapse it — and spreads
+    # the group invocations across the live parallelism.
+    n = spark.sparkContext.defaultParallelism
     return (
-        views.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        views.repartition(n, "user_id")
+        .groupBy("user_id")
+        .cogroup(purchases.repartition(n, "user_id").groupBy("user_id"))
         .applyInPandas(
             attribute,
             schema="user_id bigint, event_id bigint, n_views_before bigint",
