@@ -33,6 +33,7 @@ from data_preparation_plugin_spark.plans.registry import (
     load_table,
     nonzero_vec,
     parallelize_scan,
+    pin_width,
     register,
 )
 from data_preparation_plugin_spark.plans.text import (
@@ -347,15 +348,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Per-doc set sizes ride along as a window count, so the whole query is
     # one lineage — no sizes side-branch re-executing the shingle pipeline
-    # and no post-hoc size joins.
-    sized = kept.withColumn(
+    # and no post-hoc size joins. Both keyed exchanges are width-pinned
+    # (pin_width): AQE coalesced them to 4-6 tasks at fixture scale,
+    # serializing the posting-list pair expansion.
+    sized = pin_width(kept, "doc_id").withColumn(
         "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     # Pairs expand inside each posting list (sorted struct array, same
     # pattern as the LSH buckets) instead of a kept⋈kept self-join, which
     # would shuffle twice and re-execute the shingle pipeline per side.
     # List length is capped at MAX_SHINGLE_DF, bounding every expansion.
-    postings = sized.groupBy("shingle").agg(
+    postings = pin_width(sized, "shingle").groupBy("shingle").agg(
         F.array_sort(
             F.collect_list(F.struct("doc_id", "n_shingles"))
         ).alias("ids")
@@ -1708,10 +1711,12 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = shingled.join(
         df_counts.filter(F.col("df") <= MAX_SHINGLE_DF), "shingle"
     ).select("doc_id", "shingle")
-    sized = kept.withColumn(
+    # Width-pinned keyed exchanges (pin_width): same AQE fixture-scale
+    # collapse as the jaccard twin — 4-task pair expansion measured.
+    sized = pin_width(kept, "doc_id").withColumn(
         "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    postings = sized.groupBy("shingle").agg(
+    postings = pin_width(sized, "shingle").groupBy("shingle").agg(
         F.array_sort(
             F.collect_list(F.struct("doc_id", "n_shingles"))
         ).alias("ids")
@@ -2937,10 +2942,12 @@ def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{WJ_WEIGHT_NUM} DIV df").alias("w"),
         )
     )
-    wtot = kept.withColumn(
+    # Width-pinned keyed exchanges (pin_width): same AQE fixture-scale
+    # collapse as the unweighted twin — 5-6-task pair expansion measured.
+    wtot = pin_width(kept, "doc_id").withColumn(
         "doc_w", F.sum("w").over(Window.partitionBy("doc_id"))
     )
-    postings = wtot.groupBy("shingle").agg(
+    postings = pin_width(wtot, "shingle").groupBy("shingle").agg(
         F.max("w").alias("w"),
         F.array_sort(F.collect_list(F.struct("doc_id", "doc_w"))).alias("ids"),
     )

@@ -248,6 +248,28 @@ def parallelize_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def pin_width(df: DataFrame, *cols: str) -> DataFrame:
+    """AQE-non-coalescable width pin for a keyed exchange feeding
+    per-row-heavy work (guide §2.2/§2.5).
+
+    AQE's partition coalescing sizes post-shuffle partitions by BYTES,
+    so a few-MB intermediate collapses to a handful of tasks even when
+    the work per row downstream (posting-list pair expansion, HOF
+    folds) is orders of magnitude heavier than the bytes suggest —
+    measured: the shingle-postings stages of the jaccard/containment
+    family ran 2-3.6s of executor time on 4-6 tasks while 32 cores
+    idled. ``repartition(N, key)`` plans a REPARTITION_BY_NUM exchange
+    (user-pinned partition count, exempt from AQE coalescing) that
+    ALSO satisfies the downstream window/groupBy's distribution
+    requirement on the same key — so it replaces that operator's own
+    exchange rather than adding one. The width follows the live
+    cluster via ``defaultParallelism``, not a constant; at production
+    scale the same exchange exists anyway (AQE would not coalesce a
+    large intermediate), so this only removes the fixture-scale
+    collapse."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *cols)
+
+
 #: Live persist() handles per builder, rotated on re-entry. Spark's
 #: CacheManager keys cache entries on the CANONICALIZED plan, so a
 #: repeated builder call (bench best-of-N reps, back-to-back sessions
