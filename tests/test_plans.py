@@ -511,6 +511,24 @@ def test_containment_pruned_no_cartesian_single_index_scan(spark):
     assert count(r"REPARTITION_BY_NUM", plan) >= 1
 
 
+def test_posting_family_width_pinned(spark):
+    """The jaccard/containment posting family's keyed exchanges (doc-size
+    window on doc_id, postings groupBy on shingle) must sit on
+    pin_width's AQE-non-coalescable REPARTITION_BY_NUM: AQE's byte-based
+    coalescing collapsed the posting-list pair expansion to 4-6 tasks at
+    fixture scale (r16 batch 4). Candidate generation stays posting-list
+    driven — no cartesian/BNLJ anywhere."""
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_ngram_containment",
+        "dedup_weighted_jaccard_pairs",
+    ):
+        plan = plan_of(spark, name)
+        # two pins + the parallelize_scan fan-out(s)
+        assert count(r"REPARTITION_BY_NUM", plan) >= 3, name
+        assert count(r"CartesianProduct|BroadcastNestedLoopJoin", plan) == 0, name
+
+
 def test_markov_transitions_one_user_exchange(spark):
     """lead window exchanges once on user_id; the matrix agg and its
     normalizing window run over bounded |types|^2 keys."""
