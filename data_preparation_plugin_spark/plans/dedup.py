@@ -1859,12 +1859,18 @@ def dedup_containment_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
        junk — pairs sharing a shingle in the BIG doc's prefix but
        none in the small one's can never qualify.
     3. Integer surrogate ids. The kept vocabulary gets a
-       collision-free ``monotonically_increasing_id`` (a bijection,
-       minted once behind the single eager checkpoint, used only for
-       equality), so the candidate join keys and the verify
-       ``array_intersect`` run over BIGINTs instead of 3-word
-       strings: no UTF8 hashing per element, ~3x narrower arrays in
-       the checkpoint and the broadcast.
+       deterministic 64-bit ``xxhash64(shingle)`` surrogate (r17:
+       replaces ``monotonically_increasing_id``, whose values were
+       only stable while the persisted vocab stayed cache-resident —
+       losing a cached partition at scale would re-mint ids that
+       differ from the ones already baked into other consumers'
+       arrays, silently corrupting intersections; VERDICT r16 #3).
+       Injectivity over the kept vocabulary is AUDITED each run (one
+       tiny aggregate over the persisted vocab; a collision raises
+       instead of returning wrong counts), so the candidate join keys
+       and the verify ``array_intersect`` run over BIGINTs instead of
+       3-word strings: no UTF8 hashing per element, ~3x narrower
+       arrays in the cache and the broadcast.
 
     Both the probe and the full posting index are posexploded views
     of the checkpointed ``doc_sets``, so the separate ``kept``
@@ -1890,18 +1896,19 @@ def dedup_containment_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["doc_id"], "text", SHINGLE_SIZE, distinct=True
     ).persist()
     df_counts = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # sid: collision-free 64-bit surrogate per kept shingle (partition
-    # id << 33 | row offset — deterministic under task retry, stable
-    # under cache recomputation because the groupBy partitioning is
-    # deterministic). Only EQUALITY and canonical ORDER of sids are
-    # ever used, so the answer cannot depend on their values. The
-    # persist+count materialization also makes the tiny vocab
-    # broadcastable — a raw nondeterministic-marked column otherwise
-    # blocks the broadcast and forces the df join into a sort-merge of
-    # the full shingle stream.
+    # sid: deterministic 64-bit surrogate per kept shingle — a pure
+    # function of the shingle TEXT, so every consumer subtree computes
+    # the same id even if a cached partition is evicted and the vocab
+    # lineage recomputes (monotonically_increasing_id only guaranteed
+    # that while the cache stayed resident; VERDICT r16 #3). Only
+    # EQUALITY and canonical ORDER of sids are ever used, so the
+    # answer cannot depend on their values — provided the map is
+    # injective on the kept vocabulary, which the audit below checks
+    # every run instead of assuming (64-bit birthday risk becomes real
+    # around ~2^32 distinct kept shingles).
     vocab = (
         df_counts.filter(F.col("df") <= MAX_SHINGLE_DF)
-        .withColumn("sid", F.monotonically_increasing_id())
+        .withColumn("sid", F.xxhash64("shingle"))
         .persist()
     )
     kept = shingled.join(vocab, "shingle").select("doc_id", "df", "sid")
@@ -1922,6 +1929,19 @@ def dedup_containment_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ordered").alias("n"),
     ).persist()
     doc_sets.count()  # materialize the whole front half once, eagerly
+    # Injectivity audit for the xxhash64 surrogate: one aggregate over
+    # the (persisted, already materialized) vocab. A collision would
+    # merge two distinct shingles and corrupt intersection counts, so
+    # fail loudly — at that point the fix is widening the surrogate
+    # (e.g. pairing xxhash64 with a second seed), not silent output.
+    n_rows, n_sids = vocab.agg(
+        F.count(F.lit(1)), F.count_distinct("sid")
+    ).first()
+    if n_rows != n_sids:
+        raise ValueError(
+            "dedup_containment_pruned: xxhash64 sid collision on the "
+            f"kept vocabulary ({n_rows} shingles, {n_sids} distinct sids)"
+        )
     # The upstream caches only exist to build doc_sets; release them so
     # repeated builder calls (bench reps) cannot accumulate storage.
     shingled.unpersist()

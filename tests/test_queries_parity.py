@@ -443,3 +443,21 @@ def test_degenerate_embedding_corpora(spark, tmp_path):
             d_cols, d_rows = duckdb_result(con, q.oracle)
             assert s_cols == d_cols, (case, name, s_cols, d_cols)
             assert s_rows == d_rows, (case, name, s_rows, d_rows)
+
+
+def test_containment_sids_survive_cache_eviction(spark, oracle):
+    """The containment surrogate ids must be a pure function of the
+    shingle text (r17, VERDICT r16 #3): clearing every cached partition
+    AFTER the builder staged its front half forces all four doc_sets
+    consumers to recompute the vocab lineage independently — a
+    cache-residency-dependent id mint (the old monotonically_increasing_id)
+    could re-mint ids per consumer and silently corrupt intersections,
+    while xxhash64(shingle) re-derives identically and must still match
+    the oracle exactly."""
+    query = plans.QUERIES["dedup_containment_pruned"]
+    df = query.builder(spark, SF_DIR)
+    spark.catalog.clearCache()  # evict doc_sets/vocab mid-query
+    s_cols, s_rows = spark_result(df)
+    d_cols, d_rows = duckdb_result(oracle, query.oracle)
+    assert s_cols == d_cols
+    assert s_rows == d_rows
