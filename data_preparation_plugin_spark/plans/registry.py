@@ -262,12 +262,31 @@ def pin_width(df: DataFrame, *cols: str) -> DataFrame:
     (user-pinned partition count, exempt from AQE coalescing) that
     ALSO satisfies the downstream window/groupBy's distribution
     requirement on the same key — so it replaces that operator's own
-    exchange rather than adding one. The width follows the live
-    cluster via ``defaultParallelism``, not a constant; at production
-    scale the same exchange exists anyway (AQE would not coalesce a
-    large intermediate), so this only removes the fixture-scale
-    collapse."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *cols)
+    exchange rather than adding one. The width is
+    ``max(defaultParallelism, spark.sql.shuffle.partitions)`` (r17,
+    ADVICE r16): the pin exists to prevent the fixture-scale COLLAPSE,
+    never to shrink a shuffle — on a production cluster where
+    ``shuffle.partitions`` is sized well above core count (so keyed
+    state like the posting-list ``collect_list`` stays within per-task
+    memory), the pin keeps that width instead of capping it at core
+    count.
+
+    Caveat (ADVICE r16): because the explicit repartition already
+    satisfies the downstream aggregate's distribution requirement,
+    BOTH the partial and final aggregate run post-shuffle — map-side
+    partial aggregation before the exchange is lost. Immaterial ahead
+    of ``collect_list``/``collect_set`` (no pre-shuffle reduction
+    exists anyway — every row ships regardless); do NOT reuse this
+    pattern ahead of REDUCING aggregates (sum/count/min/max), where
+    the lost partial aggregation would inflate shuffle bytes by the
+    per-key row multiplicity."""
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    try:
+        width = max(width, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        pass  # non-integer value (e.g. vendor "auto"): keep core count
+    return df.repartition(width, *cols)
 
 
 #: Live persist() handles per builder, rotated on re-entry. Spark's
