@@ -1365,16 +1365,16 @@ def graph_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-iterator++ bound (Chiba-Nishizeki; Suri-Vassilvitskii's
     MapReduce formulation). A hub of degree d contributes O(d*sqrt(m))
     wedges instead of O(d^2) under the previous id-orientation — the
-    100x skew fix VERDICT r10 #3 / r11 #2 asked for. Each triangle has
-    exactly one rank-ordered path (through its middle-ranked corner) and
-    its closing edge is oriented min->max corner by the same order, so
-    the wedge join + closing semi-join materializes every triangle
-    exactly once with no dedup filter. Every join is an equi-join
-    Catalyst can shuffle-hash; the final explode + count is map-side
-    combinable. Measured at sf0.1, idle host, best-of-3 (SCALE.md
-    "triangle orientation", r12): 6.97s middle-vertex oriented vs 9.46s
-    apex-oriented vs 7.5-9.4s for the old id-oriented plan (BENCH_r8-r10
-    records).
+    100x skew fix VERDICT r10 #3 / r11 #2 asked for. Since r17 the
+    probe itself is an in-row adjacency intersection per oriented edge
+    (see the inline comment below) rather than a wedge-row join + a
+    closing semi-join: each triangle is still found exactly once (on
+    its lowest-ranked edge), every join is an equi-join Catalyst can
+    hash, and the member count explodes from one pass. Measured at
+    sf0.1, idle host, best-of-3 (SCALE.md "triangle orientation", r12):
+    6.97s middle-vertex oriented vs 9.46s apex-oriented vs 7.5-9.4s for
+    the old id-oriented plan (BENCH_r8-r10 records); r17 interleaved
+    A/B: wedge rows 6.27s vs intersection 3.43s (1.83x).
     """
     # Per-order part sets via ONE exchange: collect_set gathers each
     # order's distinct parts (state bounded by order size, ~4-7 items)
@@ -1438,32 +1438,76 @@ def graph_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
-    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = oriented.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
-    # Broadcast the oriented edge list into both probes: the wedge stream
-    # is the super-linear object (sum of indeg*outdeg over the oriented
-    # DAG) and must stay pipelined inside one codegen stage — a
-    # sort-merge plan would shuffle AND sort all wedges. The broadcast
-    # side is only the deduplicated oriented edge list (two longs per
-    # edge); for unbounded-catalog graphs swap to a shuffled hash join
-    # on the same keys — the wedge stream still never sorts, and
-    # orientation keeps per-node wedge fan-out O(sqrt(m)) either way.
-    wedges = e1.join(F.broadcast(e2), F.col("b") == F.col("b2")).select(
-        "a", "b", "c"
+    # r17: count triangles by in-row adjacency INTERSECTION instead of
+    # materializing the wedge stream as join rows. Each oriented edge
+    # (src, dst) gets both endpoints' out-adjacency arrays attached
+    # (collect_list over the checkpointed edge list, broadcast — the
+    # same bytes the old plan broadcast as e2/closing), and its
+    # triangles are ``array_intersect(adj(src), adj(dst))``: a triangle
+    # with rank-ordered corners x < y < z has edges x->y, x->z, y->z,
+    # so it is found EXACTLY once, on its lowest edge (x, y) — z is an
+    # out-neighbor of both x and y, while on (x, z) the third corner y
+    # is never an out-neighbor of z. Same asymptotics as the wedge
+    # probe (sum over edges of |adj|, the Chiba-Nishizeki bound under
+    # this orientation) but every wedge's join-probe + semi-join hash
+    # lookup collapses into one hash-set membership inside
+    # array_intersect, and no (a, b, c) row is ever materialized.
+    # Interleaved same-session A/B at sf0.1 (idle host, 4 reps):
+    # 6.27s -> 3.43s (1.83x); x8 replica ratio in OPTIMIZATION_r17.md.
+    # For unbounded-catalog graphs swap the adjacency broadcasts to
+    # shuffled hash joins on the same keys — orientation still bounds
+    # every adjacency array at O(sqrt(m)).
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    tri = (
+        oriented.join(
+            F.broadcast(
+                adj.select(F.col("src").alias("a_"), F.col("nbrs").alias("na"))
+            ),
+            F.col("src") == F.col("a_"),
+        )
+        .join(
+            # INNER join: an edge whose dst has no out-neighbors closes
+            # no triangle (its intersection would be empty) — dropping
+            # it here is exactly the zero contribution it would make.
+            F.broadcast(
+                adj.select(F.col("src").alias("b_"), F.col("nbrs").alias("nb"))
+            ),
+            F.col("dst") == F.col("b_"),
+        )
+        .select("src", "dst", F.array_intersect("na", "nb").alias("cs"))
     )
-    closing = oriented.select(
-        F.col("src").alias("a3"), F.col("dst").alias("c3")
-    )
-    triangles = wedges.join(
-        F.broadcast(closing),
-        (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
-        "left_semi",
-    )
-    member = triangles.select(
-        F.explode(F.array("a", "b", "c")).alias("part")
-    )
-    return member.groupBy("part").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    # Per-edge member contributions in ONE pass (the intersection is
+    # computed once per edge): src and dst each sit in size(cs)
+    # triangles found on this edge; each common neighbor c sits in one.
+    contrib = tri.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("part"),
+                        F.size("cs").cast("long").alias("w"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("part"),
+                        F.size("cs").cast("long").alias("w"),
+                    ),
+                ),
+                F.transform(
+                    "cs",
+                    lambda c: F.struct(
+                        c.alias("part"), F.lit(1).cast("long").alias("w")
+                    ),
+                ),
+            )
+        ).alias("x")
+    ).select("x.part", "x.w")
+    return (
+        contrib.groupBy("part")
+        .agg(F.sum("w").alias("n_triangles"))
+        # A part appears iff it is in >= 1 triangle — edges with empty
+        # intersections contribute w=0 rows for their endpoints, which
+        # must not surface (the oracle only counts triangle members).
+        .where(F.col("n_triangles") > 0)
     )
 
 
