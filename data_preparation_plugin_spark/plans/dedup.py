@@ -4317,22 +4317,26 @@ def dedup_substr_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup_duplicate_spans`` merges fixed-k hits into intervals — a
     chain of hits can glue overlaps with DIFFERENT partners) and CDC
     chunks (boundary-aligned) can certify: rank doubling. A substring of
-    length 2L at position p is cross-document duplicated iff its digest
-    ``md5(substr(s, p, 2L))`` collides across docs, and duplication at
-    2L implies duplication at L at the same position — so each level
-    re-digests ONLY the previous level's surviving positions (the
-    candidate-restricted extension the verdict sketched), climbing
-    16 → 256 chars in ``log`` levels. Per doc: the base-level duplicated
-    gram count, the largest certified duplicated length (a power-of-two
-    lower bound within 2x of the true maximum — what the dedup decision
-    needs), and the survivor count at that length.
+    length 2L at position p is cross-document duplicated iff both of
+    its L-halves match pairwise — i.e. iff the key
+    ``(dg_L(p), dg_L(p+L))`` built from the PREVIOUS level's digests
+    collides across docs (the Manber-Myers doubling step, r17; the r16
+    ladder re-digested ``md5(substr(s, p, 2L))`` from the raw text at
+    every level instead). Duplication at 2L implies duplication of both
+    halves at L, so both pair members are always present among the
+    level-L survivors, climbing 16 → 256 chars in ``log`` levels with
+    only ONE full-text digest pass (level 0). Per doc: the base-level
+    duplicated gram count, the largest certified duplicated length (a
+    power-of-two lower bound within 2x of the true maximum — what the
+    dedup decision needs), and the survivor count at that length.
 
-    Scale shape: NO all-pairs stage at any level — each level is one
-    digest-keyed count (map-side combinable, 16-byte keys) plus one
-    digest semi-join back to (doc_id, pos) pairs; text never leaves its
-    row (digests are computed in-row from the doc's own string). Level 0
-    touches every position once (the honest suffix-array price); every
-    later level touches only survivors, which collapse geometrically —
+    Scale shape: NO all-pairs stage at any level — level 0 is one
+    digest-keyed window (8-byte keys); every upper level is one
+    groupBy(doc_id) exchange of the surviving (pos, digest) rows plus
+    an in-row pair lookup and one digest window. Text never leaves its
+    row, and after level 0 it is never read again. Level 0 touches
+    every position once (the honest suffix-array price); every later
+    level touches only survivors, which collapse geometrically —
     exactly the candidate decay that makes the paper's suffix-automaton
     affordable. Survivor frames are checkpointed per level so the plan
     depth stays O(1) per level, and the ladder stops early when a level
@@ -4356,51 +4360,47 @@ def dedup_substr_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.col("text")).alias("s"),
         F.length(F.lower(F.col("text"))).alias("n"),
     )
-    cand = base.withColumn(
+    # Level 0 (the honest full pass): md5-digest EVERY position once.
+    exploded = base.withColumn(
         "ps",
         F.expr(
             f"CASE WHEN n >= {SUBSTR_BASE_LEN}"
             f" THEN sequence(1, n - {SUBSTR_BASE_LEN} + 1)"
             " ELSE array() END"
         ),
-    )
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(ps, p -> struct(p AS p,"
+                " CAST(conv(substr("
+                f"md5(substr(s, p, {SUBSTR_BASE_LEN})), 1, 15), 16, 10)"
+                " AS BIGINT) AS dg))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.p", "x.dg")
     per_level = []
-    for lvl in SUBSTR_LEVELS:
-        cand = cand.withColumn(
-            "ps", F.expr(f"filter(ps, p -> p + {lvl} <= n + 1)")
-        )
-        exploded = cand.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(ps, p -> struct(p AS p,"
-                    " CAST(conv(substr("
-                    f"md5(substr(s, p, {lvl})), 1, 15), 16, 10)"
-                    " AS BIGINT) AS dg))"
-                )
-            ).alias("x"),
-        ).select("doc_id", "x.p", "x.dg")
+    for idx, lvl in enumerate(SUBSTR_LEVELS):
         # Cross-doc duplication as min<max over the digest window — same
         # predicate as count(DISTINCT doc_id) >= 2 without the distinct
         # aggregate's extra pass; digests shuffle as 8-byte longs (60
-        # md5 bits — collisions ~(positions^2)/2^61, mirrored exactly in
-        # the oracle either way). r16: the window form replaces the old
-        # groupBy(dg) + semi-join-back, which needed the exploded frame
-        # TWICE and therefore a full eager checkpoint of every (doc, p,
-        # dg) row per level; min/max windows over the one digest
-        # exchange consume the explode exactly once with constant state
-        # per group (a collect-based rebuild would OOM on boilerplate
-        # grams), so the per-level cost drops from materialize +
-        # aggregate exchange + join to the single exchange that is
-        # fundamentally required (A/B in OPTIMIZATION_r16.md).
+        # md5 bits at level 0 — collisions ~(positions^2)/2^61; see the
+        # r17 note below for the upper levels). r16: the window form
+        # replaces the old groupBy(dg) + semi-join-back, which needed
+        # the exploded frame TWICE and therefore a full eager checkpoint
+        # of every (doc, p, dg) row per level; min/max windows over the
+        # one digest exchange consume the explode exactly once with
+        # constant state per group (a collect-based rebuild would OOM on
+        # boilerplate grams), so the per-level cost drops to the single
+        # exchange that is fundamentally required (OPTIMIZATION_r16.md).
         w_dg = Window.partitionBy("dg")
         surv = (
             exploded.withColumn("mn", F.min("doc_id").over(w_dg))
             .withColumn("mx", F.max("doc_id").over(w_dg))
             .where(F.col("mn") < F.col("mx"))
-            .select("doc_id", "p")
+            .select("doc_id", "p", "dg")
             # Checkpointed for BOTH reasons: it feeds two consumers (the
-            # level count and the next level's candidate arrays), and it
+            # level count and the next level's candidate pairs), and it
             # gives AQE the TRUE size — without it the x8 replica run
             # picks a broadcast for the survivor join and dies with
             # "Not enough memory to build and broadcast" (measured).
@@ -4411,13 +4411,64 @@ def dedup_substr_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_pos"))
             .withColumn("lvl", F.lit(lvl))
         )
-        if surv.isEmpty():
+        if idx + 1 == len(SUBSTR_LEVELS) or surv.isEmpty():
             break
-        cand = base.join(
-            surv.groupBy("doc_id").agg(
-                F.sort_array(F.collect_list("p")).alias("ps")
-            ),
+        # r17 — rank doubling on the survivors' OWN digests (the
+        # Manber-Myers step the r16 ladder only approximated): a
+        # substring of length 2L at p is cross-doc duplicated iff its
+        # two L-halves match pairwise, i.e. iff the key
+        # (dg_L(p), dg_L(p+L)) collides across docs — and both halves
+        # of a qualifying position are themselves level-L survivors, so
+        # the pair is always present (p+L surviving also implies the
+        # p + 2L <= n + 1 length bound, which is why `base`/`n` are
+        # never consulted again). This removes, per upper level, the
+        # join back to the corpus AND the md5 digesting of 2L-char
+        # substrings (32+64+128+256 = 480 hashed chars per surviving
+        # position across the ladder); each upper level is one
+        # groupBy(doc_id) exchange of survivor rows plus an in-row map
+        # lookup. The pair is collapsed to a 64-bit key with xxhash64
+        # so the window key stays one long per level instead of a
+        # 2^k-long struct; that collapse is Spark-side only (the oracle
+        # keeps its literal md5 ladder), so unlike level 0 its
+        # ~(survivors^2)/2^64 collision band is not mirrored — at the
+        # fixture's ~1e6 survivors that is ~5e-8 per level, and a
+        # collision can only ADD a false survivor, never lose one.
+        off = lvl
+        grouped = surv.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list(F.struct("p", "dg"))).alias("pd")
+        )
+        withm = grouped.select(
             "doc_id",
+            "pd",
+            F.map_from_arrays(
+                F.transform("pd", lambda x: x["p"]),
+                F.transform("pd", lambda x: x["dg"]),
+            ).alias("m"),
+        )
+        exploded = (
+            withm.select(
+                "doc_id",
+                F.explode(
+                    F.filter(
+                        F.transform(
+                            "pd",
+                            lambda x: F.struct(
+                                x["p"].alias("p"),
+                                x["dg"].alias("d1"),
+                                F.element_at(
+                                    F.col("m"), x["p"] + F.lit(off)
+                                ).alias("d2"),
+                            ),
+                        ),
+                        lambda y: y["d2"].isNotNull(),
+                    )
+                ).alias("x"),
+            )
+            .select(
+                "doc_id",
+                F.col("x.p").alias("p"),
+                F.xxhash64("x.d1", "x.d2").alias("dg"),
+            )
         )
     lv = per_level[0]
     for frame in per_level[1:]:
