@@ -1972,15 +1972,24 @@ def dedup_containment_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("ordered", lambda x: x["sid"]).alias("sids"),
         F.size("ordered").alias("n"),
     ).persist()
-    doc_sets.count()  # materialize the whole front half once, eagerly
-    # Injectivity audit for the xxhash64 surrogate: one aggregate over
-    # the (persisted, already materialized) vocab. A collision would
-    # merge two distinct shingles and corrupt intersection counts, so
-    # fail loudly — at that point the fix is widening the surrogate
-    # (e.g. pairing xxhash64 with a second seed), not silent output.
-    n_rows, n_sids = vocab.agg(
-        F.count(F.lit(1)), F.count_distinct("sid")
-    ).first()
+    # Materialize the whole front half once, eagerly — and audit the
+    # xxhash64 surrogate's injectivity in the SAME action (the vocab
+    # aggregate rides the materialization job instead of paying its own
+    # job round-trip; interleaved A/B: separate audit job cost ~0.3s of
+    # the 2.1s query at sf0.1). A collision would merge two distinct
+    # shingles and corrupt intersection counts, so fail loudly — at
+    # that point the fix is widening the surrogate (e.g. pairing
+    # xxhash64 with a second seed), not silent output.
+    n_docs, n_rows, n_sids = (
+        doc_sets.agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(
+            vocab.agg(
+                F.count(F.lit(1)).alias("nv"),
+                F.count_distinct("sid").alias("ns"),
+            )
+        )
+        .first()
+    )
     if n_rows != n_sids:
         raise ValueError(
             "dedup_containment_pruned: xxhash64 sid collision on the "
